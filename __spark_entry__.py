@@ -1,38 +1,562 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: ``cassandra_fs_pp_spark`` (see SURVEY.md §2 for the operator
+inventory each query exercises). Numeric-determinism convention: money-like
+sums go through DECIMAL casts (exact, order-independent) and are cast back
+to double; double avgs are rounded to >=4 decimals so Spark/DuckDB
+summation-order differences (~1e-12 relative) can't flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_fs_pp_spark.operators.dedup import dedup_keep_first, dedup_rows
+from cassandra_fs_pp_spark.operators.joins import asof_join, calibration_join
+from cassandra_fs_pp_spark.operators.validity import null_out_of_range, quality_gate
+from cassandra_fs_pp_spark.operators.windows import (
+    rolling_mean,
+    rolling_median,
+    time_frame,
+    ts_delta_seconds,
+)
+from cassandra_fs_pp_spark.session import tune
+from cassandra_fs_pp_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY §7.1): events -> keep-first dedup (P3) -> validity
+# nulling (P7) -> broadcast dim join (J1-shape) -> tumbling 1-hour agg (A8)
+# -> trailing 24h rolling mean (W4).
+# --------------------------------------------------------------------------
+
+def flagship_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+
+    deduped = dedup_keep_first(
+        ev, keys=["user_id", "event_type", "ts"], order_by=["event_id"]
+    )
+    valid = deduped.withColumn(
+        "value_valid",
+        F.when(F.col("value").between(0.0, 450.0), F.col("value")),
+    )
+    joined = valid.join(
+        F.broadcast(cust.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        on=valid["user_id"] == F.col("c_custkey"),
+        how="left",
+    )
+    hourly = (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value_valid"), 3).alias("sum_value"),
+        )
+        .select("segment", F.col("w.start").alias("hour_ts"), "n_events", "sum_value")
+    )
+    frame = time_frame("hour_ts", before_s=86400, partition_by=["segment"])
+    # Window avg via decimal-exact sum / count: sum_value is a 3dp value, so
+    # the decimal window sum is order-independent (portable vs the oracle).
+    dec_sum = F.sum(F.col("sum_value").cast("decimal(18,3)")).over(frame)
+    cnt = F.count("sum_value").over(frame)
+    # round at 8dp: a (3dp sum)/n quotient can terminate at up to 7 decimals,
+    # and Spark vs DuckDB break exact round-ties differently — rounding past
+    # the terminating scale sidesteps ties entirely
+    return hourly.withColumn(
+        "avg_24h", F.round(dec_sum.cast("double") / cnt, 8)
+    )
+
+
+FLAGSHIP_ORACLE = """
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
+    FROM events) WHERE rn = 1
+), v AS (
+  SELECT user_id, ts,
+         CASE WHEN value BETWEEN 0 AND 450 THEN value END AS value_valid
+  FROM dedup
+), j AS (
+  SELECT v.*, c.c_mktsegment AS segment
+  FROM v LEFT JOIN customer c ON v.user_id = c.c_custkey
+), h AS (
+  SELECT segment, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_events, round(sum(value_valid), 3) AS sum_value
+  FROM j GROUP BY 1, 2
+)
+SELECT segment, hour_ts, n_events, sum_value,
+       round(CAST(sum(CAST(sum_value AS DECIMAL(18,3))) OVER w AS DOUBLE)
+             / count(sum_value) OVER w, 8) AS avg_24h
+FROM h
+WINDOW w AS (PARTITION BY segment ORDER BY epoch(hour_ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_events_hourly(spark, SF0001)
 
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary (A-layer headline; SURVEY §5 oracle strategy).
+# DECIMAL sums for order-independent exactness.
+# --------------------------------------------------------------------------
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Full-DECIMAL money arithmetic: base columns are 2dp-valued doubles, so
+    # a single cast to decimal is exact; decimal *,+,- and sums are then
+    # order-independent and bit-identical between Spark and DuckDB. (Casting
+    # a double PRODUCT to decimal is NOT portable near scale boundaries.)
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + tax)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round decimal sums to scale 2 BEFORE the double cast so the
+            # scaled integer fits in 2^53 and the cast is exact in both
+            # engines (at scale 6+ the cast itself can differ by 1 ulp)
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))
+            * (1 + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family (P2 / P3) — duplicates are synthesized by self-union so the
+# operators do real work on the clean test tables.
+# --------------------------------------------------------------------------
+
+def p2_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return dedup_rows(doubled)
+
+
+P2_ORACLE = """
+SELECT DISTINCT * FROM (
+  SELECT * FROM events UNION ALL SELECT * FROM events)
+"""
+
+
+def p3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    shadow = ev.withColumn("event_id", F.col("event_id") + F.lit(1000000)).withColumn(
+        "value", F.col("value") * 2
+    )
+    doubled = ev.unionByName(shadow)
+    return dedup_keep_first(
+        doubled, keys=["user_id", "event_type", "ts"], order_by=["event_id"]
+    )
+
+
+P3_ORACLE = """
+WITH doubled AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT event_id + 1000000 AS event_id, ts, user_id, event_type,
+         value * 2 AS value, props
+  FROM events
+)
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
+  FROM doubled) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P7/P8 validity + quality gate; P10 time slice.
+# --------------------------------------------------------------------------
+
+def p7_validity_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounded = null_out_of_range(ev, {"value": (0.0, 100.0)})
+    flag = (F.col("event_id") % 256).cast("long")
+    return bounded.select(
+        "event_id",
+        F.col("value").alias("value_valid"),
+        quality_gate(F.col("value"), flag).alias("value_gated"),
+    )
+
+
+P7_ORACLE = """
+SELECT event_id,
+       CASE WHEN value BETWEEN 0 AND 100 THEN value END AS value_valid,
+       CASE WHEN coalesce(event_id % 256, 150) BETWEEN 150 AND 210
+            THEN CASE WHEN value BETWEEN 0 AND 100 THEN value END
+       END AS value_gated
+FROM events
+"""
+
+
+def p10_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").between(
+            F.lit("2024-01-10 00:00:00"), F.lit("2024-01-20 00:00:00")
+        )
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+P10_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation layer: A1 median over slice, A3 mode of sampling interval,
+# A6 month rollup, A8 hourly resample.
+# --------------------------------------------------------------------------
+
+def a1_median_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 6).alias("median_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+A1_ORACLE = """
+SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
+def a3_mode_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    deltas = ev.select(
+        "user_id",
+        F.floor(ts_delta_seconds("ts", partition_by=["user_id"])).alias("delta_s"),
+    ).filter(F.col("delta_s").isNotNull())
+    return (
+        deltas.groupBy("delta_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("delta_s"))
+        .limit(1)
+    )
+
+
+A3_ORACLE = """
+WITH deltas AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS delta_s
+  FROM events
+)
+SELECT CAST(delta_s AS BIGINT) AS delta_s, count(*) AS n
+FROM deltas WHERE delta_s IS NOT NULL
+GROUP BY delta_s ORDER BY n DESC, delta_s ASC LIMIT 1
+"""
+
+
+def a6_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.month("ts").alias("month"), F.col("event_type")
+        )
+        .agg(
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+A6_ORACLE = """
+SELECT CAST(month(ts) AS INT) AS month, event_type,
+       round(sum(value), 3) AS sum_value, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def a8_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select("w.start", "n", "sum_value", "avg_value", "min_value", "max_value")
+        .withColumnRenamed("start", "hour_ts")
+    )
+
+
+A8_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+       round(sum(value), 3) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Window layer: W1 trailing 2-day rolling median, W4 covered by flagship.
+# --------------------------------------------------------------------------
+
+def w1_rolling_median_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.round(F.sum("value"), 3).alias("day_value"))
+    )
+    frame = time_frame("day_ts", before_s=2 * 86400, partition_by=["user_id"])
+    return daily.withColumn(
+        "med_3d", F.round(rolling_median("day_value", frame), 4)
+    )
+
+
+W1_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day_ts, day_value,
+       round(median(day_value) OVER (
+         PARTITION BY user_id ORDER BY epoch(day_ts)
+         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW), 4) AS med_3d
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# Join layer: J1 calibration+fallback, J4 as-of, semi/anti.
+# --------------------------------------------------------------------------
+
+def j1_calibration_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    fact = li.select(
+        F.col("l_suppkey").alias("sensor_id"), F.col("l_discount").alias("raw")
+    )
+    calib = supp.filter(F.col("s_suppkey") % 4 != 0).select(
+        F.col("s_suppkey").alias("sensor_id"),
+        (F.round("s_acctbal", 2) / 1000.0).alias("m"),
+        (F.col("s_nationkey") / 10.0).alias("c"),
+    )
+    out = calibration_join(fact, calib)
+    return out.groupBy("sensor_id").agg(
+        F.round(F.avg("calibrated"), 6).alias("avg_cal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+J1_ORACLE = """
+WITH calib AS (
+  SELECT s_suppkey AS sensor_id, round(s_acctbal, 2) / 1000.0 AS m,
+         s_nationkey / 10.0 AS c
+  FROM supplier WHERE s_suppkey % 4 <> 0
+), means AS (
+  SELECT avg(m) AS avg_m, avg(c) AS avg_c FROM calib
+), fact AS (
+  SELECT l_suppkey AS sensor_id, l_discount AS raw FROM lineitem
+)
+SELECT f.sensor_id,
+       round(avg(coalesce(cal.m, means.avg_m) * (1 - f.raw)
+             + coalesce(cal.c, means.avg_c)), 6) AS avg_cal,
+       count(*) AS n
+FROM fact f LEFT JOIN calib cal ON f.sensor_id = cal.sensor_id
+CROSS JOIN means
+GROUP BY f.sensor_id
+"""
+
+
+def j4_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="ts",
+        by=["user_id"],
+        value_cols=["err_value"],
+        direction="backward",
+    )
+
+
+J4_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value AS err_value FROM events
+      WHERE event_type = 'error') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def j_semi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.join(errors, on="user_id", how="left_semi").distinct()
+
+
+J_SEMI_ORACLE = """
+SELECT DISTINCT user_id FROM events e
+WHERE event_type = 'click' AND EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.event_type = 'error' AND x.user_id = e.user_id)
+"""
+
+
+def j_anti_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.join(errors, on="user_id", how="left_anti").distinct()
+
+
+J_ANTI_ORACLE = """
+SELECT DISTINCT user_id FROM events e
+WHERE event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.event_type = 'error' AND x.user_id = e.user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 union with schema merge.
+# --------------------------------------------------------------------------
+
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "value")
+    b = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+U1_ORACLE = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'view'
+UNION ALL BY NAME
+SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_events_hourly": flagship_events_hourly,
+        "tpch_q1": tpch_q1,
+        "p2_dedup_rows": p2_dedup_rows,
+        "p3_dedup_keep_first": p3_dedup_keep_first,
+        "p7_validity_null": p7_validity_null,
+        "p10_time_slice": p10_time_slice,
+        "a1_median_slice": a1_median_slice,
+        "a3_mode_interval": a3_mode_interval,
+        "a6_monthly_rollup": a6_monthly_rollup,
+        "a8_resample_hourly": a8_resample_hourly,
+        "w1_rolling_median_2d": w1_rolling_median_2d,
+        "j1_calibration_fallback": j1_calibration_fallback,
+        "j4_asof_backward": j4_asof_backward,
+        "j_semi_users": j_semi_users,
+        "j_anti_users": j_anti_users,
+        "u1_union_by_name": u1_union_by_name,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_events_hourly": FLAGSHIP_ORACLE,
+        "tpch_q1": TPCH_Q1_ORACLE,
+        "p2_dedup_rows": P2_ORACLE,
+        "p3_dedup_keep_first": P3_ORACLE,
+        "p7_validity_null": P7_ORACLE,
+        "p10_time_slice": P10_ORACLE,
+        "a1_median_slice": A1_ORACLE,
+        "a3_mode_interval": A3_ORACLE,
+        "a6_monthly_rollup": A6_ORACLE,
+        "a8_resample_hourly": A8_ORACLE,
+        "w1_rolling_median_2d": W1_ORACLE,
+        "j1_calibration_fallback": J1_ORACLE,
+        "j4_asof_backward": J4_ORACLE,
+        "j_semi_users": J_SEMI_ORACLE,
+        "j_anti_users": J_ANTI_ORACLE,
+        "u1_union_by_name": U1_ORACLE,
+    }

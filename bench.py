@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full plan execution to a count-style action (foreach noop would
+skip result materialization; ``df.write.format('noop')`` materializes every
+row without driver collection — the honest at-scale measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cassandra_fs_pp_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline subset: one per operator layer (scan/agg, dedup, window,
+# join, as-of, time-series spine). Keep <= ~10 for a tight feedback loop.
+HEADLINE = [
+    "tpch_q1",
+    "flagship_events_hourly",
+    "p3_dedup_keep_first",
+    "a8_resample_hourly",
+    "w1_rolling_median_2d",
+    "j1_calibration_fallback",
+    "j4_asof_backward",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footer caches once with the cheapest query
+    qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Join/alignment operators (SURVEY §2.4).
+
+* J1 calibration lookup join with fallback-to-mean — the reference looks up
+  per-sensor ``(m, c)`` by column name and falls back to the mean of all
+  sensors' coefficients on a miss (``cassandra_fs_pp/fs_pp.py:584-594``),
+  then applies ``ec = m*(1-x)+c``. Here: a BROADCAST left join of the long
+  fact against the coefficient dim, with the fallback means cross-joined
+  from a 1-row aggregate (also broadcast — no shuffle on the fact).
+* J4 as-of lookup — "first/last record at or before/after t"
+  (``cassandra_fs_pp/fs_pp.py:621-625, 507``). Spark has no native as-of
+  join; the scalable shape here is the sort-based union trick: tag both
+  sides, union on (key, time, side), carry the right side's values forward
+  with a running ``last(ignorenulls)`` window, keep left rows. One shuffle,
+  no per-group pandas, works at any key cardinality.
+* J2/J3 series re-alignment / horizontal concat — plain equi-joins on time
+  (``cassandra_fs_pp/fs_pp.py:566``, ``bin/fs_process_l2.py:113``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def calibration_join(
+    fact: DataFrame,
+    calib: DataFrame,
+    *,
+    key: str = "sensor_id",
+    raw_col: str = "raw",
+    m_col: str = "m",
+    c_col: str = "c",
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """J1 — broadcast dim join + fallback-to-mean coalesce + linear transform.
+
+    ``calibrated = coalesce(m, avg(m)) * (1 - raw) + coalesce(c, avg(c))``
+    (the EC mV->uS transform, cassandra_fs_pp/fs_pp.py:593-594).
+    """
+    means = calib.agg(
+        F.avg(m_col).alias("__avg_m"), F.avg(c_col).alias("__avg_c")
+    )
+    dim = calib.select(key, m_col, c_col)
+    out = (
+        fact.join(broadcast(dim), on=key, how="left")
+        .join(broadcast(means), how="cross")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col(m_col), F.col("__avg_m")) * (F.lit(1.0) - F.col(raw_col)))
+            + F.coalesce(F.col(c_col), F.col("__avg_c")),
+        )
+        .drop(m_col, c_col, "__avg_m", "__avg_c")
+    )
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str] | None = None,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
+    right_on: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """J4 — as-of join: for each left row, the latest right row with
+    ``right.time <= left.time`` (backward) or earliest with ``>=`` (forward),
+    optionally per ``by`` key and within ``tolerance_s`` seconds.
+
+    Sort-based union implementation (one shuffle on ``by`` + sort):
+    scalable alternative to per-group ``pd.merge_asof``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by or [])
+    right_on = right_on or on
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != right_on and c not in by]
+
+    # Tag sides; right rows sort before left at equal timestamps for
+    # backward-inclusive semantics (and after, for forward-inclusive).
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    r = right.select(
+        *by,
+        F.col(right_on).alias("__t"),
+        F.lit(r_side).alias("__side"),
+        F.col(right_on).alias("__matched_t"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l_cols = left.columns
+    l = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(r.schema["__matched_t"].dataType).alias("__matched_t"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+    )
+    r = r.select(
+        *by, "__t", "__side", "__matched_t",
+        *[f"__v_{c}" for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
+    )
+    u = r.unionByName(l)
+
+    base = Window.partitionBy(*by) if by else Window
+    if direction == "backward":
+        w = base.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    matched = u.select(
+        *by,
+        "__t",
+        "__side",
+        carry(F.col("__matched_t")).alias("__m_t"),
+        *[carry(F.col(f"__v_{c}")).alias(f"__m_{c}") for c in value_cols],
+        *[F.col(f"__l_{c}") for c in l_cols],
+    ).filter(F.col("__side") == l_side)
+
+    if tolerance_s is not None:
+        gap = F.abs(F.col("__t").cast("long") - F.col("__m_t").cast("long"))
+        keep = gap <= int(tolerance_s)
+        matched = matched.select(
+            *by, "__t",
+            F.when(keep, F.col("__m_t")).alias("__m_t"),
+            *[F.when(keep, F.col(f"__m_{c}")).alias(f"__m_{c}") for c in value_cols],
+            *[F.col(f"__l_{c}") for c in l_cols],
+        )
+
+    out_names = {c: (c if c not in l_cols else c + suffix) for c in value_cols}
+    return matched.select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        *[F.col(f"__m_{c}").alias(out_names[c]) for c in value_cols],
+    )
+
+
+def align_on_time(
+    series: Sequence[DataFrame], on: str = "time", how: str = "full"
+) -> DataFrame:
+    """J3 — horizontal concat: align several (time, value...) frames into one
+    wide frame by full-outer join on time (pandas ``concat(axis=1)`` parity)."""
+    out = series[0]
+    for df in series[1:]:
+        out = out.join(df, on=on, how=how)
+    return out

@@ -1,0 +1,250 @@
+"""Time-series window operators (SURVEY §2.7 — the heart of the reference).
+
+Reference semantics, re-expressed as Spark window/column expressions (no
+sequential UDFs anywhere — every op below is a declarative plan Catalyst can
+optimize and Tungsten can codegen):
+
+* W1/W2 rolling time-window median — ``rolling('2D').median()`` /
+  ``rolling('3D', center=True).median()`` (``cassandra_fs_pp/fs_pp.py:562``,
+  ``bin/fs_process_l2.py:71``). Spark: exact ``percentile(x, 0.5)`` over a
+  ``rangeBetween`` frame on epoch seconds.
+* W3 count-window median — ``rolling(3, center=True)`` -> ``rowsBetween``.
+* W4 trailing time-window mean — ``rolling('24H').mean()`` (``bin/plot_L2.py:121``).
+* W5 resample-to-grid + limited ffill — dominant-frequency detection + grid
+  reindex + ``ffill(limit=3)`` (``cassandra_fs_pp/fs_pp.py:555-559``).
+* W6 linear interpolation — ``Series.interpolate()`` (``bin/plot_L2.py:121``):
+  leading nulls stay null, interior nulls blend time-weighted, trailing
+  nulls carry the last valid value.
+* W7 lag/diff of timestamps (``cassandra_fs_pp/fs_pp.py:557``).
+* W8 surface-ratchet depth — the reference's sequential loop
+  (``cassandra_fs_pp/fs_pp.py:636-641``) replaced by the verified closed
+  form ``D_t = min(0, udg_t - max(ratchet_floor, cummax(udg)_t))``
+  (SURVEY §2.7 W8 [verified]): a running-max window, fully parallel.
+* W9 piecewise cumulative offset — per-event step subtraction
+  (``cassandra_fs_pp/fs_pp.py:452-511``); events are O(1) driver-side.
+
+Scale notes: every window spec takes ``partition_by`` — per-site/sensor
+series at 100 TB must partition by series key so state never concentrates.
+An unpartitioned ``Window.orderBy`` (single-series parity mode) is accepted
+but Spark will warn: fine for one station's series, wrong for a fleet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _epoch_s(t: Column) -> Column:
+    """Epoch seconds (floored) of a timestamp column.
+
+    TIMESTAMP_NTZ has no direct numeric cast; route through TIMESTAMP —
+    with the session pinned to UTC (session.py) the two agree wall-clock.
+    """
+    return t.cast("timestamp").cast("long")
+
+
+def _epoch_d(t: Column) -> Column:
+    """Epoch seconds with fractional part, as double."""
+    return t.cast("timestamp").cast("double")
+
+
+def time_frame(
+    t: str | Column,
+    *,
+    before_s: int = 0,
+    after_s: int = 0,
+    partition_by: Sequence[str | Column] | None = None,
+) -> WindowSpec:
+    """Range frame over event-time epoch seconds: [t-before_s, t+after_s]."""
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    return base.orderBy(_epoch_s(tcol)).rangeBetween(-int(before_s), int(after_s))
+
+
+def row_frame(
+    t: str | Column,
+    *,
+    before: int = 0,
+    after: int = 0,
+    partition_by: Sequence[str | Column] | None = None,
+) -> WindowSpec:
+    """Row-count frame: [current-before, current+after] ordered by time."""
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    return base.orderBy(tcol).rowsBetween(-int(before), int(after))
+
+
+def rolling_median(x: str | Column, frame: WindowSpec, *, min_periods: int = 0) -> Column:
+    """W1/W2/W3 — exact median over a window frame.
+
+    Spark has no native median *window* function; exact ``percentile(x,0.5)``
+    over the frame is the JVM-side equivalent. ``min_periods`` nulls the
+    result when fewer non-null points are in frame (pandas parity).
+    """
+    xcol = F.col(x) if isinstance(x, str) else x
+    med = F.percentile(xcol, F.lit(0.5)).over(frame)
+    if min_periods > 1:
+        return F.when(F.count(xcol).over(frame) >= min_periods, med)
+    return med
+
+
+def rolling_mean(x: str | Column, frame: WindowSpec, *, min_periods: int = 0) -> Column:
+    """W4 — mean over a window frame."""
+    xcol = F.col(x) if isinstance(x, str) else x
+    avg = F.avg(xcol).over(frame)
+    if min_periods > 1:
+        return F.when(F.count(xcol).over(frame) >= min_periods, avg)
+    return avg
+
+
+def ts_delta_seconds(
+    t: str | Column, partition_by: Sequence[str | Column] | None = None
+) -> Column:
+    """W7 — seconds since the previous row's timestamp (null on first row)."""
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    w = base.orderBy(tcol)
+    return _epoch_s(tcol) - F.lag(_epoch_s(tcol)).over(w)
+
+
+def dominant_freq_seconds(df: DataFrame, t: str = "time") -> int:
+    """A3 — mode of successive timestamp deltas (smallest wins ties,
+    matching pandas ``Series.mode()`` order). Driver-side scalar (action)."""
+    row = (
+        df.select(ts_delta_seconds(t).alias("delta"))
+        .filter(F.col("delta").isNotNull())
+        .groupBy("delta")
+        .count()
+        .orderBy(F.desc("count"), F.asc("delta"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise ValueError("need >=2 rows to detect sampling frequency")
+    return int(row[0]["delta"])
+
+
+def resample_grid(
+    df: DataFrame,
+    t: str,
+    freq_s: int,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """W5 (grid half) — regular time grid spanning [min(t), max(t)] per key.
+
+    Built as agg -> sequence -> explode -> left join; the original columns
+    come back via the join (missing grid points -> nulls). The explode of a
+    per-key bound row distributes naturally: one sequence per key.
+    """
+    keys = list(partition_by or [])
+    bounds = df.groupBy(*keys).agg(F.min(t).alias("__t0"), F.max(t).alias("__t1"))
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"interval {int(freq_s)} seconds"))
+        ).alias(t),
+    )
+    return grid.join(df, on=keys + [t], how="left")
+
+
+def ffill_limited(
+    value: str | Column,
+    t: str | Column,
+    *,
+    limit: int,
+    freq_s: int,
+    partition_by: Sequence[str | Column] | None = None,
+) -> Column:
+    """W5 (fill half) — forward-fill, at most ``limit`` grid steps back.
+
+    Carries the last non-null value AND its timestamp; the fill is voided
+    when the gap exceeds ``limit * freq_s`` seconds. Works on or off a
+    regular grid (gap measured in time, as pandas ffill(limit=) does on a
+    resampled index).
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    w = base.orderBy(tcol).rowsBetween(Window.unboundedPreceding, 0)
+    last_val = F.last(vcol, ignorenulls=True).over(w)
+    last_t = F.last(F.when(vcol.isNotNull(), tcol), ignorenulls=True).over(w)
+    gap_ok = (_epoch_s(tcol) - _epoch_s(last_t)) <= (limit * freq_s)
+    return F.when(vcol.isNotNull(), vcol).when(gap_ok, last_val)
+
+
+def interpolate_linear(
+    value: str | Column,
+    t: str | Column,
+    partition_by: Sequence[str | Column] | None = None,
+) -> Column:
+    """W6 — pandas ``Series.interpolate()`` parity.
+
+    Interior nulls: time-weighted blend of neighbors. Trailing nulls: carry
+    last valid. Leading nulls: stay null.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    w_back = base.orderBy(tcol).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.orderBy(tcol).rowsBetween(0, Window.unboundedFollowing)
+    pv = F.last(vcol, ignorenulls=True).over(w_back)
+    pt = F.last(F.when(vcol.isNotNull(), tcol), ignorenulls=True).over(w_back)
+    nv = F.first(vcol, ignorenulls=True).over(w_fwd)
+    nt = F.first(F.when(vcol.isNotNull(), tcol), ignorenulls=True).over(w_fwd)
+    span = _epoch_d(nt) - _epoch_d(pt)
+    frac = (_epoch_d(tcol) - _epoch_d(pt)) / span
+    blended = pv + (nv - pv) * frac
+    return (
+        F.when(vcol.isNotNull(), vcol)
+        .when(pv.isNull(), F.lit(None))
+        .when(nv.isNull(), pv)
+        .otherwise(blended)
+    )
+
+
+def ratchet_depth(
+    udg: str | Column,
+    t: str | Column,
+    install_depth: float,
+    partition_by: Sequence[str | Column] | None = None,
+) -> Column:
+    """W8 — time-varying burial depth with melt-out ratchet, closed form.
+
+    The reference walks the series with mutable offset state
+    (``cassandra_fs_pp/fs_pp.py:636-641``); SURVEY §2.7 W8 verified the
+    equivalent closed form
+
+        D_t = min(0, udg_t - max(-install_depth, running_max(udg)_t))
+
+    which is a single running-max window — parallel, no Python loop.
+    ``install_depth`` is the sensor's initial depth below the surface
+    (negative number, metres), matching the reference's convention.
+    """
+    ucol = F.col(udg) if isinstance(udg, str) else udg
+    tcol = F.col(t) if isinstance(t, str) else t
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    w = base.orderBy(tcol).rowsBetween(Window.unboundedPreceding, 0)
+    floor = F.greatest(F.lit(-float(install_depth)), F.max(ucol).over(w))
+    return F.least(F.lit(0.0), ucol - floor)
+
+
+def piecewise_offset(
+    x: str | Column,
+    t: str | Column,
+    events: Sequence[tuple],
+) -> Column:
+    """W9 — subtract a step ``delta`` from all values at/after each event.
+
+    ``events`` is a driver-side list of ``(timestamp, delta)`` (few per
+    site). Auto-derived deltas (pre/post medians) live in the pipeline
+    layer, since each requires an action.
+    """
+    xcol = F.col(x) if isinstance(x, str) else x
+    tcol = F.col(t) if isinstance(t, str) else t
+    adj = F.lit(0.0)
+    for ts, delta in events:
+        adj = adj + F.when(tcol >= F.lit(ts), F.lit(float(delta))).otherwise(F.lit(0.0))
+    return xcol - adj

@@ -1,0 +1,81 @@
+"""SparkSession construction and runtime tuning.
+
+The reference is a single-process pandas pipeline with no notion of a session
+(`cassandra_fs_pp/fs_pp.py` is eager module-level code); here the session IS
+the engine handle. Two entry points:
+
+* :func:`get_spark` — build a tuned local session (tests / bench / CLI).
+* :func:`tune` — apply runtime-settable conf to an EXISTING session (the
+  correctness driver owns its own session; every public query calls this
+  defensively so semantics don't depend on who built the session).
+
+Scale notes (100 TB design stance):
+* ``spark.sql.session.timeZone=UTC`` pins naive-timestamp semantics to match
+  the reference's tz-naive indexes (SURVEY §1.2) and DuckDB's UTC-naive
+  timestamps for oracle comparison.
+* AQE on: runtime partition coalescing + skew-join splitting replace any
+  hand-tuned shuffle sizing when data volume jumps 1000x.
+* shuffle partitions default to cluster parallelism locally; on a real
+  cluster AQE's coalescing makes the initial number mostly a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable (SQLConf) knobs — safe to apply to a foreign session.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas interop (multimodal + similarity).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep timestamp parquet reads stable across writers.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply engine runtime conf to an existing session (idempotent)."""
+    conf = dict(RUNTIME_CONF)
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect — no SparkContext
+            shuffle_partitions = None
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, value in conf.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime-settable on this build; keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "cassandra_fs_pp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local core count (driver contract).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    spark = builder.getOrCreate()
+    return tune(spark, shuffle_partitions)

@@ -1,0 +1,3 @@
+from cassandra_fs_pp_spark.sources.tables import TABLES, load_all, load_table
+
+__all__ = ["TABLES", "load_all", "load_table"]

@@ -1,0 +1,53 @@
+"""Parquet star-schema scans over the driver-generated test tables.
+
+These are the engine's canonical columnar scans (SURVEY §2.1 maps the
+reference's CSV/TOA5 scans here; Parquet is the at-scale format). Catalyst
+pushes predicates and prunes columns into these scans automatically —
+queries should express filters/projections declaratively and let it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp type, so these are read as raw ns longs
+# (spark.sql.legacy.parquet.nanosAsLong) and floored to microseconds,
+# matching DuckDB's us-precision read of the same files.
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Lazy: no IO until an action runs."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        # integer div (not /) — ns epochs exceed double's 2^53 exact range
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,124 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 (or $SF_DIR) on
+Spark AND its ``oracle_sql()`` on DuckDB, then compares:
+  * row count
+  * column name set
+  * exact values (columns sorted by name, rows sorted by all columns),
+    reporting per-column max abs diff for floats on mismatch.
+
+Usage: python scripts/oracle_check.py [query ...]
+Exit code 0 iff all checked queries match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from cassandra_fs_pp_spark.session import get_spark
+from cassandra_fs_pp_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("float64")  # unify int widths/nullable ints
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            eq = (a.isna() & b.isna()) | (a == b)
+            if not bool(eq.all()):
+                bad = ~eq
+                diff = (a[bad] - b[bad]).abs().max()
+                problems.append(
+                    f"col {c}: {int(bad.sum())} mismatches, max|diff|={diff}"
+                )
+        else:
+            eq = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
+            if not bool(eq.all()):
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, "
+                    f"first spark={a[idx]!r} oracle={b[idx]!r}"
+                )
+    return problems
+
+
+def main(argv: list[str]) -> int:
+    only = set(argv)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark("oracle_check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        dt = time.time() - t0
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({dt:.1f}s, {len(sdf)} rows)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

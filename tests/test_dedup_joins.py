@@ -1,0 +1,104 @@
+"""Tests for dedup (P2/P3), validity (P7/P8), and join (J1/J4) operators."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.operators.dedup import dedup_keep_first, dedup_rows
+from cassandra_fs_pp_spark.operators.joins import asof_join, calibration_join
+from cassandra_fs_pp_spark.operators.validity import null_out_of_range, quality_gate
+
+T0 = dt.datetime(2021, 1, 1)
+
+
+def test_dedup_keep_first_is_deterministic(spark):
+    # same time key from two "files"; keep-first by (file_seq, record)
+    rows = [
+        (T0, 2, 10, "b"),  # file 2
+        (T0, 1, 5, "a"),  # file 1 -> kept
+        (T0 + dt.timedelta(hours=1), 1, 6, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, file_seq int, record int, val string"
+    )
+    out = dedup_keep_first(df, keys=["time"], order_by=["file_seq", "record"])
+    got = {r["time"]: r["val"] for r in out.collect()}
+    assert got[T0] == "a"
+    assert len(got) == 2
+
+
+def test_dedup_rows(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "a int, b string")
+    assert dedup_rows(df).count() == 2
+
+
+def test_null_out_of_range_family_expansion(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0, 0.7, 200.0)],
+        "`TDR1_T` double, `TDR2_T` double, `EC(1)` double, `other` double",
+    )
+    out = null_out_of_range(df, {"TDR_T": (-50, 10), "EC": (0.5, 1.0)})
+    row = out.collect()[0]
+    assert row["TDR1_T"] == 1.0 and row["TDR2_T"] == 5.0
+    assert row["EC(1)"] == 0.7
+    assert row["other"] == 200.0  # untouched: no spec matches
+
+    df2 = spark.createDataFrame(
+        [(100.0, 0.2)], "`TDR1_T` double, `EC(1)` double"
+    )
+    row2 = null_out_of_range(df2, {"TDR_T": (-50, 10), "EC": (0.5, 1.0)}).collect()[0]
+    assert row2["TDR1_T"] is None and row2["EC(1)"] is None
+
+
+def test_quality_gate_null_flag_default(spark):
+    df = spark.createDataFrame(
+        [(1.0, 160), (2.0, 100), (3.0, None)], "v double, q int"
+    )
+    out = df.select(quality_gate(F.col("v"), F.col("q")).alias("g")).collect()
+    assert [r["g"] for r in out] == [1.0, None, 3.0]  # null flag -> 150 -> kept
+
+
+def test_calibration_join_fallback_to_mean(spark):
+    fact = spark.createDataFrame(
+        [("s1", 0.5), ("s2", 0.5), ("s3", 0.5)], "sensor_id string, raw double"
+    )
+    calib = spark.createDataFrame(
+        [("s1", 100.0, 1.0), ("s2", 200.0, 3.0)], "sensor_id string, m double, c double"
+    )
+    out = calibration_join(fact, calib)
+    got = {r["sensor_id"]: r["calibrated"] for r in out.collect()}
+    assert got["s1"] == pytest.approx(100.0 * 0.5 + 1.0)
+    assert got["s2"] == pytest.approx(200.0 * 0.5 + 3.0)
+    # s3 falls back to mean m=150, mean c=2
+    assert got["s3"] == pytest.approx(150.0 * 0.5 + 2.0)
+
+
+def test_asof_join_backward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u", T0 + dt.timedelta(seconds=10)), ("u", T0 + dt.timedelta(seconds=100))],
+        "k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T0, 1.0), ("u", T0 + dt.timedelta(seconds=50), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"]).orderBy("ts")
+    assert [r["v"] for r in out.collect()] == [1.0, 2.0]
+
+    out_tol = asof_join(
+        left, right, on="ts", by=["k"], value_cols=["v"], tolerance_s=20
+    ).orderBy("ts")
+    # first left row: gap 10s <= 20 ok; second: gap 50s > 20 -> null
+    assert [r["v"] for r in out_tol.collect()] == [1.0, None]
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([("u", T0)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", T0 + dt.timedelta(seconds=5), 9.0)], "k string, ts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, on="ts", by=["k"], value_cols=["v"], direction="forward"
+    )
+    assert out.collect()[0]["v"] == 9.0
