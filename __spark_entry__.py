@@ -517,6 +517,364 @@ SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 
 
 # --------------------------------------------------------------------------
+# LLM-data operators: text analysis, exact/minhash/simhash dedup,
+# similarity search (BASELINE.json north star; SURVEY §7.2 phase 6).
+# Duplicates/near-dups are synthesized by deterministic self-union
+# mutations so the operators do real work on the clean corpus.
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from cassandra_fs_pp_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+)
+from cassandra_fs_pp_spark.operators.textdedup import (  # noqa: E402
+    exact_dup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_perms,
+    minhash_signatures,
+    simhash,
+    token_set,
+)
+
+
+def _doc_corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a mutated copy of each (id+100000, first word dropped)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+_CORPUS_SQL = r"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         regexp_replace(text, '^\S+\s+', '') AS text
+  FROM documents
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tok_ws"),
+        token_count_bpe(t).alias("n_tok_bpe"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t, "en").alias("stop_en"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+TEXT_STATS_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok_ws,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tok_bpe,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                 / length(text)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+            THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                 AS DOUBLE)
+                 / len(string_split_regex(lower(trim(text)), '\s+'))
+            ELSE 0.0 END AS stop_en,
+       0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       + 0.3 * (1.0 - least(1.0,
+           (CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                      / length(text)
+                 ELSE 0.0 END) * 10.0))
+       + 0.3 * greatest(0.0, 1.0 - abs(
+           (CASE WHEN CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) > 0
+                 THEN CAST(length(text) AS DOUBLE)
+                      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+                 ELSE 0.0 END) - 5.0) / 5.0) AS quality,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id(t).alias("lang_pred"),
+        (lang_id(t) == F.col("lang")).alias("is_match"),
+    )
+
+
+def _langid_sql() -> str:
+    ratio = lambda lang: (  # noqa: E731
+        "CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0 "
+        "THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS DOUBLE) "
+        "/ len(string_split_regex(lower(trim(text)), '\\s+')) ELSE 0.0 END"
+    )
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(f"{ratio(l)} AS s_{l}" for l in langs)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pred = "CASE"
+    for l in langs:
+        pred += f" WHEN best > 0 AND s_{l} = best THEN '{l}'"
+    pred += " ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents),
+b AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang, {pred} AS lang_pred, ({pred}) = lang AS is_match FROM b
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # whitespace-mutated copies: same fingerprint, different raw text
+    shadow = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", r"\s+", "  ")).alias("text"),
+    )
+    return exact_dup_groups(docs.unionByName(shadow))
+
+
+DEDUP_EXACT_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         '  ' || regexp_replace(text, '\s+', '  ', 'g') AS text
+  FROM documents
+), fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS all_ids
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+MINHASH_K, MINHASH_BANDS = 16, 4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    return jaccard_verify(corpus, pairs, threshold=0.9)
+
+
+def _minhash_sql() -> str:
+    perms = ", ".join(f"({k}, {a}, {b})" for k, a, b in minhash_perms(MINHASH_K))
+    rpb = MINHASH_K // MINHASH_BANDS
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+  FROM corpus
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647 AS hw
+  FROM tok
+), perms(k, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, k, min((a * hw + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perms GROUP BY doc_id, k
+), banded AS (
+  SELECT doc_id, CAST(k // {rpb} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(k // {rpb} AS INT)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.w = tb.w
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.9
+"""
+
+
+SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    sh = simhash(corpus, bits=SIMHASH_BITS)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, on=F.col("doc_b") == F.col("doc_a") + 100000)
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+SIMHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM corpus
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hw FROM tok
+), bits AS (SELECT range AS bit FROM range({SIMHASH_BITS})),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hw >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS sim_a, b.simhash AS sim_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard between each doc and its near-dup mutation —
+    array_intersect/array_union JVM ops, no explode needed for fixed pairs."""
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    bigrams = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 0) - 1),"
+            " i -> concat_ws(' ', split(lower(trim(text)), '\\\\s+')[i],"
+            " split(lower(trim(text)), '\\\\s+')[i+1]))"
+        )
+    )
+    g = corpus.select("doc_id", bigrams.alias("grams"))
+    a = g.filter(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+    )
+    b = g.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_a"), F.col("grams").alias("gb")
+    )
+    return (
+        a.join(b, on="doc_a")
+        .select(
+            "doc_a",
+            F.size(F.array_intersect("ga", "gb")).alias("n_inter"),
+            F.size(F.array_union("ga", "gb")).alias("n_union"),
+            (
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 1, 1)),
+           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a,
+       len(list_intersect(a.grams, b.grams)) AS n_inter,
+       len(list_distinct(a.grams || b.grams)) AS n_union,
+       len(list_intersect(a.grams, b.grams))
+         / len(list_distinct(a.grams || b.grams)) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 100000
+"""
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, k=5, queries=emb.filter(F.col("vec_id") < 50)
+    )
+
+
+ANN_BRUTE_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — no SQL oracle (rows-only check); recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, nprobe=2)
+
+
+def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shadow = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    return embedding_near_dups(emb.unionByName(shadow), threshold=0.45)
+
+
+EMB_NEAR_DUPS_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -538,6 +896,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_semi_users": j_semi_users,
         "j_anti_users": j_anti_users,
         "u1_union_by_name": u1_union_by_name,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
     }
 
 
@@ -559,4 +926,13 @@ def oracle_sql() -> dict[str, str]:
         "j_semi_users": J_SEMI_ORACLE,
         "j_anti_users": J_ANTI_ORACLE,
         "u1_union_by_name": U1_ORACLE,
+        "text_stats": TEXT_STATS_ORACLE,
+        "text_lang_id": _langid_sql(),
+        "dedup_exact_docs": DEDUP_EXACT_ORACLE,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": SIMHASH_ORACLE,
+        "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
+        "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
+        # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
+        "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
     }

@@ -1,0 +1,110 @@
+"""Text-analysis column functions for LLM training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting — all pure
+JVM-side column expressions (no Python UDFs): at 100 TB these run inside
+whole-stage codegen directly over the parquet scan, shuffle-free.
+
+Every function is also expressible in ANSI SQL (DuckDB oracle parity);
+the md5-based 60-bit hash is the engine-portable stand-in for xxhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword sets for the lang-id vote (public common words).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"),
+}
+
+# BPE-ish token regex: word pieces or single non-space punctuation marks.
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as bigint.
+
+    Identical in Spark (``conv``) and DuckDB (``('0x'||…)::bigint``) —
+    the determinism backbone for minhash/simhash oracle checks.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokenization (the minhash/stopword unit)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: words + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^.,!?;:]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = whitespace_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]:
+
+    0.4 * length_score (chars/500 capped at 1)
+    + 0.3 * (1 - punct_ratio capped at 1)
+    + 0.3 * mean-word-length score (peaked near 5 chars/word).
+
+    Deterministic, engine-portable (round 6).
+    """
+    n_chars = F.length(col).cast("double")
+    n_toks = token_count_ws(col).cast("double")
+    len_score = F.least(F.lit(1.0), n_chars / 500.0)
+    punct = F.least(F.lit(1.0), punct_ratio(col) * 10.0)
+    mwl = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    mwl_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mwl - 5.0) / 5.0)
+    # no rounding: a per-row expression tree evaluates bit-identically in
+    # any IEEE engine, while rounding would ADD cross-engine tie risk
+    return 0.4 * len_score + 0.3 * (1.0 - punct) + 0.3 * mwl_score
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratios (the lang-id evidence vector)."""
+    return {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax stopword ratio, ties -> 'und' unless a
+    single language leads strictly. Deterministic tie-break by language
+    code order (en < de < fr < es resolved alphabetically: de,en,es,fr)."""
+    scores = lang_scores(col)
+    # build: greatest score, then first lang (alphabetical) achieving it
+    langs = sorted(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    out = F.lit("und")
+    for l in reversed(langs):
+        out = F.when((best > 0) & (scores[l] == best), F.lit(l)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lower-case text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (LLM-data operators).
+
+* Brute-force cosine top-k — the exact baseline: self-join + JVM-side
+  ``zip_with``/``aggregate`` dot product (no Python in the loop), windowed
+  top-k per query. O(n^2 * d) — correct at any scale but quadratic; the
+  oracle-checkable reference answer.
+* IVF-style ANN — the scale path: coarse-quantize vectors to centroid
+  cells (here: per-label mean as the deterministic centroid set, standing
+  in for a k-means codebook), search only the closest ``nprobe`` cells.
+  Cuts candidate pairs by ~|cells|/nprobe. At 100 TB the cell id becomes
+  the shuffle/bucket key and each cell fits an executor.
+* Embedding near-dup — cosine >= threshold pairs (dedup by similarity).
+
+All dot products run in double precision over float32 inputs with a fixed
+left-to-right fold, matching DuckDB's list_dot_product element order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    ``queries`` defaults to the corpus itself (all-pairs). Deterministic
+    ordering: (cosine desc, neighbor id asc). Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    q = (queries or vectors).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_raw").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``nprobe`` nearest cells.
+
+    Uses ``cell_col`` as the coarse partition (a k-means codebook at
+    scale); centroids are per-cell means. Candidate set = vectors in the
+    query's top-``nprobe`` cells by centroid cosine.
+    """
+    dims = vectors.select(F.size(vec_col).alias("d")).limit(1)
+    _ = dims  # dimensionality implied by zip_with
+    cent = (
+        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    q = vectors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        probes.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_raw").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding-space near-dup)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.col("cos_raw").alias("cosine"))
+    )

@@ -1,0 +1,228 @@
+"""Near-duplicate detection for document corpora (LLM-data operators).
+
+Four families, all built from JVM-side expressions (no Python UDFs) so the
+plan stays in whole-stage codegen and shuffles only where set semantics
+require it:
+
+* exact dedup — hash-groupBy on normalized-text fingerprint.
+* MinHash + LSH — token-set minhash signatures (K portable hash perms),
+  banded into B buckets; candidate pairs come from a self-join on
+  (band, band_signature) — at 100 TB this is THE scalable shape: the join
+  key is the bucket, so only colliding docs ever meet, and the shuffle is
+  proportional to candidates, not to |corpus|^2.
+* SimHash — sign-aggregated bit fingerprint; near-dups share the value
+  (or low hamming distance).
+* n-gram Jaccard — exact verification on candidate pairs only.
+
+Hash portability: hash60 (md5-based) matches DuckDB bit-for-bit, so every
+stage is oracle-checkable. Permutation constants are generated from a
+seeded PRNG driver-side and embedded as literals in BOTH engines' plans.
+
+Scale notes: signatures are O(K) ints per doc (tiny); the band self-join
+broadcasts nothing and skew (a hot bucket = thousands of identical docs)
+is handled by AQE skew-join splitting. The verify stage joins exploded
+token sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.functions.text import fingerprint, hash60
+
+MERSENNE_P = 2147483647  # 2^31 - 1: keeps a*h+b inside int64
+
+
+def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """K universal-hash permutations (k, a, b) with 1<=a,b<P, deterministic."""
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(1, MERSENNE_P), rng.randrange(1, MERSENNE_P))
+        for i in range(k)
+    ]
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by normalized fingerprint; emit groups with >1 doc.
+
+    Returns (fp, n_docs, keep_id, dup_ids_csv) — keep_id is min(id) (the
+    deterministic survivor), dup_ids the sorted rest.
+    """
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_join(F.array_sort(F.collect_list(id_col)), ",").alias("all_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def token_set(text_col: Column) -> Column:
+    """Distinct lower-cased whitespace tokens (the minhash unit set)."""
+    return F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Long-form minhash signatures: one row per (doc, k) with the min
+    permuted token hash. Explode -> hash -> groupBy(doc, k) min."""
+    perms = minhash_perms(num_hashes, seed)
+    tok = docs.select(
+        F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w")
+    )
+    h = tok.select(id_col, (hash60(F.col("w")) % MERSENNE_P).alias("hw"))
+    perm_rows = [(k, a, b) for k, a, b in perms]
+    perm_df = h.sparkSession.createDataFrame(perm_rows, "k int, a long, b long")
+    return (
+        h.crossJoin(F.broadcast(perm_df))
+        .groupBy(id_col, "k")
+        .agg(F.min((F.col("a") * F.col("hw") + F.col("b")) % MERSENNE_P).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_sig).
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. Two docs collide
+    when ALL rows of some band agree — the classic LSH S-curve knob
+    (bands up = recall up / precision down).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_sig"), F.col(id_col).alias("doc_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_sig"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs only.
+
+    Explodes token sets and joins them through the (small) pair list, so
+    cost is O(candidate tokens), never O(corpus^2).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(tok.withColumnRenamed(id_col, "doc_a"), on="doc_a")
+        .join(
+            tok.withColumnRenamed(id_col, "doc_b").withColumnRenamed("w", "w2"),
+            on="doc_b",
+        )
+        .filter(F.col("w") == F.col("w2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint over the token multiset.
+
+    Per token: portable 60-bit hash; per bit position: +1 if set else -1;
+    fingerprint bit = (sum >= 0). Returns (id, simhash) with simhash the
+    packed bigint. Near-dup docs differ in few bits (hamming).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    h = tok.select(id_col, hash60(F.col("w")).alias("hw"))
+    bit_df = h.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        h.crossJoin(F.broadcast(bit_df))
+        .withColumn(
+            "vote",
+            # shiftright with a COLUMN shift amount needs the SQL form
+            F.when(F.expr("shiftright(hw, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") >= 0,
+                F.pow(F.lit(2.0), F.col("bit")).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed bigint fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
