@@ -517,6 +517,413 @@ SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 
 
 # --------------------------------------------------------------------------
+# Window layer completion: W5 resample+limited ffill, W6 interpolation,
+# W8 ratchet depth, W9 piecewise offsets (SURVEY §2.7).
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.operators.windows import (  # noqa: E402
+    ffill_limited,
+    interpolate_linear,
+    piecewise_offset,
+    ratchet_depth,
+    resample_grid,
+)
+
+
+def _sparse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily sums over high-value events only -> series with holes."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("user_id") < 5) & (F.col("value") > 30.0))
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.round(F.sum("value"), 3).alias("day_value"))
+    )
+
+
+_SPARSE_DAILY_SQL = """
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) AS day_value
+  FROM events WHERE user_id < 5 AND value > 30.0
+  GROUP BY 1, 2
+"""
+
+
+def w5_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _sparse_daily(spark, sf_dir)
+    grid = resample_grid(daily, "day_ts", 86400, partition_by=["user_id"])
+    return grid.withColumn(
+        "filled",
+        ffill_limited(
+            "day_value", "day_ts", limit=2, freq_s=86400, partition_by=["user_id"]
+        ),
+    )
+
+
+W5_ORACLE = f"""
+WITH daily AS ({_SPARSE_DAILY_SQL}),
+bounds AS (SELECT user_id, min(day_ts) AS d0, max(day_ts) AS d1
+           FROM daily GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+         FROM bounds),
+g AS (SELECT grid.user_id, grid.day_ts, daily.day_value
+      FROM grid LEFT JOIN daily USING (user_id, day_ts)),
+f AS (SELECT user_id, day_ts, day_value,
+             last_value(day_value IGNORE NULLS) OVER w AS lv,
+             last_value(CASE WHEN day_value IS NOT NULL THEN day_ts END
+                        IGNORE NULLS) OVER w AS lt
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY day_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, day_ts, day_value,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            WHEN CAST(floor(epoch(day_ts)) AS BIGINT)
+                 - CAST(floor(epoch(lt)) AS BIGINT) <= 172800 THEN lv
+       END AS filled
+FROM f
+"""
+
+
+def w6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _sparse_daily(spark, sf_dir)
+    grid = resample_grid(daily, "day_ts", 86400, partition_by=["user_id"])
+    return grid.withColumn(
+        "interp",
+        interpolate_linear("day_value", "day_ts", partition_by=["user_id"]),
+    )
+
+
+W6_ORACLE = f"""
+WITH daily AS ({_SPARSE_DAILY_SQL}),
+bounds AS (SELECT user_id, min(day_ts) AS d0, max(day_ts) AS d1
+           FROM daily GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+         FROM bounds),
+g AS (SELECT grid.user_id, grid.day_ts, daily.day_value
+      FROM grid LEFT JOIN daily USING (user_id, day_ts)),
+f AS (SELECT user_id, day_ts, day_value,
+             last_value(day_value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN day_value IS NOT NULL THEN day_ts END
+                        IGNORE NULLS) OVER wb AS pt,
+             first_value(day_value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN day_value IS NOT NULL THEN day_ts END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM g
+      WINDOW wb AS (PARTITION BY user_id ORDER BY day_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY day_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, day_ts, day_value,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            WHEN pv IS NULL THEN NULL
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * ((epoch(day_ts) - epoch(pt))
+                                   / (epoch(nt) - epoch(pt)))
+       END AS interp
+FROM f
+"""
+
+
+def w8_ratchet_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-ratchet depth on a synthetic UDG series built from events:
+    per-user daily normalized sums as the 'surface height' walk."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 3)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg((F.round(F.sum("value"), 3) / 1000.0).alias("udg"))
+    )
+    return daily.withColumn(
+        "depth",
+        ratchet_depth("udg", "day_ts", -0.5, partition_by=["user_id"]),
+    )
+
+
+W8_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) / 1000.0 AS udg
+  FROM events WHERE user_id < 3 GROUP BY 1, 2
+)
+SELECT user_id, day_ts, udg,
+       least(0.0, udg - greatest(0.5, max(udg) OVER (
+         PARTITION BY user_id ORDER BY day_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS depth
+FROM daily
+"""
+
+
+def w9_piecewise_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    import datetime as _dt
+
+    events = [
+        (_dt.datetime(2024, 1, 10), 5.0),
+        (_dt.datetime(2024, 1, 20), -3.0),
+    ]
+    return ev.withColumn("adjusted", piecewise_offset("value", "ts", events))
+
+
+W9_ORACLE = """
+SELECT event_id, ts, value,
+       value - ((CASE WHEN ts >= TIMESTAMP '2024-01-10' THEN 5.0 ELSE 0.0 END)
+              + (CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN -3.0 ELSE 0.0 END))
+         AS adjusted
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation breadth: A5 slice sum, A7 daily profile, rollup, pivot (R5),
+# P1 all-null prune, scalar function suite (F1-F10), TPC-H Q3/Q5 joins.
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.operators.projection import (  # noqa: E402
+    prune_all_null_columns,
+)
+
+
+def a5_positive_sum_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+            & (F.col("value") > 100.0)
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+A5_ORACLE = """
+SELECT CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00' AND value > 100.0
+"""
+
+
+def a7_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(14,2)"))
+    return (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.round(dec_sum.cast("double") / F.count("value"), 8).alias(
+                "avg_value"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+A7_ORACLE = """
+SELECT event_type,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             / count(value), 8) AS avg_value,
+       count(*) AS n
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.col("event_type"), F.month("ts").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       CAST(grouping(event_type) AS INT) AS g_type
+FROM events GROUP BY ROLLUP (event_type, month(ts))
+"""
+
+
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def r5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+        )
+    )
+
+
+R5_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f'CAST("{t}" AS DOUBLE) AS {t}' for t in EVENT_TYPES)}
+FROM (
+  SELECT user_id, event_type,
+         CAST(value AS DECIMAL(14,2)) AS v
+  FROM events WHERE user_id < 20
+) PIVOT (sum(v) FOR event_type IN
+  ({", ".join(repr(t) for t in EVENT_TYPES)}))
+"""
+
+
+def p1_prune_all_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lit(None).cast("double").alias("ghost"),
+    )
+    return prune_all_null_columns(ev)
+
+
+P1_ORACLE = "SELECT event_id, user_id, value FROM events"
+
+
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F10 scalar family in one projection (SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        (F.lit(1.0) - v).alias("one_minus"),  # F1
+        (v * 2.5 + 3.0).alias("linear"),  # F1
+        F.round(v / 7.0, 8).alias("rounded"),  # F2 (tie-free scale)
+        F.abs(v - 100.0).alias("absdiff"),  # F3
+        F.least(F.lit(0.0), v - 50.0).alias("clamped"),  # F4
+        F.when(v > 50.0, v).otherwise(-v).alias("conditional"),  # F5
+        v.isNull().alias("is_null"),  # F6
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_1d"),  # F7
+        F.month("ts").cast("int").alias("m"),  # F8
+        F.dayofmonth("ts").cast("int").alias("dom"),  # F8
+        F.to_date("ts").alias("d"),  # F8
+        F.regexp_extract(
+            F.concat(F.lit("EC("), (F.col("user_id") % 12 + 1), F.lit(")")),
+            r"\((\d+)\)",
+            1,
+        ).alias("sensor_id"),  # F9
+        F.upper("event_type").alias("etype_u"),  # F9
+        F.get_json_object("props", "$.k").alias("prop_k"),  # F9 (json)
+        F.coalesce(
+            F.round(v * 1000.0).cast("int"), F.lit(-9999)
+        ).alias("scaled_int"),  # F10
+    )
+
+
+F_SCALAR_ORACLE = r"""
+SELECT event_id,
+       1.0 - value AS one_minus,
+       value * 2.5 + 3.0 AS linear,
+       round(value / 7.0, 8) AS rounded,
+       abs(value - 100.0) AS absdiff,
+       least(0.0, value - 50.0) AS clamped,
+       CASE WHEN value > 50.0 THEN value ELSE -value END AS conditional,
+       value IS NULL AS is_null,
+       ts - INTERVAL 1 DAY AS ts_minus_1d,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS dom,
+       CAST(ts AS DATE) AS d,
+       regexp_extract('EC(' || CAST(user_id % 12 + 1 AS VARCHAR) || ')',
+                      '\((\d+)\)', 1) AS sensor_id,
+       upper(event_type) AS etype_u,
+       json_extract_string(props, '$.k') AS prop_k,
+       coalesce(CAST(round(value * 1000.0) AS INT), -9999) AS scaled_int
+FROM events
+"""
+
+
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name AS nation,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # LLM-data operators: text analysis, exact/minhash/simhash dedup,
 # similarity search (BASELINE.json north star; SURVEY §7.2 phase 6).
 # Duplicates/near-dups are synthesized by deterministic self-union
@@ -896,6 +1303,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_semi_users": j_semi_users,
         "j_anti_users": j_anti_users,
         "u1_union_by_name": u1_union_by_name,
+        "w5_resample_ffill": w5_resample_ffill,
+        "w6_interpolate": w6_interpolate,
+        "w8_ratchet_depth": w8_ratchet_depth,
+        "w9_piecewise_offset": w9_piecewise_offset,
+        "a5_positive_sum_slice": a5_positive_sum_slice,
+        "a7_daily_profile": a7_daily_profile,
+        "agg_rollup": agg_rollup,
+        "r5_pivot": r5_pivot,
+        "p1_prune_all_null": p1_prune_all_null,
+        "f_scalar_suite": f_scalar_suite,
+        "tpch_q3_top_orders": tpch_q3_top_orders,
+        "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "dedup_exact_docs": dedup_exact_docs,
@@ -926,6 +1345,18 @@ def oracle_sql() -> dict[str, str]:
         "j_semi_users": J_SEMI_ORACLE,
         "j_anti_users": J_ANTI_ORACLE,
         "u1_union_by_name": U1_ORACLE,
+        "w5_resample_ffill": W5_ORACLE,
+        "w6_interpolate": W6_ORACLE,
+        "w8_ratchet_depth": W8_ORACLE,
+        "w9_piecewise_offset": W9_ORACLE,
+        "a5_positive_sum_slice": A5_ORACLE,
+        "a7_daily_profile": A7_ORACLE,
+        "agg_rollup": ROLLUP_ORACLE,
+        "r5_pivot": R5_PIVOT_ORACLE,
+        "p1_prune_all_null": P1_ORACLE,
+        "f_scalar_suite": F_SCALAR_ORACLE,
+        "tpch_q3_top_orders": TPCH_Q3_ORACLE,
+        "tpch_q5_nation_revenue": TPCH_Q5_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
         "dedup_exact_docs": DEDUP_EXACT_ORACLE,

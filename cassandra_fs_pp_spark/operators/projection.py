@@ -1,0 +1,90 @@
+"""Projection-plane operators (SURVEY §2.3 P1, P4-P6).
+
+* P1 all-null column pruning — the reference's ``dropna(how='all',
+  axis='columns')`` after union (``cassandra_fs_pp/fs_pp.py:95``). Data
+  dependent, so it costs one aggregate pass (count per column) before the
+  projection; Catalyst prunes the dropped columns from the real scan
+  afterwards, so the second pass reads only survivors.
+* P5 regex column projection — pandas ``df.filter(regex=...)``
+  (search semantics) recomputed per input schema.
+* P6 regex column rename — the level-2 rename planner
+  (``cassandra_fs_pp/fs_pp.py:340-388``): match L1 names against mapping
+  regexes; multi-member families extract the sensor id (``(\\d+)$`` or
+  ``NAME(\\d+)_``) and substitute ``*`` in the target pattern.
+
+All driver-side planning over ``df.columns`` (metadata plane) + a single
+``select``/``withColumnsRenamed`` — no data movement.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Engine copy of the reference's level0->level2 rename table
+# (cassandra_fs_pp/fs_column_names.csv:1-8; values re-stated, not parsed
+# from the reference at runtime).
+DEFAULT_L2_RENAME: tuple[tuple[str, str], ...] = (
+    (r"DTC1\([0-9]+\)", "DTC1_*(C)"),
+    (r"DTC2\([0-9]+\)", "DTC2_*(C)"),
+    (r"TCDT", "TCDT(m)"),
+    (r"TDR([0-9]+)_VWC", "TDR*_VWC(m3/m3)"),
+    (r"TDR([0-9]+)_EC", "TDR*_EC(dS/m)"),
+    (r"TDR([0-9]+)_T", "TDR*_T(C)"),
+    (r"TDR([0-9]+)_Period", "TDR*_Period(uS)"),
+)
+
+
+def prune_all_null_columns(df: DataFrame, protect: Sequence[str] = ()) -> DataFrame:
+    """P1 — drop columns whose every value is null (one count pass)."""
+    counts = df.select(
+        [F.count(F.col(c)).alias(c) for c in df.columns]
+    ).collect()[0]
+    keep = [c for c in df.columns if c in protect or counts[c] > 0]
+    return df.select(*keep)
+
+
+def select_regex(df: DataFrame, pattern: str) -> DataFrame:
+    """P5 — keep columns whose name matches ``pattern`` (search, like
+    pandas ``df.filter(regex=...)``)."""
+    pat = re.compile(pattern)
+    return df.select(*[c for c in df.columns if pat.search(c)])
+
+
+def columns_regex(columns: Sequence[str], pattern: str) -> list[str]:
+    pat = re.compile(pattern)
+    return [c for c in columns if pat.search(c)]
+
+
+_ID_ARRAY = re.compile(r"\((?P<id>[0-9]+)\)$")
+_ID_MULTI = re.compile(r"[A-Za-z]+(?P<id>[0-9]+)_")
+
+
+def build_l2_rename(
+    columns: Sequence[str],
+    mapping: Sequence[tuple[str, str]] = DEFAULT_L2_RENAME,
+) -> dict[str, str]:
+    """P6 — old->new name map computed from the live column set."""
+    out: dict[str, str] = {}
+    for regex, target in mapping:
+        pat = re.compile(regex)
+        matched = [c for c in columns if pat.search(c)]
+        if len(matched) > 1:
+            for col in matched:
+                m = _ID_ARRAY.search(col) or _ID_MULTI.search(col)
+                if m is None:
+                    raise ValueError(f"cannot extract sensor id from {col!r}")
+                out[col] = target.replace("*", m.group("id"))
+        elif len(matched) == 1:
+            out[matched[0]] = target
+    return out
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Apply a rename map in one projection."""
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
