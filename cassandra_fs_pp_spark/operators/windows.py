@@ -132,15 +132,24 @@ def resample_grid(
     t: str,
     freq_s: int,
     partition_by: Sequence[str] | None = None,
+    origin: str = "min",
 ) -> DataFrame:
     """W5 (grid half) — regular time grid spanning [min(t), max(t)] per key.
 
     Built as agg -> sequence -> explode -> left join; the original columns
     come back via the join (missing grid points -> nulls). The explode of a
     per-key bound row distributes naturally: one sequence per key.
+
+    ``origin``: where grid points sit. ``"min"`` anchors at min(t);
+    ``"start_day"`` anchors at midnight of min(t)'s day and starts at the
+    last grid instant <= min(t) — pandas ``resample()`` default
+    (``origin='start_day'``), needed for reference parity in the UDG filter.
+    Original rows NOT exactly on a grid instant don't survive the join
+    (pandas ``asfreq`` semantics — resample keeps only bin labels).
     """
     keys = list(partition_by or [])
     bounds = df.groupBy(*keys).agg(F.min(t).alias("__t0"), F.max(t).alias("__t1"))
+    bounds = _apply_origin(bounds, origin, freq_s)
     grid = bounds.select(
         *keys,
         F.explode(
@@ -148,6 +157,86 @@ def resample_grid(
         ).alias(t),
     )
     return grid.join(df, on=keys + [t], how="left")
+
+
+def resample_ffill(
+    df: DataFrame,
+    t: str,
+    freq_s: int,
+    *,
+    limit: int,
+    partition_by: Sequence[str] | None = None,
+    origin: str = "min",
+) -> DataFrame:
+    """W5 — pandas ``resample(freq).ffill(limit=n)`` parity (reindex-ffill).
+
+    Pandas' resample-ffill is a **reindex**, not a value ffill
+    (``cassandra_fs_pp/fs_pp.py:559``): grid labels present in the original
+    index keep their value — including NaN — and only *new* grid labels are
+    filled, from the last original label's value (even if that value is
+    NaN), for at most ``limit`` consecutive new labels. Off-grid original
+    labels are dropped but still act as fill sources.
+
+    Built as: full-outer join of the grid with the marked original rows,
+    one running ``last(original struct)`` window per value column, then
+    keep grid labels only. One shuffle (the join/window share the
+    ``partition_by`` + time ordering).
+    """
+    keys = list(partition_by or [])
+    value_cols = [c for c in df.columns if c not in keys + [t]]
+    tcol = F.col(t)
+
+    bounds = df.groupBy(*keys).agg(F.min(t).alias("__t0"), F.max(t).alias("__t1"))
+    bounds = _apply_origin(bounds, origin, freq_s)
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"interval {int(freq_s)} seconds"))
+        ).alias(t),
+    ).withColumn("__grid", F.lit(True))
+
+    marked = df.withColumn("__orig", F.lit(True))
+    joined = grid.join(marked, on=keys + [t], how="full_outer")
+
+    base = Window.partitionBy(*keys) if keys else Window
+    w = base.orderBy(tcol).rowsBetween(Window.unboundedPreceding, 0)
+    whole = base.orderBy(tcol).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # grid anchor per key: the first grid instant (needed to count how many
+    # grid labels separate a fill target from its source)
+    anchor = F.min(F.when(F.col("__grid"), _epoch_s(tcol))).over(whole)
+    et = _epoch_s(tcol)
+    fs = F.lit(int(freq_s))
+
+    out_cols: list[Column] = []
+    for v in value_cols:
+        vcol = F.col(v)
+        lo = F.last(
+            F.when(F.col("__orig"), F.struct(et.alias("et"), vcol.alias("v"))),
+            ignorenulls=True,
+        ).over(w)
+        # #grid labels in (last_orig_t, t] == (et - floor_grid(lo.et)) / freq
+        lo_floor = anchor + F.floor((lo["et"] - anchor) / fs) * fs
+        fill_ok = (et - lo_floor) <= F.lit(int(limit)) * fs
+        out_cols.append(
+            F.when(F.col("__orig"), vcol).when(fill_ok, lo["v"]).alias(v)
+        )
+    return joined.filter(F.col("__grid")).select(*keys, t, *out_cols)
+
+
+def _apply_origin(bounds: DataFrame, origin: str, freq_s: int) -> DataFrame:
+    """Shift per-key grid start ``__t0`` for the requested resample origin."""
+    if origin == "start_day":
+        day = F.date_trunc("DAY", F.col("__t0")).cast("timestamp")
+        off = F.col("__t0").cast("timestamp").cast("long") - day.cast("long")
+        start = (
+            day.cast("long") + F.floor(off / F.lit(int(freq_s))) * F.lit(int(freq_s))
+        ).cast("timestamp").cast(bounds.schema["__t0"].dataType)
+        return bounds.withColumn("__t0", start)
+    if origin != "min":
+        raise ValueError("origin must be 'min' or 'start_day'")
+    return bounds
 
 
 def ffill_limited(
