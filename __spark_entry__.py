@@ -1282,6 +1282,279 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 # --------------------------------------------------------------------------
+# Window/join/agg breadth: W2 centered time median, W3 count-window median,
+# W4 trailing mean with min_periods, W7 ts deltas, W10 first-after, J3 outer
+# align, J6 sensor-dim attach, A4 distinct counts, cube, R1 melt, P5 regex
+# projection (SURVEY §2.3-2.9 completion).
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.operators.windows import row_frame  # noqa: E402
+
+
+def _daily_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.round(F.sum("value"), 3).alias("day_value")
+    )
+
+
+_DAILY_SQL = """
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) AS day_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def w2_centered_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_by_user(spark, sf_dir)
+    frame = time_frame(
+        "day_ts", before_s=129600, after_s=129600, partition_by=["user_id"]
+    )
+    return daily.withColumn(
+        "med_c3d", F.round(rolling_median("day_value", frame), 4)
+    )
+
+
+W2_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT user_id, day_ts, day_value,
+       round(median(day_value) OVER (
+         PARTITION BY user_id ORDER BY epoch(day_ts)
+         RANGE BETWEEN 129600 PRECEDING AND 129600 FOLLOWING), 4) AS med_c3d
+FROM daily
+"""
+
+
+def w3_count_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_by_user(spark, sf_dir)
+    frame = row_frame("day_ts", before=1, after=1, partition_by=["user_id"])
+    return daily.withColumn(
+        "med_r3", F.round(rolling_median("day_value", frame), 4)
+    )
+
+
+W3_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT user_id, day_ts, day_value,
+       round(median(day_value) OVER (
+         PARTITION BY user_id ORDER BY day_ts
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS med_r3
+FROM daily
+"""
+
+
+def w4_trailing_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day mean over per-user daily sums, null below min_periods=3
+    (pandas ``rolling('24H', min_periods=10)`` shape at daily grain)."""
+    daily = _daily_by_user(spark, sf_dir)
+    frame = time_frame("day_ts", before_s=6 * 86400, partition_by=["user_id"])
+    dec_sum = F.sum(F.col("day_value").cast("decimal(18,3)")).over(frame)
+    cnt = F.count("day_value").over(frame)
+    return daily.withColumn(
+        "mean_7d",
+        F.when(cnt >= 3, F.round(dec_sum.cast("double") / cnt, 8)),
+    )
+
+
+W4_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT user_id, day_ts, day_value,
+       CASE WHEN count(day_value) OVER w >= 3
+            THEN round(CAST(sum(CAST(day_value AS DECIMAL(18,3))) OVER w
+                       AS DOUBLE) / count(day_value) OVER w, 8)
+       END AS mean_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(day_ts)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+"""
+
+
+def w7_ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(
+            ts_delta_seconds("ts", partition_by=["user_id"], tiebreak=["event_id"])
+        ).alias("delta_s"),
+    )
+
+
+W7_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS delta_s
+FROM events
+"""
+
+
+def w10_first_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00"))
+        .orderBy("ts", "event_id")
+        .limit(1)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+W10_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+ORDER BY ts, event_id LIMIT 1
+"""
+
+
+def j3_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal concat of two per-type daily series = full-outer on time."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _series(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("day", "ts").alias("day_ts"))
+            .agg(F.round(F.sum("value"), 3).alias(out))
+        )
+
+    return _series("click", "click_sum").join(
+        _series("error", "err_sum"), on="day_ts", how="full_outer"
+    )
+
+
+J3_ORACLE = """
+SELECT day_ts, click_sum, err_sum
+FROM (SELECT date_trunc('day', ts) AS day_ts, round(sum(value), 3) AS click_sum
+      FROM events WHERE event_type = 'click' GROUP BY 1) a
+FULL JOIN
+     (SELECT date_trunc('day', ts) AS day_ts, round(sum(value), 3) AS err_sum
+      FROM events WHERE event_type = 'error' GROUP BY 1) b
+USING (day_ts)
+"""
+
+
+def j6_dim_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long fact (time, sensor_id, value) + broadcast sensor dim with
+    install depth (the xarray-coordinate attach, SURVEY §2.4 J6)."""
+    ev = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    fact = ev.select(
+        "ts", (F.col("user_id") % 25).alias("sensor_id"), "value"
+    )
+    dim = nation.select(
+        F.col("n_nationkey").alias("sensor_id"),
+        F.round(F.col("n_nationkey") * -0.15, 4).alias("install_depth"),
+    )
+    return (
+        fact.join(F.broadcast(dim), on="sensor_id", how="left")
+        .groupBy("sensor_id", "install_depth")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+J6_ORACLE = """
+SELECT sensor_id, install_depth, count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM (SELECT ts, user_id % 25 AS sensor_id, value FROM events) f
+LEFT JOIN (SELECT n_nationkey AS sensor_id,
+                  round(n_nationkey * -0.15, 4) AS install_depth FROM nation) d
+USING (sensor_id)
+GROUP BY 1, 2
+"""
+
+
+def a4_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+A4_ORACLE = """
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events GROUP BY 1
+"""
+
+
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — algorithm-specific, so no SQL oracle
+    (rows-only check); exactness bound asserted in tests/test_operators.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("month", F.month("ts"))
+    return (
+        ev.cube("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("month").cast("int").alias("g_month"),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(month(ts)) AS INT) AS g_month
+FROM events GROUP BY CUBE (event_type, month(ts))
+"""
+
+
+def r1_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (the reference's DataArray stack, SURVEY §2.9 R1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+R1_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem
+"""
+
+
+def p5_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex column-family selection (`colRegex`) — the reference's
+    ``df.filter(regex=..., axis=1)`` (SURVEY §2.3 P5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fam = li.select(li.colRegex("`^l_.*price$`"))
+    cols = ["l_orderkey", "l_linenumber"] + fam.columns
+    return li.select(*cols)
+
+
+P5_ORACLE = "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -1324,6 +1597,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a_approx_distinct": a_approx_distinct,
+        "agg_cube": agg_cube,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
     }
 
 
@@ -1366,4 +1651,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
+        "w2_centered_median": W2_ORACLE,
+        "w3_count_window_median": W3_ORACLE,
+        "w4_trailing_mean_minp": W4_ORACLE,
+        "w7_ts_delta": W7_ORACLE,
+        "w10_first_after": W10_ORACLE,
+        "j3_outer_align": J3_ORACLE,
+        "j6_dim_attach": J6_ORACLE,
+        "a4_distinct_counts": A4_ORACLE,
+        # a_approx_distinct: HLL++-specific — intentionally no oracle
+        "agg_cube": CUBE_ORACLE,
+        "r1_melt": R1_ORACLE,
+        "p5_regex_projection": P5_ORACLE,
     }

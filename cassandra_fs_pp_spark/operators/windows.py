@@ -101,12 +101,18 @@ def rolling_mean(x: str | Column, frame: WindowSpec, *, min_periods: int = 0) ->
 
 
 def ts_delta_seconds(
-    t: str | Column, partition_by: Sequence[str | Column] | None = None
+    t: str | Column,
+    partition_by: Sequence[str | Column] | None = None,
+    *,
+    tiebreak: Sequence[str | Column] = (),
 ) -> Column:
-    """W7 — seconds since the previous row's timestamp (null on first row)."""
+    """W7 — seconds since the previous row's timestamp (null on first row).
+
+    ``tiebreak``: extra ordering columns so the lag is deterministic when
+    duplicate timestamps exist within a partition."""
     tcol = F.col(t) if isinstance(t, str) else t
     base = Window.partitionBy(*partition_by) if partition_by else Window
-    w = base.orderBy(tcol)
+    w = base.orderBy(tcol, *tiebreak)
     return _epoch_s(tcol) - F.lag(_epoch_s(tcol)).over(w)
 
 
