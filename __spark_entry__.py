@@ -1555,6 +1555,111 @@ P5_ORACLE = "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
 
 
 # --------------------------------------------------------------------------
+# Multimodal columns: opaque binary payloads + typed metadata, decode /
+# stats / frame-sample as Arrow-batched mapInPandas (functions/multimodal).
+# The deterministic FAKE codec gives closed forms a SQL oracle can verify
+# WITHOUT touching binary — the whole encode->decode->stats path must
+# reproduce pure arithmetic.
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.functions.multimodal import (  # noqa: E402
+    audio_stats,
+    image_stats,
+    synthesize_media,
+    video_frame_sample,
+    with_media_meta,
+)
+
+
+def _media_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id")
+
+
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="image")
+    return with_media_meta(media).select(
+        "doc_id", "meta.kind", "meta.width", "meta.height",
+        "meta.channels", "meta.n_bytes",
+    )
+
+
+MM_META_ORACLE = """
+SELECT doc_id, 'image' AS kind,
+       CAST(16 + doc_id % 16 AS INT) AS width,
+       CAST(8 + doc_id % 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(9 + (16 + doc_id % 16) * (8 + doc_id % 8) * 3 AS INT) AS n_bytes
+FROM documents
+"""
+
+
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="image")
+    st = image_stats(media, "doc_id")
+    return st.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_px", 6).alias("mean_px"), "min_px", "max_px",
+    )
+
+
+MM_STATS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(avg((doc_id + i) % 256), 6) AS mean_px,
+       CAST(min((doc_id + i) % 256) AS INT) AS min_px,
+       CAST(max((doc_id + i) % 256) AS INT) AS max_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="video")
+    frames = video_frame_sample(vids, "doc_id", every=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum("frame_idx").alias("sum_idx"),
+    )
+
+
+MM_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, unnest(range(1 + doc_id % 5)) AS idx FROM documents
+)
+SELECT doc_id, count(*) AS n_frames_sampled, sum(idx) AS sum_idx
+FROM f WHERE idx % 2 = 0 GROUP BY doc_id
+"""
+
+
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auds = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="audio")
+    st = audio_stats(auds, "doc_id")
+    return st.select(
+        "doc_id", "n_samples", "sample_rate",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+MM_AUDIO_ORACLE = """
+WITH s AS (
+  SELECT doc_id, ((doc_id * 7 + unnest(range(100 + doc_id % 100)) * 3) % 512)
+                 - 256 AS amp
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       round(avg(amp), 6) AS mean_amp,
+       round(sqrt(avg(CAST(amp AS DOUBLE) * amp)), 6) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -1609,6 +1714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": agg_cube,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
+        "mm_image_meta": mm_image_meta,
+        "mm_image_stats": mm_image_stats,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
     }
 
 
@@ -1663,4 +1772,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube": CUBE_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
+        "mm_image_meta": MM_META_ORACLE,
+        "mm_image_stats": MM_STATS_ORACLE,
+        "mm_frame_sample": MM_FRAMES_ORACLE,
+        "mm_audio_stats": MM_AUDIO_ORACLE,
     }

@@ -1,0 +1,387 @@
+"""Multimodal (image/audio/video) column handling.
+
+The engine treats media as **opaque binary columns with typed metadata**
+(BASELINE.json north star; no media ops exist in the reference — this is the
+LLM-training-data extension layer). All heavy per-item work runs as
+Arrow-batched ``mapInPandas`` / pandas UDFs: payloads never pass through
+row-at-a-time Python, and batch shape is controlled by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.tune) so a
+batch of ~100 MB payloads can't OOM an executor.
+
+Wire format — the deterministic FAKE codec
+------------------------------------------
+The container environment has no image/audio libraries (no PIL/cv2/librosa),
+so the *decode* of real formats is stubbed (:func:`decode_real_image`), and
+the engine ships a self-describing little-endian fake format that exercises
+ALL the real plumbing (binary payloads, header parse, pixel math, resize,
+frame explode) with pure numpy:
+
+* ``FIMG`` | u16 width | u16 height | u8 channels | pixels (w*h*c bytes,
+  row-major)
+* ``FVID`` | u16 n_frames | u16 width | u16 height | u8 channels | frames
+  (n_frames consecutive FIMG pixel planes)
+* ``FAUD`` | u32 n_samples | u16 sample_rate_hz | samples (n int16 LE)
+
+Deterministic generation: pixel ``i`` of item ``k`` is ``(k + i) % 256``;
+audio sample ``i`` is ``((k * 7 + i * 3) % 512) - 256`` — closed forms a SQL
+oracle can replicate without touching binary.
+
+Scale stance: media tables partition by item id (payloads are big — keep
+``spark.sql.files.maxPartitionBytes`` low for media parquet); every op here
+is embarrassingly parallel per item, no shuffle. Feature vectors come back
+as ``array<float>`` ready for the similarity layer (operators/similarity).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMG_MAGIC = b"FIMG"
+VID_MAGIC = b"FVID"
+AUD_MAGIC = b"FAUD"
+
+# typed metadata struct shared by every media kind (absent dims -> null)
+MEDIA_META = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------- #
+# codec (plain numpy; used inside pandas UDFs)
+# --------------------------------------------------------------------------- #
+
+
+def encode_fake_image(k: int, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake image: pixel i = (k + i) % 256."""
+    n = width * height * channels
+    px = ((k + np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    return IMG_MAGIC + struct.pack("<HHB", width, height, channels) + px.tobytes()
+
+
+def encode_fake_video(
+    k: int, n_frames: int, width: int, height: int, channels: int = 1
+) -> bytes:
+    """Deterministic fake video: frame f pixel i = (k + f * 17 + i) % 256."""
+    head = VID_MAGIC + struct.pack("<HHHB", n_frames, width, height, channels)
+    n = width * height * channels
+    planes = [
+        ((k + f * 17 + np.arange(n, dtype=np.int64)) % 256).astype(np.uint8).tobytes()
+        for f in range(n_frames)
+    ]
+    return head + b"".join(planes)
+
+
+def encode_fake_audio(k: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake audio: sample i = ((k*7 + i*3) % 512) - 256."""
+    s = (((k * 7 + np.arange(n_samples, dtype=np.int64) * 3) % 512) - 256).astype(
+        np.int16
+    )
+    return AUD_MAGIC + struct.pack("<IH", n_samples, sample_rate) + s.tobytes()
+
+
+def decode_meta(payload: bytes) -> dict:
+    """Parse the typed header of any FAKE payload -> MEDIA_META dict."""
+    magic = payload[:4]
+    if magic == IMG_MAGIC:
+        w, h, c = struct.unpack_from("<HHB", payload, 4)
+        return {
+            "kind": "image", "width": w, "height": h, "channels": c,
+            "n_frames": None, "n_samples": None, "sample_rate": None,
+            "n_bytes": len(payload),
+        }
+    if magic == VID_MAGIC:
+        nf, w, h, c = struct.unpack_from("<HHHB", payload, 4)
+        return {
+            "kind": "video", "width": w, "height": h, "channels": c,
+            "n_frames": nf, "n_samples": None, "sample_rate": None,
+            "n_bytes": len(payload),
+        }
+    if magic == AUD_MAGIC:
+        n, sr = struct.unpack_from("<IH", payload, 4)
+        return {
+            "kind": "audio", "width": None, "height": None, "channels": None,
+            "n_frames": None, "n_samples": n, "sample_rate": sr,
+            "n_bytes": len(payload),
+        }
+    raise ValueError(f"unknown media magic {magic!r}")
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """FIMG payload -> (height, width, channels) uint8 array."""
+    if payload[:4] != IMG_MAGIC:
+        raise ValueError("not a FIMG payload")
+    w, h, c = struct.unpack_from("<HHB", payload, 4)
+    px = np.frombuffer(payload, dtype=np.uint8, offset=9)
+    return px.reshape(h, w, c)
+
+
+def decode_video_frames(payload: bytes) -> Iterator[tuple[int, bytes]]:
+    """FVID payload -> yields (frame_index, FIMG payload) per frame."""
+    if payload[:4] != VID_MAGIC:
+        raise ValueError("not a FVID payload")
+    nf, w, h, c = struct.unpack_from("<HHHB", payload, 4)
+    head = IMG_MAGIC + struct.pack("<HHB", w, h, c)
+    n = w * h * c
+    base = 11
+    for f in range(nf):
+        yield f, head + payload[base + f * n : base + (f + 1) * n]
+
+
+def resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a FIMG payload (pure numpy gather)."""
+    img = decode_image_pixels(payload)
+    h, w, c = img.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    out = img[yi][:, xi]
+    return IMG_MAGIC + struct.pack("<HHB", out_w, out_h, c) + out.tobytes()
+
+
+def decode_real_image(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Decode a REAL image format (PNG/JPEG). The container ships no imaging
+    library; the Spark-side plumbing is identical to the FAKE path — swap
+    this function when PIL/cv2 is available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs the optional 'Pillow' dependency; "
+            "use the FIMG fake codec for plumbing tests"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+# --------------------------------------------------------------------------- #
+# DataFrame operators (Arrow-batched)
+# --------------------------------------------------------------------------- #
+
+
+def synthesize_media(
+    df: DataFrame,
+    id_col: str,
+    *,
+    kind: str = "image",
+    out_col: str = "payload",
+) -> DataFrame:
+    """Attach a deterministic FAKE payload per row (test/bench corpus).
+
+    Dims derive from the id: image ``(16 + k%16) x (8 + k%8) x 3``; video
+    ``(1 + k%5)`` frames of ``8x8x1``; audio ``100 + k%100`` samples.
+    """
+    schema = StructType(df.schema.fields + [StructField(out_col, BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf[id_col].astype("int64")
+            if kind == "image":
+                pdf[out_col] = [
+                    encode_fake_image(k, 16 + k % 16, 8 + k % 8, 3) for k in ks
+                ]
+            elif kind == "video":
+                pdf[out_col] = [
+                    encode_fake_video(k, 1 + k % 5, 8, 8, 1) for k in ks
+                ]
+            elif kind == "audio":
+                pdf[out_col] = [
+                    encode_fake_audio(k, 100 + k % 100, 16000) for k in ks
+                ]
+            else:
+                raise ValueError(f"unknown media kind {kind!r}")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def with_media_meta(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "meta"
+) -> DataFrame:
+    """Header parse -> typed MEDIA_META struct column (Arrow-batched)."""
+    schema = StructType(df.schema.fields + [StructField(out_col, MEDIA_META)])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [decode_meta(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(parse, schema=schema)
+
+
+def image_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode + per-image pixel statistics -> (id, width, height, channels,
+    mean_px, min_px, max_px). The shape every real feature-extraction op
+    takes: narrow output, decode confined to the executor batch."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("mean_px", DoubleType()),
+            StructField("min_px", IntegerType()),
+            StructField("max_px", IntegerType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image_pixels(p)
+                h, w, c = img.shape
+                rows.append(
+                    (k, w, h, c, float(img.mean()), int(img.min()), int(img.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "channels",
+                         "mean_px", "min_px", "max_px"],
+            )
+
+    return df.mapInPandas(stats, schema=schema)
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resize -> new payload column (payload-in/payload-out,
+    the map shape of every media transform)."""
+    schema = StructType(df.schema.fields + [StructField(out_col, BinaryType())])
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                resize_nearest(p, out_w, out_h) for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(rs, schema=schema)
+
+
+def image_embedding(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    bins: int = 16,
+) -> DataFrame:
+    """Deterministic feature vector per image: ``bins``-bucket normalized
+    pixel histogram as ``array<float>`` — the hand-off into the ANN /
+    near-dup similarity layer."""
+    schema = StructType(
+        [df.schema[id_col], StructField("embedding", ArrayType(FloatType()))]
+    )
+
+    def emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image_pixels(p).ravel()
+                hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+                out.append((k, (hist / max(px.size, 1)).astype(np.float32)))
+            yield pd.DataFrame(out, columns=[id_col, "embedding"])
+
+    return df.mapInPandas(emb, schema=schema)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every: int = 1,
+) -> DataFrame:
+    """Explode a video payload into sampled frame rows (id, frame_idx,
+    frame_payload) — 1->N mapInPandas, the frame-sampling shape."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[id_col], pdf[payload_col]):
+                for f, fp in decode_video_frames(p):
+                    if f % every == 0:
+                        rows.append((k, f, fp))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
+
+    return df.mapInPandas(frames, schema=schema)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode fake audio -> (id, n_samples, sample_rate, mean_amp, rms)."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("mean_amp", DoubleType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_meta(p)
+                s = np.frombuffer(p, dtype="<i2", offset=10).astype(np.float64)
+                rows.append(
+                    (
+                        k,
+                        meta["n_samples"],
+                        meta["sample_rate"],
+                        float(s.mean()),
+                        float(np.sqrt((s * s).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "sample_rate", "mean_amp", "rms"],
+            )
+
+    return df.mapInPandas(stats, schema=schema)
