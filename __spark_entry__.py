@@ -1660,6 +1660,55 @@ FROM s GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming skin: availableNow drains of the streaming twins must
+# equal their batch SQL (SURVEY §2.10 — beyond-reference incremental layer).
+# --------------------------------------------------------------------------
+
+from cassandra_fs_pp_spark.streaming import (  # noqa: E402
+    hourly_agg_stream,
+    run_available_now,
+    stream_table,
+    watermark_dedup,
+)
+
+
+def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's tumbling agg as a Structured Streaming query, drained with
+    trigger(availableNow) — complete mode reproduces the batch result."""
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events")
+    out = run_available_now(
+        hourly_agg_stream(stream), output_mode="complete"
+    )
+    return out.select(
+        F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"), "n", "sum_value"
+    )
+
+
+STREAM_A8_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3's keyed dedup as dropDuplicatesWithinWatermark -> per-type counts."""
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events")
+    dd = watermark_dedup(stream, ["user_id", "event_type", "ts"], delay="1 hour")
+    counts = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_available_now(counts, output_mode="complete")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n FROM (
+  SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -1718,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": mm_image_stats,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_stats": mm_audio_stats,
+        "stream_hourly_agg": stream_hourly_agg,
+        "stream_dedup_counts": stream_dedup_counts,
     }
 
 
@@ -1776,4 +1827,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_stats": MM_STATS_ORACLE,
         "mm_frame_sample": MM_FRAMES_ORACLE,
         "mm_audio_stats": MM_AUDIO_ORACLE,
+        "stream_hourly_agg": STREAM_A8_ORACLE,
+        "stream_dedup_counts": STREAM_DEDUP_ORACLE,
     }

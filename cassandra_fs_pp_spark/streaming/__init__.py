@@ -1,0 +1,7 @@
+from cassandra_fs_pp_spark.streaming.filestream import (  # noqa: F401
+    hourly_agg_stream,
+    ratchet_stateful,
+    run_available_now,
+    stream_table,
+    watermark_dedup,
+)

@@ -1,0 +1,200 @@
+"""Structured Streaming skin — incremental replay of the batch semantics.
+
+The reference is strictly batch: "new data" = new files + full recompute
+(``README.md:55-68``; SURVEY §2.10). This module is the incremental
+equivalent the reference lacks: a file-source stream whose operators match
+the batch L0->L1 semantics —
+
+* :func:`stream_table` — file-source ``readStream`` over the same parquet
+  tables the batch scans use (schema pinned from a batch read; the
+  TIMESTAMP(NANOS) ``events.ts`` gets the same ns->us normalization as
+  ``sources.tables.load_table``).
+* :func:`watermark_dedup` — the streaming face of P3 keyed dedup:
+  ``withWatermark + dropDuplicatesWithinWatermark`` keeps the FIRST arrival
+  of each key (arrival order = file order = the batch concat order), with
+  state bounded by the watermark delay instead of growing forever.
+* :func:`hourly_agg_stream` — A8's tumbling-window aggregation with a
+  watermark for late data.
+* :func:`ratchet_stateful` — W8's surface-ratchet as a CUSTOM STATEFUL
+  operator (``applyInPandasWithState``): the reference's sequential loop
+  (``cassandra_fs_pp/fs_pp.py:636-641``) carried across micro-batches as
+  per-sensor state. Batch mode uses the closed form
+  (``operators.windows.ratchet_depth``); this is the streaming twin for
+  unbounded ingest, and the two are asserted equivalent in tests.
+
+Scale stance: file-source streams list+checkpoint incrementally (no
+re-scan); dedup/agg state is keyed and watermark-bounded so a 1000-executor
+cluster holds O(keys in watermark window) state, not O(history). Use
+``maxFilesPerTrigger`` to bound micro-batch size on backfills.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from cassandra_fs_pp_spark.sources.tables import NANOS_TS_COLUMNS, TABLES
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a test table directory (schema pinned from a
+    one-off batch read — streaming sources require explicit schemas)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file source needs a DIRECTORY; the test tables are single files ->
+    # stream the parent dir with a glob filter for this table only
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        # plain TIMESTAMP (not NTZ): watermarks require it, and with the
+        # session pinned to UTC the wall-clock values agree with batch NTZ
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def watermark_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """P3 streaming twin: keep the first arrival per key, state bounded by
+    the watermark (``dropDuplicatesWithinWatermark`` — duplicates arriving
+    within ``delay`` of each other are guaranteed dropped)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def hourly_agg_stream(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """A8 streaming twin: tumbling 1-hour window agg with late-data
+    watermark. Append mode emits a window once the watermark passes it;
+    complete mode reproduces the batch result exactly."""
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 3).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "n", "sum_value")
+    )
+
+
+def ratchet_stateful(
+    df: DataFrame,
+    install_depths: dict[int, float],
+    *,
+    key_col: str = "sensor_id",
+    ts_col: str = "ts",
+    udg_col: str = "udg",
+) -> DataFrame:
+    """W8 as a custom stateful streaming operator.
+
+    Carries ``(offset, initialized)`` per sensor across micro-batches and
+    replays the reference's sequential semantics
+    (``cassandra_fs_pp/fs_pp.py:636-641``): ``d = min(0, u + offset)``;
+    when ``d`` hits 0 the sensor melted out and ``offset`` resets to ``-u``.
+    Requires in-order arrival per key (file order), the same contract the
+    batch closed form gets from its time sort.
+    """
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField(ts_col, df.schema[ts_col].dataType),
+            StructField("depth", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("offset", DoubleType()), StructField("init", DoubleType())]
+    )
+    depths = dict(install_depths)
+
+    def step(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (sensor,) = key
+        if state.exists:
+            offset, init = state.get
+        else:
+            offset, init = float(depths.get(sensor, 0.0)), None
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            out_t, out_d = [], []
+            for t, u in zip(pdf[ts_col], pdf[udg_col]):
+                if init is None:
+                    init = float(u)  # normalize to first reading (fs_pp.py:631)
+                un = float(u) - init
+                d = min(0.0, un + offset)
+                if d == 0.0:
+                    offset = -un
+                out_t.append(t)
+                out_d.append(d)
+            yield pd.DataFrame(
+                {key_col: sensor, ts_col: out_t, "depth": out_d}
+            )
+        state.update((offset, init if init is not None else 0.0))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Drain all currently-available input through the streaming query
+    (``trigger(availableNow=True)``) into an in-memory sink and return the
+    result as a batch DataFrame. The batch-parity harness: a streaming
+    pipeline's availableNow drain must equal its batch twin."""
+    spark = stream_df.sparkSession
+    qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), qname)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(qname)

@@ -1,0 +1,178 @@
+"""Structured Streaming skin: availableNow batch-parity, cross-batch
+watermark dedup, and the stateful ratchet vs the batch closed form."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.operators.windows import ratchet_depth
+from cassandra_fs_pp_spark.streaming import (
+    hourly_agg_stream,
+    ratchet_stateful,
+    run_available_now,
+    stream_table,
+    watermark_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_stream_files(spark, tmp_path, frames):
+    """Write each pandas frame as one parquet file with increasing mtime so
+    the file source picks them up in order."""
+    d = str(tmp_path / "in")
+    os.makedirs(d, exist_ok=True)
+    for i, pdf in enumerate(frames):
+        f = os.path.join(d, f"part-{i:03d}.parquet")
+        ts_cols = pdf.select_dtypes("datetime").columns
+        pdf = pdf.assign(**{c: pdf[c].astype("datetime64[us]") for c in ts_cols})
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (time.time() + i, time.time() + i))
+    return d
+
+
+def test_stream_hourly_agg_matches_batch(spark):
+    """availableNow drain of the windowed agg == the batch groupBy."""
+    stream = stream_table(spark, SF, "events")
+    got = run_available_now(
+        hourly_agg_stream(stream), output_mode="complete"
+    ).orderBy("hour_ts")
+
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "n", "sum_value")
+        .orderBy("hour_ts")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+def test_watermark_dedup_across_microbatches(spark, tmp_path):
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda ids: pd.DataFrame(  # noqa: E731
+        {
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in ids],
+            "k": [i % 7 for i in ids],
+            "v": [float(i) for i in ids],
+        }
+    )
+    # batch 2 re-sends rows 5..9 (exact key dups within watermark) + 10..14
+    d = _write_stream_files(spark, tmp_path, [mk(range(0, 10)), mk(range(5, 15))])
+
+    schema = "ts timestamp, k long, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    dd = watermark_dedup(stream, ["k", "ts"], ts_col="ts", delay="2 hours")
+    out = run_available_now(dd.select("ts", "k", "v"))
+    assert out.count() == 15
+    assert out.select("ts", "k").distinct().count() == 15
+
+
+def test_ratchet_stateful_matches_batch_closed_form(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    n = 300
+    ts = pd.date_range("2024-06-01", periods=n, freq="h")
+    frames = []
+    series = {}
+    for sensor in (1, 2):
+        udg = np.cumsum(rng.normal(0.004, 0.02, n)) + 2.0
+        series[sensor] = pd.DataFrame(
+            {"sensor_id": sensor, "ts": ts, "udg": udg}
+        )
+    # split each sensor's series across two files (state must carry over)
+    frames = [
+        pd.concat([series[1].iloc[:150], series[2].iloc[:150]]),
+        pd.concat([series[1].iloc[150:], series[2].iloc[150:]]),
+    ]
+    d = _write_stream_files(spark, tmp_path, frames)
+
+    depths = {1: -0.25, 2: -0.4}
+    schema = "sensor_id long, ts timestamp, udg double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        run_available_now(ratchet_stateful(stream, depths))
+        .orderBy("sensor_id", "ts")
+        .toPandas()
+    )
+
+    # batch closed form on the normalized series
+    import pyspark.sql.functions as SF_
+
+    full = spark.createDataFrame(pd.concat(frames))
+    first = {
+        s: float(series[s]["udg"].iloc[0]) for s in (1, 2)
+    }
+    norm = full.withColumn(
+        "u",
+        F.col("udg")
+        - F.when(F.col("sensor_id") == 1, F.lit(first[1])).otherwise(
+            F.lit(first[2])
+        ),
+    )
+    want = (
+        norm.select(
+            "sensor_id",
+            "ts",
+            ratchet_depth(
+                "u",
+                "ts",
+                0.0,  # placeholder; per-sensor floor below
+                partition_by=["sensor_id"],
+            ).alias("_ignore"),
+        )
+    )
+    # closed form per sensor with its own install depth
+    outs = []
+    for s in (1, 2):
+        one = norm.filter(F.col("sensor_id") == s).select(
+            "sensor_id",
+            "ts",
+            ratchet_depth("u", "ts", depths[s]).alias("depth"),
+        )
+        outs.append(one.toPandas())
+    want_pdf = (
+        pd.concat(outs).sort_values(["sensor_id", "ts"]).reset_index(drop=True)
+    )
+    assert np.allclose(got["depth"].to_numpy(), want_pdf["depth"].to_numpy(),
+                       atol=1e-12)
+
+
+def test_stream_dedup_agg_pipeline(spark):
+    """Dedup -> agg chained in one streaming query over the test table."""
+    stream = stream_table(spark, SF, "events")
+    dd = watermark_dedup(stream, ["user_id", "event_type", "ts"], delay="1 hour")
+    counts = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    got = run_available_now(counts, output_mode="complete")
+
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    want = (
+        load_table(spark, SF, "events")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r["event_type"], r["n"]) for r in got.collect()} == {
+        (r["event_type"], r["n"]) for r in want.collect()
+    }
