@@ -924,6 +924,149 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# TPC-H breadth: Q6 (filter-agg), Q14 (conditional agg over join), Q4-shape
+# (EXISTS semi), Q10 (returned-item reporting). The generated lineitem has
+# no commitdate/receiptdate/shipmode, so Q4's predicate is adapted.
+# --------------------------------------------------------------------------
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(20,6)")
+    )
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00"))
+    ).join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(revenue).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (1 - CAST(l_discount AS DECIMAL(8,4)))
+             ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's EXISTS-semi-join shape: orders counted by priority when at least
+    one lineitem shipped after the order date (adapted predicate — the
+    generated lineitem has no commit/receipt dates)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # LLM-data operators: text analysis, exact/minhash/simhash dedup,
 # similarity search (BASELINE.json north star; SURVEY §7.2 phase 6).
 # Duplicates/near-dups are synthesized by deterministic self-union
@@ -949,6 +1092,7 @@ from cassandra_fs_pp_spark.operators.textdedup import (  # noqa: E402
     exact_dup_groups,
     jaccard_verify,
     lsh_candidate_pairs,
+    lsh_cluster,
     minhash_perms,
     minhash_signatures,
     simhash,
@@ -1126,6 +1270,45 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.9
+"""
+
+
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path dedup: doc -> LSH cluster representative (linear in
+    docs; the all-pairs variant above is quadratic on templated corpora)."""
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=MINHASH_K)
+    return lsh_cluster(sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+
+
+def _minhash_cluster_sql() -> str:
+    perms = ", ".join(f"({k}, {a}, {b})" for k, a, b in minhash_perms(MINHASH_K))
+    rpb = MINHASH_K // MINHASH_BANDS
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+  FROM corpus
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647 AS hw
+  FROM tok
+), perms(k, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, k, min((a * hw + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perms GROUP BY doc_id, k
+), banded AS (
+  SELECT doc_id, CAST(k // {rpb} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(k // {rpb} AS INT)
+), bucket AS (
+  SELECT band, band_sig, min(doc_id) AS bucket_rep
+  FROM banded GROUP BY band, band_sig
+)
+SELECT b.doc_id, min(k.bucket_rep) AS cluster_rep,
+       min(k.bucket_rep) <> b.doc_id AS is_dup
+FROM banded b JOIN bucket k USING (band, band_sig)
+GROUP BY b.doc_id
 """
 
 
@@ -1742,10 +1925,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_scalar_suite": f_scalar_suite,
         "tpch_q3_top_orders": tpch_q3_top_orders,
         "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
+        "tpch_q6": tpch_q6,
+        "tpch_q14": tpch_q14,
+        "tpch_q4_shape": tpch_q4_shape,
+        "tpch_q10_returns": tpch_q10_returns,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -1802,10 +1990,15 @@ def oracle_sql() -> dict[str, str]:
         "f_scalar_suite": F_SCALAR_ORACLE,
         "tpch_q3_top_orders": TPCH_Q3_ORACLE,
         "tpch_q5_nation_revenue": TPCH_Q5_ORACLE,
+        "tpch_q6": TPCH_Q6_ORACLE,
+        "tpch_q14": TPCH_Q14_ORACLE,
+        "tpch_q4_shape": TPCH_Q4_ORACLE,
+        "tpch_q10_returns": TPCH_Q10_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
         "dedup_exact_docs": DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_cluster": _minhash_cluster_sql(),
         "dedup_simhash": SIMHASH_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,

@@ -29,12 +29,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # join, as-of, time-series spine). Keep <= ~10 for a tight feedback loop.
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3_top_orders",
+    "tpch_q6",
+    "tpch_q10_returns",
     "flagship_events_hourly",
     "p3_dedup_keep_first",
     "a8_resample_hourly",
     "w1_rolling_median_2d",
     "j1_calibration_fallback",
     "j4_asof_backward",
+    "dedup_minhash_cluster",
+    "ann_bruteforce_topk",
 ]
 
 

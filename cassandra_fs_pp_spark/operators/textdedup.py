@@ -135,6 +135,52 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_cluster(
+    signatures: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE scalable dedup shape: doc -> duplicate-cluster representative.
+
+    Emitting all near-dup PAIRS is inherently quadratic on a templated
+    corpus (a 7k-doc duplicate class alone is ~25M pairs); cluster
+    assignment is linear: every doc maps to ``min(doc_id)`` over all LSH
+    band-buckets it lands in (single-round union approximation — full
+    transitive closure would iterate this to a fixpoint, rarely needed when
+    duplicates collide in at least one shared band).
+
+    Cost: O(|docs| * bands) rows through two groupBys — no self-join, no
+    pair materialization. Returns ``(id, cluster_rep, is_dup)``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    bucket_rep = banded.groupBy("band", "band_sig").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
+    return (
+        banded.join(bucket_rep, on=["band", "band_sig"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("cluster_rep"))
+        .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
+    )
+
+
 def jaccard_verify(
     docs: DataFrame,
     pairs: DataFrame,
