@@ -1676,6 +1676,23 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a9_head_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — baseline constant from the first N rows of a sorted series
+    (the reference's ``udg.iloc[0:20].mean()``)."""
+    ev = _t(spark, sf_dir, "events")
+    head = ev.orderBy("ts", "event_id").limit(20)
+    return head.agg(
+        F.round(F.avg("value"), 6).alias("head_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A9_ORACLE = """
+SELECT round(avg(value), 6) AS head_mean, count(*) AS n
+FROM (SELECT value FROM events ORDER BY ts, event_id LIMIT 20)
+"""
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("month", F.month("ts"))
     return (
@@ -1948,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_dim_attach": j6_dim_attach,
         "a4_distinct_counts": a4_distinct_counts,
         "a_approx_distinct": a_approx_distinct,
+        "a9_head_mean": a9_head_mean,
         "agg_cube": agg_cube,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
@@ -2013,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "j6_dim_attach": J6_ORACLE,
         "a4_distinct_counts": A4_ORACLE,
         # a_approx_distinct: HLL++-specific — intentionally no oracle
+        "a9_head_mean": A9_ORACLE,
         "agg_cube": CUBE_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,

@@ -320,6 +320,31 @@ def calibrate_ec(
     return out
 
 
+def load_level1_csv(
+    spark: SparkSession, path: str, *, t: str = TIME
+) -> DataFrame:
+    """S4 — re-read a written L1 CSV (``fs_pp.py:168-183``): header row,
+    inferred numeric dtypes, timestamp index column parsed."""
+    df = spark.read.csv(
+        path,
+        header=True,
+        inferSchema=True,
+        nullValue="",
+        timestampFormat="yyyy-MM-dd HH:mm:ss",
+    )
+    if dict(df.dtypes).get(t) == "string":
+        df = df.withColumn(t, F.to_timestamp(t, "yyyy-MM-dd HH:mm:ss"))
+    return df
+
+
+def load_position_csv(spark: SparkSession, path: str) -> list[float]:
+    """S7 — 1-column position CSV -> driver-side vector (the reference's
+    ``pd.read_csv(...).squeeze()``, ``bin/fs_process_l2.py:151``)."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    col = df.columns[-1]
+    return [float(r[col]) for r in df.collect()]
+
+
 def load_calibrations(spark: SparkSession, path: str) -> dict[str, tuple[float, float]]:
     """S5 — calibration-coefficients scan: CSV ``(sensor, m, c, r2)`` ->
     driver dict (broadcast-sized dim; ``fs_pp.py:597-603``)."""

@@ -116,6 +116,43 @@ def read_toa5(
     return parsed
 
 
+def read_beadedstream_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    *,
+    skiprows: int = 1,
+    ts_col: str = "TIMESTAMP",
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """S12 — BeadedStream DTC logger CSV (the reference's alternate format:
+    plain CSV, 1-2 junk lines before the header, timestamp index —
+    ``pp_dtcs.py:46-47``, ``investigate_2022_fs_data.py:26-34``).
+
+    Same distributed shape as :func:`read_toa5`: text scan + driver-side
+    header peek; the junk prologue is dropped by the data-shape predicate
+    (rows starting with a timestamp), so multi-file reads distribute freely.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    with open(paths[0], newline="") as f:
+        for _ in range(skiprows):
+            f.readline()
+        names = next(csv.reader([f.readline()]))
+    parts = [
+        f"`{n}` timestamp" if n == ts_col else f"`{n}` double" for n in names
+    ]
+    schema_ddl = ", ".join(parts)
+    txt = spark.read.text(paths)
+    rows = txt.filter(F.col("value").rlike(DATA_ROW_RE))
+    return rows.select(
+        F.from_csv(
+            "value",
+            schema_ddl,
+            {"nullValue": "NAN", "timestampFormat": ts_format, "emptyValue": ""},
+        ).alias("r")
+    ).select("r.*")
+
+
 def read_toa5_positions(
     spark: SparkSession, path: str, *, drop: tuple[str, ...] = ("RECORD",)
 ) -> "list[float]":
