@@ -58,16 +58,25 @@ def brute_force_topk(
     ordering: (cosine desc, neighbor id asc). Returns
     (query_id, neighbor_id, cosine, rank).
     """
+    # hoist norms per ROW (not per pair): identical float math to
+    # dot/(sqrt*sqrt) but one array fold per pair instead of three
     q = (queries or vectors).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nn"),
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
@@ -114,7 +123,9 @@ def ivf_topk(
         )
     )
     q = vectors.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("cent_cos"), F.asc("cell")
@@ -124,17 +135,21 @@ def ivf_topk(
         .withColumn("cent_cos", cosine(F.col("qv"), F.col("centroid")))
         .withColumn("cr", F.row_number().over(probe_w))
         .filter(F.col("cr") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nn"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
         probes.join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
@@ -159,12 +174,23 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding-space near-dup)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.col("cos_raw").alias("cosine"))
     )

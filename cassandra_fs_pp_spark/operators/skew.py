@@ -1,0 +1,56 @@
+"""Skew mitigation for hot-key joins (100 TB design stance).
+
+AQE's skew-join splitting (enabled in session.tune) handles sort-merge skew
+at runtime; this module adds the complementary *salting* pattern for the
+shapes AQE can't fix — a broadcast-infeasible dim joined on a key where a
+handful of values dominate (the classic "null key / mega-tenant" problem):
+
+* the BIG side scatters each hot key across ``salt_n`` sub-keys with a
+  deterministic hash of the whole row (no rand() — keeps plans replayable
+  and tests exact);
+* the SMALL side replicates each row ``salt_n`` times (explode of a literal
+  range — tiny, it's the dim side);
+* the join key becomes ``(key, salt)`` so one hot key spreads over
+  ``salt_n`` shuffle partitions instead of one straggler task.
+
+Result set is EXACTLY the plain join's (verified in tests) — salting only
+changes the physical key distribution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    how: str = "inner",
+    salt_n: int = 16,
+) -> DataFrame:
+    """Equi-join with the small side replicated over ``salt_n`` salts.
+
+    ``how``: inner/left supported (the salting pattern's home turf — the
+    replicated side must be the lookup side). Result equals
+    ``big.join(small, on, how)`` with the same columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    on = list(on)
+    # deterministic scatter: hash EVERY big-side column so identical rows
+    # still spread (xxhash64 is a stable JVM-side hash)
+    big_s = big.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+    )
+    small_s = small.withColumn(
+        SALT,
+        F.explode(F.array([F.lit(i).cast("long") for i in range(salt_n)])),
+    )
+    return big_s.join(small_s, on=on + [SALT], how=how).drop(SALT)

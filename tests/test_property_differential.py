@@ -1,0 +1,135 @@
+"""Property-based differential tests (hypothesis): the window/time-series
+operators vs their pandas reference semantics on randomized sparse series,
+and the salted join vs the plain join.
+
+Each example builds a small irregular series with holes and checks the
+Spark operator's output element-for-element against pandas. Example counts
+are capped — every example is a full Spark job."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.operators.skew import salted_join
+from cassandra_fs_pp_spark.operators.windows import (
+    interpolate_linear,
+    ratchet_depth,
+    resample_ffill,
+)
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+# a sparse series: step offsets (in 15-min units, strictly increasing via
+# cumsum of positive gaps) + values with holes
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # gap in grid steps
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_series(spec):
+    steps = np.cumsum([g for g, _ in spec])
+    idx = pd.DatetimeIndex([T0 + pd.Timedelta(minutes=15 * int(s)) for s in steps])
+    vals = [v for _, v in spec]
+    return pd.Series(vals, index=idx, dtype=float)
+
+
+@given(spec=series_strategy)
+@SETTINGS
+def test_resample_ffill_matches_pandas(spark, spec):
+    s = _to_series(spec)
+    s = s[~s.index.duplicated()]
+    want = s.resample("15min").ffill(limit=3)
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"t": s.index, "v": s.values})
+    )
+    got = (
+        resample_ffill(sdf, "t", 900, limit=3, origin="start_day")
+        .orderBy("t")
+        .toPandas()
+        .set_index("t")["v"]
+    )
+    assert list(got.index) == list(want.index)
+    assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
+    m = ~want.isna().to_numpy()
+    assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
+
+
+@given(spec=series_strategy)
+@SETTINGS
+def test_interpolate_matches_pandas(spark, spec):
+    s = _to_series(spec)
+    s = s[~s.index.duplicated()]
+    want = s.interpolate(method="index")  # time-weighted, pandas default on
+    # a datetime index via 'index'; trailing NaNs ffilled, leading stay
+
+    sdf = spark.createDataFrame(pd.DataFrame({"t": s.index, "v": s.values}))
+    got = (
+        sdf.select("t", interpolate_linear("v", "t").alias("v"))
+        .orderBy("t")
+        .toPandas()
+        .set_index("t")["v"]
+    )
+    assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
+    m = ~want.isna().to_numpy()
+    assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
+
+
+@given(
+    walk=st.lists(st.floats(-0.1, 0.1, allow_nan=False), min_size=2, max_size=40),
+    depth=st.floats(-1.0, -0.05, allow_nan=False),
+)
+@SETTINGS
+def test_ratchet_matches_reference_loop(spark, walk, depth):
+    udg = np.cumsum(np.asarray(walk)) + 1.0
+    idx = pd.date_range("2024-06-01", periods=len(udg), freq="h")
+
+    u = udg - udg[0]
+    offset, expected = depth, []
+    for ut in u:
+        d = min(0.0, ut + offset)
+        if d == 0.0:
+            offset = -ut
+        expected.append(d)
+
+    sdf = spark.createDataFrame(pd.DataFrame({"t": idx, "u": u}))
+    got = (
+        sdf.select("t", ratchet_depth("u", "t", depth).alias("d"))
+        .orderBy("t")
+        .toPandas()["d"]
+        .to_numpy()
+    )
+    assert np.allclose(got, np.asarray(expected), atol=1e-12)
+
+
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    salt_n=st.sampled_from([2, 8, 16]),
+)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, keys, salt_n):
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": np.arange(len(keys), dtype=float)})
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]})
+    )
+    got = salted_join(big, dim, ["k"], how="left", salt_n=salt_n)
+    want = big.join(dim, on="k", how="left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
