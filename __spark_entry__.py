@@ -1093,8 +1093,10 @@ from cassandra_fs_pp_spark.operators.textdedup import (  # noqa: E402
     jaccard_verify,
     lsh_candidate_pairs,
     lsh_cluster,
+    lsh_cluster_wide,
     minhash_perms,
     minhash_signatures,
+    minhash_signatures_wide,
     simhash,
     token_set,
 )
@@ -1277,8 +1279,8 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path dedup: doc -> LSH cluster representative (linear in
     docs; the all-pairs variant above is quadratic on templated corpora)."""
     corpus = _doc_corpus_with_near_dups(spark, sf_dir)
-    sigs = minhash_signatures(corpus, num_hashes=MINHASH_K)
-    return lsh_cluster(sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    sigs = minhash_signatures_wide(corpus, num_hashes=MINHASH_K)
+    return lsh_cluster_wide(sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
 
 
 def _minhash_cluster_sql() -> str:

@@ -68,6 +68,33 @@ def token_set(text_col: Column) -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
 
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Wide minhash signatures: one row per doc, columns ``mh_0..mh_{K-1}``.
+
+    All K permutation minima come out of ONE groupBy(doc) pass — the token
+    hash is computed once per token and every permutation is a cheap
+    ``min((a*h+b)%P)`` aggregate over it. The long-form/crossJoin layout
+    would shuffle K× the rows for identical values; this is the plan you
+    want at 100 TB (shuffle ∝ tokens, not tokens×K)."""
+    perms = minhash_perms(num_hashes, seed)
+    tok = docs.select(
+        F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w")
+    )
+    h = tok.select(id_col, (hash60(F.col("w")) % MERSENNE_P).alias("hw"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hw") + F.lit(b)) % MERSENNE_P).alias(f"mh_{k}")
+        for k, a, b in perms
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -76,19 +103,15 @@ def minhash_signatures(
     num_hashes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Long-form minhash signatures: one row per (doc, k) with the min
-    permuted token hash. Explode -> hash -> groupBy(doc, k) min."""
-    perms = minhash_perms(num_hashes, seed)
-    tok = docs.select(
-        F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w")
+    """Long-form minhash signatures: one row per (doc, k). Same values as
+    the wide form (it IS the wide form, unpivoted) — keep long only where a
+    per-k relational layout is genuinely needed."""
+    wide = minhash_signatures_wide(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes, seed=seed
     )
-    h = tok.select(id_col, (hash60(F.col("w")) % MERSENNE_P).alias("hw"))
-    perm_rows = [(k, a, b) for k, a, b in perms]
-    perm_df = h.sparkSession.createDataFrame(perm_rows, "k int, a long, b long")
-    return (
-        h.crossJoin(F.broadcast(perm_df))
-        .groupBy(id_col, "k")
-        .agg(F.min((F.col("a") * F.col("hw") + F.col("b")) % MERSENNE_P).alias("mh"))
+    pairs = ", ".join(f"{k}, mh_{k}" for k in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {pairs}) AS (k, mh)"
     )
 
 
@@ -132,6 +155,54 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def banded_from_wide(
+    wide: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Wide signatures -> (id, band, band_sig) with NO aggregation: band
+    signatures are plain column concats in k order (identical strings to
+    the long form's sorted collect_list), then one stack. Zero shuffles."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    sig_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"mh_{b * rpb + i}").cast("string") for i in range(rpb)]
+        ).alias(f"b_{b}")
+        for b in range(bands)
+    ]
+    w = wide.select(id_col, *sig_cols)
+    pairs = ", ".join(f"{b}, b_{b}" for b in range(bands))
+    return w.selectExpr(id_col, f"stack({bands}, {pairs}) AS (band, band_sig)")
+
+
+def lsh_cluster_wide(
+    wide: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`lsh_cluster` on wide signatures — the bench/scale path: one
+    groupBy(doc) (inside the signature build), one groupBy(bucket), one
+    groupBy(doc). Shuffle volume ∝ docs × bands short strings."""
+    banded = banded_from_wide(
+        wide, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+    bucket_rep = banded.groupBy("band", "band_sig").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
+    return (
+        banded.join(bucket_rep, on=["band", "band_sig"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("cluster_rep"))
+        .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
     )
 
 
