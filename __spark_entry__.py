@@ -1678,6 +1678,46 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — native ``session_window``;
+    the oracle is the classic gaps-and-islands formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM g GROUP BY user_id, sess
+"""
+
+
 def a9_head_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — baseline constant from the first N rows of a sorted series
     (the reference's ``udg.iloc[0:20].mean()``)."""
@@ -1968,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_counts": a4_distinct_counts,
         "a_approx_distinct": a_approx_distinct,
         "a9_head_mean": a9_head_mean,
+        "a_sessionize": a_sessionize,
         "agg_cube": agg_cube,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
@@ -2034,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_distinct_counts": A4_ORACLE,
         # a_approx_distinct: HLL++-specific — intentionally no oracle
         "a9_head_mean": A9_ORACLE,
+        "a_sessionize": SESSION_ORACLE,
         "agg_cube": CUBE_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
