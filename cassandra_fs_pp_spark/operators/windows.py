@@ -133,6 +133,28 @@ def dominant_freq_seconds(df: DataFrame, t: str = "time") -> int:
     return int(row[0]["delta"])
 
 
+def per_key_dominant_freq(
+    df: DataFrame, t: str, partition_by: Sequence[str]
+) -> DataFrame:
+    """A3, fleet form: the dominant sampling interval PER series key.
+
+    The single-station pipeline takes one driver-side scalar; a fleet of
+    stations with mixed logger programs (15-min summer / hourly winter)
+    needs each series regularized on ITS OWN grid. Returns
+    ``(*keys, __freq_s)`` — no action, joins back into the lineage."""
+    keys = list(partition_by)
+    deltas = df.select(
+        *keys, ts_delta_seconds(t, partition_by=keys).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    counts = deltas.groupBy(*keys, "delta").count()
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc("delta"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col("delta").alias("__freq_s"))
+    )
+
+
 def resample_grid(
     df: DataFrame,
     t: str,
@@ -154,8 +176,12 @@ def resample_grid(
     (pandas ``asfreq`` semantics — resample keeps only bin labels).
     """
     keys = list(partition_by or [])
-    bounds = df.groupBy(*keys).agg(F.min(t).alias("__t0"), F.max(t).alias("__t1"))
-    bounds = _apply_origin(bounds, origin, freq_s)
+    bounds = df.groupBy(*keys).agg(
+        F.min(t).alias("__t0"),
+        F.max(t).alias("__t1"),
+        F.lit(int(freq_s)).alias("__fs"),
+    )
+    bounds = _apply_origin(bounds, origin)
     grid = bounds.select(
         *keys,
         F.explode(
@@ -168,7 +194,7 @@ def resample_grid(
 def resample_ffill(
     df: DataFrame,
     t: str,
-    freq_s: int,
+    freq_s: int | None = None,
     *,
     limit: int,
     partition_by: Sequence[str] | None = None,
@@ -183,6 +209,12 @@ def resample_ffill(
     NaN), for at most ``limit`` consecutive new labels. Off-grid original
     labels are dropped but still act as fill sources.
 
+    ``freq_s``: grid step in seconds. An int applies one global grid (the
+    single-station parity path); ``None`` detects the dominant frequency
+    PER ``partition_by`` key (:func:`per_key_dominant_freq`) so a fleet of
+    stations with mixed logger programs each regularize on their own grid —
+    fully lazy, no driver action.
+
     Built as: full-outer join of the grid with the marked original rows,
     one running ``last(original struct)`` window per value column, then
     keep grid labels only. One shuffle (the join/window share the
@@ -192,16 +224,28 @@ def resample_ffill(
     value_cols = [c for c in df.columns if c not in keys + [t]]
     tcol = F.col(t)
 
-    bounds = df.groupBy(*keys).agg(F.min(t).alias("__t0"), F.max(t).alias("__t1"))
-    bounds = _apply_origin(bounds, origin, freq_s)
+    if freq_s is None:
+        if not keys:
+            raise ValueError("freq_s=None needs partition_by keys")
+        df = df.join(per_key_dominant_freq(df, t, keys), on=keys)
+    else:
+        df = df.withColumn("__freq_s", F.lit(int(freq_s)))
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(t).alias("__t0"),
+        F.max(t).alias("__t1"),
+        F.first("__freq_s").alias("__fs"),
+    )
+    bounds = _apply_origin(bounds, origin)
     grid = bounds.select(
         *keys,
+        F.col("__fs"),
         F.explode(
-            F.sequence("__t0", "__t1", F.expr(f"interval {int(freq_s)} seconds"))
+            F.expr("sequence(__t0, __t1, make_dt_interval(0, 0, 0, __fs))")
         ).alias(t),
     ).withColumn("__grid", F.lit(True))
 
-    marked = df.withColumn("__orig", F.lit(True))
+    marked = df.drop("__freq_s").withColumn("__orig", F.lit(True))
     joined = grid.join(marked, on=keys + [t], how="full_outer")
 
     base = Window.partitionBy(*keys) if keys else Window
@@ -210,10 +254,11 @@ def resample_ffill(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     # grid anchor per key: the first grid instant (needed to count how many
-    # grid labels separate a fill target from its source)
+    # grid labels separate a fill target from its source); orig-only rows
+    # inherit __fs from the partition the same way
     anchor = F.min(F.when(F.col("__grid"), _epoch_s(tcol))).over(whole)
     et = _epoch_s(tcol)
-    fs = F.lit(int(freq_s))
+    fs = F.max("__fs").over(whole)
 
     out_cols: list[Column] = []
     for v in value_cols:
@@ -231,14 +276,18 @@ def resample_ffill(
     return joined.filter(F.col("__grid")).select(*keys, t, *out_cols)
 
 
-def _apply_origin(bounds: DataFrame, origin: str, freq_s: int) -> DataFrame:
-    """Shift per-key grid start ``__t0`` for the requested resample origin."""
+def _apply_origin(bounds: DataFrame, origin: str) -> DataFrame:
+    """Shift per-key grid start ``__t0`` for the requested resample origin
+    (grid step = the per-key ``__fs`` column)."""
     if origin == "start_day":
+        fs = F.col("__fs")
         day = F.date_trunc("DAY", F.col("__t0")).cast("timestamp")
         off = F.col("__t0").cast("timestamp").cast("long") - day.cast("long")
         start = (
-            day.cast("long") + F.floor(off / F.lit(int(freq_s))) * F.lit(int(freq_s))
-        ).cast("timestamp").cast(bounds.schema["__t0"].dataType)
+            (day.cast("long") + F.floor(off / fs) * fs)
+            .cast("timestamp")
+            .cast(bounds.schema["__t0"].dataType)
+        )
         return bounds.withColumn("__t0", start)
     if origin != "min":
         raise ValueError("origin must be 'min' or 'start_day'")

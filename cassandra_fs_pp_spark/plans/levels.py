@@ -262,7 +262,9 @@ def filter_udg(
         *keys, t, quality_gate(F.col(udg_col), F.col(q_col)).alias(udg_col)
     )
 
-    freq_s = dominant_freq_seconds(gated, t)
+    # fleet mode (partition keys): per-key dominant frequency, fully lazy;
+    # single-station parity mode: one driver-side scalar (A3)
+    freq_s = None if keys else dominant_freq_seconds(gated, t)
     filled = resample_ffill(
         gated, t, freq_s, limit=ffill_limit, partition_by=keys, origin="start_day"
     )

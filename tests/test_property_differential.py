@@ -133,3 +133,33 @@ def test_salted_join_equals_plain_join(spark, keys, salt_n):
     got = salted_join(big, dim, ["k"], how="left", salt_n=salt_n)
     want = big.join(dim, on="k", how="left")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_per_key_resample_ffill_fleet(spark):
+    """Fleet mode: two series with DIFFERENT sampling frequencies each
+    regularize on their own per-key dominant grid (no global scalar)."""
+    idx15 = pd.date_range("2024-01-01", periods=20, freq="15min")
+    idx60 = pd.date_range("2024-01-01", periods=20, freq="60min")
+    a = pd.DataFrame({"site": "A", "t": idx15, "v": np.arange(20.0)})
+    b = pd.DataFrame({"site": "B", "t": idx60, "v": np.arange(20.0) * 10})
+    # knock holes in both (drop rows -> new grid labels must ffill<=2)
+    a = a.drop(index=[3, 4, 10])
+    b = b.drop(index=[5])
+    both = pd.concat([a, b])
+
+    sdf = spark.createDataFrame(both)
+    out = (
+        resample_ffill(sdf, "t", None, limit=2, partition_by=["site"])
+        .orderBy("site", "t")
+        .toPandas()
+    )
+
+    for site, pdf, freq in (("A", a, "15min"), ("B", b, "60min")):
+        want = (
+            pdf.set_index("t")["v"].resample(freq).ffill(limit=2)
+        )
+        got = out[out["site"] == site].set_index("t")["v"]
+        assert list(got.index) == list(want.index)
+        assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
+        m = ~want.isna().to_numpy()
+        assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
