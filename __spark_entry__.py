@@ -1314,6 +1314,41 @@ GROUP BY b.doc_id
 """
 
 
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints: distinct per-doc (doc_id, fp)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    from cassandra_fs_pp_spark.operators.textdedup import winnow_fingerprints
+
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id < 100
+), kg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(s) - {WINNOW_K - 1}, 0) + 1),
+           i -> ('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 15))::BIGINT
+         ) AS kgs
+  FROM norm
+), fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(kgs) - {WINNOW_W - 1}, 0) + 1),
+           j -> list_aggregate(list_slice(kgs, j, j + {WINNOW_W - 1}), 'min')
+         ))) AS fp
+  FROM kg
+)
+SELECT DISTINCT doc_id, fp FROM fp
+"""
+
+
 SIMHASH_BITS = 32
 
 
@@ -1994,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2061,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_cluster": _minhash_cluster_sql(),
         "dedup_simhash": SIMHASH_ORACLE,
+        "text_winnow_fingerprints": WINNOW_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)

@@ -105,6 +105,11 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+def normalize_ws(col: Column) -> Column:
+    """Whitespace-normalized lower-case text (the fingerprint base form)."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lower-case text."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+    return F.md5(normalize_ws(col))

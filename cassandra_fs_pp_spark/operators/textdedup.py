@@ -299,6 +299,61 @@ def jaccard_verify(
     return out
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    ``k``-gram of the normalized text, slide a ``w``-window over the hash
+    sequence, keep each window's minimum; the distinct minima are the doc's
+    fingerprint set (robust to local edits, size ~2/(w+1) of the k-grams).
+
+    Plan shape matters here: a nested array-lambda formulation re-evaluates
+    the normalization regex and the k-gram hash array per ELEMENT once
+    CollapseProject inlines them (measured 100x slower). Instead: one
+    barriered projection computes the normalized text per doc, k-gram
+    positions explode to rows (hash computed once each), and the window
+    minima come from a rows-frame ``min`` — every expression evaluated
+    exactly once. Returns distinct (id, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    from cassandra_fs_pp_spark.functions.text import normalize_ws
+
+    # repartition = optimizer barrier: keeps the regex OUT of the explode
+    normed = docs.select(
+        F.col(id_col), normalize_ws(F.col(text_col)).alias("__s")
+    ).repartition(F.col(id_col))
+    positions = normed.select(
+        id_col,
+        "__s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("__s") - F.lit(k - 1), F.lit(0)),
+            )
+        ).alias("__i"),
+    )
+    hashed = positions.select(
+        id_col,
+        "__i",
+        hash60(F.col("__s").substr(F.col("__i"), F.lit(k))).alias("__h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    fps = hashed.select(
+        id_col,
+        F.col("__i"),
+        F.min("__h").over(win).alias("fp"),
+        F.max("__i").over(whole).alias("__n"),
+    ).filter(F.col("__i") <= F.col("__n") - F.lit(w - 1))
+    return fps.select(id_col, "fp").distinct()
+
+
 def simhash(
     docs: DataFrame,
     *,

@@ -124,3 +124,27 @@ def test_embedding_near_dups_finds_identical(spark):
     # each vector pairs with its identical copy
     for r in emb.select("vec_id").collect():
         assert (r["vec_id"], r["vec_id"] + 1000) in ids
+
+
+def test_winnow_fingerprints_local_edit_overlap(spark):
+    """A small local edit preserves most winnowing fingerprints; disjoint
+    texts share none."""
+    from cassandra_fs_pp_spark.operators.textdedup import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("lazy", "hazy")
+    other = "entirely different content with no shared substrings whatsoever"
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    sets = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        sets[r["doc_id"]].add(r["fp"])
+    inter12 = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    inter13 = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
+    assert inter12 > 0.5
+    assert inter13 == 0.0
