@@ -1832,6 +1832,107 @@ P5_ORACLE = "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates: per-key linear regression (trend extraction),
+# exact quantiles, collection aggregation.
+# --------------------------------------------------------------------------
+
+
+def a_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of value over time via covariance/variance
+    aggregates (closed-form OLS — no iteration, one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("double")
+    y = F.col("value")
+    base = ev.select("user_id", x.alias("x"), y.alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.covar_pop("x", "y").alias("cv"),
+            F.var_pop("x").alias("vx"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("cv") / F.col("vx") * 3600.0, 8).alias(
+                "slope_per_hour"
+            ),
+            F.round(
+                F.col("my") - F.col("cv") / F.col("vx") * F.col("mx"), 4
+            ).alias("intercept"),
+        )
+    )
+
+
+LINREG_ORACLE = """
+SELECT user_id, count(*) AS n,
+       round(covar_pop(x, y) / var_pop(x) * 3600.0, 8) AS slope_per_hour,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept
+FROM (SELECT user_id, epoch(ts) AS x, value AS y
+      FROM events WHERE value IS NOT NULL)
+GROUP BY user_id
+"""
+
+
+def a_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile == DuckDB
+    quantile_cont, both linear-interpolating)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("q25"),
+        F.round(F.percentile("value", 0.5), 6).alias("q50"),
+        F.round(F.percentile("value", 0.75), 6).alias("q75"),
+        F.round(F.percentile("value", 0.99), 6).alias("q99"),
+    )
+
+
+QUANTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.50), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.99), 6) AS q99
+FROM events GROUP BY 1
+"""
+
+
+def f_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + element ops: ordered collect, slicing, membership."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("event_type")).alias("types"))
+    )
+    return per_user.select(
+        "user_id",
+        F.size("types").alias("n"),
+        F.element_at("types", 1).alias("first_type"),
+        F.size(F.array_distinct("types")).alias("n_distinct"),
+        F.array_contains("types", "error").alias("has_error"),
+        F.slice(F.array_distinct("types"), 1, 2).alias("first_two_distinct"),
+    )
+
+
+COLLECTIONS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, list(event_type ORDER BY event_type) AS types
+  FROM events WHERE user_id < 10 GROUP BY user_id
+)
+SELECT user_id, len(types) AS n,
+       types[1] AS first_type,
+       len(list_distinct(types)) AS n_distinct,
+       list_contains(types, 'error') AS has_error,
+       list_slice(list_sort(list_distinct(types)), 1, 2) AS first_two_distinct
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal columns: opaque binary payloads + typed metadata, decode /
 # stats / frame-sample as Arrow-batched mapInPandas (functions/multimodal).
 # The deterministic FAKE codec gives closed forms a SQL oracle can verify
@@ -2045,6 +2146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_approx_distinct": a_approx_distinct,
         "a9_head_mean": a9_head_mean,
         "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "a_quantiles": a_quantiles,
+        "f_collections": f_collections,
         "agg_cube": agg_cube,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
@@ -2113,6 +2217,9 @@ def oracle_sql() -> dict[str, str]:
         # a_approx_distinct: HLL++-specific — intentionally no oracle
         "a9_head_mean": A9_ORACLE,
         "a_sessionize": SESSION_ORACLE,
+        "a_linreg_trend": LINREG_ORACLE,
+        "a_quantiles": QUANTILES_ORACLE,
+        "f_collections": COLLECTIONS_ORACLE,
         "agg_cube": CUBE_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
