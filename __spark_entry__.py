@@ -1837,6 +1837,19 @@ P5_ORACLE = "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
 # --------------------------------------------------------------------------
 
 
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dominant cycle via grouped-map FFT (applyInPandas) — numpy
+    spectral math has no SQL form, so rows-only check (schema + count);
+    the op itself is validated against planted sinusoids in tests."""
+    from cassandra_fs_pp_spark.operators.spectral import dominant_period
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.sum("value").alias("value"))
+    return dominant_period(hourly, ["user_id"])
+
+
 def a_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of value over time via covariance/variance
     aggregates (closed-form OLS — no iteration, one shuffle)."""
@@ -2147,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_head_mean": a9_head_mean,
         "a_sessionize": a_sessionize,
         "a_linreg_trend": a_linreg_trend,
+        "ts_dominant_period": ts_dominant_period,
         "a_quantiles": a_quantiles,
         "f_collections": f_collections,
         "agg_cube": agg_cube,
