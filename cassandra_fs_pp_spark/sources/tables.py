@@ -40,12 +40,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for col in NANOS_TS_COLUMNS.get(name, ()):
-        # integer div (not /) — ns epochs exceed double's 2^53 exact range
-        df = df.withColumn(
-            col,
-            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
-        )
+        # only the driver-generated TIMESTAMP(NANOS) layout arrives as a
+        # raw ns long; re-materialized copies are already timestamps
+        if dtypes.get(col) == "bigint":
+            # integer div (not /) — ns epochs exceed double's 2^53 range
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
     return df
 
 

@@ -1,0 +1,111 @@
+"""Scale-up probe: does the headline suite scale ~linearly?
+
+Synthesizes an N× copy of the fact tables (key spaces shifted so joins,
+dedup groups, and LSH buckets GROW instead of stacking duplicates), writes
+it as parquet, runs the bench headline suite at 1× and N×, and reports the
+wall-time ratio per query. A query whose ratio is far above N has a plan
+that won't survive the 100 TB scale-up (quadratic candidate sets, driver
+materialization, broadcast of a grown side...).
+
+Usage: python scripts/scale_probe.py [N]        (default 8; writes SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.session import get_spark
+from cassandra_fs_pp_spark.sources.tables import TABLES, load_table
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACT_SHIFT = {
+    # table -> (id columns to shift so the key space grows per copy)
+    "events": ("event_id", "user_id"),
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+SHIFT = 10_000_000
+
+
+def synthesize(spark, n: int, out_dir: str) -> None:
+    for name in TABLES:
+        df = load_table(spark, BASE, name)
+        if name in FACT_SHIFT:
+            copies = [df]
+            for i in range(1, n):
+                c = df
+                for col in FACT_SHIFT[name]:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    p = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_{n}x")
+    spark = get_spark("scale_probe")
+    t0 = time.time()
+    synthesize(spark, n, out_dir)
+    print(f"synthesized {n}x at {out_dir} in {time.time()-t0:.0f}s")
+    spark.stop()
+
+    base = run_bench(BASE)
+    big = run_bench(out_dir)
+
+    lines = [
+        f"# SCALE — {n}x scale-up probe",
+        "",
+        f"Base: {BASE} -> {base['value']}s. {n}x (shifted key spaces) -> "
+        f"{big['value']}s. Ratio at perfect linear scaling = {n}.0.",
+        "",
+        "| query | 1x sec | {n}x sec | ratio |".replace("{n}", str(n)),
+        "|---|---|---|---|",
+    ]
+    for q, t1 in base["queries"].items():
+        t2 = big["queries"].get(q)
+        ratio = round(t2 / t1, 1) if t1 and t2 else None
+        lines.append(f"| {q} | {t1} | {t2} | {ratio} |")
+    lines += [
+        "",
+        "Reading: ratios well under N mean fixed overheads still dominate at",
+        "this size (the plan has headroom); ratios near N are work-bound and",
+        "linear. `ann_bruteforce_topk` is the EXACT quadratic baseline by",
+        "design (O(queries x corpus)) — the scale paths are `ann_ivf_topk`",
+        "(probe-pruned candidates) and `dedup_minhash_cluster` (bucketed,",
+        "stays ~flat above). A ratio far above N anywhere else would flag a",
+        "plan that breaks at 100 TB.",
+    ]
+    doc = "\n".join(lines) + "\n"
+    with open("SCALE.md", "w") as f:
+        f.write(doc)
+    print(doc)
+
+
+if __name__ == "__main__":
+    main()
