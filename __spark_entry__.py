@@ -1474,6 +1474,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, nprobe=2)
 
 
+LSH_BITS, LSH_TABLES, EMB_DIM = 4, 4, 64
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-k (the second scale path
+    beside IVF) — deterministic seeded planes, fully oracle-checkable."""
+    from cassandra_fs_pp_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, k=5, bits=LSH_BITS, tables=LSH_TABLES, dim=EMB_DIM)
+
+
+def _lsh_topk_sql() -> str:
+    from cassandra_fs_pp_spark.operators.similarity import hyperplane_lsh_perms
+
+    def bucket_expr(t: int) -> str:
+        planes = hyperplane_lsh_perms(LSH_BITS, EMB_DIM, 7 + t)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(planes)
+        )
+
+    buckets = ",\n         ".join(
+        f"{bucket_expr(t)} AS bucket_{t}" for t in range(LSH_TABLES)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"  FROM b q JOIN b c ON q.bucket_{t} = c.bucket_{t} "
+        f"AND q.vec_id <> c.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {buckets}
+  FROM embeddings
+), cand AS (
+{cand_union}
+), pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN b q ON q.vec_id = cand.query_id
+  JOIN b c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     shadow = emb.select(
@@ -2147,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "emb_near_dups": emb_near_dups,
         "w2_centered_median": w2_centered_median,
         "w3_count_window_median": w3_count_window_median,
@@ -2219,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
+        "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
         "w2_centered_median": W2_ORACLE,
         "w3_count_window_median": W3_ORACLE,

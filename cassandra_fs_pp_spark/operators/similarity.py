@@ -166,6 +166,116 @@ def ivf_topk(
     )
 
 
+def hyperplane_lsh_perms(bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """``bits`` random hyperplanes in R^dim, deterministic (seeded PRNG,
+    embedded as plan literals in BOTH engines — oracle-checkable)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit b set when dot(vec, plane_b) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array([F.lit(float(x)) for x in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-k: ``tables`` independent
+    sign-bucket hash tables; candidates = union of same-(table, bucket)
+    pairs, exact cosine rerank.
+
+    The second scale path beside IVF: at 100 TB (table_id, bucket) is the
+    shuffle key; cosine-similar vectors share a sign bit with probability
+    1 - angle/pi, so per-table collision is p^bits and the union over L
+    tables lifts recall to 1-(1-p^bits)^L while each join touches only a
+    ~2^bits-th of the corpus. Deterministic (seeded planes).
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    with_b = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(
+                            F.col(vec_col),
+                            hyperplane_lsh_perms(bits, dim, seed + t),
+                        ).alias("b"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(
+        id_col, vec_col, "__n",
+        F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"),
+    )
+    q = with_b.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("__n").alias("qn"),
+        "__table",
+        "__bucket",
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("__n").alias("nn"),
+        "__table",
+        "__bucket",
+    )
+    cand = (
+        q.join(c, on=["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos_raw", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cos_raw").alias("cosine"), "rank"
+        )
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     *,

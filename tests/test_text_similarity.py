@@ -148,3 +148,25 @@ def test_winnow_fingerprints_local_edit_overlap(spark):
     inter13 = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
     assert inter12 > 0.5
     assert inter13 == 0.0
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    """Hyperplane-LSH top-k keeps reasonable recall@5 vs exact brute force
+    on the test embeddings (clustered corpus -> bucket collisions)."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, k=5, bits=4, tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5  # 8 tables x 4 bits: 1-(1-p^4)^8 on near-uniform data
