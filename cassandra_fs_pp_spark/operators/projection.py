@@ -72,14 +72,16 @@ def build_l2_rename(
     for regex, target in mapping:
         pat = re.compile(regex)
         matched = [c for c in columns if pat.search(c)]
-        if len(matched) > 1:
-            for col in matched:
+        for col in matched:
+            if "*" in target:
+                # family target: substitute the member's sensor id — even a
+                # single-member family (one TDR chain installed) needs it
                 m = _ID_ARRAY.search(col) or _ID_MULTI.search(col)
                 if m is None:
                     raise ValueError(f"cannot extract sensor id from {col!r}")
                 out[col] = target.replace("*", m.group("id"))
-        elif len(matched) == 1:
-            out[matched[0]] = target
+            else:
+                out[col] = target
     return out
 
 
