@@ -1066,6 +1066,107 @@ LIMIT 20
 """
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — shipping volume between two nations by year (5-way join with a
+    disjunctive nation-pair predicate)."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN (SELECT n_nationkey AS n1_key, n_name AS supp_nation FROM nation) n1
+  ON s_nationkey = n1_key
+JOIN (SELECT n_nationkey AS n2_key, n_name AS cust_nation FROM nation) n2
+  ON c_nationkey = n2_key
+WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+GROUP BY 1, 2, year(l_shipdate)
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — a nation's market share of ECONOMY-part revenue by year
+    (conditional-numerator / total-denominator aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    volume = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    share = F.when(F.col("n_name") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(20,6)")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(share).cast("double") / F.sum(volume).cast("double"), 8
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH_Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (1 - CAST(l_discount AS DECIMAL(8,4)))
+             ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 8)
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY year(o_orderdate)
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-data operators: text analysis, exact/minhash/simhash dedup,
 # similarity search (BASELINE.json north star; SURVEY §7.2 phase 6).
@@ -2194,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": tpch_q14,
         "tpch_q4_shape": tpch_q4_shape,
         "tpch_q10_returns": tpch_q10_returns,
+        "tpch_q7_nation_volume": tpch_q7_nation_volume,
+        "tpch_q8_market_share": tpch_q8_market_share,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2267,6 +2370,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": TPCH_Q14_ORACLE,
         "tpch_q4_shape": TPCH_Q4_ORACLE,
         "tpch_q10_returns": TPCH_Q10_ORACLE,
+        "tpch_q7_nation_volume": TPCH_Q7_ORACLE,
+        "tpch_q8_market_share": TPCH_Q8_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
         "dedup_exact_docs": DEDUP_EXACT_ORACLE,

@@ -176,3 +176,52 @@ def test_stream_dedup_agg_pipeline(spark):
     assert {(r["event_type"], r["n"]) for r in got.collect()} == {
         (r["event_type"], r["n"]) for r in want.collect()
     }
+
+
+def test_file_sink_exactly_once_resume(spark, tmp_path):
+    """Parquet sink + checkpoint: draining twice over a growing input dir
+    never duplicates rows (file-source offsets + sink transaction log)."""
+    import glob
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
+        {
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(lo, hi)],
+            "v": [float(i) for i in range(lo, hi)],
+        }
+    )
+    src = _write_stream_files(spark, tmp_path, [mk(0, 50)])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema("ts timestamp, v double")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 50
+
+    # second batch lands; re-drain with the SAME checkpoint
+    f = str(tmp_path / "in" / "part-001.parquet")
+    mk(50, 80).assign(ts=lambda d: d["ts"].astype("datetime64[us]")).to_parquet(
+        f, index=False
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("ts").distinct().count() == 80
+
+    # a third drain with nothing new writes nothing
+    n_files = len(glob.glob(out + "/*.parquet"))
+    drain()
+    assert spark.read.parquet(out).count() == 80
+    assert len(glob.glob(out + "/*.parquet")) == n_files
