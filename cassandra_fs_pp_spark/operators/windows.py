@@ -77,15 +77,28 @@ def row_frame(
     return base.orderBy(tcol).rowsBetween(-int(before), int(after))
 
 
-def rolling_median(x: str | Column, frame: WindowSpec, *, min_periods: int = 0) -> Column:
-    """W1/W2/W3 — exact median over a window frame.
+def rolling_median(
+    x: str | Column,
+    frame: WindowSpec,
+    *,
+    min_periods: int = 0,
+    approx: bool = False,
+) -> Column:
+    """W1/W2/W3 — median over a window frame.
 
     Spark has no native median *window* function; exact ``percentile(x,0.5)``
     over the frame is the JVM-side equivalent. ``min_periods`` nulls the
     result when fewer non-null points are in frame (pandas parity).
+
+    ``approx=True`` switches to ``approx_percentile`` (KLL-sketch based) —
+    the SURVEY §7.4 scale valve when exact medians over wide time-range
+    frames get heavy (exact is O(frame) per row; the sketch is ~O(log)).
     """
     xcol = F.col(x) if isinstance(x, str) else x
-    med = F.percentile(xcol, F.lit(0.5)).over(frame)
+    if approx:
+        med = F.approx_percentile(xcol, F.lit(0.5), F.lit(10000)).over(frame)
+    else:
+        med = F.percentile(xcol, F.lit(0.5)).over(frame)
     if min_periods > 1:
         return F.when(F.count(xcol).over(frame) >= min_periods, med)
     return med
