@@ -1871,6 +1871,34 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a8_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 min (each event lands in 4 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+SLIDING_ORACLE = """
+WITH e AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+           AT TIME ZONE 'UTC' AS t15,
+         ts, value
+  FROM events
+), x AS (
+  SELECT t15 - k.range * INTERVAL 15 MINUTE AS window_start, value
+  FROM e CROSS JOIN range(4) k
+)
+SELECT window_start, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM x GROUP BY 1
+"""
+
+
 def a_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — native ``session_window``;
     the oracle is the classic gaps-and-islands formulation."""
@@ -2319,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_counts": a4_distinct_counts,
         "a_approx_distinct": a_approx_distinct,
         "a9_head_mean": a9_head_mean,
+        "a8_sliding_window": a8_sliding_window,
         "a_sessionize": a_sessionize,
         "a_linreg_trend": a_linreg_trend,
         "ts_dominant_period": ts_dominant_period,
@@ -2394,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_distinct_counts": A4_ORACLE,
         # a_approx_distinct: HLL++-specific — intentionally no oracle
         "a9_head_mean": A9_ORACLE,
+        "a8_sliding_window": SLIDING_ORACLE,
         "a_sessionize": SESSION_ORACLE,
         "a_linreg_trend": LINREG_ORACLE,
         "a_quantiles": QUANTILES_ORACLE,

@@ -33,6 +33,9 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas interop (multimodal + similarity).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound Arrow batch size so mapInPandas over fat binary payloads
+    # (multimodal media) can't assemble multi-GB batches per executor.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Keep timestamp parquet reads stable across writers.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
