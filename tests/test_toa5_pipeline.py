@@ -361,3 +361,45 @@ def test_load_position_csv(spark, tmp_path):
     f = tmp_path / "ec.csv"
     f.write_text("depth_m\n0.05\n0.35\n0.65\n")
     assert load_position_csv(spark, str(f)) == [0.05, 0.35, 0.65]
+
+
+def test_filter_udg_fleet_partitioned(spark):
+    """Fleet mode: filter_udg(partition_by=['site']) despikes each site's
+    series on its own dominant grid, matching per-site pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from cassandra_fs_pp_spark.plans.levels import filter_udg
+
+    frames = []
+    pandas_truth = {}
+    for site, freq_min, spike_i in (("A", 15, 30), ("B", 60, 40)):
+        idx = pd.date_range("2024-01-01", periods=120, freq=f"{freq_min}min")
+        tcdt = np.full(120, 2.0)
+        tcdt[spike_i] = 9.0
+        q = np.full(120, 180.0)
+        q[10] = 300.0  # gated out
+        frames.append(
+            pd.DataFrame(
+                {"site": site, "TIMESTAMP": idx, "TCDT": tcdt, "Q": q}
+            )
+        )
+        s = pd.Series(tcdt, index=idx)
+        s = s.where((q >= 150) & (q <= 210))
+        reg = s.resample(f"{freq_min}min").ffill(limit=3)
+        med = reg.rolling("2D").median()
+        filt = reg.where((med - reg).abs() < 0.5)
+        pandas_truth[site] = filt[s.index]
+
+    sdf = spark.createDataFrame(pd.concat(frames))
+    out = (
+        filter_udg(sdf, partition_by=["site"])
+        .orderBy("site", "TIMESTAMP")
+        .toPandas()
+    )
+    for site in ("A", "B"):
+        got = out[out["site"] == site].set_index("TIMESTAMP")["TCDT"]
+        want = pandas_truth[site]
+        assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
+        m = ~want.isna().to_numpy()
+        assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
