@@ -403,3 +403,36 @@ def test_filter_udg_fleet_partitioned(spark):
         assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
         m = ~want.isna().to_numpy()
         assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
+
+
+def test_engine_facade_and_cli(spark, site, tmp_path):
+    """SiteEngine drives L0->L1->L2 end-to-end; the CLI twins run both
+    stages against the same synthetic site."""
+    from cassandra_fs_pp_spark.cli import main as cli_main
+    from cassandra_fs_pp_spark.engine import SiteEngine
+
+    eng = SiteEngine(spark, str(site / "site.toml"), str(site))
+    l1 = eng.level0_to_level1()
+    assert l1.count() == N
+    l1_path = str(tmp_path / "l1out")
+    eng.write_l1(l1, l1_path)
+    back = eng.load_level1(l1_path)
+    cal = eng.load_calibrations(str(site / "cal.csv"))
+    l2 = eng.level1_to_level2(back, cal)
+    assert "TCDT(m)" in l2.columns and l2.count() == N
+    assert eng.chain_depths([0, 150], 1, -0.17)[2] == pytest.approx(-0.32)
+
+    # CLI: l1 (with overwrite guard) then l2
+    out1 = str(tmp_path / "cli_l1")
+    assert cli_main(["l1", str(site / "site.toml"), str(site), "-o", out1]) == 0
+    assert cli_main(["l1", str(site / "site.toml"), str(site), "-o", out1]) == 1
+    out2 = str(tmp_path / "cli_l2")
+    assert (
+        cli_main(
+            ["l2", str(site / "site.toml"), str(site), "--l1", out1,
+             "-o", out2, "--calibration", str(site / "cal.csv")]
+        )
+        == 0
+    )
+    l2cli = spark.read.csv(out2, header=True, inferSchema=True)
+    assert l2cli.count() == N
