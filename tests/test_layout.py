@@ -36,3 +36,39 @@ def test_filter_and_column_pushdown(spark):
     # column pruning: props/value must not be read
     rs = plan.split("ReadSchema:")[1][:200]
     assert "props" not in rs and "value" not in rs
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: joining two tables bucketed on the key plans
+    NO Exchange on either side (the pre-shuffled 100 TB join layout)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"ev_a_{tag}", f"ev_b_{tag}"
+    daily = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    for name, df in ((ta, daily), (tb, counts)):
+        (
+            df.write.bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # force the sort-merge path (tiny test tables would auto-broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ta).join(spark.table(tb), on="user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == daily.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE {ta}")
+        spark.sql(f"DROP TABLE {tb}")
