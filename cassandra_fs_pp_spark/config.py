@@ -14,7 +14,7 @@ front.
 from __future__ import annotations
 
 import tomllib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 REQUIRED_TOP = ("site",)

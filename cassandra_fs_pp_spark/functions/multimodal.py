@@ -40,14 +40,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
     FloatType,
     IntegerType,
-    LongType,
     StringType,
     StructField,
     StructType,
