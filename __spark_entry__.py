@@ -1298,6 +1298,77 @@ SELECT doc_id, lang, {pred} AS lang_pred, ({pred}) = lang AS is_match FROM b
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: email/IP/phone spans -> typed placeholders.
+    Synthesized PII is appended so the redaction does real work."""
+    from cassandra_fs_pp_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168.1."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", redact_pii(F.col("text")).alias("clean"))
+
+
+PII_ORACLE = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 192.168.1.'
+              || CAST(doc_id % 255 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+FROM salted
+"""
+
+
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split — reproducible across
+    engines and runs (no RNG)."""
+    from cassandra_fs_pp_spark.functions.text import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(
+        F.col("doc_id"), {"train": 80, "val": 10, "test": 10}
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n, sum(doc_id) AS id_checksum
+FROM b GROUP BY 1
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # whitespace-mutated copies: same fingerprint, different raw text
@@ -2332,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
         "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_pii_redact": text_pii_redact,
+        "text_split_assign": text_split_assign,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2408,6 +2481,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_cluster": _minhash_cluster_sql(),
         "dedup_simhash": SIMHASH_ORACLE,
         "text_winnow_fingerprints": WINNOW_ORACLE,
+        "text_pii_redact": PII_ORACLE,
+        "text_split_assign": SPLIT_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)

@@ -113,3 +113,46 @@ def normalize_ws(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lower-case text."""
     return F.md5(normalize_ws(col))
+
+
+# --- PII scrubbing (training-data hygiene) --------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # RE2-safe (no lookaround/backrefs): portable Spark <-> DuckDB
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed placeholders.
+
+    Chained ``regexp_replace`` — JVM-side, codegen-friendly; patterns are
+    RE2-safe so a SQL oracle applies the identical regexes.
+    """
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def deterministic_split(
+    id_col: Column, weights: dict[str, int], buckets: int = 100
+) -> Column:
+    """Reproducible train/val/test assignment by hashing the ID — the
+    shuffle-free, engine-portable alternative to random sampling: the same
+    row lands in the same split on every engine, every run.
+
+    ``weights``: ordered {split_name: n_buckets}, must sum to ``buckets``.
+    """
+    if sum(weights.values()) != buckets:
+        raise ValueError(f"weights must sum to {buckets}")
+    b = hash60(id_col.cast("string")) % buckets
+    out = None
+    lo = 0
+    for name, n in weights.items():
+        cond = (b >= lo) & (b < lo + n)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+        lo += n
+    return out
