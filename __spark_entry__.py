@@ -1167,6 +1167,99 @@ GROUP BY year(o_orderdate)
 """
 
 
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — customer order-count distribution: LEFT join (zero-order
+    customers kept) then a groupBy of a groupBy."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 — large-volume orders: HAVING-filtered keys semi-joined back
+    into the customer/orders join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth analytic functions per user over event
+    time (deterministic event_id tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    ).distinct()
+
+
+W_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id, event_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value) OVER w AS last_v,
+       nth_value(value, 2) OVER w AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-data operators: text analysis, exact/minhash/simhash dedup,
 # similarity search (BASELINE.json north star; SURVEY §7.2 phase 6).
@@ -2396,6 +2489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returns": tpch_q10_returns,
         "tpch_q7_nation_volume": tpch_q7_nation_volume,
         "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q13_custdist": tpch_q13_custdist,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "w_first_last": w_first_last,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2474,6 +2570,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_returns": TPCH_Q10_ORACLE,
         "tpch_q7_nation_volume": TPCH_Q7_ORACLE,
         "tpch_q8_market_share": TPCH_Q8_ORACLE,
+        "tpch_q13_custdist": TPCH_Q13_ORACLE,
+        "tpch_q18_large_orders": TPCH_Q18_ORACLE,
+        "w_first_last": W_FIRST_LAST_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
         "dedup_exact_docs": DEDUP_EXACT_ORACLE,

@@ -163,3 +163,32 @@ def test_per_key_resample_ffill_fleet(spark):
         assert (got.isna().to_numpy() == want.isna().to_numpy()).all()
         m = ~want.isna().to_numpy()
         assert np.allclose(got.to_numpy()[m], want.to_numpy()[m])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-10, 10, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_dedup_keep_first_matches_pandas(spark, rows):
+    """dedup_keep_first == pandas drop_duplicates(keep='first') in arrival
+    order, whatever the partition layout."""
+    from cassandra_fs_pp_spark.operators.dedup import dedup_keep_first
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["seq"] = np.arange(len(pdf))
+    want = pdf.drop_duplicates(subset=["k"], keep="first")
+
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    got = (
+        dedup_keep_first(sdf, keys=["k"], order_by=["seq"])
+        .orderBy("k")
+        .toPandas()
+    )
+    want = want.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())
+    assert got["seq"].tolist() == want["seq"].tolist()
