@@ -1231,6 +1231,53 @@ LIMIT 100
 """
 
 
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 — OR-of-ANDs join predicate (brand x size x quantity bands):
+    Catalyst must extract the common join key and push the residual
+    disjunction into the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value/nth analytic functions per user over event
     time (deterministic event_id tiebreak)."""
@@ -2491,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q13_custdist": tpch_q13_custdist,
         "tpch_q18_large_orders": tpch_q18_large_orders,
+        "tpch_q19_disjunctive": tpch_q19_disjunctive,
         "w_first_last": w_first_last,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
@@ -2572,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q8_market_share": TPCH_Q8_ORACLE,
         "tpch_q13_custdist": TPCH_Q13_ORACLE,
         "tpch_q18_large_orders": TPCH_Q18_ORACLE,
+        "tpch_q19_disjunctive": TPCH_Q19_ORACLE,
         "w_first_last": W_FIRST_LAST_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),

@@ -170,3 +170,35 @@ def test_lsh_topk_recall_vs_brute(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.5  # 8 tables x 4 bits: 1-(1-p^4)^8 on near-uniform data
+
+
+def test_normalize_nfc_pandas_udf(spark):
+    from cassandra_fs_pp_spark.functions.udx import normalize_nfc
+
+    composed = "café"          # é as one codepoint
+    decomposed = "café"       # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "id long, s string"
+    )
+    rows = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_nfc("s").alias("n")).collect()}
+    assert rows[1] == rows[2] == composed
+    assert rows[3] is None
+
+
+def test_split_sentences_udtf(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.functions.udx import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    out = spark.sql(
+        "SELECT s.* FROM (SELECT 'One. Two two! Three' AS t), "
+        "LATERAL split_sentences(t) s"
+    ).collect()
+    assert [r["sentence"] for r in out] == ["One.", "Two two!", "Three"]
+    assert [r["sent_idx"] for r in out] == [0, 1, 2]
+    assert out[1]["start_off"] == 4
+    # DataFrame-API invocation too
+    df = SplitSentences(F.lit("A? B."))
+    assert df.count() == 2
