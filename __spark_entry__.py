@@ -2150,6 +2150,55 @@ FROM g GROUP BY user_id, sess
 """
 
 
+def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (from_json -> struct) + aggregation on the
+    extracted field — the semi-structured column path."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("p.k").alias("n_k"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+F_JSON_ORACLE = """
+SELECT event_type,
+       count(CAST(props->>'k' AS INT)) AS n_k,
+       sum(CAST(props->>'k' AS INT)) AS sum_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (month)) — the generalized
+    multi-dimensional aggregation beyond rollup/cube."""
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn("month", F.month("ts")).createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, month, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (month))
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (month(ts)))
+"""
+
+
 def a9_head_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — baseline constant from the first N rows of a sorted series
     (the reference's ``udg.iloc[0:20].mean()``)."""
@@ -2571,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantiles": a_quantiles,
         "f_collections": f_collections,
         "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "f_json_parse": f_json_parse,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "mm_image_meta": mm_image_meta,
@@ -2652,6 +2703,8 @@ def oracle_sql() -> dict[str, str]:
         "a_quantiles": QUANTILES_ORACLE,
         "f_collections": COLLECTIONS_ORACLE,
         "agg_cube": CUBE_ORACLE,
+        "agg_grouping_sets": GROUPING_SETS_ORACLE,
+        "f_json_parse": F_JSON_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,
