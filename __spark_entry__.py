@@ -468,6 +468,49 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def j_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events matched into 6-day windows by a pure
+    non-equi predicate (SURVEY §2.4 'absent from the reference; the Spark
+    engine gets these free'). At scale: broadcast the interval dim or
+    bucket both sides by coarse time."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = (
+        spark.range(0, 6)
+        .select(
+            F.col("id").alias("interval_id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_dt_interval(F.col("id") * 6)
+            ).alias("lo"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                + F.make_dt_interval((F.col("id") + 1) * 6)
+            ).alias("hi"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(intervals),
+        (ev["ts"] >= F.col("lo")) & (ev["ts"] < F.col("hi")),
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+J_RANGE_ORACLE = """
+WITH intervals AS (
+  SELECT range AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + range * INTERVAL 6 DAY AS lo,
+         TIMESTAMP '2024-01-01 00:00:00' + (range + 1) * INTERVAL 6 DAY AS hi
+  FROM range(6)
+)
+SELECT interval_id, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events JOIN intervals ON ts >= lo AND ts < hi
+GROUP BY interval_id
+"""
+
+
 def j_semi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
@@ -2564,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "j1_calibration_fallback": j1_calibration_fallback,
         "j4_asof_backward": j4_asof_backward,
+        "j_range_interval": j_range_interval,
         "j_semi_users": j_semi_users,
         "j_anti_users": j_anti_users,
         "u1_union_by_name": u1_union_by_name,
@@ -2648,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_rolling_median_2d": W1_ORACLE,
         "j1_calibration_fallback": J1_ORACLE,
         "j4_asof_backward": J4_ORACLE,
+        "j_range_interval": J_RANGE_ORACLE,
         "j_semi_users": J_SEMI_ORACLE,
         "j_anti_users": J_ANTI_ORACLE,
         "u1_union_by_name": U1_ORACLE,
