@@ -192,3 +192,48 @@ def test_dedup_keep_first_matches_pandas(spark, rows):
     assert got["k"].tolist() == want["k"].tolist()
     assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())
     assert got["seq"].tolist() == want["seq"].tolist()
+
+
+@given(
+    lt=st.lists(st.integers(0, 200), min_size=1, max_size=25),
+    rt=st.lists(st.integers(0, 200), min_size=1, max_size=25),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 1800]),
+)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, lt, rt, direction, tol):
+    """asof_join == pd.merge_asof for both directions, with/without
+    tolerance, on random (deduplicated) minute offsets."""
+    from cassandra_fs_pp_spark.operators.joins import asof_join
+
+    lts = sorted(set(lt))
+    rts = sorted(set(rt))
+    left = pd.DataFrame(
+        {"ts": [T0 + pd.Timedelta(minutes=m) for m in lts],
+         "lv": np.arange(len(lts), dtype=float)}
+    )
+    right = pd.DataFrame(
+        {"ts": [T0 + pd.Timedelta(minutes=m) for m in rts],
+         "rv": np.arange(len(rts), dtype=float) * 10}
+    )
+    kw = dict(direction=direction)
+    if tol is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tol)
+    want = pd.merge_asof(left, right, on="ts", **kw)
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            value_cols=["rv"],
+            direction=direction,
+            tolerance_s=tol,
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert got["ts"].tolist() == want["ts"].tolist()
+    assert (got["rv"].isna().to_numpy() == want["rv"].isna().to_numpy()).all()
+    m = ~want["rv"].isna().to_numpy()
+    assert np.allclose(got["rv"].to_numpy()[m], want["rv"].to_numpy()[m])
