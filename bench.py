@@ -32,6 +32,8 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q6",
     "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
     "flagship_events_hourly",
     "p3_dedup_keep_first",
     "a8_resample_hourly",
