@@ -40,6 +40,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table layout: the pre-shuffled join/agg format.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO Exchange (verified in tests/test_layout.py) — the 100 TB
+    co-location lever for repeated joins on a hot key. Registered in the
+    session catalog as ``table`` with data at ``path``.
+    """
+    writer = df.write.bucketBy(int(n_buckets), *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.option("path", path).mode(mode).saveAsTable(table)
+
+
 def write_csv_single(
     df: DataFrame, path: str, *, order_by: str = "TIMESTAMP", mode: str = "overwrite"
 ) -> None:

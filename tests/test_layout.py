@@ -50,13 +50,12 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     ta, tb = f"ev_a_{tag}", f"ev_b_{tag}"
     daily = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    from cassandra_fs_pp_spark.sinks import write_bucketed
+
     for name, df in ((ta, daily), (tb, counts)):
-        (
-            df.write.bucketBy(8, "user_id")
-            .sortBy("user_id")
-            .option("path", str(tmp_path / name))
-            .mode("overwrite")
-            .saveAsTable(name)
+        write_bucketed(
+            df, name, str(tmp_path / name),
+            bucket_by=["user_id"], n_buckets=8, sort_by=["user_id"],
         )
     # force the sort-merge path (tiny test tables would auto-broadcast)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
