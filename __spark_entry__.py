@@ -322,6 +322,47 @@ GROUP BY delta_s ORDER BY n DESC, delta_s ASC LIMIT 1
 """
 
 
+def a3_per_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 fleet form — dominant sampling interval PER series key, fully
+    lazy (the scale path behind resample_ffill(freq_s=None))."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    deltas = ev.select(
+        "user_id",
+        F.floor(
+            ts_delta_seconds("ts", partition_by=["user_id"], tiebreak=["event_id"])
+        ).alias("__d"),
+    )
+    counts = (
+        deltas.filter(F.col("__d").isNotNull())
+        .groupBy("user_id", "__d")
+        .count()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("count"), F.asc("__d"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("__d").alias("freq_s"), F.col("count").alias("n"))
+    )
+
+
+A3_PER_KEY_ORACLE = """
+WITH deltas AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS d
+  FROM events WHERE user_id < 25
+), counts AS (
+  SELECT user_id, d, count(*) AS n FROM deltas
+  WHERE d IS NOT NULL GROUP BY 1, 2
+)
+SELECT user_id, d AS freq_s, n FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, d ASC) AS rn
+  FROM counts) WHERE rn = 1
+"""
+
+
 def a6_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -2602,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_time_slice": p10_time_slice,
         "a1_median_slice": a1_median_slice,
         "a3_mode_interval": a3_mode_interval,
+        "a3_per_key_freq": a3_per_key_freq,
         "a6_monthly_rollup": a6_monthly_rollup,
         "a8_resample_hourly": a8_resample_hourly,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -2687,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "p10_time_slice": P10_ORACLE,
         "a1_median_slice": A1_ORACLE,
         "a3_mode_interval": A3_ORACLE,
+        "a3_per_key_freq": A3_PER_KEY_ORACLE,
         "a6_monthly_rollup": A6_ORACLE,
         "a8_resample_hourly": A8_ORACLE,
         "w1_rolling_median_2d": W1_ORACLE,

@@ -3,5 +3,6 @@ from cassandra_fs_pp_spark.streaming.filestream import (  # noqa: F401
     ratchet_stateful,
     run_available_now,
     stream_table,
+    stream_toa5,
     watermark_dedup,
 )

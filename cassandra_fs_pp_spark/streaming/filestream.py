@@ -73,6 +73,44 @@ def stream_table(
     return df
 
 
+def stream_toa5(
+    spark: SparkSession,
+    glob_dir: str,
+    schema_ddl: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental TOA5 ingest: the reference's real use-case — new bale
+    files landing per field visit (``README.md:55-68`` re-runs everything;
+    here only NEW files are read).
+
+    Same distributed shape as the batch reader (``sources/toa5.py``): text
+    stream + data-shape row predicate drops the 4 interleaved header lines
+    per file, ``from_csv`` parses with the logger-program schema (peek one
+    existing file with ``read_toa5_header``/``toa5_schema_ddl`` to get it).
+    Compose with :func:`watermark_dedup` on TIMESTAMP for the L1 keep-first
+    semantics over late/duplicate deliveries.
+    """
+    from cassandra_fs_pp_spark.sources.toa5 import DATA_ROW_RE
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    txt = reader.text(glob_dir)
+    rows = txt.filter(F.col("value").rlike(DATA_ROW_RE))
+    return rows.select(
+        F.from_csv(
+            "value",
+            schema_ddl,
+            {
+                "nullValue": "NAN",
+                "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+                "emptyValue": "",
+            },
+        ).alias("r")
+    ).select("r.*")
+
+
 def watermark_dedup(
     df: DataFrame,
     keys: Sequence[str],

@@ -225,3 +225,63 @@ def test_file_sink_exactly_once_resume(spark, tmp_path):
     drain()
     assert spark.read.parquet(out).count() == 80
     assert len(glob.glob(out + "/*.parquet")) == n_files
+
+
+def test_stream_toa5_incremental_l1(spark, tmp_path):
+    """Incremental TOA5 ingest: bale files landing across drains feed an
+    append-only L1 with streaming keep-first dedup; final content equals
+    the batch reader over all files."""
+    from tests.test_toa5_pipeline import COLS, _row, _toa5_file
+
+    from cassandra_fs_pp_spark.sources.toa5 import (
+        read_toa5,
+        read_toa5_header,
+        toa5_schema_ddl,
+    )
+    from cassandra_fs_pp_spark.streaming import stream_toa5, watermark_dedup
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    _toa5_file(src / "MainTable1.dat", [_row(i, i) for i in range(0, 40)])
+    schema = toa5_schema_ddl(read_toa5_header(str(src / "MainTable1.dat")))
+    out = str(tmp_path / "l1")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        stream = stream_toa5(spark, str(src), schema)
+        dd = watermark_dedup(
+            stream, ["TIMESTAMP"], ts_col="TIMESTAMP", delay="1 hour"
+        )
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 40
+
+    # field visit 2: overlapping bale (rows 30..79 re-deliver 30..39)
+    import time as _t
+
+    f2 = src / "MainTable2.dat"
+    _toa5_file(f2, [_row(i, i) for i in range(30, 80)])
+    os.utime(str(f2), (_t.time() + 5, _t.time() + 5))
+    drain()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("TIMESTAMP").distinct().count() == 80
+    want = read_toa5(
+        spark,
+        [str(src / "MainTable1.dat"), str(f2)],
+        with_provenance=False,
+    ).dropDuplicates(["TIMESTAMP"])
+    assert got.count() == want.count()
+    a = {r["TIMESTAMP"]: r["TCDT"] for r in got.collect()}
+    b = {r["TIMESTAMP"]: r["TCDT"] for r in want.collect()}
+    assert a == b
