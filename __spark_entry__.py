@@ -1787,6 +1787,50 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
 """
 
 
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup search: bucket self-join on band values +
+    exact hamming verify (exact recall for hamming < bands)."""
+    from cassandra_fs_pp_spark.operators.textdedup import simhash_band_pairs
+
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    sh = simhash(corpus, bits=SIMHASH_BITS)
+    return simhash_band_pairs(
+        sh, bits=SIMHASH_BITS, bands=4, max_hamming=3
+    )
+
+
+SIMHASH_BANDED_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM corpus
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hw FROM tok
+), bits AS (SELECT range AS bit FROM range({SIMHASH_BITS})),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hw >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.range AS band,
+         (simhash >> CAST(b.range * 8 AS INT)) & 255 AS bval
+  FROM sh CROSS JOIN range(4) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard between each doc and its near-dup mutation —
     array_intersect/array_union JVM ops, no explode needed for fixed pairs."""
@@ -2681,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_banded": dedup_simhash_banded,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_pii_redact": text_pii_redact,
         "text_split_assign": text_split_assign,
@@ -2767,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_cluster": _minhash_cluster_sql(),
         "dedup_simhash": SIMHASH_ORACLE,
+        "dedup_simhash_banded": SIMHASH_BANDED_ORACLE,
         "text_winnow_fingerprints": WINNOW_ORACLE,
         "text_pii_redact": PII_ORACLE,
         "text_split_assign": SPLIT_ORACLE,

@@ -398,3 +398,64 @@ def simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two packed bigint fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    fingerprints: DataFrame,
+    *,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Banded simhash near-dup search (the classic web-dedup scheme).
+
+    Split each ``bits``-bit fingerprint into ``bands`` equal bands; docs
+    sharing ANY band value become candidates (bucket self-join — shuffle
+    ∝ collisions, never corpus²); verify exact hamming on candidates. By
+    pigeonhole, any pair with hamming < ``bands`` shares a band, so with
+    ``max_hamming <= bands - 1`` recall is EXACT, not probabilistic.
+    Returns (doc_a, doc_b, hamming).
+    """
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = F.col(fp_col)
+    banded = fingerprints.select(
+        F.col(id_col),
+        fp,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(fp, b * width).bitwiseAND(
+                            F.lit(mask)
+                        ).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, fp_col, F.col("bb.band"), F.col("bb.bval"))
+    a = banded.select(
+        F.col("band"), F.col("bval"),
+        F.col(id_col).alias("doc_a"), fp.alias("fp_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("bval"),
+        F.col(id_col).alias("doc_b"), fp.alias("fp_b"),
+    )
+    cand = (
+        a.join(b, on=["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
