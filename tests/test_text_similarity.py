@@ -202,3 +202,30 @@ def test_split_sentences_udtf(spark):
     # DataFrame-API invocation too
     df = SplitSentences(F.lit("A? B."))
     assert df.count() == 2
+
+
+def test_simhash_band_pairs_exact_recall(spark):
+    """Pigeonhole guarantee: EVERY pair with hamming <= bands-1 is found
+    by the banded search (constructed fingerprints, no hashing)."""
+    import itertools
+
+    from cassandra_fs_pp_spark.operators.textdedup import simhash_band_pairs
+
+    base = 0b10110011_01011010_11110000_00001111
+    rows = [(0, base)]
+    # flip 1..3 bits -> must all be found; flip 8 spread bits -> not close
+    rows.append((1, base ^ 0b1))                      # hamming 1
+    rows.append((2, base ^ 0b110))                    # hamming 2
+    rows.append((3, base ^ (1 << 31) ^ (1 << 15) ^ 1))  # hamming 3
+    far = base
+    for b in range(0, 32, 4):
+        far ^= 1 << b                                  # hamming 8
+    rows.append((4, far))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(df, bits=32, bands=4, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+    assert all(4 not in pair or p <= 3 for pair, p in got.items())
+    assert (0, 4) not in got
