@@ -600,6 +600,62 @@ SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 """
 
 
+def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (SURVEY §2.5 'free in Spark'):
+    users doing both clicks+errors vs clicks-only, via set ops (not joins)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = clicks.intersect(errors).withColumn("src", F.lit("both"))
+    only = clicks.distinct().exceptAll(errors.distinct()).withColumn(
+        "src", F.lit("click_only")
+    )
+    return both.unionByName(only)
+
+
+U_SET_OPS_ORACLE = """
+SELECT user_id, 'both' AS src FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'click_only' AS src FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT ALL
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+def w_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics family: rank/dense_rank/percent_rank/ntile/
+    cume_dist per event_type by value (event_id tiebreak)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 8).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"),
+    )
+
+
+W_RANKING_ORACLE = """
+SELECT event_type, event_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 8) AS prnk,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 8) AS cdist
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+"""
+
+
 # --------------------------------------------------------------------------
 # Window layer completion: W5 resample+limited ffill, W6 interpolation,
 # W8 ratchet depth, W9 piecewise offsets (SURVEY §2.7).
@@ -2697,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_semi_users": j_semi_users,
         "j_anti_users": j_anti_users,
         "u1_union_by_name": u1_union_by_name,
+        "u_set_ops": u_set_ops,
+        "w_ranking": w_ranking,
         "w5_resample_ffill": w5_resample_ffill,
         "w6_interpolate": w6_interpolate,
         "w8_ratchet_depth": w8_ratchet_depth,
@@ -2784,6 +2842,8 @@ def oracle_sql() -> dict[str, str]:
         "j_semi_users": J_SEMI_ORACLE,
         "j_anti_users": J_ANTI_ORACLE,
         "u1_union_by_name": U1_ORACLE,
+        "u_set_ops": U_SET_OPS_ORACLE,
+        "w_ranking": W_RANKING_ORACLE,
         "w5_resample_ffill": W5_ORACLE,
         "w6_interpolate": W6_ORACLE,
         "w8_ratchet_depth": W8_ORACLE,
