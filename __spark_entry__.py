@@ -990,6 +990,46 @@ FROM events
 """
 
 
+def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 deepened — calendar extraction/arithmetic breadth. Cross-engine
+    numbering pinned explicitly (Spark dayofweek is 1=Sunday; DuckDB's is
+    0=Sunday)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    t = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.dayofweek(t).cast("int").alias("dow_sun1"),
+        F.dayofyear(t).cast("int").alias("doy"),
+        F.quarter(t).cast("int").alias("qtr"),
+        F.weekofyear(t).cast("int").alias("iso_week"),
+        F.last_day(t).alias("month_end"),
+        F.date_trunc("week", t).cast("timestamp_ntz").alias("week_start"),
+        F.date_add(t.cast("date"), 7).alias("plus_7d"),
+        F.datediff(t.cast("date"), F.lit("2024-01-01").cast("date")).cast(
+            "int"
+        ).alias("days_since"),
+        F.hour(t).cast("int").alias("hr"),
+        F.minute(t).cast("int").alias("mi"),
+    )
+
+
+F_DATETIME_ORACLE = """
+SELECT event_id,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow_sun1,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(quarter(ts) AS INT) AS qtr,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(last_day(ts) AS DATE) AS month_end,
+       date_trunc('week', ts) AS week_start,
+       CAST(ts AS DATE) + 7 AS plus_7d,
+       CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+         AS days_since,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(minute(ts) AS INT) AS mi
+FROM events WHERE event_id < 2000
+"""
+
+
 def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -2765,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_pivot": r5_pivot,
         "p1_prune_all_null": p1_prune_all_null,
         "f_scalar_suite": f_scalar_suite,
+        "f_datetime_suite": f_datetime_suite,
         "tpch_q3_top_orders": tpch_q3_top_orders,
         "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
         "tpch_q6": tpch_q6,
@@ -2854,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
         "r5_pivot": R5_PIVOT_ORACLE,
         "p1_prune_all_null": P1_ORACLE,
         "f_scalar_suite": F_SCALAR_ORACLE,
+        "f_datetime_suite": F_DATETIME_ORACLE,
         "tpch_q3_top_orders": TPCH_Q3_ORACLE,
         "tpch_q5_nation_revenue": TPCH_Q5_ORACLE,
         "tpch_q6": TPCH_Q6_ORACLE,
