@@ -990,6 +990,104 @@ FROM events
 """
 
 
+def f_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/sort) —
+    the per-row vector algebra the similarity layer builds on."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    arr = F.sequence(F.lit(1), (F.col("user_id") % 5 + 2).cast("int"))
+    squares = F.transform(arr, lambda x: x * x)
+    evens = F.filter(squares, lambda x: x % 2 == 0)
+    total = F.aggregate(squares, F.lit(0).cast("long"), lambda a, x: a + x)
+    return ev.select(
+        "event_id",
+        arr.alias("arr"),
+        squares.alias("squares"),
+        evens.alias("evens"),
+        total.alias("sum_squares"),
+        F.reverse(F.array_sort(squares)).alias("sorted_desc"),
+    )
+
+
+F_HOF_ORACLE = """
+SELECT event_id,
+       range(1, CAST(user_id % 5 + 2 AS INT) + 1) AS arr,
+       list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
+                      x -> x * x) AS squares,
+       list_filter(list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
+                                  x -> x * x), x -> x % 2 = 0) AS evens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
+                                  x -> CAST(x * x AS BIGINT))),
+                   (a, x) -> a + x) AS sum_squares,
+       list_reverse_sort(list_transform(
+         range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x))
+         AS sorted_desc
+FROM events WHERE event_id < 1000
+"""
+
+
+def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: coalesce/nullif/nvl2/null-safe equality."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.when(F.col("value") > 100, F.col("value"))  # null-y column
+    return ev.select(
+        "event_id",
+        F.coalesce(v, F.lit(-1.0)).alias("coal"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_nz"),
+        F.nvl2(v, F.lit("big"), F.lit("small")).alias("size_tag"),
+        v.eqNullSafe(F.lit(None).cast("double")).alias("is_null_nsafe"),
+        (F.isnull(v) & F.isnotnull(F.col("value"))).alias("was_filtered"),
+    )
+
+
+F_NULL_ORACLE = """
+SELECT event_id,
+       coalesce(CASE WHEN value > 100 THEN value END, -1.0) AS coal,
+       nullif(event_type, 'error') AS type_nz,
+       CASE WHEN (CASE WHEN value > 100 THEN value END) IS NOT NULL
+            THEN 'big' ELSE 'small' END AS size_tag,
+       (CASE WHEN value > 100 THEN value END)
+         IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS is_null_nsafe,
+       ((CASE WHEN value > 100 THEN value END) IS NULL
+        AND value IS NOT NULL) AS was_filtered
+FROM events WHERE event_id < 2000
+"""
+
+
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family incl. levenshtein (fuzzy-match primitive)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    head = F.substring(F.col("text"), 1, 20)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", F.lit("doc"), F.col("doc_id").cast("string")).alias(
+            "tag"
+        ),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+        F.translate(head, "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse(head).alias("rev"),
+        F.length(F.trim(head)).alias("trimmed_len"),
+        F.levenshtein(head, F.reverse(head)).alias("lev_self_rev"),
+        F.repeat(F.lit("ab"), (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "reps"
+        ),
+    )
+
+
+F_STRING_ORACLE = """
+SELECT doc_id,
+       concat_ws('|', 'doc', CAST(doc_id AS VARCHAR)) AS tag,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+       translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up,
+       reverse(substr(text, 1, 20)) AS rev,
+       length(trim(substr(text, 1, 20))) AS trimmed_len,
+       levenshtein(substr(text, 1, 20), reverse(substr(text, 1, 20)))
+         AS lev_self_rev,
+       repeat('ab', CAST(doc_id % 3 + 1 AS INT)) AS reps
+FROM documents WHERE doc_id < 200
+"""
+
+
 def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 deepened — calendar extraction/arithmetic breadth. Cross-engine
     numbering pinned explicitly (Spark dayofweek is 1=Sunday; DuckDB's is
@@ -2806,6 +2904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_prune_all_null": p1_prune_all_null,
         "f_scalar_suite": f_scalar_suite,
         "f_datetime_suite": f_datetime_suite,
+        "f_higher_order": f_higher_order,
+        "f_null_semantics": f_null_semantics,
+        "f_string_suite": f_string_suite,
         "tpch_q3_top_orders": tpch_q3_top_orders,
         "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
         "tpch_q6": tpch_q6,
@@ -2896,6 +2997,9 @@ def oracle_sql() -> dict[str, str]:
         "p1_prune_all_null": P1_ORACLE,
         "f_scalar_suite": F_SCALAR_ORACLE,
         "f_datetime_suite": F_DATETIME_ORACLE,
+        "f_higher_order": F_HOF_ORACLE,
+        "f_null_semantics": F_NULL_ORACLE,
+        "f_string_suite": F_STRING_ORACLE,
         "tpch_q3_top_orders": TPCH_Q3_ORACLE,
         "tpch_q5_nation_revenue": TPCH_Q5_ORACLE,
         "tpch_q6": TPCH_Q6_ORACLE,
