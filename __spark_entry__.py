@@ -1556,6 +1556,234 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — revenue view + scalar-max selection: per-supplier quarterly
+    revenue, return the supplier(s) achieving the maximum. The max is a
+    1-row broadcast join (never a driver collect), so the shape scales.
+    cf. reference has no TPC corpus; suite per SURVEY §5."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == top["max_revenue"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TPCH_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+              * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 — correlated avg-quantity subquery: revenue from lineitems whose
+    quantity is below 20% of the per-part average (brand/size stand in for
+    the absent container column). The correlation is decorrelated into a
+    per-part aggregate joined back — the plan Catalyst itself produces for
+    the SQL form, stated explicitly in DataFrame ops."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    sel_parts = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    return (
+        li.join(F.broadcast(sel_parts), li["l_partkey"] == F.col("p_partkey"))
+        .join(per_part, li["l_partkey"] == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — scalar subquery + anti join: wealthy customers (above the
+    positive-balance average) with no order since 1999, grouped by
+    nation (stands in for the absent phone country code; the date window
+    makes the anti join select real rows on this data)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust["c_custkey"] == F.col("o_custkey"), how="left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_ORACLE = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9's shape without partsupp (absent from the star schema): product
+    profit proxy (revenue) for name-matched parts by supplier nation and
+    order year — a 5-way join with a LIKE filter on the part dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("red"))),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+TPCH_Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def tpch_q12_latemode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's conditional-count shape: lines bucketed by shipping delay
+    (30-day bands stand in for the absent shipmode column), counting
+    high- vs low-priority orders per band with CASE aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay_band = (
+        F.floor(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / F.lit(30)
+        )
+        .cast("bigint")
+        .alias("delay_band")
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(delay_band)
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30)
+            AS BIGINT) AS delay_band,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's distinct-supplier count per part attribute group, using the
+    lineitem fact as the part↔supplier link (partsupp is absent). The
+    distinct projection collapses the fact table BEFORE the dimension
+    join, so the join input is bounded by |part|x|supplier|."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 30)
+    )
+    return (
+        links.join(F.broadcast(sel), links["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size <= 30
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value/nth analytic functions per user over event
     time (deterministic event_id tiebreak)."""
@@ -2918,6 +3146,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_custdist": tpch_q13_custdist,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "tpch_q19_disjunctive": tpch_q19_disjunctive,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": tpch_q17_small_quantity,
+        "tpch_q22_idle_customers": tpch_q22_idle_customers,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        "tpch_q12_latemode": tpch_q12_latemode,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
         "w_first_last": w_first_last,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
@@ -3011,6 +3245,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13_custdist": TPCH_Q13_ORACLE,
         "tpch_q18_large_orders": TPCH_Q18_ORACLE,
         "tpch_q19_disjunctive": TPCH_Q19_ORACLE,
+        "tpch_q15_top_supplier": TPCH_Q15_ORACLE,
+        "tpch_q17_small_quantity": TPCH_Q17_ORACLE,
+        "tpch_q22_idle_customers": TPCH_Q22_ORACLE,
+        "tpch_q9_profit_shape": TPCH_Q9_ORACLE,
+        "tpch_q12_latemode": TPCH_Q12_ORACLE,
+        "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
         "w_first_last": W_FIRST_LAST_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
