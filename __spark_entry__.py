@@ -2015,6 +2015,173 @@ FROM b GROUP BY 1
 """
 
 
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified downsampling: rebalance the corpus by
+    keeping ~10% of the dominant language and ~50% of the rest. Pure
+    filter predicate — no RNG, no shuffle; scales as a map-only pass."""
+    from cassandra_fs_pp_spark.functions.curation import stratified_sample_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 10, "zh": 50, "es": 50, "de": 50, "fr": 50}
+    keep = stratified_sample_keep(F.col("doc_id"), F.col("lang"), rates)
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+CURATION_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents)
+SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+FROM b
+WHERE (lang = 'en' AND bucket < 10)
+   OR (lang IN ('zh', 'es', 'de', 'fr') AND bucket < 50)
+GROUP BY lang
+"""
+
+
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (concat-and-chunk layout): documents
+    laid end-to-end in doc_id order; pack_id = floor(start_token / 512).
+    One window cumsum — the scalable form of greedy packing."""
+    from cassandra_fs_pp_spark.functions.curation import pack_sequences
+    from cassandra_fs_pp_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "n_tok", order_col="doc_id", ctx_len=512)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_packed"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+CURATION_PACK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+           AS start_tok
+  FROM t)
+SELECT CAST(floor(start_tok / 512) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, sum(n_tok) AS tokens_packed,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1
+"""
+
+
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: count distinct 8-gram hashes each train
+    document shares with the held-out test split. The eval gram set is
+    broadcast; train grams never shuffle."""
+    from cassandra_fs_pp_spark.functions.curation import decontaminate
+    from cassandra_fs_pp_spark.functions.text import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(
+        F.col("doc_id"), {"train": 80, "val": 10, "test": 10}
+    )
+    tagged = docs.withColumn("split", split)
+    return decontaminate(
+        tagged.filter(F.col("split") == "train"),
+        tagged.filter(F.col("split") == "test"),
+        n=8,
+    )
+
+
+CURATION_DECONTAM_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents),
+toks AS (
+  SELECT doc_id, bucket,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM b),
+grams AS (
+  SELECT DISTINCT doc_id, bucket,
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS gram_hash
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8),
+ev AS (SELECT DISTINCT gram_hash FROM grams WHERE bucket >= 90),
+tr AS (SELECT doc_id, gram_hash FROM grams WHERE bucket < 80)
+SELECT tr.doc_id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (gram_hash)
+GROUP BY tr.doc_id
+"""
+
+
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter: per-rule fail counts plus the
+    kept-set size and id checksum (pure column expressions; map-only at
+    scale; thresholds tuned so each rule discriminates on this corpus)."""
+    from cassandra_fs_pp_spark.functions.curation import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        F.col("text"), min_mean_wl=3.5, max_mean_wl=4.6
+    )
+    keep = ~(
+        flags["fail_word_count"]
+        | flags["fail_mean_word_len"]
+        | flags["fail_stopword_ratio"]
+    )
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(as_int(flags["fail_word_count"])).alias("n_fail_word_count"),
+        F.sum(as_int(flags["fail_mean_word_len"])).alias("n_fail_mean_wl"),
+        F.sum(as_int(flags["fail_stopword_ratio"])).alias("n_fail_stopword"),
+        F.sum(as_int(keep)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("id_checksum"),
+    )
+
+
+CURATION_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS wc,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+           AS mwl,
+         CAST(len(list_filter(t, x -> x IN
+              ('the','a','of','and','to','in','is','it','that','for')))
+              AS DOUBLE) / len(t) AS swr
+  FROM t),
+f AS (
+  SELECT doc_id,
+         (wc NOT BETWEEN 20 AND 80) AS f_wc,
+         (mwl NOT BETWEEN 3.5 AND 4.6) AS f_mwl,
+         (swr < 0.02) AS f_swr
+  FROM m)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS n_fail_word_count,
+       sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS n_fail_mean_wl,
+       sum(CASE WHEN f_swr THEN 1 ELSE 0 END) AS n_fail_stopword,
+       sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN doc_id ELSE 0 END)
+         AS id_checksum
+FROM f
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # whitespace-mutated copies: same fingerprint, different raw text
@@ -3163,6 +3330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_pii_redact": text_pii_redact,
         "text_split_assign": text_split_assign,
+        "curation_stratified_sample": curation_stratified_sample,
+        "curation_pack_sequences": curation_pack_sequences,
+        "curation_decontaminate": curation_decontaminate,
+        "curation_quality_filter": curation_quality_filter,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -3262,6 +3433,10 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": WINNOW_ORACLE,
         "text_pii_redact": PII_ORACLE,
         "text_split_assign": SPLIT_ORACLE,
+        "curation_stratified_sample": CURATION_SAMPLE_ORACLE,
+        "curation_pack_sequences": CURATION_PACK_ORACLE,
+        "curation_decontaminate": CURATION_DECONTAM_ORACLE,
+        "curation_quality_filter": CURATION_QUALITY_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)

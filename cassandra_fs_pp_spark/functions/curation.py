@@ -1,0 +1,151 @@
+"""Training-data curation operators (beyond reference parity).
+
+The reference (`cassandra_fs_pp`) is a sensor-ETL package with no corpus
+tooling; these are the dataset-curation primitives a large-scale training
+pipeline needs, expressed Spark-first so every one of them scales:
+
+* deterministic stratified sampling — pure hash predicate, no RNG, no
+  shuffle, fully pushdown-friendly;
+* context-window sequence packing — one window cumsum per stratum, no
+  driver-side loop;
+* n-gram decontamination — distinct-gram semi-join keyed on a 60-bit
+  hash (narrow shuffle keys; the eval side is small and broadcastable);
+* Gopher-style quality-rule filtering — pure column expressions.
+
+All are cross-engine deterministic (md5-backed `hash60`) so the DuckDB
+oracle can verify them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_fs_pp_spark.functions.text import (
+    hash60,
+    stopword_ratio,
+    whitespace_tokens,
+)
+
+
+def stratified_sample_keep(
+    id_col: Column, stratum_col: Column, rates: dict[str, int], buckets: int = 100
+) -> Column:
+    """Keep-predicate for deterministic per-stratum downsampling.
+
+    ``rates`` maps stratum value -> number of kept buckets out of
+    ``buckets`` (e.g. {'en': 10} keeps ~10% of English rows). Strata not
+    listed are dropped. Hash-bucket membership replaces RNG sampling, so
+    the same row survives on every engine and every run — the property
+    that makes 100 TB curation reruns reproducible and incremental.
+    """
+    b = hash60(id_col.cast("string")) % buckets
+    out = None
+    for stratum, n in rates.items():
+        cond = (stratum_col == stratum) & (b < n)
+        out = cond if out is None else (out | cond)
+    return F.coalesce(out, F.lit(False))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    order_col: str = "doc_id",
+    ctx_len: int = 512,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a context-window pack (offset binning).
+
+    Documents are laid out end-to-end in deterministic ``order_col``
+    order; ``pack_id = floor(start_offset / ctx_len)`` where
+    ``start_offset`` is the exclusive running token total. This is the
+    single-pass, shuffle-light approximation of greedy sequence packing
+    (a document may straddle a boundary — the trainer's concat-and-chunk
+    loader semantics), vs. exact first-fit-decreasing which is inherently
+    sequential. One window cumsum per ``partition_col`` stratum.
+    """
+    w = Window.orderBy(order_col)
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+    start = (
+        F.sum(F.col(token_count_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - F.col(token_count_col)
+    )
+    return df.withColumn(
+        "pack_id", F.floor(start / F.lit(ctx_len)).cast("long")
+    )
+
+
+def word_ngrams(text_col: Column, n: int = 8) -> Column:
+    """Array of word ``n``-grams (space-joined, lower-cased); empty array
+    for documents shorter than ``n`` tokens."""
+    toks = whitespace_tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_hash_set(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Distinct (id, gram_hash) pairs — the join-ready decontamination
+    shape. Hashing to 60 bits keeps shuffle keys fixed-width at scale."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .select(F.col(id_col), hash60(F.col("gram")).alias("gram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-train-document count of distinct n-gram hashes shared with the
+    eval set. Join is on the eval side's distinct gram hashes (small →
+    broadcast); at 100 TB the train grams stream past it map-side."""
+    train_grams = ngram_hash_set(train, id_col, text_col, n)
+    eval_grams = (
+        ngram_hash_set(evalset, id_col, text_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def gopher_quality_flags(
+    text_col: Column,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 6.0,
+    min_stopword_ratio: float = 0.02,
+) -> dict[str, Column]:
+    """Gopher-style quality-rule booleans (Rae et al. 2021 §A1.1 shape,
+    thresholds tuned to this corpus): word-count band, mean word length
+    band, minimum stopword ratio. Returns {rule_name: fails_bool}."""
+    toks = whitespace_tokens(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / n_words
+    return {
+        "fail_word_count": ~n_words.between(min_words, max_words),
+        "fail_mean_word_len": ~mean_wl.between(min_mean_wl, max_mean_wl),
+        "fail_stopword_ratio": stopword_ratio(text_col) < min_stopword_ratio,
+    }

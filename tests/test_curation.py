@@ -1,0 +1,132 @@
+"""Training-data curation operators: semantic invariants.
+
+The oracle gate (scripts/oracle_check.py) proves cross-engine value
+equality; these tests pin the SEMANTICS — packing invariants, planted
+contamination recall, sampling determinism — which a value hash alone
+would not explain if it broke.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.functions.curation import (
+    decontaminate,
+    gopher_quality_flags,
+    pack_sequences,
+    stratified_sample_keep,
+    word_ngrams,
+)
+
+CTX = 64
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 40) for i in range(200)], "doc_id long, n_tok int"
+    )
+    packed = pack_sequences(docs, "n_tok", order_col="doc_id", ctx_len=CTX)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    # every doc assigned exactly one pack; packs contiguous & monotone in doc order
+    assert len(rows) == 200
+    pack_ids = [r.pack_id for r in rows]
+    assert pack_ids == sorted(pack_ids)
+    assert pack_ids[0] == 0
+    assert set(pack_ids) == set(range(max(pack_ids) + 1))  # no empty packs
+    # offset-binning definition: pack_id == floor(exclusive-cumsum / ctx)
+    cum = 0
+    for r in rows:
+        assert r.pack_id == cum // CTX
+        cum += r.n_tok
+    # every full pack's assigned token mass stays within one straddling
+    # document of the context length (concat-and-chunk semantics)
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, 0)
+        by_pack[r.pack_id] += r.n_tok
+    max_tok = max(r.n_tok for r in rows)
+    for pid, tok in by_pack.items():
+        if pid != max(pack_ids):
+            assert tok <= CTX + max_tok
+
+    # per-stratum packing: same invariant independently inside each stratum
+    strat = docs.withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    sp = pack_sequences(
+        strat, "n_tok", order_col="doc_id", ctx_len=CTX, partition_col="lang"
+    )
+    for lang in ("0", "1", "2"):
+        sub = sorted(
+            sp.filter(F.col("lang") == lang).collect(), key=lambda r: r.doc_id
+        )
+        cum = 0
+        for r in sub:
+            assert r.pack_id == cum // CTX
+            cum += r.n_tok
+
+
+def test_decontaminate_plants(spark):
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red green blue yellow purple orange cyan magenta black white",
+    ]
+    evalset = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (0, base[0]),  # verbatim copy -> contaminated
+            (1, "prefix words " + base[1]),  # contains eval 8-grams
+            (2, "totally disjoint vocabulary nothing shared here at all ok"),
+            (3, "alpha beta gamma delta"),  # <8 tokens of overlap only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared_grams for r in decontaminate(train, evalset).collect()}
+    assert 0 in out and out[0] == 3  # 10 tokens -> 3 distinct 8-grams
+    assert 1 in out and out[1] >= 4  # 11-token eval doc fully contained
+    assert 2 not in out
+    assert 3 not in out  # sub-n overlap must NOT flag
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b c",)], "text string").select(
+        word_ngrams(F.col("text"), 8).alias("g")
+    )
+    assert df.collect()[0].g == []
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = stratified_sample_keep(
+        F.col("doc_id"), F.col("lang"), {"en": 10, "de": 50}
+    )
+    a = sorted(r.doc_id for r in docs.filter(keep).select("doc_id").collect())
+    b = sorted(r.doc_id for r in docs.filter(keep).select("doc_id").collect())
+    assert a == b and len(a) > 0
+    # unlisted strata are dropped entirely
+    langs = {r.lang for r in docs.filter(keep).select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    # en is sampled ~5x thinner than de (10 vs 50 buckets); corpus is ~3x en
+    n_en = docs.filter(keep & (F.col("lang") == "en")).count()
+    n_de = docs.filter(keep & (F.col("lang") == "de")).count()
+    tot_en = docs.filter(F.col("lang") == "en").count()
+    tot_de = docs.filter(F.col("lang") == "de").count()
+    assert n_en / tot_en < n_de / tot_de
+
+
+def test_quality_flags_reject_degenerate(spark):
+    rows = [
+        (0, "the cat sat on a mat with the dog and the bird near a tree "
+            "while the sun was up and the wind was low over the hill today"),
+        (1, "word " * 200),  # too long, no stopwords
+        (2, "aa bb"),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_quality_flags(F.col("text"), min_mean_wl=2.0, max_mean_wl=6.0)
+    keep = ~(
+        flags["fail_word_count"]
+        | flags["fail_mean_word_len"]
+        | flags["fail_stopword_ratio"]
+    )
+    kept = {r.doc_id for r in df.filter(keep).collect()}
+    assert kept == {0}
