@@ -2587,6 +2587,92 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (long form). Cross-row reductions run
+    as exact fixed-point integer sums — partitioning can never leak into
+    the values (see operators/similarity.py VEC_FIXED_SCALE)."""
+    from cassandra_fs_pp_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+EMB_CENTROIDS_ORACLE = """
+WITH ex AS (
+  SELECT label, i - 1 AS pos, embedding[i] AS c
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i))
+SELECT label, pos,
+       CAST(sum(CAST(round(CAST(c AS DOUBLE) * 1000000000) AS BIGINT))
+            AS DOUBLE) / 1000000000.0 / count(*) AS centroid,
+       count(*) AS n_vecs
+FROM ex GROUP BY label, pos
+"""
+
+
+def emb_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-style within-cluster inertia per label against the label
+    centroids (two-stage: tiny centroid table broadcast onto the exploded
+    fact; exact fixed-point reductions at both levels)."""
+    from cassandra_fs_pp_spark.operators.similarity import label_inertia
+
+    return label_inertia(_t(spark, sf_dir, "embeddings"))
+
+
+EMB_INERTIA_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS c
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(round(c * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS centroid
+  FROM ex GROUP BY label, pos),
+per_vec AS (
+  SELECT vec_id, ex.label,
+         sum(CAST(round((c - centroid) * (c - centroid) * 1000000000)
+             AS BIGINT)) AS sq_dist_scaled
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY vec_id, ex.label)
+SELECT label,
+       CAST(sum(sq_dist_scaled) AS DOUBLE) / 1000000000.0 AS inertia,
+       CAST(sum(sq_dist_scaled) AS DOUBLE) / 1000000000.0 / count(*)
+         AS mean_sq_dist,
+       count(*) AS n_vecs
+FROM per_vec GROUP BY label
+"""
+
+
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by total occurrences with
+    document frequency — the wordcount-at-scale shape (map-side partial
+    agg; only the tiny top-k crosses to the driver)."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+TOKEN_TOPK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents)
+SELECT tok, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY tok
+ORDER BY n_total DESC, tok ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Window/join/agg breadth: W2 centered time median, W3 count-window median,
 # W4 trailing mean with min_periods, W7 ts deltas, W10 first-after, J3 outer
@@ -3339,6 +3425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "text_token_topk": text_token_topk,
         "w2_centered_median": w2_centered_median,
         "w3_count_window_median": w3_count_window_median,
         "w4_trailing_mean_minp": w4_trailing_mean_minp,
@@ -3442,6 +3531,9 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
+        "emb_label_centroids": EMB_CENTROIDS_ORACLE,
+        "emb_label_inertia": EMB_INERTIA_ORACLE,
+        "text_token_topk": TOKEN_TOPK_ORACLE,
         "w2_centered_median": W2_ORACLE,
         "w3_count_window_median": W3_ORACLE,
         "w4_trailing_mean_minp": W4_ORACLE,

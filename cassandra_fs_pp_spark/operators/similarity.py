@@ -304,3 +304,77 @@ def embedding_near_dups(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.col("cos_raw").alias("cosine"))
     )
+
+
+# Fixed-point scale for cross-row vector reductions. Float sums are
+# order-dependent (partitioning would leak into results); quantizing each
+# per-row term with round(x * SCALE) -> bigint makes every reduction an
+# exact integer sum — bit-identical on 1 partition or 1000. round() ties
+# away from zero in BOTH Spark (HALF_UP) and DuckDB; a double->DECIMAL
+# cast would NOT be safe (DuckDB casts tie differently — verified).
+VEC_FIXED_SCALE = 1_000_000_000
+
+
+def label_centroids(
+    vectors: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long form ``(label, pos, centroid, n_vecs)``
+    (~1e-9 element quantization; see VEC_FIXED_SCALE note). Long form
+    keeps the shuffle key (label, pos) narrow and the agg map-side
+    combinable at any scale."""
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "c"),
+    )
+    scaled = F.round(F.col("c").cast("double") * VEC_FIXED_SCALE).cast("long")
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.sum(scaled).cast("double")
+            / F.lit(float(VEC_FIXED_SCALE))
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def label_inertia(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label within-cluster sum of squares (k-means inertia) vs the
+    label centroids, plus mean per-vector squared distance.
+
+    Two-stage vector analytics: the centroid table is tiny (labels x dim)
+    and broadcast back onto the exploded fact; per-(vec, pos) squared
+    residuals are identical doubles everywhere, then both reduction
+    levels (over pos, then over vectors) are exact integer sums in the
+    VEC_FIXED_SCALE fixed-point domain."""
+    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    ex = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "c"),
+    )
+    resid = F.col("c").cast("double") - F.col("centroid")
+    sq_scaled = F.round(resid * resid * VEC_FIXED_SCALE).cast("long")
+    per_vec = (
+        ex.join(F.broadcast(cent.select("label", "pos", "centroid")), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(sq_scaled).alias("sq_dist_scaled"))
+    )
+    return per_vec.groupBy("label").agg(
+        (F.sum("sq_dist_scaled").cast("double") / F.lit(float(VEC_FIXED_SCALE)))
+        .alias("inertia"),
+        (
+            F.sum("sq_dist_scaled").cast("double")
+            / F.lit(float(VEC_FIXED_SCALE))
+            / F.count(F.lit(1))
+        ).alias("mean_sq_dist"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -229,3 +229,32 @@ def test_simhash_band_pairs_exact_recall(spark):
     assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
     assert all(4 not in pair or p <= 3 for pair, p in got.items())
     assert (0, 4) not in got
+
+
+def test_label_centroids_partition_invariant(spark):
+    """The fixed-point reduction's whole point: values identical no matter
+    how the rows are partitioned (float sums would differ in last ulps)."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        label_centroids,
+        label_inertia,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        (r.label, r.pos): r.centroid
+        for r in label_centroids(emb.repartition(1)).collect()
+    }
+    b = {
+        (r.label, r.pos): r.centroid
+        for r in label_centroids(emb.repartition(17, "vec_id")).collect()
+    }
+    assert a == b  # exact ==, not approx: integer sums cannot differ
+    ia = {r.label: r.inertia for r in label_inertia(emb.repartition(1)).collect()}
+    ib = {
+        r.label: r.inertia
+        for r in label_inertia(emb.repartition(13, "label")).collect()
+    }
+    assert ia == ib
+    # sanity: centroids of unit-ish vectors stay bounded, inertia positive
+    assert all(abs(v) <= 1.0 for v in a.values())
+    assert all(v > 0 for v in ia.values())
