@@ -2673,6 +2673,52 @@ LIMIT 20
 """
 
 
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components (iterative min-label propagation to a
+    fixpoint) over the part↔supplier co-purchase graph, reported as
+    per-component size profiles. The iterative primitive behind
+    transitive duplicate clustering / entity resolution; the oracle is a
+    recursive-CTE transitive closure — exponentially more expensive, which
+    is why the engine runs propagation instead."""
+    from cassandra_fs_pp_spark.operators.graph import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_quantity") == 50) & (F.col("l_discount") > 0.08))
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node") < 1000000, 1).otherwise(0)).alias("n_parts"),
+        F.sum(F.when(F.col("node") >= 1000000, 1).otherwise(0)).alias("n_supps"),
+        F.max("node").alias("max_node"),
+    )
+
+
+GRAPH_CC_ORACLE = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b
+  FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.08),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(a, b) AS (
+  SELECT DISTINCT a, a AS b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT component, count(*) AS n_nodes,
+       sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS n_parts,
+       sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS n_supps,
+       max(node) AS max_node
+FROM comp GROUP BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # Window/join/agg breadth: W2 centered time median, W3 count-window median,
 # W4 trailing mean with min_periods, W7 ts deltas, W10 first-after, J3 outer
@@ -3428,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
         "text_token_topk": text_token_topk,
+        "graph_connected_components": graph_connected_components,
         "w2_centered_median": w2_centered_median,
         "w3_count_window_median": w3_count_window_median,
         "w4_trailing_mean_minp": w4_trailing_mean_minp,
@@ -3534,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": EMB_CENTROIDS_ORACLE,
         "emb_label_inertia": EMB_INERTIA_ORACLE,
         "text_token_topk": TOKEN_TOPK_ORACLE,
+        "graph_connected_components": GRAPH_CC_ORACLE,
         "w2_centered_median": W2_ORACLE,
         "w3_count_window_median": W3_ORACLE,
         "w4_trailing_mean_minp": W4_ORACLE,

@@ -102,3 +102,43 @@ def test_asof_join_forward(spark):
         left, right, on="ts", by=["k"], value_cols=["v"], direction="forward"
     )
     assert out.collect()[0]["v"] == 9.0
+
+
+def test_connected_components_vs_union_find(spark):
+    """Iterative min-label propagation == brute-force union-find, on a
+    graph whose long chain needs multiple propagation rounds."""
+    import random
+
+    from cassandra_fs_pp_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30)]          # 31-node chain
+    edges += [(100 + i, 100 + rng.randrange(i)) for i in range(1, 20)]  # random tree
+    edges += [(200, 201), (202, 202)]                    # pair + self-loop
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        expected[a] = find(a)
+        expected[b] = find(b)
+    # normalize: component label must be the min node id of the component
+    mins = {}
+    for n, r in expected.items():
+        mins.setdefault(r, n)
+        mins[r] = min(mins[r], n)
+    expected = {n: mins[r] for n, r in expected.items()}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected
