@@ -159,3 +159,24 @@ def to_netcdf(
             if str(ds[v].dtype).startswith("float")
         }
     ds.to_netcdf(path, unlimited_dims=["time"], encoding=encoding)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Line-delimited JSON export — the corpus interchange format LLM data
+    pipelines exchange (one document object per line). Nested structs/
+    arrays serialize naturally; at scale pair with ``partition_by`` (e.g.
+    split or date) and a splittable ``compression`` (none/'gzip' per-file;
+    prefer none + outer parquet for re-processing)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

@@ -71,3 +71,47 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE {ta}")
         spark.sql(f"DROP TABLE {tb}")
+
+
+def test_jsonl_roundtrip_with_corrupt_line(spark, tmp_path):
+    """JSONL interchange: nested structs roundtrip; malformed lines land
+    in the declared corrupt column instead of failing the job."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.sinks import write_jsonl
+    from cassandra_fs_pp_spark.sources.tables import read_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shaped = docs.select(
+        "doc_id",
+        "text",
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(shaped, out, partition_by=())
+    ddl = (
+        "doc_id long, text string, "
+        "meta struct<lang:string, source:string, n_chars:long>, "
+        "_corrupt_record string"
+    )
+    # Spark forbids querying ONLY the corrupt column off a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() is the documented out.
+    back = read_jsonl(spark, out, ddl).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = {r.doc_id: (r.text, r.meta.lang) for r in shaped.collect()}
+    b = {r.doc_id: (r.text, r.meta.lang) for r in back.collect()}
+    assert a == b
+
+    # plant a malformed line in a fresh file
+    bad_dir = str(tmp_path / "bad_jsonl")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "part-0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "ok", "meta": None}) + "\n")
+        f.write("{not valid json at all\n")
+    bad = read_jsonl(spark, bad_dir, ddl).cache()
+    assert bad.count() == 2
+    assert bad.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert bad.filter(F.col("doc_id") == 1).count() == 1
