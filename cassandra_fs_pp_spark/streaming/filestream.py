@@ -236,3 +236,47 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(qname)
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Stream-static broadcast enrichment: the streaming twin of the J1/J6
+    dimension attach. The static side is re-resolved per micro-batch (so a
+    slowly-refreshed dim table picks up changes) and broadcast — no state
+    store, no watermark needed for an inner/left equi-join."""
+    return stream_df.join(F.broadcast(dim), on)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events matching a left event's
+    key within ``[left.ts, left.ts + within]`` event time.
+
+    Both sides carry watermarks and the join predicate bounds event time,
+    so Spark can size the state store and evict rows older than the
+    watermark — the required shape for an unbounded stream-stream join
+    (an unconstrained one would buffer both streams forever).
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event"),
+        F.col("r.event_id").alias("right_event"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
