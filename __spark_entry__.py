@@ -3025,6 +3025,43 @@ FROM events GROUP BY 1
 """
 
 
+def f_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column family: construction, keyed extraction (incl. the
+    missing-key -> NULL contract), cardinality, key/value enumeration.
+    (SURVEY §1.2: the engine introduces MapType where idiomatic — the
+    reference flattens everything to numbered columns.)"""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.element_at(m, "uid").cast("long").alias("uid_back"),
+        F.element_at(m, "nope").alias("missing"),
+        F.size(m).alias("n_entries"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
+    )
+
+
+F_MAP_ORACLE = """
+WITH withmap AS (
+  SELECT event_id,
+         MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+  FROM events)
+SELECT event_id,
+       m['type'][1] AS mtype,
+       CAST(m['uid'][1] AS BIGINT) AS uid_back,
+       m['nope'][1] AS missing,
+       cardinality(m) AS n_entries,
+       array_to_string(map_keys(m), ',') AS keys_csv,
+       array_to_string(map_values(m), ',') AS vals_csv
+FROM withmap
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((event_type), (month)) — the generalized
     multi-dimensional aggregation beyond rollup/cube."""
@@ -3494,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": agg_cube,
         "agg_grouping_sets": agg_grouping_sets,
         "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "mm_image_meta": mm_image_meta,
@@ -3600,6 +3638,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube": CUBE_ORACLE,
         "agg_grouping_sets": GROUPING_SETS_ORACLE,
         "f_json_parse": F_JSON_ORACLE,
+        "f_map_suite": F_MAP_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,

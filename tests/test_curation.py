@@ -130,3 +130,29 @@ def test_quality_flags_reject_degenerate(spark):
     )
     kept = {r.doc_id for r in df.filter(keep).collect()}
     assert kept == {0}
+
+
+def test_map_functions_spark_only(spark):
+    """map_concat / map_filter / transform_values / map_from_entries —
+    the Spark-side MapType surface beyond the oracle-checked f_map_suite."""
+    df = spark.createDataFrame([(1,)], "id int").select(
+        F.map_concat(
+            F.create_map(F.lit("a"), F.lit(1)),
+            F.create_map(F.lit("b"), F.lit(2)),
+        ).alias("m")
+    )
+    row = df.select(
+        F.size("m").alias("n"),
+        F.element_at(
+            F.map_filter("m", lambda k, v: v > 1), "b"
+        ).alias("only_b"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: v * 10), "a"
+        ).alias("a10"),
+        F.size(
+            F.map_from_entries(
+                F.array(F.struct(F.lit("x").alias("k"), F.lit(9).alias("v")))
+            )
+        ).alias("from_entries_n"),
+    ).collect()[0]
+    assert (row.n, row.only_b, row.a10, row.from_entries_n) == (2, 2, 10, 1)
