@@ -3062,6 +3062,92 @@ FROM withmap
 """
 
 
+def op_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keyed upsert: a change-set (10% balance bump for wealthy
+    customers + appended new keys) merged over the customer snapshot with
+    full-row-replace semantics, verified by aggregate profile."""
+    from cassandra_fs_pp_spark.operators.joins import upsert_snapshot
+
+    cust = _t(spark, sf_dir, "customer")
+    # balance bump in exact DECIMAL: double*1.1 then round(…,2) can land
+    # on a half-cent tie where engines disagree; decimal×decimal is exact
+    bumped = F.round(
+        F.col("c_acctbal").cast("decimal(12,2)")
+        * F.lit("1.1").cast("decimal(3,2)"),
+        2,
+    ).cast("double")
+    updates = cust.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        bumped.alias("c_acctbal"),
+        F.lit("VIP").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),  # nulling wins
+    )
+    merged = upsert_snapshot(
+        cust, updates.unionByName(inserts), "c_custkey"
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )
+
+
+OP_UPSERT_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2))
+              * CAST('1.1' AS DECIMAL(3,2)), 2) AS DOUBLE) AS c_acctbal,
+         'VIP' AS c_mktsegment
+  FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+         0.0, NULL
+  FROM customer WHERE c_custkey % 97 = 0),
+merged AS (
+  SELECT ch.c_custkey, ch.c_name, ch.c_nationkey, ch.c_acctbal,
+         ch.c_mktsegment
+  FROM changes ch
+  UNION ALL
+  SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment
+  FROM customer b
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey))
+SELECT c_mktsegment, count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_bal,
+       sum(c_custkey) AS key_checksum
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+def a_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per-day user sketches unioned into a
+    grand distinct estimate — THE 100 TB pattern for distinct counts
+    (daily sketches persist as bytes; re-aggregation unions sketches
+    instead of rescanning raw data). Rows-only check: sketch estimates
+    are engine-specific; the pytest asserts the estimate against the
+    exact count within HLL error bounds."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((event_type), (month)) — the generalized
     multi-dimensional aggregation beyond rollup/cube."""
@@ -3532,6 +3618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": agg_grouping_sets,
         "f_json_parse": f_json_parse,
         "f_map_suite": f_map_suite,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "a_hll_mergeable": a_hll_mergeable,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "mm_image_meta": mm_image_meta,
@@ -3639,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_grouping_sets": GROUPING_SETS_ORACLE,
         "f_json_parse": F_JSON_ORACLE,
         "f_map_suite": F_MAP_ORACLE,
+        "op_upsert_snapshot": OP_UPSERT_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,

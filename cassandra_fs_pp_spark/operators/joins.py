@@ -159,3 +159,41 @@ def align_on_time(
     for df in series[1:]:
         out = out.join(df, on=on, how=how)
     return out
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """Keyed upsert (CDC MERGE semantics as a pure batch op): rows of
+    ``changes`` replace same-key rows of ``base``; new keys append.
+
+    Spark-first shape: one full-outer join on the key with per-column
+    ``coalesce(change, base)`` — no MERGE statement or table format
+    needed, and the result is a fresh immutable snapshot (the engine's
+    storage philosophy: rewrite, don't mutate). At 100 TB: bucket/
+    partition both sides by the key so the join co-locates, and rewrite
+    only the partitions the change-set touches (changes are typically
+    sparse — partition pruning on the change-set's key range).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = base.columns
+    if sorted(changes.columns) != sorted(cols):
+        raise ValueError("changes must have the same columns as base")
+    # full-ROW replace semantics via an explicit presence marker: a change
+    # row that intentionally nulls a field still wins (per-column
+    # coalesce would silently resurrect the base value)
+    ch = changes.select(
+        *[F.col(c).alias(f"__ch_{c}") for c in cols],
+        F.lit(True).alias("__ch_present"),
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__ch_{k}")) for k in keys]
+    joined = base.join(ch, cond, "full_outer")
+    present = F.col("__ch_present").isNotNull()
+    return joined.select(
+        *[
+            F.when(present, F.col(f"__ch_{c}")).otherwise(F.col(c)).alias(c)
+            for c in cols
+        ]
+    )

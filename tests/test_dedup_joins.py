@@ -142,3 +142,47 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_upsert_snapshot_semantics(spark):
+    """Full-row replace: updates win (including intentional NULLs),
+    inserts append, untouched base rows pass through unchanged."""
+    from cassandra_fs_pp_spark.operators.joins import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)], "k long, name string, bal double"
+    )
+    got = {r.k: (r.name, r.bal) for r in upsert_snapshot(base, changes, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: (None, 99.0),  # NULL from the change row wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_snapshot(base, changes.drop("bal"), "k")
+
+
+def test_hll_mergeable_estimate_within_bounds(spark, sf_dir):
+    """Union of per-day HLL sketches estimates the global distinct count
+    within the sketch's error bounds (lgConfigK=12 -> ~1.6% std error),
+    and never exceeds the sum of daily exacts."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.a_hll_mergeable(spark, sf_dir).collect()[0]
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert abs(row.est_total - exact) <= max(2, 0.05 * exact)
+    assert row.est_total <= row.sum_daily_exact
