@@ -3129,6 +3129,111 @@ FROM merged GROUP BY c_mktsegment
 """
 
 
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted per
+    day-offset since then — two aggregation levels over one scan plus a
+    broadcast-back of the tiny per-user cohort table."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+A_COHORT_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id)
+SELECT cohort_day,
+       datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_day USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs (top-15 by pair count). Unigram/bigram counts are map-side
+    combinable; the log-ratio arithmetic is identical IEEE in any engine
+    because every input is an exact integer count."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    nxt = toks.select(
+        F.col("doc_id").alias("d2"),
+        (F.col("pos") - 1).alias("p2"),
+        F.col("tok").alias("tok_b"),
+    )
+    bigrams = toks.join(
+        nxt, (toks["doc_id"] == F.col("d2")) & (toks["pos"] == F.col("p2"))
+    ).select("tok", "tok_b")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_uni"))
+    total_uni = toks.count()
+    total_bi = bigrams.count()
+    bi = bigrams.groupBy("tok", "tok_b").agg(F.count(F.lit(1)).alias("n_pair"))
+    ua = uni.select(F.col("tok").alias("ua_tok"), F.col("n_uni").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("ub_tok"), F.col("n_uni").alias("n_b"))
+    pmi = (
+        bi.join(F.broadcast(ua), bi["tok"] == F.col("ua_tok"))
+        .join(F.broadcast(ub), bi["tok_b"] == F.col("ub_tok"))
+        .select(
+            "tok",
+            "tok_b",
+            "n_pair",
+            # ln() differs by 1 ulp between JVM and libc for some inputs;
+            # round(9) absorbs math-library divergence on the transcendental
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.lit(float(total_bi)))
+                    / (
+                        (F.col("n_a").cast("double") / F.lit(float(total_uni)))
+                        * (F.col("n_b").cast("double") / F.lit(float(total_uni)))
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("n_pair"), F.asc("tok"), F.asc("tok_b")).limit(15)
+
+
+TEXT_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+       UNNEST(generate_series(1, len(t))) AS u(i)),
+bigrams AS (
+  SELECT a.tok, b.tok AS tok_b
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+uni AS (SELECT tok, count(*) AS n_uni FROM toks GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM toks) AS n_toks,
+               (SELECT count(*) FROM bigrams) AS n_bi),
+bi AS (SELECT tok, tok_b, count(*) AS n_pair FROM bigrams GROUP BY tok, tok_b)
+SELECT bi.tok, bi.tok_b, bi.n_pair,
+       round(ln((CAST(bi.n_pair AS DOUBLE) / CAST(tot.n_bi AS DOUBLE))
+          / ((CAST(ua.n_uni AS DOUBLE) / CAST(tot.n_toks AS DOUBLE))
+             * (CAST(ub.n_uni AS DOUBLE) / CAST(tot.n_toks AS DOUBLE)))), 9)
+         AS pmi
+FROM bi CROSS JOIN tot
+JOIN uni ua ON bi.tok = ua.tok
+JOIN uni ub ON bi.tok_b = ub.tok
+ORDER BY bi.n_pair DESC, bi.tok ASC, bi.tok_b ASC
+LIMIT 15
+"""
+
+
 def a_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Datasketches HLL: per-day user sketches unioned into a
     grand distinct estimate — THE 100 TB pattern for distinct counts
@@ -3620,6 +3725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_map_suite": f_map_suite,
         "op_upsert_snapshot": op_upsert_snapshot,
         "a_hll_mergeable": a_hll_mergeable,
+        "a_cohort_retention": a_cohort_retention,
+        "text_bigram_pmi": text_bigram_pmi,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "mm_image_meta": mm_image_meta,
@@ -3728,6 +3835,8 @@ def oracle_sql() -> dict[str, str]:
         "f_json_parse": F_JSON_ORACLE,
         "f_map_suite": F_MAP_ORACLE,
         "op_upsert_snapshot": OP_UPSERT_ORACLE,
+        "a_cohort_retention": A_COHORT_ORACLE,
+        "text_bigram_pmi": TEXT_PMI_ORACLE,
         "r1_melt": R1_ORACLE,
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,
