@@ -1784,6 +1784,79 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double-correlation shape (EXISTS + NOT EXISTS against the
+    same fact): suppliers whose line shipped late (>60d after order date)
+    in multi-supplier orders where NO other supplier shipped late —
+    adapted to shipdate (no commit/receipt dates in the star schema).
+    Expressed as semi + anti joins on (orderkey, suppkey-inequality),
+    which is exactly how Catalyst decorrelates the SQL form."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    late = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = lines.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"), "is_late"
+    )
+    waiting = (
+        late.join(
+            other,
+            (late["l_orderkey"] == F.col("o_ok"))
+            & (late["l_suppkey"] != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            other.filter(F.col("is_late")),
+            (late["l_orderkey"] == F.col("o_ok"))
+            & (late["l_suppkey"] != F.col("o_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+TPCH_Q21_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late)
+SELECT s_name, count(DISTINCT l.l_orderkey) AS numwait
+FROM late l JOIN supplier ON l.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lines o
+    WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lines o
+    WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey
+      AND o.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value/nth analytic functions per user over event
     time (deterministic event_id tiebreak)."""
@@ -3679,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         "tpch_q12_latemode": tpch_q12_latemode,
         "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
         "w_first_last": w_first_last,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
@@ -3791,6 +3865,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9_profit_shape": TPCH_Q9_ORACLE,
         "tpch_q12_latemode": TPCH_Q12_ORACLE,
         "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
+        "tpch_q21_shape": TPCH_Q21_ORACLE,
         "w_first_last": W_FIRST_LAST_ORACLE,
         "text_stats": TEXT_STATS_ORACLE,
         "text_lang_id": _langid_sql(),
