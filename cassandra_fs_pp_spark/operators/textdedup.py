@@ -189,17 +189,22 @@ def lsh_cluster_wide(
     bands: int,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """:func:`lsh_cluster` on wide signatures — the bench/scale path: one
-    groupBy(doc) (inside the signature build), one groupBy(bucket), one
-    groupBy(doc). Shuffle volume ∝ docs × bands short strings."""
+    """:func:`lsh_cluster` on wide signatures — the bench/scale path.
+
+    The bucket representative is a window ``min`` over (band, band_sig),
+    NOT a groupBy + self-join back: the join form evaluates the whole
+    signature subtree twice (Spark does not ReusedExchange it — verified
+    on the executed plan; 2.5x wall at sf0.1), while the window form is a
+    single pass: one shuffle into buckets, min within each, one shuffle
+    back to docs. Shuffle volume ∝ docs × bands short strings."""
+    from pyspark.sql import Window
+
     banded = banded_from_wide(
         wide, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
-    bucket_rep = banded.groupBy("band", "band_sig").agg(
-        F.min(id_col).alias("bucket_rep")
-    )
+    bucket = Window.partitionBy("band", "band_sig")
     return (
-        banded.join(bucket_rep, on=["band", "band_sig"])
+        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
         .groupBy(id_col)
         .agg(F.min("bucket_rep").alias("cluster_rep"))
         .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
@@ -222,9 +227,13 @@ def lsh_cluster(
     transitive closure would iterate this to a fixpoint, rarely needed when
     duplicates collide in at least one shared band).
 
-    Cost: O(|docs| * bands) rows through two groupBys — no self-join, no
-    pair materialization. Returns ``(id, cluster_rep, is_dup)``.
+    Cost: O(|docs| * bands) rows through one bucket window + one groupBy —
+    no self-join, no pair materialization (a join back to the bucket-rep
+    aggregate would run the signature subtree twice; see
+    :func:`lsh_cluster_wide`). Returns ``(id, cluster_rep, is_dup)``.
     """
+    from pyspark.sql import Window
+
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -241,11 +250,9 @@ def lsh_cluster(
             ).alias("band_sig")
         )
     )
-    bucket_rep = banded.groupBy("band", "band_sig").agg(
-        F.min(id_col).alias("bucket_rep")
-    )
+    bucket = Window.partitionBy("band", "band_sig")
     return (
-        banded.join(bucket_rep, on=["band", "band_sig"])
+        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
         .groupBy(id_col)
         .agg(F.min("bucket_rep").alias("cluster_rep"))
         .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
