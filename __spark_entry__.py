@@ -3695,6 +3695,99 @@ GROUP BY event_type
 """
 
 
+def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN, scale formulation: broadcast the (small) query
+    matrix, one BLAS matmul per Arrow batch of the distributed corpus,
+    map-side partial top-k so the exchange carries O(parts*Q*k) candidate
+    rows instead of the O(Q*N) pair explosion of ann_bruteforce_topk.
+    Same answer set (ranks differential-tested); no float in the output so
+    the oracle compare is exact."""
+    from cassandra_fs_pp_spark.operators.similarity import block_matmul_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return block_matmul_topk(
+        emb, k=5, queries=emb.filter(F.col("vec_id") < 50)
+    )
+
+
+ANN_BLOCK_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def curation_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus budgeting: deterministic doc order, keep while the
+    running char total stays within budget — the domain-cap step of corpus
+    mixing. One window cumsum; the source key is the shuffle key."""
+    from cassandra_fs_pp_spark.functions.curation import source_budget_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_budget_keep(docs, budget=4000).select(
+        "doc_id", "source", "n_chars", "cum_size"
+    )
+
+
+CURATION_BUDGET_ORACLE = """
+SELECT doc_id, source, n_chars, cum_size FROM (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_size
+  FROM documents)
+WHERE cum_size <= 4000
+"""
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_sessionize's streaming twin: native session_window keeps one open
+    window per user, the watermark closes and frees state; availableNow
+    drain in complete mode reproduces the batch islands."""
+    from cassandra_fs_pp_spark.streaming.filestream import session_window_stream
+
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events")
+    out = run_available_now(
+        session_window_stream(stream), output_mode="complete"
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+STREAM_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM g GROUP BY user_id, sess
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3809,6 +3902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": mm_audio_stats,
         "stream_hourly_agg": stream_hourly_agg,
         "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
+        "ann_block_topk": ann_block_topk,
+        "curation_source_budget": curation_source_budget,
     }
 
 
@@ -3883,6 +3979,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_quality_filter": CURATION_QUALITY_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
+        "ann_block_topk": ANN_BLOCK_ORACLE,
+        "curation_source_budget": CURATION_BUDGET_ORACLE,
+        "stream_session_agg": STREAM_SESSION_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

@@ -180,3 +180,31 @@ def gopher_quality_flags(
         "fail_mean_word_len": ~mean_wl.between(min_mean_wl, max_mean_wl),
         "fail_stopword_ratio": stopword_ratio(text_col) < min_stopword_ratio,
     }
+
+
+def source_budget_keep(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    order_col: str = "doc_id",
+    budget: int,
+) -> DataFrame:
+    """Per-source corpus budgeting: keep documents, in deterministic
+    ``order_col`` order, while the running ``size_col`` total stays within
+    ``budget`` — the "cap each domain's contribution" step of web-corpus
+    mixing (no reference analogue; corpus-curation extension).
+
+    One window cumsum per group, no driver loop; the group key is the
+    shuffle key, so a 100 TB corpus budgets every domain in one pass.
+    Returns the input columns plus ``cum_size``.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_size", F.sum(size_col).over(w))
+        .filter(F.col("cum_size") <= budget)
+    )

@@ -145,6 +145,39 @@ def hourly_agg_stream(
     )
 
 
+def session_window_stream(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization as a native streaming session window.
+
+    The batch twin (`a_sessionize`) builds islands with lag+cumsum; in
+    streaming that state is unbounded. `F.session_window` keeps one open
+    window per key, merges events closer than ``gap``, and the watermark
+    closes (and frees) sessions once event time moves past end+delay.
+    Complete/availableNow drain reproduces the batch islands exactly.
+    """
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 3).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def ratchet_stateful(
     df: DataFrame,
     install_depths: dict[int, float],

@@ -156,3 +156,29 @@ def test_map_functions_spark_only(spark):
         ).alias("from_entries_n"),
     ).collect()[0]
     assert (row.n, row.only_b, row.a10, row.from_entries_n) == (2, 2, 10, 1)
+
+
+def test_source_budget_keep_prefix_and_budget(spark):
+    """Kept docs are exactly the maximal doc_id-ordered prefix per source
+    whose cumulative size fits the budget."""
+    from cassandra_fs_pp_spark.functions.curation import source_budget_keep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = source_budget_keep(docs, budget=1500).collect()
+    by_src = {}
+    for r in sorted(kept, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    all_docs = {}
+    for r in docs.collect():
+        all_docs.setdefault(r["source"], []).append(r)
+    assert by_src, "budget too small — nothing kept"
+    for src, rows in by_src.items():
+        total = 0
+        expect = []
+        for r in sorted(all_docs[src], key=lambda r: r["doc_id"]):
+            total += r["n_chars"]
+            if total > 1500:
+                break
+            expect.append(r["doc_id"])
+        assert [r["doc_id"] for r in rows] == expect
+        assert rows[-1]["cum_size"] <= 1500

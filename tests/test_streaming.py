@@ -346,3 +346,34 @@ def test_stream_stream_interval_join_matches_batch(spark):
     a = sorted((r.left_event, r.right_event) for r in got.collect())
     b = sorted((r.left_event, r.right_event) for r in want.collect())
     assert a == b
+
+
+def test_stream_session_window_matches_batch(spark):
+    """availableNow drain of the session window == batch session_window."""
+    from cassandra_fs_pp_spark.streaming.filestream import session_window_stream
+
+    stream = stream_table(spark, SF, "events")
+    got = run_available_now(
+        session_window_stream(stream), output_mode="complete"
+    ).orderBy("user_id", "session_start")
+
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]

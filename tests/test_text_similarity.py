@@ -258,3 +258,25 @@ def test_label_centroids_partition_invariant(spark):
     # sanity: centroids of unit-ish vectors stay bounded, inertia positive
     assert all(abs(v) <= 1.0 for v in a.values())
     assert all(v > 0 for v in ia.values())
+
+
+def test_block_matmul_topk_matches_brute_force(spark):
+    """BLAS partial-top-k path returns the exact same neighbor ranking as
+    the pair-explosion baseline (ranks are float-assoc stable here)."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        block_matmul_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(emb, k=5, queries=q).collect()
+    }
+    blocked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in block_matmul_topk(emb, k=5, queries=q).collect()
+    }
+    assert blocked == exact
+    assert len(blocked) == 20 * 5
