@@ -3788,6 +3788,81 @@ FROM g GROUP BY user_id, sess
 """
 
 
+def j_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join with deterministic salting: event_type is a 5-value
+    (maximally hot) key, so a plain shuffle join lands each type on one
+    task. salted_join scatters the big side over (key, salt) sub-keys and
+    explodes the tiny dim by salt — identical result set to the plain
+    join (the oracle), straggler-free physical distribution."""
+    from cassandra_fs_pp_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_n"))
+    )
+    joined = salted_join(ev, dim, ["event_type"], salt_n=8)
+    return joined.groupBy("event_type", "type_n").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+J_SKEW_ORACLE = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type
+)
+SELECT e.event_type, d.type_n, count(*) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, d.type_n
+"""
+
+
+def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from a change log: per (user, event_type)
+    stream of values, collapse consecutive duplicates (lag), then derive
+    validity intervals (valid_from = change ts, valid_to = next change ts,
+    NULL while current). Two narrow windows on the natural key — the
+    standard slowly-changing-dimension materialization at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(
+            F.col("prev_value").isNull()
+            | (F.col("value") != F.col("prev_value"))
+        )
+    )
+    w2 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        (F.lead("ts").over(w2).isNull()).alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         lag(value) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS prev_value
+  FROM events WHERE user_id < 20
+), changes AS (
+  SELECT * FROM c WHERE prev_value IS NULL OR value <> prev_value
+)
+SELECT user_id, event_type, value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3905,6 +3980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_agg": stream_session_agg,
         "ann_block_topk": ann_block_topk,
         "curation_source_budget": curation_source_budget,
+        "j_skew_salted": j_skew_salted,
+        "op_scd2_intervals": op_scd2_intervals,
     }
 
 
@@ -3982,6 +4059,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_block_topk": ANN_BLOCK_ORACLE,
         "curation_source_budget": CURATION_BUDGET_ORACLE,
         "stream_session_agg": STREAM_SESSION_ORACLE,
+        "j_skew_salted": J_SKEW_ORACLE,
+        "op_scd2_intervals": SCD2_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

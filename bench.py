@@ -42,6 +42,7 @@ HEADLINE = [
     "j4_asof_backward",
     "dedup_minhash_cluster",
     "ann_bruteforce_topk",
+    "ann_block_topk",
     "curation_decontaminate",
     "emb_label_inertia",
 ]
