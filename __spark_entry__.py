@@ -3863,6 +3863,103 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: type-token ratio and
+    the most-frequent-token share. One explode + two keyed aggs — the doc
+    id stays the shuffle key, so repetition scoring is a linear pass at
+    corpus scale."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 8).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 8).alias("top_token_share"),
+    )
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 8) AS distinct_ratio,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 8) AS top_token_share
+FROM c GROUP BY doc_id
+"""
+
+
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: 32-bucket term-frequency vectors in long
+    form (doc_id, bucket, tf) — the bag-of-words input a downstream
+    trainer consumes. Long form keeps the agg map-side combinable; the
+    md5-backed hash60 bucket is engine-portable (oracle-exact)."""
+    from cassandra_fs_pp_spark.functions.text import hash60, whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    return (
+        tok.select(
+            "doc_id", F.pmod(hash60(F.col("w")), F.lit(32)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+TEXT_HASH_FEATURES_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       ('0x' || substr(md5(w), 1, 15))::BIGINT % 32 AS bucket,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY doc_id, bucket
+"""
+
+
+def a_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics family per group: Pearson correlation, sample
+    covariance/stddev, and OLS slope of extendedprice on quantity — all
+    single-pass co-moment aggregates (map-side combinable). Rounded past
+    the double-accumulation noise floor for cross-engine equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p) / 1000, 4).alias("covar_k"),
+        F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+        F.round(F.regr_slope(p, q), 4).alias("slope_price_qty"),
+    )
+
+
+A_CORR_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+       round(covar_samp(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)) / 1000, 4) AS covar_k,
+       round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+       round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                        CAST(l_quantity AS DOUBLE)), 4) AS slope_price_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3982,6 +4079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_source_budget": curation_source_budget,
         "j_skew_salted": j_skew_salted,
         "op_scd2_intervals": op_scd2_intervals,
+        "text_repetition": text_repetition,
+        "text_hash_features": text_hash_features,
+        "a_corr_regr": a_corr_regr,
     }
 
 
@@ -4061,6 +4161,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_agg": STREAM_SESSION_ORACLE,
         "j_skew_salted": J_SKEW_ORACLE,
         "op_scd2_intervals": SCD2_ORACLE,
+        "text_repetition": TEXT_REPETITION_ORACLE,
+        "text_hash_features": TEXT_HASH_FEATURES_ORACLE,
+        "a_corr_regr": A_CORR_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
