@@ -3960,6 +3960,81 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def j4_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each click, the EARLIEST error at/after it per
+    user (the reference's install-date lookup shape, fs_pp.py:621-625).
+    Same sort-based union plan as backward — one shuffle on the by-key."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="ts",
+        by=["user_id"],
+        value_cols=["err_value"],
+        direction="forward",
+    )
+
+
+J4_FWD_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value AS err_value FROM events
+      WHERE event_type = 'error') r
+ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+def f_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family over synthesized doc URLs: host / path / query
+    parameter extraction and domain derivation — the curation plane's
+    URL-normalization primitives (native parse_url; regexp oracle)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.regexp_extract("url", r"^https://([^./]+)\.", 1).alias("domain"),
+    )
+
+
+F_URL_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/docs/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) || '?ref=crawl&page='
+           || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'page=([^&]*)', 1) AS page,
+       regexp_extract(url, '^https://([^./]+)\.', 1) AS domain
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4082,6 +4157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_hash_features": text_hash_features,
         "a_corr_regr": a_corr_regr,
+        "j4_asof_forward": j4_asof_forward,
+        "f_url_suite": f_url_suite,
     }
 
 
@@ -4164,6 +4241,8 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_hash_features": TEXT_HASH_FEATURES_ORACLE,
         "a_corr_regr": A_CORR_ORACLE,
+        "j4_asof_forward": J4_FWD_ORACLE,
+        "f_url_suite": F_URL_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
