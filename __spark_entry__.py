@@ -4035,6 +4035,62 @@ FROM d
 """
 
 
+def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user: each
+    stage's timestamp is the earliest event strictly after the previous
+    stage. Three conditional-min aggregates over one scan each, joined on
+    the user key (all map-side combinable; no window state)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return s3.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.col("t_purchase").cast("timestamp").cast("double")
+            - F.col("t_view").cast("timestamp").cast("double")
+        ).alias("funnel_seconds"),
+    )
+
+
+A_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t_view, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id, s1.t_view
+), s3 AS (
+  SELECT e.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id, s2.t_view, s2.t_click
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST(epoch(t_purchase) - epoch(t_view) AS DOUBLE) AS funnel_seconds
+FROM s3
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4159,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_corr_regr": a_corr_regr,
         "j4_asof_forward": j4_asof_forward,
         "f_url_suite": f_url_suite,
+        "a_funnel": a_funnel,
     }
 
 
@@ -4243,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         "a_corr_regr": A_CORR_ORACLE,
         "j4_asof_forward": J4_FWD_ORACLE,
         "f_url_suite": F_URL_ORACLE,
+        "a_funnel": A_FUNNEL_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
