@@ -4091,6 +4091,52 @@ FROM s3
 """
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighting: term frequency per (doc, token) x smoothed inverse
+    document frequency ln((N+1)/(df+1)). The df table is tiny (vocab-sized)
+    and broadcast back onto the tf fact — the classic two-agg + broadcast
+    join shape that holds at any corpus size."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    return (
+        tf.join(F.broadcast(df_t), "w")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 8).alias("tfidf"),
+        )
+    )
+
+
+TEXT_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+FROM tf JOIN df USING (w) CROSS JOIN n
+WHERE tf.doc_id < 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4216,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_forward": j4_asof_forward,
         "f_url_suite": f_url_suite,
         "a_funnel": a_funnel,
+        "text_tfidf": text_tfidf,
     }
 
 
@@ -4301,6 +4348,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_asof_forward": J4_FWD_ORACLE,
         "f_url_suite": F_URL_ORACLE,
         "a_funnel": A_FUNNEL_ORACLE,
+        "text_tfidf": TEXT_TFIDF_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
