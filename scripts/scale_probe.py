@@ -96,10 +96,13 @@ def main() -> None:
         "Reading: ratios well under N mean fixed overheads still dominate at",
         "this size (the plan has headroom); ratios near N are work-bound and",
         "linear. `ann_bruteforce_topk` is the EXACT quadratic baseline by",
-        "design (O(queries x corpus)) — the scale paths are `ann_ivf_topk`",
-        "(probe-pruned candidates) and `dedup_minhash_cluster` (bucketed,",
-        "stays ~flat above). A ratio far above N anywhere else would flag a",
-        "plan that breaks at 100 TB.",
+        "design (O(queries x corpus) pair rows) — compare `ann_block_topk`,",
+        "the same exact answer via broadcast-query BLAS matmul with map-side",
+        "partial top-k, which stays ~flat because per-partition work is",
+        "dense-vectorized and the exchange carries only O(parts*Q*k)",
+        "candidates. Approximate scale paths: `ann_ivf_topk` (probe-pruned)",
+        "and `dedup_minhash_cluster` (bucketed). A ratio far above N",
+        "anywhere else would flag a plan that breaks at 100 TB.",
     ]
     doc = "\n".join(lines) + "\n"
     with open("SCALE.md", "w") as f:

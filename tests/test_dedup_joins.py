@@ -186,3 +186,25 @@ def test_hll_mergeable_estimate_within_bounds(spark, sf_dir):
     )
     assert abs(row.est_total - exact) <= max(2, 0.05 * exact)
     assert row.est_total <= row.sum_daily_exact
+
+
+def test_scd2_intervals_contiguous(spark):
+    """SCD2 build invariants: per (user, type) intervals are ordered,
+    non-overlapping, contiguous (valid_to == next valid_from), exactly one
+    open current row, and consecutive values actually change."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["op_scd2_intervals"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    assert by_key
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1 and ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], key
+            assert a["value"] != b["value"], key
