@@ -4137,6 +4137,90 @@ WHERE tf.doc_id < 50
 """
 
 
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (web-pipeline staple): canonicalize synthesized
+    URLs (lowercase host, strip query/fragment, trim trailing slash), then
+    deterministic keep-first per canonical key — P3's semantics over a
+    derived key, pushdown-friendly and one shuffle on the key."""
+    docs = _t(spark, sf_dir, "documents")
+    # two docs per (source, lang, doc_id%50) collide by construction
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.org/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm=x&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    canon = F.regexp_replace(  # strip query/fragment
+        F.regexp_replace(F.lower("url"), r"[?#].*$", ""), r"/$", ""
+    )
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return (
+        d.withColumn("canonical_url", canon)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("canonical_url", F.col("doc_id").alias("kept_doc_id"))
+    )
+
+
+DEDUP_URL_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.org/docs/' || lang || '/'
+           || CAST(doc_id % 50 AS VARCHAR) || '/?utm=x&ref='
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(url), '[?#].*$', ''),
+                        '/$', '') AS canonical_url
+  FROM d
+)
+SELECT canonical_url, kept_doc_id FROM (
+  SELECT canonical_url, doc_id AS kept_doc_id,
+         row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
+def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24h co-moment analytics per user: trailing correlation of
+    value vs elapsed-seconds plus trailing mean — window co-moment
+    aggregates over a time-range frame (W1/W4's frame machinery applied to
+    bivariate stats). Rounded past double-accumulation noise."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.corr(F.col("value"), sec).over(w), 6).alias("corr_24h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+W_ROLLING_CORR_ORACLE = """
+SELECT user_id, event_id, ts,
+       round(corr(value, epoch(ts)) OVER w, 6) AS corr_24h,
+       round(avg(value) OVER w, 6) AS avg_24h,
+       count(*) OVER w AS n_24h
+FROM events WHERE user_id < 8
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4263,6 +4347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_url_suite": f_url_suite,
         "a_funnel": a_funnel,
         "text_tfidf": text_tfidf,
+        "dedup_url_canonical": dedup_url_canonical,
+        "w_rolling_corr": w_rolling_corr,
     }
 
 
@@ -4349,6 +4435,8 @@ def oracle_sql() -> dict[str, str]:
         "f_url_suite": F_URL_ORACLE,
         "a_funnel": A_FUNNEL_ORACLE,
         "text_tfidf": TEXT_TFIDF_ORACLE,
+        "dedup_url_canonical": DEDUP_URL_ORACLE,
+        "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
