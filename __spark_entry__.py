@@ -4221,6 +4221,94 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass a training-data user actually runs, as ONE
+    lineage: exact-fingerprint keep-first dedup -> Gopher quality rules ->
+    deterministic per-language rebalancing -> per-source char budget ->
+    per-source summary. Every stage is the already-verified operator; the
+    composition stays a single Catalyst plan (scan-pruned, hash-keyed
+    shuffles only, no driver materialization between stages)."""
+    from cassandra_fs_pp_spark.functions.curation import (
+        gopher_quality_flags,
+        source_budget_keep,
+        stratified_sample_keep,
+    )
+    from cassandra_fs_pp_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dd = (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("fp", "rn")
+    )
+    flags = gopher_quality_flags(F.col("text"), min_mean_wl=3.5, max_mean_wl=4.6)
+    quality = dd.filter(
+        ~(
+            flags["fail_word_count"]
+            | flags["fail_mean_word_len"]
+            | flags["fail_stopword_ratio"]
+        )
+    )
+    sampled = quality.filter(
+        stratified_sample_keep(
+            F.col("doc_id"),
+            F.col("lang"),
+            {"en": 60, "de": 100, "es": 100, "fr": 100, "zh": 100},
+        )
+    )
+    budgeted = source_budget_keep(sampled, budget=3000)
+    return budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+CURATION_PIPELINE_ORACLE = r"""
+WITH dd AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM documents d)
+  WHERE rn = 1
+), t AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM dd
+), m AS (
+  SELECT doc_id, lang, source, n_chars, len(t) AS wc,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+           AS mwl,
+         CAST(len(list_filter(t, x -> x IN
+              ('the','a','of','and','to','in','is','it','that','for')))
+              AS DOUBLE) / len(t) AS swr
+  FROM t
+), quality AS (
+  SELECT doc_id, lang, source, n_chars FROM m
+  WHERE wc BETWEEN 20 AND 80 AND mwl BETWEEN 3.5 AND 4.6 AND swr >= 0.02
+), sampled AS (
+  SELECT * FROM quality
+  WHERE (lang = 'en' AND
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 60)
+     OR lang IN ('de', 'es', 'fr', 'zh')
+), budgeted AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_chars,
+           sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_size
+    FROM sampled)
+  WHERE cum_size <= 3000
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM budgeted GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4349,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "dedup_url_canonical": dedup_url_canonical,
         "w_rolling_corr": w_rolling_corr,
+        "curation_pipeline": curation_pipeline,
     }
 
 
@@ -4437,6 +4526,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
+        "curation_pipeline": CURATION_PIPELINE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
