@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_block_topk",
     "curation_decontaminate",
+    "curation_pipeline",
     "emb_label_inertia",
 ]
 
