@@ -4310,6 +4310,195 @@ FROM budgeted GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Event-pipeline ops: burst debounce, time-weighted mean, histogram,
+# sweep-line concurrency, step detection.
+# --------------------------------------------------------------------------
+
+def p_debounce_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse dedup: per event_type, keep the first event of each
+    burst (gap > 30 min starts a new burst), with absorbed-count."""
+    from cassandra_fs_pp_spark.operators.dedup import debounce_keep_first
+
+    ev = _t(spark, sf_dir, "events")
+    kept = debounce_keep_first(
+        ev, keys=["event_type"], ts="ts", gap_s=1800, tiebreak=["event_id"]
+    )
+    return kept.select(
+        "event_type",
+        F.col("event_id").alias("kept_event_id"),
+        F.col("ts").alias("kept_ts"),
+        "burst_n",
+    )
+
+
+P_DEBOUNCE_ORACLE = """
+WITH o AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS burst
+  FROM o
+)
+SELECT event_type, min(event_id ORDER BY ts, event_id) AS kept_event_id,
+       min(ts) AS kept_ts, CAST(count(*) AS BIGINT) AS burst_n
+FROM g GROUP BY event_type, burst
+"""
+
+
+def a_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time-weighted mean of value per user — the exact
+    aggregate for irregularly-sampled series (vs grid resampling)."""
+    from cassandra_fs_pp_spark.operators.windows import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        ev, keys=["user_id"], t="ts", x="value", tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.round("twa_value", 6).alias("twa_value"),
+        F.round("span_s", 6).alias("span_s"),
+        "n_holds",
+    )
+
+
+A_TWA_ORACLE = """
+WITH d AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id, round(sum(value*dur_us)/sum(dur_us), 6) AS twa_value,
+       round(sum(dur_us)/1e6, 6) AS span_s, CAST(count(*) AS BIGINT) AS n_holds
+FROM d WHERE dur_us IS NOT NULL GROUP BY user_id
+"""
+
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of l_extendedprice (5000-wide buckets, clamped
+    to [0, 21]) with per-bucket count and exact DECIMAL sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(21), F.greatest(F.lit(0), F.floor(F.col("l_extendedprice") / 5000.0))
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("lo_edge", (F.col("bucket") * F.lit(5000)).cast("double"))
+    )
+
+
+A_HISTOGRAM_ORACLE = """
+SELECT CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INT)
+         AS bucket,
+       count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_price,
+       CAST(CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INT)
+            * 5000 AS DOUBLE) AS lo_edge
+FROM lineitem GROUP BY 1
+"""
+
+
+def a_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent open intervals per day (interval = event ts for
+    value*60 seconds) — distributed sweep-line (day-partitioned cumsum +
+    broadcast per-day baseline)."""
+    from cassandra_fs_pp_spark.operators.windows import sweep_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(SECOND, cast(round(value*60) as int), ts)").alias("e"),
+    )
+    return sweep_concurrency(iv, "s", "e")
+
+
+A_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 1 SECOND * CAST(round(value*60) AS BIGINT) AS e
+  FROM events
+), b AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv
+), r AS (
+  SELECT t, d, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+)
+SELECT date_trunc('day', t) AS day_ts,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM r GROUP BY 1
+"""
+
+
+def w_step_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 auto-detection: flag days where the 2-day-forward median of a
+    user's daily total jumps > 150 vs the 3-days-back median."""
+    from cassandra_fs_pp_spark.operators.windows import step_detect
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.round(F.sum("value"), 3).alias("day_value"))
+    flagged = step_detect(
+        daily,
+        keys=["user_id"],
+        t="day_ts",
+        x="day_value",
+        before_s=(259_200, 86_400),
+        after_s=(0, 172_800),
+        threshold=150.0,
+        min_periods=2,
+    )
+    return flagged.select(
+        "user_id",
+        "day_ts",
+        "day_value",
+        F.round("med_before", 4).alias("med_before"),
+        F.round("med_after", 4).alias("med_after"),
+        F.round("step", 4).alias("step"),
+    )
+
+
+W_STEP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) AS day_value
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, day_ts, day_value,
+    median(day_value) OVER (PARTITION BY user_id ORDER BY epoch(day_ts)
+      RANGE BETWEEN 259200 PRECEDING AND 86400 PRECEDING) AS med_before,
+    count(day_value) OVER (PARTITION BY user_id ORDER BY epoch(day_ts)
+      RANGE BETWEEN 259200 PRECEDING AND 86400 PRECEDING) AS cnt_before,
+    median(day_value) OVER (PARTITION BY user_id ORDER BY epoch(day_ts)
+      RANGE BETWEEN CURRENT ROW AND 172800 FOLLOWING) AS med_after,
+    count(day_value) OVER (PARTITION BY user_id ORDER BY epoch(day_ts)
+      RANGE BETWEEN CURRENT ROW AND 172800 FOLLOWING) AS cnt_after
+  FROM daily
+)
+SELECT user_id, day_ts, day_value,
+       round(med_before, 4) AS med_before,
+       round(med_after, 4) AS med_after,
+       round(med_after - med_before, 4) AS step
+FROM m
+WHERE cnt_before >= 2 AND cnt_after >= 2
+  AND abs(med_after - med_before) > 150
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -4438,6 +4627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_canonical": dedup_url_canonical,
         "w_rolling_corr": w_rolling_corr,
         "curation_pipeline": curation_pipeline,
+        "p_debounce_burst": p_debounce_burst,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "w_step_detect": w_step_detect,
     }
 
 
@@ -4527,6 +4721,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
+        "p_debounce_burst": P_DEBOUNCE_ORACLE,
+        "a_time_weighted_avg": A_TWA_ORACLE,
+        "a_histogram": A_HISTOGRAM_ORACLE,
+        "a_concurrency": A_CONCURRENCY_ORACLE,
+        "w_step_detect": W_STEP_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

@@ -44,3 +44,52 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def debounce_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap_s: float,
+    *,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Burst-collapse dedup (P3 with time tolerance).
+
+    Within each key's time-ordered series, a new *burst* starts whenever the
+    gap since the previous event exceeds ``gap_s``; only the first event of
+    each burst survives, annotated with ``burst_n`` (how many events it
+    absorbed). The time-tolerant cousin of exact keyed dedup — the shape
+    used to collapse retry storms / duplicate sensor transmissions where
+    timestamps differ slightly (exact-key P3 at
+    ``cassandra_fs_pp/fs_pp.py:103`` can't catch those).
+
+    Gaps-and-islands over microsecond epochs (exact integer arithmetic — no
+    float timestamps). All three windows share one hash partitioning on
+    ``keys`` (+ the derived burst id), so Catalyst plans a single shuffle
+    per distinct partitioning; at 100 TB ``keys`` must be a real series key
+    (site, sensor, event_type) so no single ordering dominates an executor.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | ((us - prev) > int(gap_s * 1_000_000)), 1).otherwise(0)
+    with_burst = df.withColumn("__brk", brk).withColumn(
+        "__burst",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy(*keys, "__burst")
+    return (
+        with_burst.withColumn("__rn", F.row_number().over(wb.orderBy(*order)))
+        .withColumn(
+            "burst_n",
+            F.count(F.lit(1)).over(
+                wb.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__brk", "__burst", "__rn")
+    )

@@ -405,3 +405,118 @@ def piecewise_offset(
     for ts, delta in events:
         adj = adj + F.when(tcol >= F.lit(ts), F.lit(float(delta))).otherwise(F.lit(0.0))
     return xcol - adj
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    t: str,
+    x: str,
+    *,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Step-function time-weighted mean per series.
+
+    Each sample holds until the next sample; its weight is the hold
+    duration. This is the *exact* aggregate the reference approximates by
+    regularizing onto a grid and averaging (W5 resample at
+    ``cassandra_fs_pp/fs_pp.py:555-559`` + A8 downsample) — for irregular
+    mixed summer/winter sampling the grid approximation biases toward
+    densely-sampled regimes; the time weighting does not.
+
+    Durations are microsecond-exact integers (``unix_micros``), so the only
+    float work is the final weighted ratio. One window pass + one groupBy,
+    both hash-partitioned on ``keys`` — Catalyst reuses the exchange.
+    Emits ``(keys..., twa_value, span_s, n_holds)``; a key's last sample
+    (no successor => no duration) is excluded, so single-sample keys drop.
+    """
+    order = [F.col(t)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(t).cast("timestamp"))
+    d = df.withColumn("__dur_us", F.lead(us).over(w) - us).filter(
+        F.col("__dur_us").isNotNull()
+    )
+    return d.groupBy(*keys).agg(
+        (F.sum(F.col(x) * F.col("__dur_us")) / F.sum("__dur_us")).alias("twa_value"),
+        (F.sum("__dur_us") / F.lit(1e6)).alias("span_s"),
+        F.count(F.lit(1)).alias("n_holds"),
+    )
+
+
+def sweep_concurrency(
+    df: DataFrame,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Max concurrent intervals per day — distributed sweep-line.
+
+    Classic formulation: emit +1 at each interval start and -1 at each end
+    (half-open ``[start, end)`` via end-before-start tie order), running-sum
+    the deltas in time order, take the max per day. A naive single global
+    ``ORDER BY`` cumsum serializes 100 TB of boundaries through one
+    partition; instead the running sum is split into (a) a within-day
+    cumsum over a window hash-partitioned by day and (b) a per-day baseline
+    = running total of *prior* days' deltas, computed on the tiny day-level
+    aggregate and broadcast back. (a)+(b) equals the global cumsum exactly,
+    because day boundaries respect the global (t, d) ordering.
+    """
+    boundaries = df.select(F.col(start).alias("t"), F.lit(1).alias("d")).unionAll(
+        df.select(F.col(end).alias("t"), F.lit(-1).alias("d"))
+    )
+    boundaries = boundaries.withColumn("day_ts", F.date_trunc("day", F.col("t")))
+    wd = (
+        Window.partitionBy("day_ts")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = boundaries.withColumn("run", F.sum("d").over(wd))
+    # Day-level baseline: one row per day — driver-scale, single-partition
+    # window is fine (and exact).
+    day_tot = boundaries.groupBy("day_ts").agg(F.sum("d").alias("day_delta"))
+    woff = Window.orderBy("day_ts").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_tot.withColumn(
+        "base", F.coalesce(F.sum("day_delta").over(woff), F.lit(0))
+    ).select("day_ts", "base")
+    return (
+        within.join(F.broadcast(offsets), "day_ts")
+        .groupBy("day_ts")
+        .agg(F.max(F.col("base") + F.col("run")).alias("max_concurrent"))
+    )
+
+
+def step_detect(
+    df: DataFrame,
+    keys: Sequence[str],
+    t: str,
+    x: str,
+    *,
+    before_s: tuple[int, int] = (259_200, 86_400),
+    after_s: tuple[int, int] = (0, 172_800),
+    threshold: float,
+    min_periods: int = 2,
+) -> DataFrame:
+    """W9 auto-detection, generalized: flag candidate step changes.
+
+    The reference derives UDG height-change offsets from a pre/post-event
+    median contrast but needs the event *dates* hand-configured in TOML
+    (``cassandra_fs_pp/fs_pp.py:452-511``, ``example_fs1.toml:30``). This
+    detects them: for each row, the median of the preceding window
+    ``[t-before_s[0], t-before_s[1]]`` vs the following window
+    ``[t+after_s[0], t+after_s[1]]``; rows where ``|med_after - med_before|``
+    exceeds ``threshold`` (with ``min_periods`` samples in each frame) are
+    step candidates. Two range-frame medians over one partitioning — same
+    exchange, exact ``percentile`` (swap to ``rolling_median(approx=True)``
+    at scale if frames get very wide).
+
+    Emits the flagged rows with ``med_before``, ``med_after``, ``step``.
+    """
+    xcol = F.col(x)
+    wb = time_frame(t, before_s=before_s[0], after_s=-before_s[1], partition_by=keys)
+    wa = time_frame(t, before_s=-after_s[0], after_s=after_s[1], partition_by=keys)
+    out = df.withColumns(
+        {
+            "med_before": rolling_median(xcol, wb, min_periods=min_periods),
+            "med_after": rolling_median(xcol, wa, min_periods=min_periods),
+        }
+    ).withColumn("step", F.col("med_after") - F.col("med_before"))
+    return out.filter(F.abs(F.col("step")) > float(threshold))

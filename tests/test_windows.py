@@ -212,3 +212,58 @@ def test_rolling_median_approx_close_to_exact(spark):
     # even-count frames differ by up to one inter-element gap; on N(10,3)
     # hourly data that's well under 1.5
     assert err < 1.5
+
+
+def test_debounce_keep_first_bursts(spark):
+    from cassandra_fs_pp_spark.operators.dedup import debounce_keep_first
+
+    # key "a": bursts {0s, 100s, 250s}, {700s}, {1500s, 1850s(!gap 350>300)}
+    # -> with gap_s=300: bursts are [0,100,250], [700], [1500], [1850]
+    rows = [
+        ("a", T0 + dt.timedelta(seconds=s), i)
+        for i, s in enumerate([0, 100, 250, 700, 1500, 1850])
+    ] + [("b", T0, 99), ("b", T0, 98)]  # equal ts -> tiebreak on id
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = debounce_keep_first(df, keys=["k"], ts="ts", gap_s=300, tiebreak=["id"])
+    got = {(r.k, r.id): r.burst_n for r in out.collect()}
+    assert got == {("a", 0): 3, ("a", 3): 1, ("a", 4): 1, ("a", 5): 1, ("b", 98): 2}
+
+
+def test_time_weighted_avg_exact(spark):
+    from cassandra_fs_pp_spark.operators.windows import time_weighted_avg
+
+    # value 10 holds 60s, value 20 holds 40s; last sample (value 99) dropped
+    rows = [
+        ("a", T0, 10.0, 1),
+        ("a", T0 + dt.timedelta(seconds=60), 20.0, 2),
+        ("a", T0 + dt.timedelta(seconds=100), 99.0, 3),
+        ("solo", T0, 5.0, 4),  # single sample -> no duration -> excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, id long")
+    out = time_weighted_avg(df, keys=["k"], t="ts", x="v", tiebreak=["id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == "a"
+    assert r.twa_value == pytest.approx((10 * 60 + 20 * 40) / 100.0)
+    assert r.span_s == pytest.approx(100.0)
+    assert r.n_holds == 2
+
+
+def test_sweep_concurrency_overnight_baseline(spark):
+    from cassandra_fs_pp_spark.operators.windows import sweep_concurrency
+
+    day1 = dt.datetime(2024, 1, 1, 22, 0, 0)
+    day2 = dt.datetime(2024, 1, 2, 1, 0, 0)
+    # two intervals opened on day 1 stay open across midnight; day 2 has
+    # only ONE boundary pair but max concurrency 3 (2 carried + 1 new).
+    rows = [
+        (day1, day1 + dt.timedelta(hours=6)),          # 22:00 -> 04:00
+        (day1 + dt.timedelta(minutes=30), day1 + dt.timedelta(hours=6)),
+        (day2, day2 + dt.timedelta(minutes=10)),       # day2 01:00-01:10
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r.day_ts.date().isoformat(): r.max_concurrent
+        for r in sweep_concurrency(df, "s", "e").collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-02": 3}
