@@ -4499,6 +4499,142 @@ WHERE cnt_before >= 2 AND cnt_after >= 2
 
 
 # --------------------------------------------------------------------------
+# Data-quality family + weighted sampling.
+# --------------------------------------------------------------------------
+
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan row/key counts per FK relation,
+    via anti joins (broadcast dims). Two relations are checked against
+    'active' dim subsets (soft-delete simulation) so orphans are non-zero."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 != 0)
+    apart = part.filter(F.col("p_partkey") % 11 != 0)
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str):
+        orphans = fact.join(
+            F.broadcast(dim), fact[fk] == dim[pk], "left_anti"
+        )
+        return orphans.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.countDistinct(F.col(fk)).alias("orphan_keys"),
+        )
+
+    checks = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"),
+        audit(li, "l_partkey", apart, "p_partkey", "lineitem.l_partkey->part_active"),
+        audit(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey->supplier_active"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+DQ_REF_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS orphan_rows,
+       count(DISTINCT l.l_orderkey) AS orphan_keys
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*), count(DISTINCT o.o_custkey)
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part_active', count(*), count(DISTINCT l.l_partkey)
+FROM lineitem l ANTI JOIN (SELECT * FROM part WHERE p_partkey % 11 <> 0) p
+  ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier_active', count(*),
+       count(DISTINCT l.l_suppkey)
+FROM lineitem l ANTI JOIN (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0) s
+  ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (count / nulls / exact distinct) in ONE scan: a single
+    multi-aggregate row exploded via ``stack``. ``value_valid`` is the
+    P7-style validity-nulled value ([0,100] else null) so the null counts
+    are non-degenerate. At 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL) to avoid the expand-induced blowup."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_valid",
+        F.when(F.col("value").between(0, 100), F.col("value")),
+    )
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.count("value_valid").alias("nn_value"),
+        F.countDistinct("value_valid").alias("nd_value"),
+        F.count("props").alias("nn_props"),
+        F.countDistinct("props").alias("nd_props"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+            'user_id', n, n - nn_user, nd_user,
+            'event_type', n, n - nn_type, nd_type,
+            'value_valid', n, n - nn_value, nd_value,
+            'props', n, n - nn_props, nd_props
+        ) AS (col_name, n, nulls, n_distinct)"""
+    )
+
+
+DQ_NULL_ORACLE = """
+WITH ev AS (
+  SELECT *, CASE WHEN value BETWEEN 0 AND 100 THEN value END AS value_valid
+  FROM events
+)
+SELECT 'user_id' AS col_name, count(*) AS n,
+       count(*) - count(user_id) AS nulls,
+       count(DISTINCT user_id) AS n_distinct FROM ev
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM ev
+UNION ALL
+SELECT 'value_valid', count(*), count(*) - count(value_valid),
+       count(DISTINCT value_valid) FROM ev
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+       count(DISTINCT props) FROM ev
+"""
+
+
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-Res): top-10
+    docs per lang by hash-uniform^(1/n_chars) priority."""
+    from cassandra_fs_pp_spark.functions.curation import weighted_reservoir_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_reservoir_topk(
+        docs, weight_col="n_chars", id_col="doc_id", k=10, stratum_col="lang"
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_rank")
+
+
+CURATION_WSAMPLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         pow( ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000000) + 0.5) / 1e9,
+              1.0 / greatest(n_chars, 1) ) AS key
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+           AS sample_rank
+  FROM k
+)
+SELECT lang, doc_id, n_chars, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -4632,6 +4768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_histogram": a_histogram,
         "a_concurrency": a_concurrency,
         "w_step_detect": w_step_detect,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "curation_weighted_sample": curation_weighted_sample,
     }
 
 
@@ -4726,6 +4865,9 @@ def oracle_sql() -> dict[str, str]:
         "a_histogram": A_HISTOGRAM_ORACLE,
         "a_concurrency": A_CONCURRENCY_ORACLE,
         "w_step_detect": W_STEP_ORACLE,
+        "dq_referential_audit": DQ_REF_ORACLE,
+        "dq_null_profile": DQ_NULL_ORACLE,
+        "curation_weighted_sample": CURATION_WSAMPLE_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

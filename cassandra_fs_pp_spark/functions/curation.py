@@ -208,3 +208,40 @@ def source_budget_keep(
         df.withColumn("cum_size", F.sum(size_col).over(w))
         .filter(F.col("cum_size") <= budget)
     )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res).
+
+    Efraimidis–Spirakis reservoir sampling: each row gets priority
+    ``u^(1/w)`` where ``u`` is a hash-derived uniform in (0,1) and ``w``
+    its weight; the top-k priorities per stratum are an exact weighted
+    sample without replacement. Hash-backed ``u`` (not RNG) keeps the
+    sample identical across engines, runs, and partitionings — the same
+    reproducibility contract as ``stratified_sample_keep``, but with
+    per-row *weights* (sample long documents proportionally more).
+
+    One window on ``stratum_col`` — a single shuffle; at 100 TB use a
+    real stratum (lang, source) so no partition sees the whole corpus.
+    For the unstratified global case prefer a two-level top-k (per
+    partition, then merge) if k is small.
+    """
+    u = (
+        (hash60(F.col(id_col).cast("string")) % F.lit(1_000_000_000)) + F.lit(0.5)
+    ) / F.lit(1e9)
+    key = F.pow(u, F.lit(1.0) / F.greatest(F.col(weight_col), F.lit(1)))
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(F.desc("__key"), F.col(id_col))
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .withColumn("sample_rank", F.col("__rk"))
+        .drop("__key", "__rk")
+    )

@@ -80,3 +80,18 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, *, prefix: str = "") -> list[str]:
+    """SQL facade: register every star-schema table as a temp view so the
+    whole engine surface is reachable from ``spark.sql`` (the reference has
+    no SQL; Spark gives it for free once the scans are normalized). Views
+    go through :func:`load_table`, so the TIMESTAMP(NANOS) defense and
+    lazy scan behavior are identical to the DataFrame path.
+    """
+    names = []
+    for name in TABLES:
+        view = f"{prefix}{name}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

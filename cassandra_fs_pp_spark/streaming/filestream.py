@@ -313,3 +313,67 @@ def stream_stream_interval_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key: str | list[str],
+    order_by: Sequence[str],
+    *,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental keyed-upsert sink — the ``foreachBatch`` MERGE loop.
+
+    Each micro-batch of change rows is (1) latest-wins deduped on the key
+    (``order_by`` descending picks the winner when one batch carries
+    several versions of a key), then (2) merged into the parquet snapshot
+    with :func:`~cassandra_fs_pp_spark.operators.joins.upsert_snapshot`
+    full-row-replace semantics, and (3) the snapshot is atomically swapped
+    (write to a temp dir, rename). Restart-safe: the checkpoint makes each
+    input file process exactly once, so re-running after a crash resumes
+    the fold instead of replaying it.
+
+    This is the standard Structured-Streaming CDC pattern when no
+    transactional table format is available; at 100 TB, back the snapshot
+    with a format that supports MERGE (then ``_merge`` becomes a single
+    MERGE INTO) or partition the snapshot by key range and rewrite only
+    partitions the change-set touches.
+
+    Returns the started ``StreamingQuery`` (caller awaits termination).
+    """
+    import shutil
+
+    from cassandra_fs_pp_spark.operators.dedup import dedup_keep_first
+    from cassandra_fs_pp_spark.operators.joins import upsert_snapshot
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        latest = dedup_keep_first(
+            batch_df, keys=keys, order_by=[F.desc(c) for c in order_by]
+        )
+        spark = batch_df.sparkSession
+        if os.path.isdir(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = upsert_snapshot(base, latest.select(*base.columns), key=keys)
+        else:
+            merged = latest
+        tmp = f"{snapshot_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.mkdtemp(prefix="ckpt_"), "upsert"
+    )
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

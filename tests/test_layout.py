@@ -115,3 +115,19 @@ def test_jsonl_roundtrip_with_corrupt_line(spark, tmp_path):
     assert bad.count() == 2
     assert bad.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert bad.filter(F.col("doc_id") == 1).count() == 1
+
+
+def test_sql_facade_register_views(spark):
+    from cassandra_fs_pp_spark.sources.tables import register_views
+
+    views = register_views(spark, SF, prefix="sqlv_")
+    assert len(views) == 10
+    row = spark.sql(
+        """SELECT o.o_orderpriority, count(*) AS n
+           FROM sqlv_orders o JOIN sqlv_customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+           GROUP BY 1 ORDER BY 1 LIMIT 1"""
+    ).collect()
+    assert row and row[0].n > 0
+    # events view must carry the ns->us normalization (plain TIMESTAMP math)
+    assert spark.sql("SELECT max(ts) FROM sqlv_events").collect()[0][0] is not None

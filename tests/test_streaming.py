@@ -377,3 +377,41 @@ def test_stream_session_window_matches_batch(spark):
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()
     ]
+
+
+def test_foreach_batch_upsert_incremental(spark, tmp_path):
+    """foreachBatch CDC loop: two incremental drains over one checkpoint
+    must equal folding upsert_snapshot over the change batches, with
+    latest-wins inside a batch and exactly-once across restarts."""
+    from cassandra_fs_pp_spark.operators.joins import upsert_snapshot
+    from cassandra_fs_pp_spark.streaming.filestream import foreach_batch_upsert
+
+    schema = "k long, v string, ver long"
+    b1 = [(1, "a1", 1), (2, "b1", 1), (3, "c1", 1)]
+    # batch 2: update k=2 twice (ver 2 then 3 -> ver 3 wins), add k=4
+    b2 = [(2, "b2", 2), (2, "b3", 3), (4, "d1", 2)]
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = foreach_batch_upsert(
+            stream, snap, key="k", order_by=["ver"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(indir)
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(indir)
+    drain()
+
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(snap).collect()}
+
+    base = spark.createDataFrame(b1, schema)
+    latest2 = spark.createDataFrame([(2, "b3", 3), (4, "d1", 2)], schema)
+    want = {r.k: (r.v, r.ver) for r in upsert_snapshot(base, latest2, "k").collect()}
+    assert got == want
+    assert got[2] == ("b3", 3) and 4 in got and got[1] == ("a1", 1)
