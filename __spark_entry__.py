@@ -4634,6 +4634,85 @@ FROM r WHERE sample_rank <= 10
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (8 power iterations, d=0.85) over the directed part->
+    supplier co-purchase graph — the iterative-join primitive next to
+    connected components. Rows-only check (float iteration has no
+    practical SQL oracle); the unit suite verifies against a dense numpy
+    power iteration on small graphs."""
+    from cassandra_fs_pp_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_quantity") == 50) & (F.col("l_discount") > 0.08))
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=8)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def j_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2) join: attach each event to the dimension version
+    valid at its timestamp (``valid_from <= ts < valid_to``, open current
+    interval). Composes the SCD2 build with the interval join; every event
+    lands in exactly one version, so per-version counts partition the
+    fact. Broadcast the (small) dimension side at scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    scd2 = (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("d_type"),
+            F.col("value").alias("version_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(scd2),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("event_type") == F.col("d_type"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("user_id", "event_type", "valid_from").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("version_value"), 3).alias("version_value"),
+    )
+
+
+J_TEMPORAL_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id < 20
+), c AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         lag(value) OVER w AS prev_value
+  FROM ev WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), scd2 AS (
+  SELECT user_id AS d_user, event_type AS d_type, value AS version_value,
+         ts AS valid_from, lead(ts) OVER w2 AS valid_to
+  FROM c WHERE prev_value IS NULL OR value <> prev_value
+  WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT e.user_id, e.event_type, s.valid_from,
+       count(*) AS n_events,
+       round(min(s.version_value), 3) AS version_value
+FROM ev e JOIN scd2 s
+  ON e.user_id = s.d_user AND e.event_type = s.d_type
+ AND e.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4771,6 +4850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_referential_audit": dq_referential_audit,
         "dq_null_profile": dq_null_profile,
         "curation_weighted_sample": curation_weighted_sample,
+        "graph_pagerank": graph_pagerank,
+        "j_temporal_scd2": j_temporal_scd2,
     }
 
 
@@ -4868,6 +4949,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_referential_audit": DQ_REF_ORACLE,
         "dq_null_profile": DQ_NULL_ORACLE,
         "curation_weighted_sample": CURATION_WSAMPLE_ORACLE,
+        "j_temporal_scd2": J_TEMPORAL_SCD2_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

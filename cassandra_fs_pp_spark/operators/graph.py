@@ -99,3 +99,57 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Directed PageRank by fixed-iteration power method.
+
+    Classic Spark formulation: each round, every node ships
+    ``rank/outdegree`` along its out-edges; the new rank is
+    ``(1-d)/N + d * sum(contribs)``. Nodes with no in-edges settle at
+    ``(1-d)/N``; dangling-node mass is not redistributed (the standard
+    Spark-example semantics — callers needing strict stochasticity can
+    add the dangling term with one extra agg per round).
+
+    Rounds are DataFrame joins on the edge key — one shuffle each, and
+    the edge table's partitioning is reused every round. ``localCheckpoint``
+    per round truncates lineage so the physical plan stays O(1)-deep
+    regardless of ``iterations`` (same discipline as
+    :func:`connected_components`). Deterministic up to float summation
+    order; round displayed ranks before comparing across engines.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "s").localCheckpoint()
+    base = (1.0 - damping) / n_total
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg["s"] == ranks["node"])
+            .select(F.col("t").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -208,3 +208,29 @@ def test_scd2_intervals_contiguous(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"], key
             assert a["value"] != b["value"], key
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from cassandra_fs_pp_spark.operators.graph import pagerank
+
+    # directed graph incl. a dangling node (3) and a no-in-edge node (0)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 1), (1, 3), (4, 3), (0, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=12).collect()}
+
+    n, d = 5, 0.85
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] / outdeg[s]
+        r = (1 - d) / n + d * contrib
+    for node in range(n):
+        assert got[node] == pytest.approx(r[node], rel=1e-9), node
+    # no-in-edge node settles at (1-d)/N
+    assert got[0] == pytest.approx((1 - d) / n)
