@@ -4448,9 +4448,14 @@ def w_step_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_fs_pp_spark.operators.windows import step_detect
 
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day_ts")
-    ).agg(F.round(F.sum("value"), 3).alias("day_value"))
+    # one shuffle total: hash(user_id) satisfies the groupBy's
+    # (user_id, day) clustering requirement AND both median windows'
+    # partitioning, so agg + windows all reuse this exchange
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.round(F.sum("value"), 3).alias("day_value"))
+    )
     flagged = step_detect(
         daily,
         keys=["user_id"],
@@ -4503,36 +4508,67 @@ WHERE cnt_before >= 2 AND cnt_after >= 2
 # --------------------------------------------------------------------------
 
 def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: orphan row/key counts per FK relation,
-    via anti joins (broadcast dims). Two relations are checked against
-    'active' dim subsets (soft-delete simulation) so orphans are non-zero."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Referential-integrity audit: orphan row/key counts per FK relation.
+    Two relations are checked against 'active' dim subsets (soft-delete
+    simulation) so orphans are non-zero.
+
+    Single-pass shape: the fact is scanned ONCE with all three dims
+    broadcast-left-joined as presence marks, then one multi-aggregate row
+    (conditional counts + distinct-orphan keys) is exploded via ``stack``
+    — versus one anti-join scan per FK. Trade-off: 3 distinct-aggs in one
+    agg cost an expand(×3) before the shuffle; that is still one fact
+    scan instead of three, and at 100 TB the scan dominates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    part = _t(spark, sf_dir, "part")
+    apart = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 != 0)
     supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 != 0)
-    apart = part.filter(F.col("p_partkey") % 11 != 0)
 
-    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str):
-        orphans = fact.join(
-            F.broadcast(dim), fact[fk] == dim[pk], "left_anti"
+    marked = (
+        li.join(
+            F.broadcast(orders.select(F.col("o_orderkey").alias("__k_ord"))),
+            F.col("l_orderkey") == F.col("__k_ord"),
+            "left",
         )
-        return orphans.agg(
-            F.lit(label).alias("fk"),
-            F.count(F.lit(1)).alias("orphan_rows"),
-            F.countDistinct(F.col(fk)).alias("orphan_keys"),
+        .join(
+            F.broadcast(apart.select(F.col("p_partkey").alias("__k_part"))),
+            F.col("l_partkey") == F.col("__k_part"),
+            "left",
         )
-
-    checks = [
-        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
-        audit(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"),
-        audit(li, "l_partkey", apart, "p_partkey", "lineitem.l_partkey->part_active"),
-        audit(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey->supplier_active"),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("__k_supp"))),
+            F.col("l_suppkey") == F.col("__k_supp"),
+            "left",
+        )
+    )
+    orphan = lambda mark, key: F.when(F.col(mark).isNull(), F.col(key))  # noqa: E731
+    li_agg = marked.agg(
+        F.count(orphan("__k_ord", "l_orderkey")).alias("r_ord"),
+        F.countDistinct(orphan("__k_ord", "l_orderkey")).alias("k_ord"),
+        F.count(orphan("__k_part", "l_partkey")).alias("r_part"),
+        F.countDistinct(orphan("__k_part", "l_partkey")).alias("k_part"),
+        F.count(orphan("__k_supp", "l_suppkey")).alias("r_supp"),
+        F.countDistinct(orphan("__k_supp", "l_suppkey")).alias("k_supp"),
+    ).selectExpr(
+        """stack(3,
+            'lineitem.l_orderkey->orders', r_ord, k_ord,
+            'lineitem.l_partkey->part_active', r_part, k_part,
+            'lineitem.l_suppkey->supplier_active', r_supp, k_supp
+        ) AS (fk, orphan_rows, orphan_keys)"""
+    )
+    ord_agg = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("__k_cust"))),
+            F.col("o_custkey") == F.col("__k_cust"),
+            "left",
+        )
+        .agg(
+            F.lit("orders.o_custkey->customer").alias("fk"),
+            F.count(orphan("__k_cust", "o_custkey")).alias("orphan_rows"),
+            F.countDistinct(orphan("__k_cust", "o_custkey")).alias("orphan_keys"),
+        )
+    )
+    return li_agg.unionAll(ord_agg)
 
 
 DQ_REF_ORACLE = """

@@ -65,31 +65,34 @@ def debounce_keep_first(
     ``cassandra_fs_pp/fs_pp.py:103`` can't catch those).
 
     Gaps-and-islands over microsecond epochs (exact integer arithmetic — no
-    float timestamps). All three windows share one hash partitioning on
-    ``keys`` (+ the derived burst id), so Catalyst plans a single shuffle
-    per distinct partitioning; at 100 TB ``keys`` must be a real series key
-    (site, sensor, event_type) so no single ordering dominates an executor.
+    float timestamps), planned as ONE shuffle: the kept row of a burst is
+    by definition the row where the gap breaks, so no islands-id
+    partitioning is needed — ``burst_n`` falls out of row-number
+    arithmetic (next kept row's position − mine) over the SAME ``keys``
+    partitioning, which survives the filter, so Catalyst inserts no second
+    exchange. At 100 TB ``keys`` must be a real series key (site, sensor,
+    event_type) so no single ordering dominates an executor.
     """
     order = [F.col(ts)] + [F.col(c) for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(us).over(w)
     brk = F.when(prev.isNull() | ((us - prev) > int(gap_s * 1_000_000)), 1).otherwise(0)
-    with_burst = df.withColumn("__brk", brk).withColumn(
-        "__burst",
-        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    annotated = (
+        df.withColumn("__brk", brk)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tot", F.count(F.lit(1)).over(full))
     )
-    wb = Window.partitionBy(*keys, "__burst")
+    kept = annotated.filter(F.col("__brk") == 1)
+    w2 = Window.partitionBy(*keys).orderBy("__rn")
     return (
-        with_burst.withColumn("__rn", F.row_number().over(wb.orderBy(*order)))
-        .withColumn(
+        kept.withColumn(
             "burst_n",
-            F.count(F.lit(1)).over(
-                wb.orderBy(*order).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
+            (
+                F.coalesce(F.lead("__rn").over(w2), F.col("__tot") + 1)
+                - F.col("__rn")
+            ).cast("long"),
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__brk", "__burst", "__rn")
+        .drop("__brk", "__rn", "__tot")
     )

@@ -460,9 +460,16 @@ def sweep_concurrency(
     aggregate and broadcast back. (a)+(b) equals the global cumsum exactly,
     because day boundaries respect the global (t, d) ordering.
     """
-    boundaries = df.select(F.col(start).alias("t"), F.lit(1).alias("d")).unionAll(
-        df.select(F.col(end).alias("t"), F.lit(-1).alias("d"))
-    )
+    # explode(array(...)) emits both boundary rows from ONE pass over the
+    # input (a union of two selects would scan it twice per consumer)
+    boundaries = df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(start).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.t", "b.d")
     boundaries = boundaries.withColumn("day_ts", F.date_trunc("day", F.col("t")))
     wd = (
         Window.partitionBy("day_ts")
