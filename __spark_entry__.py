@@ -4749,6 +4749,82 @@ GROUP BY 1, 2, 3
 """
 
 
+def a_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + row-normalized probabilities
+    between consecutive event types per user. One user-keyed window + one
+    pair groupBy + one tiny per-source window — the path-analysis primitive
+    (next-action prediction, funnel leakage)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("event_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wrow), 6)
+    )
+
+
+A_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6)
+         AS p
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-type median + MAD (median absolute
+    deviation), flag rows with |robust z| > 2.5 (z = (x-med)/(1.4826*MAD)).
+    The principled generalization of the reference's fixed-threshold
+    rolling-median despike (P9, ``cassandra_fs_pp/fs_pp.py:562-563``) —
+    scale-free, so one threshold works across heterogeneous sensors.
+    Two tiny per-key aggregates broadcast back onto the fact."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+A_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+FROM events e JOIN mad m USING (event_type)
+WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 2.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4888,6 +4964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted_sample": curation_weighted_sample,
         "graph_pagerank": graph_pagerank,
         "j_temporal_scd2": j_temporal_scd2,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
     }
 
 
@@ -4986,6 +5064,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_null_profile": DQ_NULL_ORACLE,
         "curation_weighted_sample": CURATION_WSAMPLE_ORACLE,
         "j_temporal_scd2": J_TEMPORAL_SCD2_ORACLE,
+        "a_transition_matrix": A_TRANSITION_ORACLE,
+        "a_mad_outliers": A_MAD_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

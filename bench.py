@@ -46,6 +46,8 @@ HEADLINE = [
     "curation_decontaminate",
     "curation_pipeline",
     "emb_label_inertia",
+    "p_debounce_burst",
+    "a_time_weighted_avg",
 ]
 
 
