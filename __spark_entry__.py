@@ -4825,6 +4825,108 @@ WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 2.5
 """
 
 
+def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together (support
+    >= 2) with lift = P(a,b)/(P(a)P(b)). Distinct item sets self-join on
+    the order key — co-partitioned on the join key, so the pair explosion
+    stays within each order's partition; part frequencies and the order
+    count attach as broadcasts. At 100 TB cap basket width first (orders
+    with thousands of items quadratically dominate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") < 1000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("f").alias("f1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("f").alias("f2"))
+    return (
+        pairs.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "together",
+            F.round(
+                F.col("together") * F.col("n") / (F.col("f1") * F.col("f2")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+A_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 1000
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM lineitem
+), freq AS (
+  SELECT l_partkey, count(*) AS f FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.p1, p.p2, p.together,
+       round(p.together * n.n * 1.0 / (f1.f * f2.f), 6) AS lift
+FROM pairs p, n_orders n
+JOIN freq f1 ON f1.l_partkey = p.p1
+JOIN freq f2 ON f2.l_partkey = p.p2
+"""
+
+
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers:
+    G = 2*sum(i*r_i)/(n*sum(r)) - (n+1)/n over ascending-sorted revenues.
+    Rank sums stay DECIMAL (exact, order-independent); the global
+    row_number is the one single-partition step — at 100 TB replace it
+    with the two-phase rank (per-range-partition counts -> broadcast
+    offsets), the same decomposition ``sweep_concurrency`` uses for its
+    day baselines."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("r")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("r").cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+A_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+)
+SELECT count(*) AS n_customers,
+       round(2.0 * CAST(sum(i * r) AS DOUBLE)
+               / (count(*) * CAST(sum(r) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4966,6 +5068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "a_transition_matrix": a_transition_matrix,
         "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_gini": a_gini,
     }
 
 
@@ -5066,6 +5170,8 @@ def oracle_sql() -> dict[str, str]:
         "j_temporal_scd2": J_TEMPORAL_SCD2_ORACLE,
         "a_transition_matrix": A_TRANSITION_ORACLE,
         "a_mad_outliers": A_MAD_ORACLE,
+        "a_basket_lift": A_BASKET_ORACLE,
+        "a_gini": A_GINI_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,

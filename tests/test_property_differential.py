@@ -237,3 +237,69 @@ def test_asof_join_matches_pandas_merge_asof(spark, lt, rt, direction, tol):
     assert (got["rv"].isna().to_numpy() == want["rv"].isna().to_numpy()).all()
     m = ~want["rv"].isna().to_numpy()
     assert np.allclose(got["rv"].to_numpy()[m], want["rv"].to_numpy()[m])
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=900), min_size=2, max_size=40),
+    gap_s=st.sampled_from([60, 300, 600]),
+)
+@SETTINGS
+def test_debounce_matches_python_loop(spark, gaps, gap_s):
+    """debounce_keep_first vs a direct sequential burst walk."""
+    from cassandra_fs_pp_spark.operators.dedup import debounce_keep_first
+
+    times = np.cumsum(gaps)
+    rows = [
+        ("k", (T0 + pd.Timedelta(seconds=int(s))).to_pydatetime(), i)
+        for i, s in enumerate(times)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    got = {
+        r.id: r.burst_n
+        for r in debounce_keep_first(
+            df, keys=["k"], ts="ts", gap_s=gap_s, tiebreak=["id"]
+        ).collect()
+    }
+
+    # reference: new burst when gap since PREVIOUS event > gap_s
+    want: dict[int, int] = {}
+    head = None
+    for i, s in enumerate(times):
+        if head is None or (s - times[i - 1]) > gap_s:
+            head = i
+            want[head] = 0
+        want[head] += 1
+    assert got == want
+
+
+@given(
+    spec=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=600),
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_time_weighted_avg_matches_numpy(spark, spec):
+    from cassandra_fs_pp_spark.operators.windows import time_weighted_avg
+
+    t = np.cumsum([g for g, _ in spec])
+    v = np.array([x for _, x in spec], dtype=float)
+    rows = [
+        ("k", (T0 + pd.Timedelta(seconds=int(s))).to_pydatetime(), float(x), i)
+        for i, (s, x) in enumerate(zip(t, v))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, id long")
+    out = time_weighted_avg(df, keys=["k"], t="ts", x="v", tiebreak=["id"]).collect()
+
+    dur = np.diff(t).astype(float)
+    if dur.sum() == 0:
+        # all samples simultaneous -> every duration 0 -> sum(dur)=0
+        assert len(out) == 1 and (out[0].twa_value is None or np.isnan(out[0].twa_value))
+        return
+    want = float((v[:-1] * dur).sum() / dur.sum())
+    assert out[0].twa_value == pytest.approx(want, rel=1e-9)
+    assert out[0].span_s == pytest.approx(float(dur.sum()))
