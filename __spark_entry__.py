@@ -4890,17 +4890,18 @@ JOIN freq f2 ON f2.l_partkey = p.p2
 def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue concentration across customers:
     G = 2*sum(i*r_i)/(n*sum(r)) - (n+1)/n over ascending-sorted revenues.
-    Rank sums stay DECIMAL (exact, order-independent); the global
-    row_number is the one single-partition step — at 100 TB replace it
-    with the two-phase rank (per-range-partition counts -> broadcast
-    offsets), the same decomposition ``sweep_concurrency`` uses for its
-    day baselines."""
+    Rank sums stay DECIMAL (exact, order-independent), and the global
+    rank uses the DISTRIBUTED two-phase row_number (range repartition +
+    narrow local indexing + broadcast offsets,
+    ``operators/stats.global_row_number``) — no single-partition
+    ORDER BY anywhere in the plan."""
+    from cassandra_fs_pp_spark.operators.stats import global_row_number
+
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.withColumn("i", F.row_number().over(w))
+    ranked = global_row_number(rev, ["r", "o_custkey"], out_col="i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(

@@ -1,0 +1,73 @@
+"""Distributed exact ranking/statistics primitives.
+
+``Window.orderBy`` with no partition key moves every row through ONE
+partition — fine for a single station's series (reference-parity mode),
+fatal at 100 TB. :func:`global_row_number` is the scale path: a total
+order is established by range repartitioning + in-partition sort, local
+indices are assigned NARROWLY (no shuffle) per partition, and the global
+rank is local index + a broadcast per-partition offset (the same
+two-level cumsum decomposition ``windows.sweep_concurrency`` uses for
+day baselines).
+
+Determinism: ranks depend only on the TOTAL order (callers must pass
+tiebreak columns), not on where range boundaries land, so the output is
+reproducible even though the range sampler's boundaries may vary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    *,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exact global 1-based row_number over ``order_by`` without a
+    single-partition window.
+
+    Plan shape: one range shuffle (repartitionByRange) + narrow Arrow
+    pass adding ``(partition_id, local_index)`` + a partition-count
+    aggregate (rows = #partitions) whose running sum becomes broadcast
+    offsets. Two passes over the sorted data, zero full-data ORDER BY
+    through a single executor.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+    # build a NEW StructType — StructType.add mutates in place, and
+    # df.schema hands back the df's cached instance, so chaining .add on
+    # it would poison the source df's schema with phantom columns
+    schema = StructType(
+        list(sorted_df.schema.fields)
+        + [StructField("__pid", IntegerType()), StructField("__lidx", LongType())]
+    )
+
+    def add_idx(batches: Iterator) -> Iterator:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.assign(__pid=pid, __lidx=range(i, i + n))
+            i += n
+            yield pdf
+
+    with_idx = sorted_df.mapInPandas(add_idx, schema)
+    counts = with_idx.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        with_idx.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lidx") + F.col("__off") + 1).cast("long"))
+        .drop("__pid", "__lidx")
+    )

@@ -56,14 +56,30 @@ def synthesize(spark, n: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def run_bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    p = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    line = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')][-1]
-    return json.loads(line)
+def run_bench(sf_dir: str, repeats: int = 2) -> dict:
+    """Per-query MIN over ``repeats`` fresh bench processes: a single pass
+    is hostage to whatever GC/allocator state the 19 preceding queries
+    left behind (observed 10x swings on the suite tail); the min over
+    independent JVMs is the steady-state number the ratio should grade."""
+    best: dict | None = None
+    for _ in range(repeats):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')][-1]
+        r = json.loads(line)
+        if best is None:
+            best = r
+        else:
+            best["queries"] = {
+                q: min(v, r["queries"].get(q, v))
+                for q, v in best["queries"].items()
+            }
+    assert best is not None
+    best["value"] = round(sum(best["queries"].values()), 3)
+    return best
 
 
 def main() -> None:
@@ -82,7 +98,8 @@ def main() -> None:
         f"# SCALE — {n}x scale-up probe",
         "",
         f"Base: {BASE} -> {base['value']}s. {n}x (shifted key spaces) -> "
-        f"{big['value']}s. Ratio at perfect linear scaling = {n}.0.",
+        f"{big['value']}s (per-query best-of-2, fresh JVM each). "
+        f"Ratio at perfect linear scaling = {n}.0.",
         "",
         "| query | 1x sec | {n}x sec | ratio |".replace("{n}", str(n)),
         "|---|---|---|---|",

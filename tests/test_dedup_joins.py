@@ -234,3 +234,27 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[node] == pytest.approx(r[node], rel=1e-9), node
     # no-in-edge node settles at (1-d)/N
     assert got[0] == pytest.approx((1 - d) / n)
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+
+    from cassandra_fs_pp_spark.operators.stats import global_row_number
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v double").repartition(8)
+
+    got = {
+        r.id: r.rn
+        for r in global_row_number(df, ["k", "v", "id"], out_col="rn").collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "v", "id"))
+        ).collect()
+    }
+    assert got == want

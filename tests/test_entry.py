@@ -23,3 +23,26 @@ def test_sample_query_runs_at_sf0001(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_coverage_doc_query_names_exist(spark):
+    """Every `query: name` claim in COVERAGE.md must be a real queries()
+    entry (docs can't drift from the contract)."""
+    import os
+    import re
+
+    qs = set(entrymod.queries())
+    doc = open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "COVERAGE.md")
+    ).read()
+    claimed = set(re.findall(r"query: `([a-z0-9_]+)`", doc))
+    missing = claimed - qs
+    assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
+
+
+def test_bench_headline_names_exist(spark):
+    from bench import HEADLINE
+
+    qs = set(entrymod.queries()) | {"flagship_events_hourly"}
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, missing

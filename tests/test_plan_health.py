@@ -1,0 +1,76 @@
+"""Plan-health regression tests: the shuffle/broadcast structure the 100 TB
+stance depends on, asserted from the physical plans so a refactor can't
+silently regress them (PLANS.md is the human-readable twin)."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    spark = df.sparkSession
+    return jqe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n(plan: str, node: str) -> int:
+    return len(re.findall(rf"\(\d+\) {node}\b", plan))
+
+
+def test_debounce_is_single_shuffle(spark):
+    df = entrymod.queries()["p_debounce_burst"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+    assert _n(plan, "Scan parquet") == 1
+
+
+def test_step_detect_is_single_shuffle(spark):
+    df = entrymod.queries()["w_step_detect"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+
+
+def test_twa_is_single_shuffle(spark):
+    df = entrymod.queries()["a_time_weighted_avg"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+
+
+def test_flagship_joins_broadcast(spark):
+    df = entrymod.queries()["flagship_events_hourly"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0
+
+
+def test_tpch_q1_single_agg_shuffle(spark):
+    df = entrymod.queries()["tpch_q1"](spark, SF)
+    plan = _formatted_plan(df)
+    # partial+final hash aggregate around one hash exchange, plus the
+    # result-order range exchange — nothing else
+    assert _n(plan, "Exchange") == 2, plan
+    assert _n(plan, "HashAggregate") == 2
+
+
+def test_tpch_q3_dims_broadcast_fact_not_shuffled_twice(spark):
+    df = entrymod.queries()["tpch_q3_top_orders"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "SortMergeJoin") == 0, plan
+
+
+def test_scans_prune_columns(spark):
+    """tpch_q6 must read only the 4 columns it touches."""
+    df = entrymod.queries()["tpch_q6"](spark, SF)
+    plan = _formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
