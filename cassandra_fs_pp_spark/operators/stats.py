@@ -28,6 +28,7 @@ def global_row_number(
     order_by: Sequence[str | Column],
     *,
     out_col: str = "rn",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact global 1-based row_number over ``order_by`` without a
     single-partition window.
@@ -35,8 +36,13 @@ def global_row_number(
     Plan shape: one range shuffle (repartitionByRange) + narrow Arrow
     pass adding ``(partition_id, local_index)`` + a partition-count
     aggregate (rows = #partitions) whose running sum becomes broadcast
-    offsets. Two passes over the sorted data, zero full-data ORDER BY
-    through a single executor.
+    offsets. Zero full-data ORDER BY through a single executor.
+
+    ``materialize=True`` (default) localCheckpoints the indexed data so
+    the offset-count branch reads it back instead of re-running the
+    range shuffle + sort (both consumers of a diverging lineage would
+    otherwise recompute it — the cache-where-reused discipline, same as
+    the iterative graph ops). Pass False to keep a pure-lazy lineage.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
@@ -61,6 +67,8 @@ def global_row_number(
             yield pdf
 
     with_idx = sorted_df.mapInPandas(add_idx, schema)
+    if materialize:
+        with_idx = with_idx.localCheckpoint()
     counts = with_idx.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
