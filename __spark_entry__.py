@@ -4928,6 +4928,137 @@ FROM ranked
 """
 
 
+def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type x customer market segment.
+    Observed cell counts (one agg), marginals as windows over the TINY
+    cell table (25 rows — no second pass over the fact), chi2 =
+    sum((o-e)^2/e), dof = (r-1)(c-1)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    cell = (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .groupBy("event_type", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("seg")
+    wall = Window.partitionBy()
+    e = (
+        F.sum("o").over(wr)
+        * F.sum("o").over(wc)
+        / F.sum("o").over(wall)
+    )
+    return (
+        cell.withColumn("e", e)
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 6).alias(
+                "chi2"
+            ),
+            (
+                (F.countDistinct("event_type") - 1) * (F.countDistinct("seg") - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+A_CHI2_ORACLE = """
+WITH joined AS (
+  SELECT e.event_type, c.c_mktsegment AS seg
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+), cell AS (
+  SELECT event_type, seg, count(*) AS o FROM joined GROUP BY 1, 2
+), m AS (
+  SELECT event_type, seg, o,
+         sum(o) OVER (PARTITION BY event_type) AS rt,
+         sum(o) OVER (PARTITION BY seg) AS ct,
+         sum(o) OVER () AS n
+  FROM cell
+)
+SELECT round(sum(pow(o - rt*ct*1.0/n, 2) / (rt*ct*1.0/n)), 6) AS chi2,
+       CAST((count(DISTINCT event_type)-1) * (count(DISTINCT seg)-1) AS BIGINT)
+         AS dof
+FROM m
+"""
+
+
+def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments per event_type: clip at the exact p05/p95 (tiny
+    bounds table broadcast back), then mean/std of the clipped values and
+    the clip count — the robust-stats companion to MAD outliers."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clipped), 6).alias("wins_mean"),
+            F.round(F.stddev_samp(clipped), 6).alias("wins_std"),
+            F.count(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            ).alias("n_clipped"),
+        )
+    )
+
+
+A_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_mean,
+       round(stddev_samp(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_std,
+       CAST(count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS BIGINT)
+         AS n_clipped
+FROM events e JOIN b USING (event_type)
+GROUP BY 1
+"""
+
+
+def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values: bucket membership
+    from the DISTRIBUTED global rank (integer arithmetic — ntile's exact
+    distribution, no single-partition window, no float boundary error),
+    then per-bucket count and value range."""
+    from cassandra_fs_pp_spark.operators.stats import global_row_number
+
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    ranked = global_row_number(ev, ["value", "event_id"], out_col="rn")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            (F.expr("((rn - 1) * 10) div n") + 1).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 3).alias("lo"),
+            F.round(F.max("value"), 3).alias("hi"),
+        )
+    )
+
+
+A_EQUIDEPTH_ORACLE = """
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+), b AS (
+  SELECT value, CAST(((rn - 1) * 10) // n AS INT) + 1 AS bucket FROM r
+)
+SELECT bucket, count(*) AS n, round(min(value), 3) AS lo,
+       round(max(value), 3) AS hi
+FROM b GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5071,6 +5202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_mad_outliers": a_mad_outliers,
         "a_basket_lift": a_basket_lift,
         "a_gini": a_gini,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
     }
 
 
@@ -5173,6 +5307,9 @@ def oracle_sql() -> dict[str, str]:
         "a_mad_outliers": A_MAD_ORACLE,
         "a_basket_lift": A_BASKET_ORACLE,
         "a_gini": A_GINI_ORACLE,
+        "a_chi_square": A_CHI2_ORACLE,
+        "a_winsorized_stats": A_WINSOR_ORACLE,
+        "a_histogram_equidepth": A_EQUIDEPTH_ORACLE,
         # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
