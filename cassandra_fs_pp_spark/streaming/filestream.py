@@ -66,10 +66,19 @@ def stream_table(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     df = reader.parquet(sf_dir)
+    dtypes = dict(df.dtypes)
     for col in NANOS_TS_COLUMNS.get(name, ()):
         # plain TIMESTAMP (not NTZ): watermarks require it, and with the
-        # session pinned to UTC the wall-clock values agree with batch NTZ
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # session pinned to UTC the wall-clock values agree with batch NTZ.
+        # Same guard as sources.tables.load_table: only the TIMESTAMP(NANOS)
+        # layout arrives as a raw ns long; re-generated/re-materialized
+        # copies are already timestamps and need a cast at most.
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+        elif dtypes.get(col) == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
