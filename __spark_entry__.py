@@ -998,29 +998,37 @@ def f_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares = F.transform(arr, lambda x: x * x)
     evens = F.filter(squares, lambda x: x % 2 == 0)
     total = F.aggregate(squares, F.lit(0).cast("long"), lambda a, x: a + x)
+    # Array outputs are serialized to comma-joined strings so every output
+    # column is a hashable scalar for row-sorting comparison harnesses;
+    # the higher-order computation itself stays array-typed inside the plan.
     return ev.select(
         "event_id",
-        arr.alias("arr"),
-        squares.alias("squares"),
-        evens.alias("evens"),
+        F.array_join(arr.cast("array<string>"), ",").alias("arr"),
+        F.array_join(squares.cast("array<string>"), ",").alias("squares"),
+        F.array_join(evens.cast("array<string>"), ",").alias("evens"),
         total.alias("sum_squares"),
-        F.reverse(F.array_sort(squares)).alias("sorted_desc"),
+        F.array_join(
+            F.reverse(F.array_sort(squares)).cast("array<string>"), ","
+        ).alias("sorted_desc"),
     )
 
 
 F_HOF_ORACLE = """
 SELECT event_id,
-       range(1, CAST(user_id % 5 + 2 AS INT) + 1) AS arr,
-       list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
-                      x -> x * x) AS squares,
-       list_filter(list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
-                                  x -> x * x), x -> x % 2 = 0) AS evens,
+       array_to_string(range(1, CAST(user_id % 5 + 2 AS INT) + 1), ',')
+         AS arr,
+       array_to_string(list_transform(
+         range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x), ',')
+         AS squares,
+       array_to_string(list_filter(list_transform(
+         range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x),
+         x -> x % 2 = 0), ',') AS evens,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(range(1, CAST(user_id % 5 + 2 AS INT) + 1),
                                   x -> CAST(x * x AS BIGINT))),
                    (a, x) -> a + x) AS sum_squares,
-       list_reverse_sort(list_transform(
-         range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x))
+       array_to_string(list_reverse_sort(list_transform(
+         range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x)), ',')
          AS sorted_desc
 FROM events WHERE event_id < 1000
 """
@@ -1747,10 +1755,10 @@ def tpch_q12_latemode(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q12_ORACLE = """
 SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30)
             AS BIGINT) AS delay_band,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """
@@ -1854,6 +1862,235 @@ WHERE EXISTS (
 GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 10
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``partsupp`` stand-in (the generated star schema has
+    no partsupp table): distinct part×supplier links observed in lineitem,
+    with availqty / supplycost synthesized from the keys via integer
+    arithmetic only — Spark and the DuckDB oracle derive bit-identical
+    values, and supplycost is carried as integer CENTS so sums stay exact
+    and partition-order-independent at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    cents = (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 20000 + 100
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        cents.alias("ps_supplycost_cents"),
+    )
+
+
+# Shared CTE body for the three partsupp-based oracles (DuckDB syntax).
+PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 37 + ps_suppkey * 11) % 9999 + 1 AS INT)
+           AS ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 7) % 20000 + 100
+           AS ps_supplycost_cents
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem))
+"""
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-min shape (reference workload: pick the best
+    calibration source per sensor — same min-per-group-then-join pattern):
+    for each part, the EUROPE supplier(s) offering the minimum supply
+    cost, restricted to small ECONOMY parts.  The per-part minimum is a
+    window over the region-filtered candidate set (one shuffle on
+    ps_partkey), dimensions broadcast; ordering tuple is unique per row so
+    the LIMIT is deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    eu = (
+        supp.join(
+            F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]
+        )
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            nat["n_regionkey"] == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(eu), ps["ps_suppkey"] == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    best = cand.withColumn(
+        "min_cost", F.min("ps_supplycost_cents").over(w)
+    ).filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+    sel = part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+    return (
+        best.join(F.broadcast(sel), best["ps_partkey"] == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("ps_supplycost_cents").cast("double") / F.lit(100.0)).alias(
+                "ps_supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name,
+         min(ps_supplycost_cents) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+FROM cand JOIN part ON ps_partkey = p_partkey
+WHERE p_size <= 15 AND p_type = 'ECONOMY'
+  AND ps_supplycost_cents = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's scalar-threshold shape: per-part stock value for one
+    nation's suppliers, keeping parts whose value exceeds a fixed
+    fraction (0.01%) of the nation-wide total.  Stock value accumulates
+    in exact integer cents (order-independent), the grand total arrives
+    via a 1-row broadcast cross join, and only the final projection
+    converts to double."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    s_in = supp.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    filtered = ps.join(
+        F.broadcast(s_in), ps["ps_suppkey"] == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = filtered.groupBy("ps_partkey").agg(
+        F.sum(
+            F.col("ps_supplycost_cents").cast("long") * F.col("ps_availqty")
+        ).alias("value_cents")
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") / F.lit(10000.0)
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0)).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+TPCH_Q11_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+nat_ps AS (
+  SELECT ps_partkey,
+         sum(CAST(ps_supplycost_cents AS BIGINT) * ps_availqty)
+           AS value_cents
+  FROM partsupp
+  WHERE ps_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+  GROUP BY ps_partkey)
+SELECT ps_partkey,
+       CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+FROM nat_ps
+WHERE CAST(value_cents AS DOUBLE)
+      > (SELECT CAST(sum(value_cents) AS DOUBLE) FROM nat_ps) / 10000.0
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-semi shape: suppliers of 'red%' parts holding more
+    stock than half of what they shipped in 1996, from one nation.  The
+    correlated scalar subquery decorrelates into a (partkey, suppkey)
+    aggregate joined back on both keys (co-partitioned sort-merge join);
+    part filter applied as a broadcast semi-join before the fact agg
+    join; quantity sums are integral doubles so 0.5× compares exactly."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    red_parts = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum("l_quantity") * F.lit(0.5)).alias("half_qty"))
+    )
+    over_stocked = (
+        ps.join(
+            F.broadcast(red_parts),
+            ps["ps_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(
+            over_stocked, supp["s_suppkey"] == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+  FROM lineitem WHERE year(l_shipdate) = 1996
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT ps_suppkey
+    FROM partsupp JOIN shipped
+      ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > half_qty)
+ORDER BY s_name
 """
 
 
@@ -2083,7 +2320,7 @@ WITH b AS (
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       count(*) AS n, sum(doc_id) AS id_checksum
+       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM b GROUP BY 1
 """
 
@@ -2113,7 +2350,7 @@ WITH b AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
            AS bucket
   FROM documents)
-SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM b
 WHERE (lang = 'en' AND bucket < 10)
    OR (lang IN ('zh', 'es', 'de', 'fr') AND bucket < 50)
@@ -2151,7 +2388,7 @@ c AS (
            AS start_tok
   FROM t)
 SELECT CAST(floor(start_tok / 512) AS BIGINT) AS pack_id,
-       count(*) AS n_docs, sum(n_tok) AS tokens_packed,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_packed,
        min(doc_id) AS first_doc
 FROM c GROUP BY 1
 """
@@ -2245,12 +2482,12 @@ f AS (
          (swr < 0.02) AS f_swr
   FROM m)
 SELECT count(*) AS n_total,
-       sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS n_fail_word_count,
-       sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS n_fail_mean_wl,
-       sum(CASE WHEN f_swr THEN 1 ELSE 0 END) AS n_fail_stopword,
-       sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN doc_id ELSE 0 END)
-         AS id_checksum
+       CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+       CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_wl,
+       CAST(sum(CASE WHEN f_swr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+       CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_swr) THEN doc_id ELSE 0 END)
+         AS BIGINT) AS id_checksum
 FROM f
 """
 
@@ -2576,7 +2813,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=5, nprobe=2)
 
 
-LSH_BITS, LSH_TABLES, EMB_DIM = 4, 4, 64
+# 6 sign bits = 64 buckets/table: ~n/64 candidates per query per table
+# (4 bits left each query colliding with ~46% of the corpus — quadratic in
+# practice). The oracle derives from the same constants, so bucket choice
+# never affects correctness parity, only the recall/cost point.
+LSH_BITS, LSH_TABLES, EMB_DIM = 6, 4, 64
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,8 +3026,8 @@ reach(a, b) AS (
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
 comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
 SELECT component, count(*) AS n_nodes,
-       sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS n_parts,
-       sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS n_supps,
+       CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps,
        max(node) AS max_node
 FROM comp GROUP BY component
 """
@@ -3091,7 +3332,7 @@ def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 F_JSON_ORACLE = """
 SELECT event_type,
        count(CAST(props->>'k' AS INT)) AS n_k,
-       sum(CAST(props->>'k' AS INT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'k' AS INT)) AS min_k,
        max(CAST(props->>'k' AS INT)) AS max_k
 FROM events GROUP BY 1
@@ -3197,7 +3438,7 @@ merged AS (
 SELECT c_mktsegment, count(*) AS n,
        CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
          AS total_bal,
-       sum(c_custkey) AS key_checksum
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
 FROM merged GROUP BY c_mktsegment
 """
 
@@ -3617,7 +3858,7 @@ MM_FRAMES_ORACLE = """
 WITH f AS (
   SELECT doc_id, unnest(range(1 + doc_id % 5)) AS idx FROM documents
 )
-SELECT doc_id, count(*) AS n_frames_sampled, sum(idx) AS sum_idx
+SELECT doc_id, count(*) AS n_frames_sampled, CAST(sum(idx) AS BIGINT) AS sum_idx
 FROM f WHERE idx % 2 = 0 GROUP BY doc_id
 """
 
@@ -3741,7 +3982,7 @@ def curation_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_BUDGET_ORACLE = """
-SELECT doc_id, source, n_chars, cum_size FROM (
+SELECT doc_id, source, n_chars, CAST(cum_size AS BIGINT) AS cum_size FROM (
   SELECT doc_id, source, n_chars,
          sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                             ROWS UNBOUNDED PRECEDING) AS cum_size
@@ -5064,7 +5305,114 @@ FROM b GROUP BY 1
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is deliberate: the driver's correctness sweep samples a
+    # prefix window of this dict, so entries with no green driver row yet sit
+    # FIRST (round-1 reds, then the LLM-pipeline / window / join families the
+    # r01 sweep never reached); queries already driver-verified green in r01
+    # sit at the end.  Every entry stays green locally regardless of order.
     return {
+        # --- round-1 red rows, fixed this round (need fresh driver rows) ---
+        "tpch_q12_latemode": tpch_q12_latemode,
+        "f_higher_order": f_higher_order,
+        # --- new this round: partsupp-derived join shapes ---
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        # --- LLM-data pipeline: dedup / text / curation / ANN / embeddings ---
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_cluster": dedup_minhash_cluster,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_banded": dedup_simhash_banded,
+        "dedup_url_canonical": dedup_url_canonical,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "text_pii_redact": text_pii_redact,
+        "text_split_assign": text_split_assign,
+        "text_token_topk": text_token_topk,
+        "text_repetition": text_repetition,
+        "text_hash_features": text_hash_features,
+        "text_tfidf": text_tfidf,
+        "text_bigram_pmi": text_bigram_pmi,
+        "curation_stratified_sample": curation_stratified_sample,
+        "curation_pack_sequences": curation_pack_sequences,
+        "curation_decontaminate": curation_decontaminate,
+        "curation_quality_filter": curation_quality_filter,
+        "curation_source_budget": curation_source_budget,
+        "curation_weighted_sample": curation_weighted_sample,
+        "curation_pipeline": curation_pipeline,
+        "ann_block_topk": ann_block_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "mm_image_meta": mm_image_meta,
+        "mm_image_stats": mm_image_stats,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        # --- SURVEY §2 window/join/agg operators outside r01's window ---
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "w_first_last": w_first_last,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "j4_asof_forward": j4_asof_forward,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a9_head_mean": a9_head_mean,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
+        # --- streaming twins (batch-parity semantics) ---
+        "stream_hourly_agg": stream_hourly_agg,
+        "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
+        # --- graph / stats / sessionization / misc analytics ---
+        "graph_connected_components": graph_connected_components,
+        "graph_pagerank": graph_pagerank,
+        "a_approx_distinct": a_approx_distinct,
+        "a8_sliding_window": a8_sliding_window,
+        "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "ts_dominant_period": ts_dominant_period,
+        "a_quantiles": a_quantiles,
+        "f_collections": f_collections,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "a_hll_mergeable": a_hll_mergeable,
+        "a_cohort_retention": a_cohort_retention,
+        "j_skew_salted": j_skew_salted,
+        "op_scd2_intervals": op_scd2_intervals,
+        "a_corr_regr": a_corr_regr,
+        "f_url_suite": f_url_suite,
+        "a_funnel": a_funnel,
+        "w_rolling_corr": w_rolling_corr,
+        "p_debounce_burst": p_debounce_burst,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "w_step_detect": w_step_detect,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "j_temporal_scd2": j_temporal_scd2,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_gini": a_gini,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        # --- driver-verified green in r01 (CORRECTNESS_r01.json) ---
         "flagship_events_hourly": flagship_events_hourly,
         "tpch_q1": tpch_q1,
         "p2_dedup_rows": p2_dedup_rows,
@@ -5096,7 +5444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_prune_all_null": p1_prune_all_null,
         "f_scalar_suite": f_scalar_suite,
         "f_datetime_suite": f_datetime_suite,
-        "f_higher_order": f_higher_order,
         "f_null_semantics": f_null_semantics,
         "f_string_suite": f_string_suite,
         "tpch_q3_top_orders": tpch_q3_top_orders,
@@ -5114,97 +5461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity": tpch_q17_small_quantity,
         "tpch_q22_idle_customers": tpch_q22_idle_customers,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
-        "tpch_q12_latemode": tpch_q12_latemode,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
-        "w_first_last": w_first_last,
-        "text_stats": text_stats,
-        "text_lang_id": text_lang_id,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_minhash_cluster": dedup_minhash_cluster,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_banded": dedup_simhash_banded,
-        "text_winnow_fingerprints": text_winnow_fingerprints,
-        "text_pii_redact": text_pii_redact,
-        "text_split_assign": text_split_assign,
-        "curation_stratified_sample": curation_stratified_sample,
-        "curation_pack_sequences": curation_pack_sequences,
-        "curation_decontaminate": curation_decontaminate,
-        "curation_quality_filter": curation_quality_filter,
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_label_inertia": emb_label_inertia,
-        "text_token_topk": text_token_topk,
-        "graph_connected_components": graph_connected_components,
-        "w2_centered_median": w2_centered_median,
-        "w3_count_window_median": w3_count_window_median,
-        "w4_trailing_mean_minp": w4_trailing_mean_minp,
-        "w7_ts_delta": w7_ts_delta,
-        "w10_first_after": w10_first_after,
-        "j3_outer_align": j3_outer_align,
-        "j6_dim_attach": j6_dim_attach,
-        "a4_distinct_counts": a4_distinct_counts,
-        "a_approx_distinct": a_approx_distinct,
-        "a9_head_mean": a9_head_mean,
-        "a8_sliding_window": a8_sliding_window,
-        "a_sessionize": a_sessionize,
-        "a_linreg_trend": a_linreg_trend,
-        "ts_dominant_period": ts_dominant_period,
-        "a_quantiles": a_quantiles,
-        "f_collections": f_collections,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "a_hll_mergeable": a_hll_mergeable,
-        "a_cohort_retention": a_cohort_retention,
-        "text_bigram_pmi": text_bigram_pmi,
-        "r1_melt": r1_melt,
-        "p5_regex_projection": p5_regex_projection,
-        "mm_image_meta": mm_image_meta,
-        "mm_image_stats": mm_image_stats,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        "stream_hourly_agg": stream_hourly_agg,
-        "stream_dedup_counts": stream_dedup_counts,
-        "stream_session_agg": stream_session_agg,
-        "ann_block_topk": ann_block_topk,
-        "curation_source_budget": curation_source_budget,
-        "j_skew_salted": j_skew_salted,
-        "op_scd2_intervals": op_scd2_intervals,
-        "text_repetition": text_repetition,
-        "text_hash_features": text_hash_features,
-        "a_corr_regr": a_corr_regr,
-        "j4_asof_forward": j4_asof_forward,
-        "f_url_suite": f_url_suite,
-        "a_funnel": a_funnel,
-        "text_tfidf": text_tfidf,
-        "dedup_url_canonical": dedup_url_canonical,
-        "w_rolling_corr": w_rolling_corr,
-        "curation_pipeline": curation_pipeline,
-        "p_debounce_burst": p_debounce_burst,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "w_step_detect": w_step_detect,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        "curation_weighted_sample": curation_weighted_sample,
-        "graph_pagerank": graph_pagerank,
-        "j_temporal_scd2": j_temporal_scd2,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_gini": a_gini,
-        "a_chi_square": a_chi_square,
-        "a_winsorized_stats": a_winsorized_stats,
-        "a_histogram_equidepth": a_histogram_equidepth,
     }
 
 
@@ -5260,6 +5516,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_idle_customers": TPCH_Q22_ORACLE,
         "tpch_q9_profit_shape": TPCH_Q9_ORACLE,
         "tpch_q12_latemode": TPCH_Q12_ORACLE,
+        "tpch_q2_min_cost_supplier": TPCH_Q2_ORACLE,
+        "tpch_q11_important_stock": TPCH_Q11_ORACLE,
+        "tpch_q20_promotion_suppliers": TPCH_Q20_ORACLE,
         "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
         "tpch_q21_shape": TPCH_Q21_ORACLE,
         "w_first_last": W_FIRST_LAST_ORACLE,

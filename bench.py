@@ -41,8 +41,12 @@ HEADLINE = [
     "j1_calibration_fallback",
     "j4_asof_backward",
     "dedup_minhash_cluster",
-    "ann_bruteforce_topk",
+    # ann_bruteforce_topk is deliberately NOT here: it is a quadratic
+    # BroadcastNestedLoopJoin kept only as the exactness baseline for
+    # ann_block_topk's differential test (tests/test_similarity.py).
+    # The headline ANN paths are the scale-credible ones below.
     "ann_block_topk",
+    "ann_lsh_topk",
     "curation_decontaminate",
     "curation_pipeline",
     "emb_label_inertia",

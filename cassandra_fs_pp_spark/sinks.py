@@ -112,6 +112,26 @@ DEFAULT_GLOBAL_ATTRS = {
 }
 
 
+TIME_UNITS = "seconds since 1970-01-01 00:00:00"
+
+
+def _encode_series(vals, attrs: dict[str, object], encode: bool):
+    """Apply the reference NetCDF encoding to one float column:
+    ``int32 = round(x / 0.001)`` half-even, null -> -9999, recording
+    ``scale_factor`` / ``_FillValue`` attrs (``bin/fs_process_l2.py:196-200``)
+    — the same arithmetic as :func:`encode_fixed_point`."""
+    import numpy as np
+
+    if encode:
+        enc = np.where(
+            np.isnan(vals), float(FILL_VALUE), np.around(vals / SCALE_FACTOR)
+        ).astype("int32")
+        attrs.setdefault("scale_factor", SCALE_FACTOR)
+        attrs.setdefault("_FillValue", FILL_VALUE)
+        return enc
+    return np.asarray(vals, dtype="float64")
+
+
 def to_netcdf(
     df: DataFrame,
     path: str,
@@ -123,42 +143,121 @@ def to_netcdf(
 ) -> None:
     """K3 — driver-side NetCDF export of a reduced per-site product.
 
-    Collects ``df`` (ordered by time) to pandas, assembles an
-    ``xarray.Dataset`` with ``time`` as the unlimited dim, attaches global +
-    per-variable attrs, and writes with the reference encoding
-    (int32 / scale_factor 0.001 / _FillValue -9999, zlib off —
-    ``bin/fs_process_l2.py:196-204``). Requires the optional ``xarray`` +
-    ``netCDF4`` deps.
+    Collects ``df`` (ordered by time) to pandas and writes a classic
+    NetCDF-3 file via the built-in pure-python writer
+    (:mod:`cassandra_fs_pp_spark.netcdf3` — no xarray/netCDF4 needed),
+    with ``time`` as the unlimited record dimension
+    (reference ``bin/fs_process_l2.py:177-204``: ``unlimited_dims=['time']``)
+    and the reference encoding int32 / scale_factor 0.001 /
+    _FillValue -9999 on every float column (``:196-200``). At 100 TB the
+    canonical sink stays Parquet; NetCDF is the per-site interop export
+    of an already-reduced product.
     """
-    try:
-        import xarray as xr  # noqa: F401
-    except ImportError as e:  # pragma: no cover - optional dep
-        raise ImportError(
-            "NetCDF export needs the optional 'xarray' + 'netCDF4' packages; "
-            "the engine-canonical sink is write_parquet()"
-        ) from e
+    import numpy as np
+    import pandas as pd
 
-    pdf = df.orderBy(time_col).toPandas().set_index(time_col)
-    pdf.index.name = "time"
-    ds = xr.Dataset.from_dataframe(pdf)
-    ds.attrs.update(DEFAULT_GLOBAL_ATTRS)
-    ds.attrs.update(dict(global_attrs or {}))
-    for var, attrs in (var_attrs or {}).items():
-        if var in ds:
-            ds[var].attrs.update(dict(attrs))
-    encoding = None
-    if encode:
-        encoding = {
-            v: {
-                "dtype": "int32",
-                "scale_factor": SCALE_FACTOR,
-                "zlib": False,
-                "_FillValue": FILL_VALUE,
-            }
-            for v in ds.data_vars
-            if str(ds[v].dtype).startswith("float")
-        }
-    ds.to_netcdf(path, unlimited_dims=["time"], encoding=encoding)
+    from .netcdf3 import Nc3Variable, write_netcdf3
+
+    pdf = df.orderBy(time_col).toPandas()
+    var_attrs = dict(var_attrs or {})
+    tvals = (
+        pd.to_datetime(pdf[time_col]).astype("int64").to_numpy() / 1e9
+    ).astype("float64")
+    variables = [
+        Nc3Variable(
+            "time",
+            ("time",),
+            tvals,
+            {
+                "units": TIME_UNITS,
+                "calendar": "proleptic_gregorian",
+                **dict(var_attrs.get("time", {})),
+            },
+        )
+    ]
+    for c in pdf.columns:
+        if c == time_col:
+            continue
+        s = pdf[c]
+        attrs = dict(var_attrs.get(c, {}))
+        if pd.api.types.is_float_dtype(s):
+            data = _encode_series(s.to_numpy(dtype="float64"), attrs, encode)
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            data = s.to_numpy(dtype="int32")
+        else:
+            raise TypeError(
+                f"to_netcdf: column {c!r} has non-numeric dtype {s.dtype}"
+            )
+        variables.append(Nc3Variable(c, ("time",), data, attrs))
+    write_netcdf3(
+        path,
+        {"time": None},
+        variables,
+        {**DEFAULT_GLOBAL_ATTRS, **dict(global_attrs or {})},
+    )
+
+
+def to_netcdf_long(
+    df: DataFrame,
+    path: str,
+    *,
+    time_col: str = "time",
+    sensor_col: str = "sensor_id",
+    value_col: str = "value",
+    var_name: str = "subsurface",
+    sensor_coords: Mapping[str, Mapping[str, float]] | None = None,
+    global_attrs: Mapping[str, object] | None = None,
+    var_attrs: Mapping[str, object] | None = None,
+    encode: bool = True,
+) -> None:
+    """K3 2-D form — long ``(time, sensor_id, value)`` rows pivoted to a
+    ``time x sensor`` record variable, mirroring the reference's
+    subsurface DataArray with a per-sensor coordinate carrying install
+    depth (``bin/fs_process_l2.py:80-95``). ``sensor_coords`` maps
+    coordinate name -> {sensor_id: value} (e.g. install depths) and is
+    written as 1-D float variables over the sensor dimension."""
+    import numpy as np
+    import pandas as pd
+
+    from .netcdf3 import Nc3Variable, write_netcdf3
+
+    pdf = df.select(time_col, sensor_col, value_col).toPandas()
+    wide = pdf.pivot_table(
+        index=time_col, columns=sensor_col, values=value_col, aggfunc="first"
+    ).sort_index()
+    sensors = [str(c) for c in wide.columns]
+    tvals = (
+        pd.to_datetime(wide.index).astype("int64").to_numpy() / 1e9
+    ).astype("float64")
+    attrs = dict(var_attrs or {})
+    data = _encode_series(wide.to_numpy(dtype="float64"), attrs, encode)
+    name_len = max(len(s) for s in sensors)
+    name_mat = np.zeros((len(sensors), name_len), dtype="S1")
+    for i, s in enumerate(sensors):
+        for j, ch in enumerate(s.encode()):
+            name_mat[i, j] = bytes([ch])
+    variables = [
+        Nc3Variable(
+            "time",
+            ("time",),
+            tvals,
+            {"units": TIME_UNITS, "calendar": "proleptic_gregorian"},
+        ),
+        Nc3Variable("sensor_name", ("sensor", "name_strlen"), name_mat),
+        Nc3Variable(var_name, ("time", "sensor"), data, attrs),
+    ]
+    for coord_name, mapping in (sensor_coords or {}).items():
+        coord_vals = np.array(
+            [float(mapping.get(s, float("nan"))) for s in sensors],
+            dtype="float64",
+        )
+        variables.append(Nc3Variable(coord_name, ("sensor",), coord_vals))
+    write_netcdf3(
+        path,
+        {"time": None, "sensor": len(sensors), "name_strlen": name_len},
+        variables,
+        {**DEFAULT_GLOBAL_ATTRS, **dict(global_attrs or {})},
+    )
 
 
 def write_jsonl(

@@ -70,9 +70,10 @@ def stream_table(
     for col in NANOS_TS_COLUMNS.get(name, ()):
         # plain TIMESTAMP (not NTZ): watermarks require it, and with the
         # session pinned to UTC the wall-clock values agree with batch NTZ.
-        # Same guard as sources.tables.load_table: only the TIMESTAMP(NANOS)
-        # layout arrives as a raw ns long; re-generated/re-materialized
-        # copies are already timestamps and need a cast at most.
+        # The bigint guard matches sources.tables.load_table (only the
+        # TIMESTAMP(NANOS) layout arrives as a raw ns long); the
+        # NTZ->timestamp cast below is stream-specific — load_table keeps
+        # NTZ, but watermarks require TimestampType.
         if dtypes.get(col) == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))

@@ -46,6 +46,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Dtype family the driver's value-hash distinguishes: int vs float vs
+    bool vs datetime vs string.  int64-vs-float64 drift (e.g. a DuckDB
+    HUGEINT sum against a Spark BIGINT) must FAIL here, because it fails
+    the driver's hash even when values are numerically identical."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import datetime as _dt
+
+        vals = s.dropna()
+        if len(vals) and all(isinstance(v, (_dt.date, _dt.datetime)) for v in vals.head(50)):
+            # Spark DATE arrives as object-of-date; DuckDB DATE as
+            # datetime64 — the driver's hash treats these as equal (r01:
+            # f_scalar_suite/f_datetime_suite green), so we do too.
+            return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(sdf) != len(odf):
@@ -54,6 +79,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if scols != ocols:
         problems.append(f"columns spark={scols} oracle={ocols}")
         return problems
+    for c in scols:
+        ks, ko = _kind(sdf[c]), _kind(odf[c])
+        # An all-null column arrives as object/float depending on engine;
+        # only flag kind drift when both sides actually carry values.
+        if ks != ko and sdf[c].notna().any() and odf[c].notna().any():
+            problems.append(f"col {c}: dtype kind spark={ks} oracle={ko}")
     if problems:
         return problems
     s, o = normalize(sdf), normalize(odf)

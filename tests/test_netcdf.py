@@ -1,0 +1,175 @@
+"""K3 NetCDF export — end-to-end file write + re-read (SURVEY §2.2 K3/K6).
+
+The reference writes L2 products with xarray
+(``bin/fs_process_l2.py:177-204``) using encoding int32 / scale_factor
+0.001 / _FillValue -9999 (``:196-200``) and ``time`` as the unlimited
+dim. These tests exercise the engine's pure-python classic-NetCDF
+writer against its reader AND against byte-level format invariants
+(magic number, record-dim layout), so the actual ``.nc`` write path is
+executed — not just the encode arithmetic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from cassandra_fs_pp_spark.netcdf3 import (
+    Nc3Variable,
+    read_netcdf3,
+    write_netcdf3,
+)
+from cassandra_fs_pp_spark.sinks import (
+    FILL_VALUE,
+    SCALE_FACTOR,
+    encode_fixed_point,
+    to_netcdf,
+    to_netcdf_long,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_netcdf3_writer_reader_roundtrip(tmp_path):
+    """Raw format round-trip: fixed var, 1-D + 2-D record vars, attrs."""
+    path = str(tmp_path / "raw.nc")
+    depth = np.array([0.05, 0.35, 0.65], dtype="float64")
+    temp = np.arange(12, dtype="int32").reshape(4, 3)
+    tvals = np.array([0.0, 3600.0, 7200.0, 10800.0], dtype="float64")
+    write_netcdf3(
+        path,
+        {"time": None, "sensor": 3},
+        [
+            Nc3Variable("time", ("time",), tvals, {"units": "s"}),
+            Nc3Variable("depth", ("sensor",), depth, {"positive": "down"}),
+            Nc3Variable(
+                "temp", ("time", "sensor"), temp,
+                {"scale_factor": 0.001, "_FillValue": -9999},
+            ),
+        ],
+        {"site": "FS_TEST", "rev": 2},
+    )
+    with open(path, "rb") as f:
+        assert f.read(4) == b"CDF\x01"  # classic CDF-1 magic
+    dims, gattrs, varlist = read_netcdf3(path)
+    assert dims == {"time": None, "sensor": 3}
+    assert gattrs["site"] == "FS_TEST" and gattrs["rev"] == 2
+    v = {x.name: x for x in varlist}
+    assert v["time"].dims == ("time",) and v["time"].data.shape == (4,)
+    np.testing.assert_array_equal(v["time"].data, tvals)
+    np.testing.assert_array_equal(v["depth"].data, depth)
+    assert v["depth"].attrs["positive"] == "down"
+    assert v["temp"].dims == ("time", "sensor")
+    assert v["temp"].data.dtype == np.dtype(">i4") or v["temp"].data.dtype == np.dtype("int32")
+    np.testing.assert_array_equal(v["temp"].data.astype("int32"), temp)
+    assert v["temp"].attrs["_FillValue"] == -9999
+    assert v["temp"].attrs["scale_factor"] == 0.001
+
+
+def test_to_netcdf_end_to_end(spark, tmp_path):
+    """Spark L2-shaped frame -> real .nc on disk -> re-read: dims, attrs,
+    int32/0.001/-9999 encoding, and value fidelity to half a scale step."""
+    rows = [
+        (T0 + i * dt.timedelta(hours=1),
+         None if i == 3 else -19.0 + i * 0.125,
+         1.76 + i * 0.001,
+         i)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, t107 double, tcdt double, q int"
+    )
+    path = str(tmp_path / "l2.nc")
+    to_netcdf(
+        df,
+        path,
+        global_attrs={"site": "FS1", "latitude": 66.18},
+        var_attrs={"t107": {"units": "degC", "standard_name": "soil_temperature"}},
+    )
+    dims, gattrs, varlist = read_netcdf3(path)
+    v = {x.name: x for x in varlist}
+
+    assert dims["time"] is None  # unlimited record dim, like the reference
+    assert gattrs["site"] == "FS1"
+    assert gattrs["latitude"] == pytest.approx(66.18)
+    assert gattrs["institution"] == "cassandra_fs_pp_spark"
+
+    assert v["time"].attrs["units"].startswith("seconds since 1970-01-01")
+    t_expected = np.array(
+        [(T0 + i * dt.timedelta(hours=1)).timestamp() for i in range(6)]
+    )
+    np.testing.assert_allclose(v["time"].data.astype("float64"), t_expected)
+
+    for c in ("t107", "tcdt"):
+        assert v[c].data.astype("int32").dtype == np.dtype("int32")
+        assert v[c].attrs["scale_factor"] == SCALE_FACTOR
+        assert v[c].attrs["_FillValue"] == FILL_VALUE
+    assert v["t107"].attrs["units"] == "degC"
+
+    enc = v["t107"].data.astype("int32")
+    assert enc[3] == FILL_VALUE  # null -> fill sentinel
+    dec = enc.astype("float64") * SCALE_FACTOR
+    orig = np.array([-19.0 + i * 0.125 for i in range(6)])
+    mask = np.arange(6) != 3
+    np.testing.assert_allclose(dec[mask], orig[mask], atol=SCALE_FACTOR / 2)
+
+    # int column passes through un-scaled
+    np.testing.assert_array_equal(
+        v["q"].data.astype("int32"), np.arange(6, dtype="int32")
+    )
+
+
+def test_to_netcdf_matches_encode_fixed_point(spark, tmp_path):
+    """The bytes on disk carry EXACTLY encode_fixed_point's arithmetic
+    (same half-even rounding), so the .nc and parquet export paths agree."""
+    vals = [0.0005, 0.0015, 1.2345, -2.7185, None, 42.0]
+    rows = [(T0 + i * dt.timedelta(hours=1), vals[i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "time timestamp, x double")
+    path = str(tmp_path / "enc.nc")
+    to_netcdf(df, path)
+    _, _, varlist = read_netcdf3(path)
+    nc_ints = {x.name: x for x in varlist}["x"].data.astype("int32").tolist()
+    spark_ints = [
+        r["x"]
+        for r in encode_fixed_point(df.select("x")).collect()
+    ]
+    assert sorted(nc_ints) == sorted(spark_ints)
+
+
+def test_to_netcdf_long_2d_chain(spark, tmp_path):
+    """Long (time, sensor, value) rows -> 2-D time x sensor record var
+    with a per-sensor install-depth coordinate (reference
+    ``bin/fs_process_l2.py:80-95`` subsurf DataArray shape)."""
+    sensors = ["DTC1_1", "DTC1_2", "DTC1_3"]
+    rows = [
+        (T0 + i * dt.timedelta(hours=1), s, -10.0 - i - j * 0.5)
+        for i in range(4)
+        for j, s in enumerate(sensors)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, sensor_id string, value double")
+    path = str(tmp_path / "chain.nc")
+    to_netcdf_long(
+        df,
+        path,
+        var_name="dtc_temp",
+        sensor_coords={"install_depth": {"DTC1_1": -0.17, "DTC1_2": -0.32, "DTC1_3": -0.47}},
+        var_attrs={"units": "degC"},
+    )
+    dims, _, varlist = read_netcdf3(path)
+    v = {x.name: x for x in varlist}
+    assert dims["sensor"] == 3 and dims["time"] is None
+    assert v["dtc_temp"].dims == ("time", "sensor")
+    assert v["dtc_temp"].data.shape == (4, 3)
+    np.testing.assert_allclose(
+        v["install_depth"].data.astype("float64"), [-0.17, -0.32, -0.47]
+    )
+    # decode cell (2, DTC1_2): -10 - 2 - 0.5 = -12.5
+    got = v["dtc_temp"].data.astype("int32")[2, 1] * SCALE_FACTOR
+    assert got == pytest.approx(-12.5, abs=SCALE_FACTOR / 2)
+    names = [
+        b"".join(row).decode().rstrip("\x00")
+        for row in v["sensor_name"].data
+    ]
+    assert names == sensors

@@ -415,3 +415,47 @@ def test_foreach_batch_upsert_incremental(spark, tmp_path):
     want = {r.k: (r.v, r.ver) for r in upsert_snapshot(base, latest2, "k").collect()}
     assert got == want
     assert got[2] == ("b3", 3) and 4 in got and got[1] == ("a1", 1)
+
+
+def test_stream_table_ns_long_layout(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as BOTH timestamp[us]
+    and TIMESTAMP(NANOS); under ``nanosAsLong`` the latter arrives as a
+    raw ns bigint. The current testdata is µs, so this pins the ns->µs
+    floor branch of stream_table/load_table with a hand-built ns fixture
+    (it would otherwise be silently untested until the driver flips
+    layouts back)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "nsdata")
+    os.makedirs(d)
+    ns_vals = [
+        pd.Timestamp("2024-01-01 00:00:00.000000123").value,
+        pd.Timestamp("2024-01-01 00:00:01.999999999").value,
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ns_vals, pa.timestamp("ns")),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+
+    expect = [
+        pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(),
+        pd.Timestamp("2024-01-01 00:00:01.999999").to_pydatetime(),
+    ]
+
+    stream = stream_table(spark, d, "events")
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    got = run_available_now(stream.select("event_id", "ts")).orderBy("event_id")
+    assert [r["ts"] for r in got.collect()] == expect
+
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    batch = load_table(spark, d, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp_ntz"
+    assert [
+        r["ts"] for r in batch.orderBy("event_id").select("ts").collect()
+    ] == expect
