@@ -283,6 +283,178 @@ def filter_udg(
     return despiked.join(original_t, on=keys + [t], how="inner")
 
 
+def fleet_normalise_udg(
+    l1: DataFrame,
+    events_by_site: dict[str, Sequence[Sequence]],
+    *,
+    udg_col: str = "TCDT",
+    site_col: str = "site",
+    t: str = TIME,
+) -> DataFrame:
+    """W9, fleet form — :func:`normalise_udg` for N stations at once.
+
+    The single-station path (reference ``fs_pp.py:452-511`` parity) takes
+    O(#events) driver-side median actions per site; a fleet would pay
+    O(sites x events) sequential Spark jobs. Here ALL sites' auto-delta
+    medians come from ONE distributed aggregation: a broadcast-sized
+    (site, event, date) table range-joins the fleet frame, pre/post
+    medians aggregate per (site, event) in a single shuffle, and one
+    collect of #auto_events rows lets the driver finish the (cheap,
+    order-dependent) rounding recurrence. Offsets re-enter the lineage as
+    a per-site event array via one broadcast join; the subtraction runs
+    per event in config order (``acc - delta``), matching the sequential
+    path's float arithmetic exactly.
+
+    Assumes consecutive events at a site sit >2 days apart (true of the
+    reference's field visits) so an event's ±1-day median windows never
+    straddle an earlier step — then the raw medians are offset-invariant
+    and equal the sequential path's (differential-tested in
+    tests/test_fleet.py).
+
+    Returns ``(site_col, t, udg_col)``.
+    """
+    spark = l1.sparkSession
+    u = l1.select(site_col, t, udg_col)
+
+    # -- driver-side event bookkeeping (metadata plane) --
+    auto_rows = []  # (site, event_index, date)
+    parsed: dict[str, list[tuple[int, _dt.datetime, float | None]]] = {}
+    for site, events in events_by_site.items():
+        out = []
+        for k, ev in enumerate(events):
+            if isinstance(ev, (list, tuple)) and len(ev) == 2:
+                date, user_delta = _to_ts(ev[0]), float(ev[1])
+            else:
+                date = _to_ts(ev[0] if isinstance(ev, (list, tuple)) else ev)
+                user_delta = None
+            if k == 0 and user_delta is None:
+                raise ValueError(
+                    f"site {site}: first udg_height_change event needs a height"
+                )
+            if user_delta is None:
+                auto_rows.append((site, k, date))
+            out.append((k, date, user_delta))
+        parsed[site] = out
+
+    # -- one distributed aggregation for every auto event's medians --
+    raw_medians: dict[tuple[str, int], tuple[float | None, float | None]] = {}
+    if auto_rows:
+        ev_df = spark.createDataFrame(
+            auto_rows, f"{site_col} string, __k int, __date timestamp"
+        )
+        d1 = F.expr("INTERVAL 1 DAY")
+        h4 = F.expr("INTERVAL 4 HOURS")
+        near = u.join(
+            F.broadcast(ev_df),
+            (u[site_col] == ev_df[site_col])
+            & (F.col(t) >= F.col("__date") - d1)
+            & (F.col(t) <= F.col("__date") + d1),
+        ).select(
+            ev_df[site_col].alias("__site"),
+            "__k",
+            F.when(
+                (F.col(t) >= F.col("__date") - d1)
+                & (F.col(t) <= F.col("__date") - h4),
+                F.col(udg_col),
+            ).alias("__pre"),
+            F.when(F.col(t) >= F.col("__date"), F.col(udg_col)).alias("__post"),
+        )
+        med = near.groupBy("__site", "__k").agg(
+            F.median("__pre").alias("pre_m"), F.median("__post").alias("post_m")
+        )
+        for r in med.collect():
+            raw_medians[(r["__site"], r["__k"])] = (r["pre_m"], r["post_m"])
+
+    # -- cheap sequential rounding recurrence per site (driver, no jobs) --
+    deltas_by_site: dict[str, list[tuple[_dt.datetime, float]]] = {}
+    for site, events in parsed.items():
+        off = 0.0
+        out = []
+        for k, date, user_delta in events:
+            if user_delta is not None:
+                delta = user_delta
+            else:
+                pre_raw, post_raw = raw_medians.get((site, k), (None, None))
+                if pre_raw is None or post_raw is None:
+                    raise ValueError(
+                        f"site {site}: no UDG data around height change at {date}"
+                    )
+                # identical arithmetic to the sequential path, which rounds
+                # the offset-applied medians (median commutes with the shift)
+                delta = round(round(post_raw - off, 2) - round(pre_raw - off, 2), 2)
+            off += delta
+            out.append((date, delta))
+        deltas_by_site[site] = out
+
+    # -- re-enter the lineage: per-site event array via one broadcast join --
+    dim = spark.createDataFrame(
+        [
+            (site, [(d, float(dl)) for d, dl in evs])
+            for site, evs in deltas_by_site.items()
+        ],
+        f"{site_col} string, __evs array<struct<d:timestamp,delta:double>>",
+    )
+    tc = F.col(t)
+    applied = F.aggregate(
+        F.filter("__evs", lambda e: e["d"] <= tc),
+        F.col(udg_col).cast("double"),
+        lambda acc, e: acc - e["delta"],
+    )
+    return (
+        u.join(F.broadcast(dim), on=site_col, how="left")
+        .select(site_col, t, applied.alias(udg_col))
+    )
+
+
+def fleet_level1_to_level2(
+    l1: DataFrame,
+    cfg: SiteConfig,
+    events_by_site: dict[str, Sequence[Sequence]],
+    calibrations: dict[str, tuple[float, float]] | None = None,
+    *,
+    site_col: str = "site",
+    valid_ranges: dict[str, tuple[float, float]] = DEFAULT_VALID_RANGES,
+    rename_mapping: Sequence[tuple[str, str]] = DEFAULT_L2_RENAME,
+    t: str = TIME,
+) -> DataFrame:
+    """L1 -> L2 for a FLEET: ``l1`` carries ``site_col`` and every window /
+    grid / join in the UDG chain partitions by it (per-site dominant
+    frequency via :func:`per_key_dominant_freq`, no unpartitioned window
+    anywhere — asserted in tests/test_fleet.py). The reference runs one
+    station at a time (``bin/fs_process_l2.py``); this is the same
+    semantics at any number of stations with one pass over the data.
+
+    Sites share a logger program (one schema, one valid-range spec, one
+    rename mapping — the realistic fleet deployment); per-site metadata
+    (height-change events) arrives via ``events_by_site``.
+    """
+    bounded = null_out_of_range(l1, valid_ranges)
+
+    udg_col = cfg.udg_key
+    norm = fleet_normalise_udg(
+        bounded, events_by_site, udg_col=udg_col, site_col=site_col, t=t
+    )
+    udg_l2 = filter_udg(
+        bounded, udg=norm, udg_col=udg_col, t=t, partition_by=[site_col]
+    )
+
+    ec_exprs = calibrate_ec(bounded, calibrations) if calibrations else {}
+    level2 = bounded.drop(*cfg.remove_columns)
+    level2 = level2.withColumns(ec_exprs) if ec_exprs else level2
+    rename = build_l2_rename(
+        [c for c in level2.columns if c != site_col], rename_mapping
+    )
+    level2 = rename_columns(level2, rename)
+
+    udg_l2_name = rename.get(udg_col, udg_col)
+    level2 = level2.drop(udg_l2_name).join(
+        udg_l2.select(site_col, t, F.col(udg_col).alias(udg_l2_name)),
+        on=[site_col, t],
+        how="left",
+    )
+    return level2.dropDuplicates()
+
+
 # --------------------------------------------------------------------------- #
 # EC calibration
 # --------------------------------------------------------------------------- #

@@ -280,3 +280,67 @@ def test_block_matmul_topk_matches_brute_force(spark):
     }
     assert blocked == exact
     assert len(blocked) == 20 * 5
+
+
+# --------------------------------------------------------------------------- #
+# adversarial skew: hot duplicate class (templated corpus)
+# --------------------------------------------------------------------------- #
+
+
+def _hot_corpus(spark, n_hot=1500, n_uniq=400):
+    """n_hot IDENTICAL docs (one giant duplicate class -> every band bucket
+    is hot) + n_uniq distinct docs."""
+    hot = [(i, "the same templated boilerplate page body " * 4) for i in range(n_hot)]
+    # token-DISJOINT unique docs (no shared vocabulary -> Jaccard 0 with
+    # everything, so any candidate pair they join would be a real bug)
+    uniq = [
+        (n_hot + i, " ".join(f"tok{i}x{j}" for j in range(8)))
+        for i in range(n_uniq)
+    ]
+    return spark.createDataFrame(hot + uniq, "doc_id long, text string").repartition(8)
+
+
+def test_lsh_cluster_exact_on_hot_bucket(spark):
+    """A templated corpus (1500-doc duplicate class) must cluster exactly:
+    the single-pass window form ships (id, band_sig) rows — never pairs —
+    so the hot bucket costs O(n) rows in one window partition, not O(n^2).
+    """
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        lsh_cluster,
+        minhash_signatures,
+    )
+
+    docs = _hot_corpus(spark)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    out = lsh_cluster(sigs, num_hashes=16, bands=8).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 1900
+    # every hot doc -> representative 0; doc 0 itself is not a dup
+    assert not by_id[0]["is_dup"]
+    for i in (1, 2, 750, 1499):
+        assert by_id[i]["cluster_rep"] == 0 and by_id[i]["is_dup"]
+    # unique docs are their own representative
+    for i in (1500, 1899):
+        assert by_id[i]["cluster_rep"] == i and not by_id[i]["is_dup"]
+
+
+def test_lsh_candidate_pairs_exact_on_hot_bucket(spark):
+    """The PAIR form on the same corpus is inherently quadratic in the hot
+    class — kept correct (AQE splits the skewed bucket join) and exact:
+    C(1500,2) pairs, every one inside the duplicate class."""
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _hot_corpus(spark)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    n_hot = 1500
+    expected = n_hot * (n_hot - 1) // 2
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_b").alias("max_b"),
+    ).collect()[0]
+    assert agg["n"] == expected, agg
+    assert agg["max_b"] == n_hot - 1  # no cross-class false candidates
