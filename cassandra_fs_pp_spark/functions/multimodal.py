@@ -161,20 +161,120 @@ def resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
     return IMG_MAGIC + struct.pack("<HHB", out_w, out_h, c) + out.tobytes()
 
 
-def decode_real_image(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Decode a REAL image format (PNG/JPEG). The container ships no imaging
-    library; the Spark-side plumbing is identical to the FAKE path — swap
-    this function when PIL/cv2 is available."""
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-python PNG decode (8-bit gray/RGB/gray+alpha/RGBA,
+    non-interlaced) from the public PNG spec — stdlib zlib + numpy, no
+    imaging library. Returns (h, w, channels) uint8 (channels axis kept
+    even for grayscale)."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                )
+            c = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Pure-python PNG encode (filter 0, one IDAT) of an (h, w, c) or
+    (h, w) uint8 array — a REAL interchange artifact any viewer opens."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_real_image(payload: bytes) -> np.ndarray:
+    """Decode a REAL image payload: PNG via the built-in pure-python
+    decoder (no imaging library needed); FIMG via the fake codec; any
+    other format (JPEG, ...) via optional Pillow when present."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:4] == IMG_MAGIC:
+        return decode_image_pixels(payload)
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - optional dep
         raise NotImplementedError(
-            "real image decode needs the optional 'Pillow' dependency; "
-            "use the FIMG fake codec for plumbing tests"
+            "non-PNG real image decode needs the optional 'Pillow' "
+            "dependency (PNG and FIMG decode built-in)"
         ) from e
     import io
-
-    from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(payload)))
 

@@ -1,0 +1,81 @@
+"""S11 — NetCDF scan (reference ``bin/plot_L2.py:40`` ``xr.open_dataset``).
+
+Reads a classic NetCDF-3 file written by :func:`sinks.to_netcdf` (or any
+tool emitting CDF-1/2) into a time-indexed wide DataFrame, applying the
+CF unpacking convention on the way in: ``float = int32 * scale_factor``
+with ``_FillValue`` -> null (``bin/fs_process_l2.py:196-200`` encoding,
+inverted). Driver-side materialization — an L2 site product is a reduced
+per-station artifact (thousands of rows), the engine-canonical bulk
+format stays Parquet.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_fs_pp_spark.netcdf3 import read_netcdf3
+
+
+def load_netcdf(
+    spark: SparkSession,
+    path: str,
+    *,
+    time_col: str = "time",
+) -> DataFrame:
+    """Classic ``.nc`` -> DataFrame ``(time timestamp, <var> double ...)``.
+
+    1-D variables over the record (time) dimension become columns;
+    packed int variables with ``scale_factor``/``_FillValue`` attrs are
+    unpacked to nullable doubles; the time coordinate is decoded from its
+    CF ``units`` epoch (``seconds|days since <epoch>``).
+    """
+    dims, _gattrs, variables = read_netcdf3(path)
+    record_dim = next((n for n, s in dims.items() if s is None), None)
+    if record_dim is None:
+        raise ValueError(f"{path}: no record (time) dimension")
+
+    tvar = next((v for v in variables if v.name == time_col), None)
+    if tvar is None:
+        raise ValueError(f"{path}: no {time_col!r} coordinate variable")
+    units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
+    unit, _, epoch = units.partition(" since ")
+    base = _dt.datetime.fromisoformat(epoch.strip())
+    per = {"seconds": 1.0, "days": 86400.0, "hours": 3600.0}[unit.strip()]
+    tvals = [
+        base + _dt.timedelta(seconds=float(x) * per)
+        for x in np.asarray(tvar.data, dtype="float64")
+    ]
+
+    names: list[str] = [time_col]
+    columns: list[list] = [tvals]
+    for v in variables:
+        if v.name == time_col or v.dims != (record_dim,):
+            continue
+        arr = np.asarray(v.data)
+        if "scale_factor" in v.attrs:
+            fill = v.attrs.get("_FillValue")
+            scale = float(v.attrs["scale_factor"])
+            vals = [
+                None if (fill is not None and int(x) == int(fill)) else float(x) * scale
+                for x in arr
+            ]
+            columns.append(vals)
+        elif arr.dtype.kind == "f":
+            columns.append([float(x) for x in arr.astype("float64")])
+        else:
+            columns.append([int(x) for x in arr])
+        names.append(v.name)
+
+    rows = list(zip(*columns))
+    fields = []
+    for n, col in zip(names, columns):
+        if n == time_col:
+            fields.append(f"`{n}` timestamp")
+        elif any(isinstance(x, float) or x is None for x in col):
+            fields.append(f"`{n}` double")
+        else:
+            fields.append(f"`{n}` bigint")
+    return spark.createDataFrame(rows, ", ".join(fields))

@@ -50,9 +50,140 @@ def test_resize_nearest_exact():
     assert out[:, :, 0].tolist() == [[0, 2], [8, 10]]
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_real_image(b"\x89PNG\r\n")
+def test_png_roundtrip_all_channel_counts():
+    from cassandra_fs_pp_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(5, 7, c), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter scanlines with each PNG filter (Sub/Up/Average/Paeth)
+    per the public spec and assert the decoder inverts them exactly."""
+    import struct as _struct
+    import zlib
+
+    from cassandra_fs_pp_spark.functions.multimodal import PNG_SIG, decode_png
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        raw.append(f)
+        for x in range(stride):
+            cur = flat[y][x]
+            a = flat[y][x - c] if x >= c else 0
+            b = flat[y - 1][x] if y > 0 else 0
+            cc = flat[y - 1][x - c] if (y > 0 and x >= c) else 0
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - a
+            elif f == 2:
+                enc = cur - b
+            elif f == 3:
+                enc = cur - ((a + b) >> 1)
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc = cur - pr
+            raw.append(enc & 0xFF)
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), img)
+
+
+def test_real_decode_dispatch():
+    """decode_real_image: PNG -> built-in decoder, FIMG -> fake codec,
+    anything else -> PIL or a clean NotImplementedError."""
+    from cassandra_fs_pp_spark.functions.multimodal import encode_png
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    np.testing.assert_array_equal(decode_real_image(encode_png(img)), img)
+
+    fake = encode_fake_image(0, 4, 4, 1)
+    assert decode_real_image(fake).shape == (4, 4, 1)
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_real_image(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+def test_png_payloads_through_spark_pipeline(spark):
+    """REAL (PNG) payload column through the same Arrow mapInPandas
+    plumbing as the fake codec: encode per row, decode+stats distributed."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_real_image, encode_png,
+    )
+
+    ids = spark.range(0, 32).withColumnRenamed("id", "media_id")
+
+    enc_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            rng = np.random.RandomState(0)
+            pdf["payload"] = [
+                encode_png(
+                    (np.full((4 + k % 3, 5, 3), k, dtype=np.uint8))
+                ) for k in pdf["media_id"].astype(int)
+            ]
+            yield pdf[["media_id", "payload"]]
+
+    stats_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("mean_px", DoubleType()),
+            StructField("h", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_real_image(bytes(payload))
+                rows.append((int(k), float(arr.mean()), arr.shape[0]))
+            yield pd.DataFrame(rows, columns=["media_id", "mean_px", "h"])
+
+    out = (
+        ids.mapInPandas(enc, schema=enc_schema)
+        .mapInPandas(stats, schema=stats_schema)
+        .collect()
+    )
+    assert len(out) == 32
+    for r in out:
+        assert r["mean_px"] == float(r["media_id"])
+        assert r["h"] == 4 + r["media_id"] % 3
 
 
 @pytest.fixture(scope="module")

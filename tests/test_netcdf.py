@@ -173,3 +173,32 @@ def test_to_netcdf_long_2d_chain(spark, tmp_path):
         for row in v["sensor_name"].data
     ]
     assert names == sensors
+
+
+def test_s11_netcdf_scan_roundtrip(spark, tmp_path):
+    """S11 — write an L2-shaped .nc, scan it back as a DataFrame: packed
+    int32 vars unpack to doubles (scale 0.001), fills -> null, timestamps
+    decode from the CF epoch units (reference plot_L2.py reads L2 .nc)."""
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf
+
+    rows = [
+        (T0 + i * dt.timedelta(hours=1),
+         None if i == 2 else -15.0 + i * 0.25,
+         i)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, t107 double, q int")
+    path = str(tmp_path / "scan.nc")
+    to_netcdf(df, path, global_attrs={"site": "FS1"})
+
+    back = load_netcdf(spark, path)
+    assert dict(back.dtypes) == {"time": "timestamp", "t107": "double", "q": "bigint"}
+    got = {r["time"]: r for r in back.collect()}
+    assert len(got) == 5
+    for i in range(5):
+        t = T0 + i * dt.timedelta(hours=1)
+        if i == 2:
+            assert got[t]["t107"] is None
+        else:
+            assert got[t]["t107"] == pytest.approx(-15.0 + i * 0.25, abs=SCALE_FACTOR / 2)
+        assert got[t]["q"] == i
