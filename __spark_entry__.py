@@ -2675,8 +2675,8 @@ votes AS (
   FROM h CROSS JOIN bits GROUP BY doc_id, bit
 ), sh AS (
   SELECT doc_id,
-         sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
-           AS simhash
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2712,8 +2712,8 @@ votes AS (
   FROM h CROSS JOIN bits GROUP BY doc_id, bit
 ), sh AS (
   SELECT doc_id,
-         sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
-           AS simhash
+         CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, bit) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, simhash, b.range AS band,
