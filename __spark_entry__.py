@@ -3991,6 +3991,161 @@ WHERE cum_size <= 4000
 """
 
 
+SPAN_WORDS = 16
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal — exact substring dedup at fixed chunk
+    granularity (the within/cross-document boilerplate scrub real corpus
+    pipelines run after doc-level dedup): 16-word non-overlapping chunks,
+    first occurrence in (doc_id, chunk_index) order wins, per-doc
+    retention stats. Chunk identity is a hash-groupBy key: shuffle is
+    O(total chunks), never pairwise."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    chunks = docs.select("doc_id", ws.alias("__ws")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__ws)/{SPAN_WORDS}.0) as int) - 1),"
+                f" ci -> array_join(slice(__ws, ci*{SPAN_WORDS}+1, {SPAN_WORDS}), ' '))"
+            )
+        ).alias("ci", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    dup = F.when(F.col("__rn") > 1, 1).otherwise(0)
+    cnt = F.count(F.lit(1))
+    ndup = F.sum(dup)
+    return ranked.groupBy("doc_id").agg(
+        cnt.alias("n_chunks"),
+        ndup.cast("bigint").alias("n_dup_chunks"),
+        (F.lit(1.0) - ndup.cast("double") / cnt.cast("double")).alias(
+            "retained_ratio"
+        ),
+    )
+
+
+DEDUP_SPANS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(ws)/{SPAN_WORDS}.0) AS INT))) AS ci,
+         ws
+  FROM tok),
+chunks AS (
+  SELECT doc_id, ci,
+         array_to_string(ws[ci*{SPAN_WORDS}+1 : ci*{SPAN_WORDS}+{SPAN_WORDS}], ' ')
+           AS chunk
+  FROM ch),
+ranked AS (
+  SELECT doc_id, ci,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+  FROM chunks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(1 AS DOUBLE)
+         - CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS retained_ratio
+FROM ranked GROUP BY doc_id
+"""
+
+
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity score (cheap LM-perplexity proxy): each doc's
+    mean corpus-wide frequency of its bigrams. Two aggregations + one
+    shuffle join on the bigram key — integer counts all the way, a single
+    exact division at the end (no transcendental functions, so Spark and
+    the oracle agree bit-for-bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = docs.select("doc_id", ws.alias("__ws")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c"))
+    n = F.count(F.lit(1))
+    return (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_bigrams"),
+            (F.sum("__c").cast("double") / n.cast("double")).alias(
+                "mean_bigram_freq"
+            ),
+        )
+    )
+
+
+TEXT_LM_FAMILIARITY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> list_extract(ws, i) || ' ' || list_extract(ws, i + 1)))
+           AS bg
+  FROM tok),
+cnt AS (SELECT bg, count(*) AS c FROM bgs GROUP BY bg)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bigram_freq
+FROM bgs JOIN cnt USING (bg)
+GROUP BY doc_id
+"""
+
+
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: per-source token share vs a uniform target
+    proportion; the per-source sampling rate ``min(1, target/share)`` is
+    what a mixer applies to hit the recipe. One aggregation + a 1-row
+    broadcast total — counts stay integer until the final divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per_src = docs.select("source", n_tok.alias("__n")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("toks"),
+    )
+    total = per_src.agg(F.sum("toks").alias("__total"))
+    share = F.col("toks").cast("double") / F.col("__total").cast("double")
+    return per_src.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "toks",
+        share.alias("share"),
+        F.least(F.lit(1.0), F.lit(0.05) / share).alias("sample_rate"),
+    )
+
+
+CURATION_DOMAIN_MIX_ORACLE = r"""
+WITH tok AS (
+  SELECT source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n
+  FROM documents),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS toks
+  FROM tok GROUP BY source),
+tot AS (SELECT CAST(sum(toks) AS DOUBLE) AS total FROM agg)
+SELECT source, n_docs, toks,
+       CAST(toks AS DOUBLE) / total AS share,
+       least(CAST(1 AS DOUBLE),
+             CAST(0.05 AS DOUBLE) / (CAST(toks AS DOUBLE) / total))
+         AS sample_rate
+FROM agg, tot
+"""
+
+
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a_sessionize's streaming twin: native session_window keeps one open
     window per user, the watermark closes and frees state; availableNow
@@ -5343,6 +5498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_source_budget": curation_source_budget,
         "curation_weighted_sample": curation_weighted_sample,
         "curation_pipeline": curation_pipeline,
+        "dedup_spans": dedup_spans,
+        "text_lm_familiarity": text_lm_familiarity,
+        "curation_domain_mix": curation_domain_mix,
         "ann_block_topk": ann_block_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -5553,6 +5711,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
+        "dedup_spans": DEDUP_SPANS_ORACLE,
+        "text_lm_familiarity": TEXT_LM_FAMILIARITY_ORACLE,
+        "curation_domain_mix": CURATION_DOMAIN_MIX_ORACLE,
         "p_debounce_burst": P_DEBOUNCE_ORACLE,
         "a_time_weighted_avg": A_TWA_ORACLE,
         "a_histogram": A_HISTOGRAM_ORACLE,
