@@ -5473,6 +5473,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        # --- SURVEY §2 operators with no r01 driver row ---
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "j4_asof_forward": j4_asof_forward,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a9_head_mean": a9_head_mean,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
+        # --- streaming twins (batch-parity semantics) ---
+        "stream_hourly_agg": stream_hourly_agg,
+        "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
         # --- LLM-data pipeline: dedup / text / curation / ANN / embeddings ---
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5498,38 +5515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_source_budget": curation_source_budget,
         "curation_weighted_sample": curation_weighted_sample,
         "curation_pipeline": curation_pipeline,
-        "dedup_spans": dedup_spans,
-        "text_lm_familiarity": text_lm_familiarity,
-        "curation_domain_mix": curation_domain_mix,
         "ann_block_topk": ann_block_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
+        # --- past the 50-slot window r01's driver sweep covered ---
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_stats": mm_audio_stats,
-        # --- SURVEY §2 window/join/agg operators outside r01's window ---
-        "w2_centered_median": w2_centered_median,
-        "w3_count_window_median": w3_count_window_median,
-        "w4_trailing_mean_minp": w4_trailing_mean_minp,
-        "w7_ts_delta": w7_ts_delta,
-        "w10_first_after": w10_first_after,
+        "emb_label_centroids": emb_label_centroids,
+        "dedup_spans": dedup_spans,
+        "text_lm_familiarity": text_lm_familiarity,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "w_first_last": w_first_last,
-        "j3_outer_align": j3_outer_align,
-        "j6_dim_attach": j6_dim_attach,
-        "j4_asof_forward": j4_asof_forward,
-        "a4_distinct_counts": a4_distinct_counts,
-        "a9_head_mean": a9_head_mean,
-        "r1_melt": r1_melt,
-        "p5_regex_projection": p5_regex_projection,
-        # --- streaming twins (batch-parity semantics) ---
-        "stream_hourly_agg": stream_hourly_agg,
-        "stream_dedup_counts": stream_dedup_counts,
-        "stream_session_agg": stream_session_agg,
         # --- graph / stats / sessionization / misc analytics ---
         "graph_connected_components": graph_connected_components,
         "graph_pagerank": graph_pagerank,
