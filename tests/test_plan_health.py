@@ -74,3 +74,33 @@ def test_scans_prune_columns(spark):
     assert set(cols) <= {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     }, cols
+
+
+def test_partsupp_trio_no_cartesian(spark):
+    """Q2/Q20 must be pure broadcast-hash shapes; Q11's only nested-loop
+    is the 1-row scalar-total broadcast (a cross join against a single
+    aggregate row — the canonical scalar-subquery plan, not a pair join)."""
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q20_promotion_suppliers"):
+        plan = _formatted_plan(entrymod.queries()[name](spark, SF))
+        assert _n(plan, "CartesianProduct") == 0, name
+        assert _n(plan, "BroadcastNestedLoopJoin") == 0, name
+    q11 = _formatted_plan(
+        entrymod.queries()["tpch_q11_important_stock"](spark, SF)
+    )
+    assert _n(q11, "CartesianProduct") == 0
+    assert _n(q11, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_lsh_topk_pair_dedup_is_narrow(spark):
+    """ann_lsh_topk's candidate dedup exchange must move only id pairs —
+    the embedding arrays may not appear below the dedup aggregate."""
+    import re as _re
+
+    plan = _formatted_plan(entrymod.queries()["ann_lsh_topk"](spark, SF))
+    # locate the pair-dedup HashAggregate (keys = query_id, neighbor_id)
+    m = _re.search(
+        r"HashAggregate[\s\S]{0,400}?Keys \[2\]: \[query_id#\d+L, neighbor_id#\d+L\]",
+        plan,
+    )
+    assert m, plan
+    assert _n(plan, "CartesianProduct") == 0
