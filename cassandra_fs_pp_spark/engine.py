@@ -10,7 +10,7 @@ handle: config-driven, lazy DataFrames out, writes via the engine sinks.
     eng.write_l1(l1)                      # K1 CSV (reference contract)
     l2 = eng.level1_to_level2(l1)
     eng.write_l2_csv(l2)                  # K2
-    eng.to_netcdf(l2, "fs1.nc")           # K3 (optional xarray dep)
+    eng.to_netcdf(l2, "fs1.nc")           # K3 (built-in classic writer)
 
 CLI twins of the reference's ``bin/fs_process_l1.py`` / ``fs_process_l2.py``
 live in :mod:`cassandra_fs_pp_spark.cli`.

@@ -29,17 +29,19 @@ def load_netcdf(
 
     1-D variables over the record (time) dimension become columns;
     packed int variables with ``scale_factor``/``_FillValue`` attrs are
-    unpacked to nullable doubles; the time coordinate is decoded from its
-    CF ``units`` epoch (``seconds|days since <epoch>``).
+    unpacked to nullable doubles; the record coordinate (the variable
+    named after the record dimension, e.g. ``time``) is decoded from its
+    CF ``units`` epoch (``seconds|days since <epoch>``) and returned
+    under ``time_col``.
     """
     dims, _gattrs, variables = read_netcdf3(path)
     record_dim = next((n for n, s in dims.items() if s is None), None)
     if record_dim is None:
         raise ValueError(f"{path}: no record (time) dimension")
 
-    tvar = next((v for v in variables if v.name == time_col), None)
+    tvar = next((v for v in variables if v.name == record_dim), None)
     if tvar is None:
-        raise ValueError(f"{path}: no {time_col!r} coordinate variable")
+        raise ValueError(f"{path}: no {record_dim!r} coordinate variable")
     units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
     unit, _, epoch = units.partition(" since ")
     base = _dt.datetime.fromisoformat(epoch.strip())
@@ -52,7 +54,7 @@ def load_netcdf(
     names: list[str] = [time_col]
     columns: list[list] = [tvals]
     for v in variables:
-        if v.name == time_col or v.dims != (record_dim,):
+        if v.name == record_dim or v.dims != (record_dim,):
             continue
         arr = np.asarray(v.data)
         if "scale_factor" in v.attrs:

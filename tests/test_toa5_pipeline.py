@@ -427,12 +427,29 @@ def test_engine_facade_and_cli(spark, site, tmp_path):
     assert cli_main(["l1", str(site / "site.toml"), str(site), "-o", out1]) == 0
     assert cli_main(["l1", str(site / "site.toml"), str(site), "-o", out1]) == 1
     out2 = str(tmp_path / "cli_l2")
+    nc = str(tmp_path / "cli_l2.nc")
     assert (
         cli_main(
             ["l2", str(site / "site.toml"), str(site), "--l1", out1,
-             "-o", out2, "--calibration", str(site / "cal.csv")]
+             "-o", out2, "--calibration", str(site / "cal.csv"),
+             "--netcdf", nc]
         )
         == 0
     )
     l2cli = spark.read.csv(out2, header=True, inferSchema=True)
     assert l2cli.count() == N
+
+    # --netcdf now writes a REAL classic .nc (built-in writer, no xarray):
+    # scan it back (S11) and cross-check a value against the CSV export
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf
+
+    nc_df = load_netcdf(spark, nc, time_col="TIMESTAMP")
+    assert nc_df.count() == N
+    a = l2cli.orderBy("TIMESTAMP").select("TCDT(m)").limit(5).collect()
+    b = nc_df.orderBy("TIMESTAMP").select("TCDT(m)").limit(5).collect()
+    for ra, rb in zip(a, b):
+        va, vb = ra["TCDT(m)"], rb["TCDT(m)"]
+        if va is None:
+            assert vb is None
+        else:
+            assert vb == pytest.approx(va, abs=0.0005)
