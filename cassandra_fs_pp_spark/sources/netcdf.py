@@ -81,3 +81,63 @@ def load_netcdf(
         else:
             fields.append(f"`{n}` bigint")
     return spark.createDataFrame(rows, ", ".join(fields))
+
+
+def load_netcdf_long(
+    spark: SparkSession,
+    path: str,
+    *,
+    var_name: str,
+    time_col: str = "time",
+    sensor_col: str = "sensor_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """2-D (time x sensor) chain variable -> long ``(time, sensor_id,
+    value)`` rows, the engine's canonical chain layout (inverse of
+    :func:`sinks.to_netcdf_long`). Sensor ids come from the
+    ``sensor_name`` char matrix when present, else the 0-based index."""
+    import datetime as _dt2
+
+    dims, _gattrs, variables = read_netcdf3(path)
+    record_dim = next((n for n, s in dims.items() if s is None), None)
+    v = {x.name: x for x in variables}
+    if var_name not in v:
+        raise ValueError(f"{path}: no variable {var_name!r}")
+    var = v[var_name]
+    if len(var.dims) != 2 or var.dims[0] != record_dim:
+        raise ValueError(f"{path}: {var_name!r} is not (record, sensor)-shaped")
+
+    tvar = v[record_dim]
+    units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
+    unit, _, epoch = units.partition(" since ")
+    base = _dt2.datetime.fromisoformat(epoch.strip())
+    per = {"seconds": 1.0, "days": 86400.0, "hours": 3600.0}[unit.strip()]
+    tvals = [
+        base + _dt2.timedelta(seconds=float(x) * per)
+        for x in np.asarray(tvar.data, dtype="float64")
+    ]
+
+    n_sensors = var.data.shape[1]
+    if "sensor_name" in v:
+        sensors = [
+            b"".join(row).decode().rstrip("\x00")
+            for row in v["sensor_name"].data
+        ]
+    else:
+        sensors = [str(i) for i in range(n_sensors)]
+
+    arr = np.asarray(var.data)
+    fill = var.attrs.get("_FillValue")
+    scale = var.attrs.get("scale_factor")
+    rows = []
+    for ti, t in enumerate(tvals):
+        for si, s in enumerate(sensors):
+            x = arr[ti, si]
+            if scale is not None:
+                val = None if (fill is not None and int(x) == int(fill)) else float(x) * float(scale)
+            else:
+                val = float(x)
+            rows.append((t, s, val))
+    return spark.createDataFrame(
+        rows, f"`{time_col}` timestamp, `{sensor_col}` string, `{value_col}` double"
+    )

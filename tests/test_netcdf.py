@@ -258,3 +258,28 @@ def test_netcdf3_property_roundtrip(tmp_path_factory, n_rec, n_fix, dtype, wide,
         assert got == attr_val
     else:
         assert got == attr_val
+
+
+def test_netcdf_long_roundtrip(spark, tmp_path):
+    """to_netcdf_long -> load_netcdf_long round-trips the long chain
+    layout (time, sensor_id, value) through a real 2-D .nc file."""
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf_long
+
+    sensors = ["DTC1_1", "DTC1_2"]
+    rows = [
+        (T0 + i * dt.timedelta(hours=1), s, None if (i, j) == (1, 0) else -5.0 - i - j)
+        for i in range(3)
+        for j, s in enumerate(sensors)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, sensor_id string, value double")
+    path = str(tmp_path / "long.nc")
+    to_netcdf_long(df, path, var_name="dtc")
+
+    back = load_netcdf_long(spark, path, var_name="dtc")
+    got = {(r["time"], r["sensor_id"]): r["value"] for r in back.collect()}
+    assert len(got) == 6
+    for t, s, val in rows:
+        if val is None:
+            assert got[(t, s)] is None
+        else:
+            assert got[(t, s)] == pytest.approx(val, abs=SCALE_FACTOR / 2)
