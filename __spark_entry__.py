@@ -2908,7 +2908,9 @@ def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
     )
-    return embedding_near_dups(emb.unionByName(shadow), threshold=0.45)
+    return embedding_near_dups(
+        emb.unionByName(shadow), threshold=0.45, dim=EMB_DIM
+    )
 
 
 EMB_NEAR_DUPS_ORACLE = """

@@ -337,9 +337,20 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding-space near-dup)."""
-    a = vectors.select(
+    """All pairs with cosine >= threshold (embedding-space near-dup).
+
+    Quadratic by contract (the exact answer set); per-pair cost matters:
+    the streamed side is repartitioned so the nested-loop join fans out
+    across cores (a small corpus arrives as ONE parquet partition and
+    would otherwise run single-task), and the pair dot is the unrolled
+    codegen form when ``dim`` is known — both bit-identical to the
+    compact forms. The LSH/IVF/cluster operators are the scale paths."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    a = vectors.repartition(n_parts).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         l2_norm(F.col(vec_col)).alias("na"),
@@ -354,7 +365,8 @@ def embedding_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_raw",
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            dot_unrolled(F.col("va"), F.col("vb"), dim)
+            / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.col("cos_raw").alias("cosine"))
