@@ -2094,6 +2094,43 @@ ORDER BY s_name
 """
 
 
+def tpch_q16_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Q16 on the partsupp stand-in: distinct suppliers per part
+    attribute group, EXCLUDING a supplier denylist (negative account
+    balance stands in for the complaints predicate — no s_comment column).
+    The anti-join applies to the broadcast-small supplier dim BEFORE the
+    countDistinct, so the exclusion costs nothing at fact scale."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 30)
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps["ps_suppkey"] == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(sel), ps["ps_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_PS_ORACLE = f"""
+WITH {PARTSUPP_CTE.strip()}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size <= 30
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value/nth analytic functions per user over event
     time (deterministic event_id tiebreak)."""
@@ -5504,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q16_partsupp": tpch_q16_partsupp,
         # --- SURVEY §2 operators with no r01 driver row ---
         "w2_centered_median": w2_centered_median,
         "w3_count_window_median": w3_count_window_median,
@@ -5709,6 +5747,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q2_min_cost_supplier": TPCH_Q2_ORACLE,
         "tpch_q11_important_stock": TPCH_Q11_ORACLE,
         "tpch_q20_promotion_suppliers": TPCH_Q20_ORACLE,
+        "tpch_q16_partsupp": TPCH_Q16_PS_ORACLE,
         "tpch_q16_supplier_count": TPCH_Q16_ORACLE,
         "tpch_q21_shape": TPCH_Q21_ORACLE,
         "w_first_last": W_FIRST_LAST_ORACLE,
