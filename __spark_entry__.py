@@ -3931,6 +3931,87 @@ FROM f WHERE idx % 2 = 0 GROUP BY doc_id
 """
 
 
+def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path under the correctness gate: each row encodes an
+    actual PNG (pure-python encoder) of a deterministic solid image
+    derived from doc_id, ships the bytes through the corpus, decodes with
+    the engine's spec-conformant PNG decoder, and reports pixel stats.
+    The oracle never sees the bytes — it recomputes the closed form the
+    image was built from, so a green row certifies the full distributed
+    encode->binary column->decode round-trip."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_real_image,
+        encode_png,
+    )
+
+    ids = _media_ids(spark, sf_dir)
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("png", BinaryType())]
+    )
+
+    def enc(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            pdf = pdf[["doc_id"]].copy()
+            pdf["png"] = [
+                encode_png(
+                    _np.full(
+                        (4 + int(k) % 3, 5, 3), int(k) % 256, dtype=_np.uint8
+                    )
+                )
+                for k in pdf["doc_id"]
+            ]
+            yield pdf
+
+    out_schema = "doc_id long, h long, w long, c long, mean_px double, n_png_bytes long"
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["doc_id"], pdf["png"]):
+                arr = decode_real_image(bytes(payload))
+                rows.append(
+                    (
+                        int(k),
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.shape[2],
+                        float(arr.mean()),
+                        len(payload),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "c", "mean_px", "n_png_bytes"],
+            )
+
+    return (
+        ids.mapInPandas(enc, schema=enc_schema)
+        .mapInPandas(dec, schema=out_schema)
+        .select("doc_id", "h", "w", "c", "mean_px")
+    )
+
+
+MM_PNG_ORACLE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 3 AS BIGINT) AS h,
+       CAST(5 AS BIGINT) AS w,
+       CAST(3 AS BIGINT) AS c,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     auds = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="audio")
     st = audio_stats(auds, "doc_id")
@@ -5586,11 +5667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "ann_block_topk": ann_block_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_inertia": emb_label_inertia,
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
+        "mm_png_roundtrip": mm_png_roundtrip,
         # --- past the 50-slot window r01's driver sweep covered ---
+        "emb_near_dups": emb_near_dups,
+        "emb_label_inertia": emb_label_inertia,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_stats": mm_audio_stats,
         "emb_label_centroids": emb_label_centroids,
@@ -5834,6 +5916,7 @@ def oracle_sql() -> dict[str, str]:
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,
         "mm_image_stats": MM_STATS_ORACLE,
+        "mm_png_roundtrip": MM_PNG_ORACLE,
         "mm_frame_sample": MM_FRAMES_ORACLE,
         "mm_audio_stats": MM_AUDIO_ORACLE,
         "stream_hourly_agg": STREAM_A8_ORACLE,
