@@ -3931,6 +3931,113 @@ FROM f WHERE idx % 2 = 0 GROUP BY doc_id
 """
 
 
+def fleet_udg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's UDG despike chain (P8 gate -> per-site dominant
+    frequency -> grid + limit-3 reindex-ffill -> trailing 2-day rolling
+    median -> threshold null -> realign, ``fs_pp.py:514-567``) run in
+    FLEET mode over 3 synthetic stations with different sampling rates —
+    every window partitioned by site, per-key frequency detection, one
+    pass. The corpus is a closed-form function of (site, k): per-site
+    grids of (site+1)*15min with deterministic gaps (ffill-able and
+    beyond-limit), quality faults, and one spike; the oracle recomputes
+    the whole chain analytically in SQL."""
+    from cassandra_fs_pp_spark.plans.levels import filter_udg
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("k")
+    src = (
+        ev.select(
+            (F.col("user_id") % 3).alias("site_n"),
+            (F.col("event_id") % 400).alias("k"),
+        )
+        .distinct()
+        .filter(~(k % 17).isin(3, 4) & ~k.between(100, 104))
+        .select(
+            F.concat(F.lit("S"), F.col("site_n")).alias("site"),
+            F.expr(
+                "timestamp '2024-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, CAST((site_n + 1) * 900 * k AS DOUBLE))"
+            ).alias("t"),
+            (
+                (k % 7) * F.lit(0.01)
+                + F.col("site_n")
+                + F.when(k == 50, F.lit(5.0)).otherwise(F.lit(0.0))
+            ).alias("udg"),
+            F.when(k % 37 == 0, F.lit(300))
+            .when(k % 23 == 0, F.lit(None).cast("int"))
+            .otherwise(F.lit(180))
+            .alias("q"),
+        )
+    )
+    return filter_udg(
+        src, udg_col="udg", q_col="q", t="t", partition_by=["site"]
+    ).select("site", "t", "udg")
+
+
+FLEET_UDG_ORACLE = """
+WITH ks AS (
+  SELECT DISTINCT user_id % 3 AS site_n, event_id % 400 AS k FROM events
+),
+src AS (
+  SELECT 'S' || CAST(site_n AS VARCHAR) AS site,
+         site_n,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds((site_n + 1) * 900 * k) AS t,
+         (k % 7) * 0.01 + site_n
+           + CASE WHEN k = 50 THEN 5.0 ELSE 0.0 END AS udg,
+         CASE WHEN k % 37 = 0 THEN 300
+              WHEN k % 23 = 0 THEN NULL
+              ELSE 180 END AS q
+  FROM ks
+  WHERE NOT (k % 17 IN (3, 4)) AND NOT (k BETWEEN 100 AND 104)
+),
+gated AS (
+  SELECT site, site_n, t,
+         CASE WHEN coalesce(q, 150) BETWEEN 150 AND 210 THEN udg END AS udg
+  FROM src
+),
+bounds AS (
+  SELECT site, site_n, (site_n + 1) * 900 AS fs,
+         min(t) AS t0, max(t) AS t1
+  FROM gated GROUP BY site, site_n
+),
+grid AS (
+  SELECT site, fs, unnest(generate_series(t0, t1, to_seconds(fs))) AS t
+  FROM bounds
+),
+g AS (
+  SELECT grid.site, grid.fs, grid.t, gated.udg,
+         (gated.site IS NOT NULL) AS orig
+  FROM grid LEFT JOIN gated ON grid.site = gated.site AND grid.t = gated.t
+),
+f AS (
+  SELECT site, fs, t, udg, orig,
+         last_value(CASE WHEN orig THEN
+             {'et': CAST(epoch(t) AS BIGINT), 'v': udg} END IGNORE NULLS)
+           OVER (PARTITION BY site ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
+  FROM g
+),
+filled AS (
+  SELECT site, fs, t,
+         CASE WHEN orig THEN udg
+              WHEN CAST(epoch(t) AS BIGINT) - lo.et <= 3 * fs THEN lo.v
+         END AS udg
+  FROM f
+),
+despiked AS (
+  SELECT site, t,
+         CASE WHEN abs(median(udg) OVER (
+                PARTITION BY site ORDER BY CAST(epoch(t) AS BIGINT)
+                RANGE BETWEEN 172799 PRECEDING AND CURRENT ROW) - udg) < 0.5
+              THEN udg END AS udg
+  FROM filled
+)
+SELECT d.site, d.t, d.udg
+FROM despiked d JOIN src ON d.site = src.site AND d.t = src.t
+"""
+
+
 def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path under the correctness gate: each row encodes an
     actual PNG (pure-python encoder) of a deterministic solid image
@@ -5640,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_agg": stream_hourly_agg,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
+        "fleet_udg_filter": fleet_udg_filter,
         # --- LLM-data pipeline: dedup / text / curation / ANN / embeddings ---
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5655,7 +5763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": text_split_assign,
         "text_token_topk": text_token_topk,
         "text_repetition": text_repetition,
-        "text_hash_features": text_hash_features,
         "text_tfidf": text_tfidf,
         "text_bigram_pmi": text_bigram_pmi,
         "curation_stratified_sample": curation_stratified_sample,
@@ -5671,6 +5778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": mm_image_stats,
         "mm_png_roundtrip": mm_png_roundtrip,
         # --- past the 50-slot window r01's driver sweep covered ---
+        "text_hash_features": text_hash_features,
         "emb_near_dups": emb_near_dups,
         "emb_label_inertia": emb_label_inertia,
         "mm_frame_sample": mm_frame_sample,
@@ -5852,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_block_topk": ANN_BLOCK_ORACLE,
         "curation_source_budget": CURATION_BUDGET_ORACLE,
         "stream_session_agg": STREAM_SESSION_ORACLE,
+        "fleet_udg_filter": FLEET_UDG_ORACLE,
         "j_skew_salted": J_SKEW_ORACLE,
         "op_scd2_intervals": SCD2_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
