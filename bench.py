@@ -52,6 +52,7 @@ HEADLINE = [
     "emb_label_inertia",
     "p_debounce_burst",
     "a_time_weighted_avg",
+    "fleet_udg_filter",
 ]
 
 
