@@ -3983,8 +3983,9 @@ src AS (
          site_n,
          TIMESTAMP '2024-01-01 00:00:00'
            + to_seconds((site_n + 1) * 900 * k) AS t,
-         (k % 7) * 0.01 + site_n
-           + CASE WHEN k = 50 THEN 5.0 ELSE 0.0 END AS udg,
+         (k % 7) * CAST(0.01 AS DOUBLE) + site_n
+           + CASE WHEN k = 50 THEN CAST(5.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS udg,
          CASE WHEN k % 37 = 0 THEN 300
               WHEN k % 23 = 0 THEN NULL
               ELSE 180 END AS q
@@ -4035,6 +4036,67 @@ despiked AS (
 )
 SELECT d.site, d.t, d.udg
 FROM despiked d JOIN src ON d.site = src.site AND d.t = src.t
+"""
+
+
+def fleet_tdr_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 fleet form under the gate: per-site TDR burial depth where the
+    at-install normalization constant is a first-value window instead of
+    the single-station path's per-site driver collect
+    (``fs_pp.py:611-644``); ratchet closed form partitioned by site.
+    Corpus: per-site triangular surface series, a closed-form function of
+    (site, k) the oracle recomputes analytically."""
+    from cassandra_fs_pp_spark.plans.levels import fleet_calc_depth_tdr
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("k")
+    tri = F.when(
+        (k % 40) < 20, (k % 20) * F.lit(0.05)
+    ).otherwise((20 - (k % 20)) * F.lit(0.05))
+    src = (
+        ev.select(
+            (F.col("user_id") % 3).alias("site_n"),
+            (F.col("event_id") % 200).alias("k"),
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("S"), F.col("site_n")).alias("site"),
+            F.expr(
+                "timestamp '2024-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, CAST(k * 21600 AS DOUBLE))"
+            ).alias("t"),
+            (tri + F.col("site_n") * F.lit(0.1)).alias("udg"),
+        )
+    )
+    import datetime as _dt
+
+    return fleet_calc_depth_tdr(
+        src, _dt.datetime(2024, 1, 1), -0.4, udg_col="udg", t="t"
+    )
+
+
+FLEET_TDR_ORACLE = """
+WITH ks AS (
+  SELECT DISTINCT user_id % 3 AS site_n, event_id % 200 AS k FROM events
+),
+src AS (
+  SELECT 'S' || CAST(site_n AS VARCHAR) AS site,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(k * 21600) AS t,
+         CASE WHEN (k % 40) < 20 THEN (k % 20) * CAST(0.05 AS DOUBLE)
+              ELSE (20 - (k % 20)) * CAST(0.05 AS DOUBLE) END
+           + site_n * CAST(0.1 AS DOUBLE) AS udg
+  FROM ks
+),
+norm AS (
+  SELECT site, t,
+         udg - first_value(udg) OVER (PARTITION BY site ORDER BY t) AS u
+  FROM src
+)
+SELECT site, t,
+       least(0.0, u - greatest(0.4, max(u) OVER (
+         PARTITION BY site ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS depth
+FROM norm
 """
 
 
@@ -5748,13 +5810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
         "fleet_udg_filter": fleet_udg_filter,
+        "fleet_tdr_depth": fleet_tdr_depth,
         # --- LLM-data pipeline: dedup / text / curation / ANN / embeddings ---
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_banded": dedup_simhash_banded,
-        "dedup_url_canonical": dedup_url_canonical,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_stats": text_stats,
@@ -5779,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_roundtrip": mm_png_roundtrip,
         # --- past the 50-slot window r01's driver sweep covered ---
         "text_hash_features": text_hash_features,
+        "dedup_url_canonical": dedup_url_canonical,
         "emb_near_dups": emb_near_dups,
         "emb_label_inertia": emb_label_inertia,
         "mm_frame_sample": mm_frame_sample,
@@ -5961,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_source_budget": CURATION_BUDGET_ORACLE,
         "stream_session_agg": STREAM_SESSION_ORACLE,
         "fleet_udg_filter": FLEET_UDG_ORACLE,
+        "fleet_tdr_depth": FLEET_TDR_ORACLE,
         "j_skew_salted": J_SKEW_ORACLE,
         "op_scd2_intervals": SCD2_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,

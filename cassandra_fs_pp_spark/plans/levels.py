@@ -455,6 +455,54 @@ def fleet_level1_to_level2(
     return level2.dropDuplicates()
 
 
+def fleet_calc_depth_tdr(
+    udg: DataFrame,
+    install_date,
+    install_depth: float,
+    *,
+    site_col: str = "site",
+    udg_col: str = "TCDT",
+    t: str = TIME,
+    out_col: str = "depth",
+) -> DataFrame:
+    """W8, fleet form — :func:`calc_depth_tdr` for N stations in one pass.
+
+    The single-station path collects the first at/after-install UDG
+    reading driver-side (one action per site); here the per-site
+    normalization constant is a ``first`` window over (site, time) — no
+    action, no per-site loop — followed by the same ratchet closed form
+    partitioned by site. Shared install date/depth (the common fleet
+    deployment); per-site installs would join a site->install dim first.
+
+    Returns ``(site_col, t, out_col)`` from the install date onward.
+    """
+    from pyspark.sql import Window as _W
+
+    from cassandra_fs_pp_spark.operators.windows import ratchet_depth
+
+    date = _to_ts(install_date)
+    after = udg.filter(F.col(t) >= F.lit(date)).filter(
+        F.col(udg_col).isNotNull()
+    )
+    w = (
+        _W.partitionBy(site_col)
+        .orderBy(t)
+        .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    )
+    norm = after.select(
+        site_col,
+        t,
+        (F.col(udg_col) - F.first(udg_col).over(w)).alias("__u"),
+    )
+    return norm.select(
+        site_col,
+        t,
+        ratchet_depth(
+            "__u", t, float(install_depth), partition_by=[site_col]
+        ).alias(out_col),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # EC calibration
 # --------------------------------------------------------------------------- #

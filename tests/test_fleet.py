@@ -175,3 +175,37 @@ def test_fleet_plan_has_no_unpartitioned_window(spark, fleet_l1):
         )
     # and no single-partition exchange anywhere in the pipeline
     assert "SinglePartition" not in plan, plan
+
+
+def test_fleet_tdr_depth_matches_per_site(spark):
+    """fleet_calc_depth_tdr == calc_depth_tdr run per site (the fleet
+    form swaps the per-site first-reading collect for a window)."""
+    from cassandra_fs_pp_spark.plans.levels import (
+        calc_depth_tdr,
+        fleet_calc_depth_tdr,
+    )
+
+    rows = []
+    for s in ("A", "B"):
+        off = 0.3 if s == "B" else 0.0
+        for i in range(60):
+            # triangular surface with a melt-out dip
+            base = (i % 20) * 0.05 if (i % 40) < 20 else (20 - i % 20) * 0.05
+            rows.append(
+                (s, T0 + i * dt.timedelta(hours=6), base + off)
+            )
+    df = spark.createDataFrame(rows, "site string, TIMESTAMP timestamp, TCDT double")
+
+    fleet = fleet_calc_depth_tdr(df, T0, -0.4)
+    got = {(r["site"], r["TIMESTAMP"]): r["depth"] for r in fleet.collect()}
+    n = 0
+    for s in ("A", "B"):
+        single = calc_depth_tdr(
+            df.filter(F.col("site") == s).drop("site"), T0, -0.4
+        )
+        for r in single.collect():
+            n += 1
+            assert got[(s, r["TIMESTAMP"])] == pytest.approx(
+                r["depth"], abs=1e-12
+            )
+    assert n == len(got) == 120
