@@ -4100,6 +4100,34 @@ FROM norm
 """
 
 
+def stream_fleet_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet x streaming: per-station tumbling hourly aggregate with a
+    late-data watermark — streaming state partitioned by (site, window),
+    the shape that scales to a station fleet. availableNow drain in
+    complete mode reproduces the batch groupBy exactly."""
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events").withColumn(
+        "site", F.concat(F.lit("S"), F.col("user_id") % 3)
+    )
+    out = run_available_now(
+        hourly_agg_stream(stream, keys=["site"]), output_mode="complete"
+    )
+    return out.select(
+        "site",
+        F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"),
+        "n",
+        "sum_value",
+    )
+
+
+STREAM_FLEET_ORACLE = """
+SELECT 'S' || CAST(user_id % 3 AS VARCHAR) AS site,
+       date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path under the correctness gate: each row encodes an
     actual PNG (pure-python encoder) of a deterministic solid image
@@ -5839,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
         "mm_png_roundtrip": mm_png_roundtrip,
+        "stream_fleet_hourly": stream_fleet_hourly,
         # --- past the 50-slot window r01's driver sweep covered ---
         "text_hash_features": text_hash_features,
         "dedup_url_canonical": dedup_url_canonical,
@@ -6025,6 +6054,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_agg": STREAM_SESSION_ORACLE,
         "fleet_udg_filter": FLEET_UDG_ORACLE,
         "fleet_tdr_depth": FLEET_TDR_ORACLE,
+        "stream_fleet_hourly": STREAM_FLEET_ORACLE,
         "j_skew_salted": J_SKEW_ORACLE,
         "op_scd2_intervals": SCD2_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,

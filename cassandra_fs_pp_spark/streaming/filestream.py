@@ -140,18 +140,21 @@ def hourly_agg_stream(
     ts_col: str = "ts",
     value_col: str = "value",
     delay: str = "1 hour",
+    keys: "Sequence[str]" = (),
 ) -> DataFrame:
     """A8 streaming twin: tumbling 1-hour window agg with late-data
     watermark. Append mode emits a window once the watermark passes it;
-    complete mode reproduces the batch result exactly."""
+    complete mode reproduces the batch result exactly. ``keys`` adds
+    grouping columns (the fleet form: one windowed aggregate per station
+    — state is partitioned by (key, window), the 100 TB shape)."""
     return (
         df.withWatermark(ts_col, delay)
-        .groupBy(F.window(ts_col, "1 hour").alias("w"))
+        .groupBy(*keys, F.window(ts_col, "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(value_col), 3).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("hour_ts"), "n", "sum_value")
+        .select(*keys, F.col("w.start").alias("hour_ts"), "n", "sum_value")
     )
 
 

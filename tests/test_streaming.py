@@ -459,3 +459,33 @@ def test_stream_table_ns_long_layout(spark, tmp_path):
     assert [
         r["ts"] for r in batch.orderBy("event_id").select("ts").collect()
     ] == expect
+
+
+def test_stream_fleet_hourly_matches_batch(spark):
+    """Keyed (per-site) windowed agg: streaming state partitions by
+    (site, window); availableNow drain == batch groupBy per site."""
+    from cassandra_fs_pp_spark.sources.tables import load_table
+    from cassandra_fs_pp_spark.streaming import hourly_agg_stream
+
+    stream = stream_table(spark, SF, "events").withColumn(
+        "site", F.concat(F.lit("S"), F.col("user_id") % 3)
+    )
+    got = run_available_now(
+        hourly_agg_stream(stream, keys=["site"]), output_mode="complete"
+    ).orderBy("site", "hour_ts")
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "site", F.concat(F.lit("S"), F.col("user_id") % 3)
+    )
+    want = (
+        ev.groupBy("site", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select("site", F.col("w.start").alias("hour_ts"), "n", "sum_value")
+        .orderBy("site", "hour_ts")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
