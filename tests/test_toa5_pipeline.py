@@ -453,3 +453,28 @@ def test_engine_facade_and_cli(spark, site, tmp_path):
             assert vb is None
         else:
             assert vb == pytest.approx(va, abs=0.0005)
+
+
+def test_toa5_malformed_rows_tolerated(spark, tmp_path):
+    """Ragged data rows (fields missing or extra — logger glitches /
+    truncated radio transfers): short rows null-fill the tail, long rows
+    drop the surplus, the file keeps loading (PERMISSIVE parse — the
+    reference's pandas read would need error_bad_lines handling)."""
+    f = tmp_path / "glitch.dat"
+    f.write_text(
+        '"TOA5","FS1","CR1000X","1","prog","sig","t1","MainTable"\n'
+        '"TIMESTAMP","RECORD","BattV","T107"\n'
+        '"TS","RN","Volts","Deg C"\n'
+        '"","","Min","Smp"\n'
+        '"2024-01-01 00:00:00",1,13.1,-20.5\n'
+        '"2024-01-01 00:15:00",2,13.0\n'              # short row
+        '"2024-01-01 00:30:00",3,12.9,-20.1,99.9\n'   # extra field
+        '"2024-01-01 00:45:00",4,NAN,-19.8\n'
+    )
+    df = read_toa5(spark, str(f), with_provenance=False)
+    rows = {r["RECORD"]: r for r in df.orderBy("TIMESTAMP").collect()}
+    assert len(rows) == 4
+    assert rows[2]["T107"] is None          # short row null-filled
+    assert rows[3]["T107"] == -20.1         # surplus field dropped
+    assert rows[4]["BattV"] is None         # NAN sentinel
+    assert df.columns == ["TIMESTAMP", "RECORD", "BattV", "T107"]
