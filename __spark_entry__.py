@@ -4128,6 +4128,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (2 unrolled rounds, k=4) — the canonical
+    broadcast-centroids + agg-shuffle ML loop, fully deterministic:
+    quantized integer distances (argmin can't drift with float sum
+    order), exact fixed-point centroid means, ties to the lowest
+    cluster. The oracle replays both rounds as unrolled CTEs."""
+    from cassandra_fs_pp_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, iterations=2
+    )
+
+
+_KM_DIST = """
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 65), j ->
+             CAST(round((x[j] - cv[j]) * (x[j] - cv[j]) * 1000000000)
+               AS BIGINT))),
+           (a, t) -> a + t)
+"""
+
+EMB_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+init AS (SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id < 4),
+d1 AS (
+  SELECT e.vec_id, init.c, {_KM_DIST.strip()} AS d
+  FROM e CROSS JOIN init),
+a1 AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d1) WHERE rn = 1),
+ex1 AS (
+  SELECT a1.cluster, u.j - 1 AS pos, x[u.j] AS v
+  FROM a1 JOIN e USING (vec_id),
+       UNNEST(generate_series(1, 64)) AS u(j)),
+m1 AS (
+  SELECT cluster, pos,
+         CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM ex1 GROUP BY cluster, pos),
+cent1 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cluster),
+d2 AS (
+  SELECT e.vec_id, cent1.c, {_KM_DIST.strip()} AS d
+  FROM e CROSS JOIN cent1),
+a2 AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT vec_id, cluster FROM a2
+"""
+
+
 def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path under the correctness gate: each row encodes an
     actual PNG (pure-python encoder) of a deterministic solid image
@@ -5868,6 +5924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": mm_image_stats,
         "mm_png_roundtrip": mm_png_roundtrip,
         "stream_fleet_hourly": stream_fleet_hourly,
+        "emb_kmeans_assign": emb_kmeans_assign,
         # --- past the 50-slot window r01's driver sweep covered ---
         "text_hash_features": text_hash_features,
         "dedup_url_canonical": dedup_url_canonical,
@@ -6055,6 +6112,7 @@ def oracle_sql() -> dict[str, str]:
         "fleet_udg_filter": FLEET_UDG_ORACLE,
         "fleet_tdr_depth": FLEET_TDR_ORACLE,
         "stream_fleet_hourly": STREAM_FLEET_ORACLE,
+        "emb_kmeans_assign": EMB_KMEANS_ORACLE,
         "j_skew_salted": J_SKEW_ORACLE,
         "op_scd2_intervals": SCD2_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,

@@ -519,3 +519,98 @@ def block_matmul_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _qdist2(vec: Column, centroid: list[float]) -> Column:
+    """Quantized squared distance: sum over dims of
+    ``round((x_i - c_i)^2 * VEC_FIXED_SCALE)`` as an exact integer —
+    order-independent and bit-identical across engines (no float sum)."""
+    arr = F.array([F.lit(float(c)) for c in centroid])
+    terms = F.zip_with(
+        vec,
+        arr,
+        lambda x, c: F.round(
+            (x.cast("double") - c) * (x.cast("double") - c) * VEC_FIXED_SCALE
+        ).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t)
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means assignment (the canonical iterative
+    Spark pattern: per round, broadcast the tiny centroid set as literal
+    expressions, one agg shuffle to recompute means).
+
+    Fully reproducible at any parallelism:
+    * init = the vectors with the ``k`` smallest ids (must exist);
+    * distances are quantized integer sums (:func:`_qdist2`) so argmin
+      never depends on float summation order;
+    * ties pick the lowest cluster id;
+    * centroid means use the exact fixed-point reduction
+      (see ``VEC_FIXED_SCALE``).
+
+    Per iteration one k x dim collect (the centroid table) — identical in
+    shape to MLlib's KMeans driver loop. Returns ``(id_col, cluster)``.
+    """
+    first = (
+        vectors.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(first) != k:
+        raise ValueError(f"kmeans init needs ids 0..{k - 1} present")
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r[vec_col]] for i, r in enumerate(first)
+    }
+
+    assigned = None
+    for _ in range(iterations):
+        d = [
+            _qdist2(F.col(vec_col), cents[c]).alias(f"__d{c}")
+            for c in range(k)
+        ]
+        scored = vectors.select(id_col, vec_col, *d)
+        cluster = None
+        for c in range(k - 1):
+            cond = None
+            for o in range(c + 1, k):
+                leq = F.col(f"__d{c}") <= F.col(f"__d{o}")
+                cond = leq if cond is None else (cond & leq)
+            step = F.when(cond, F.lit(c))
+            cluster = step if cluster is None else cluster.when(cond, F.lit(c))
+        cluster = cluster.otherwise(F.lit(k - 1))
+        assigned = scored.select(
+            id_col, vec_col, cluster.alias("cluster")
+        )
+        # exact fixed-point means per (cluster, pos) -> next centroids
+        ex = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        q = F.round(F.col("v").cast("double") * VEC_FIXED_SCALE).cast("long")
+        mrows = (
+            ex.groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(q).cast("double")
+                    / F.lit(float(VEC_FIXED_SCALE))
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        nxt: dict[int, dict[int, float]] = {}
+        for r in mrows:
+            nxt.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c in range(k):
+            if c in nxt:
+                cents[c] = [nxt[c][p] for p in sorted(nxt[c])]
+            # empty cluster: keep previous centroid (deterministic)
+    return assigned.select(id_col, "cluster")

@@ -344,3 +344,24 @@ def test_lsh_candidate_pairs_exact_on_hot_bucket(spark):
     ).collect()[0]
     assert agg["n"] == expected, agg
     assert agg["max_b"] == n_hot - 1  # no cross-class false candidates
+
+
+def test_kmeans_assign_partition_invariant(spark):
+    """Lloyd assignments are identical at any parallelism: quantized
+    integer distances + fixed-point means leave nothing order-dependent."""
+    from cassandra_fs_pp_spark.operators.similarity import kmeans_assign
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=4, iterations=2).collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            emb.repartition(7), k=4, iterations=2
+        ).collect()
+    }
+    assert a == b and len(a) == emb.count()
+    assert len(set(a.values())) > 1  # actually clusters, not one blob
