@@ -2881,13 +2881,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_embeddings_count() -> int:
-    """Row count of the correctness-gate corpus (the driver compares Spark
-    vs oracle at sf0.01) via parquet footer metadata — no Spark needed."""
+    """Row count of the correctness-gate corpus via parquet footer metadata
+    (no Spark needed).  Reads the SAME directory the gate points Spark at —
+    $SF_DIR, defaulting to the driver's sf0.01 — so the oracle's LSH bit
+    count always matches the Spark side's live-corpus-derived bits no
+    matter which scale the gate runs (ADVICE r2)."""
+    import os as _os
+
     import pyarrow.parquet as pq
 
+    sf_dir = _os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     try:
         return pq.ParquetFile(
-            "/root/testdata/sf0.01/embeddings.parquet"
+            _os.path.join(sf_dir, "embeddings.parquet")
         ).metadata.num_rows
     except Exception:
         return 200
@@ -4465,12 +4471,18 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle agree bit-for-bit)."""
     docs = _t(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # Guard single-token docs: sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark and element_at(__ws, 0) throws — emit an empty array instead
+    # (matches DuckDB's range(1, 1) = [] on the oracle side; explode drops
+    # the doc from the output either way).
     bg = docs.select("doc_id", ws.alias("__ws")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(__ws) - 1),"
+                "CASE WHEN size(__ws) >= 2 THEN"
+                " transform(sequence(1, size(__ws) - 1),"
                 " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"
+                " ELSE array() END"
             )
         ).alias("bg"),
     )
@@ -5863,20 +5875,81 @@ FROM b GROUP BY 1
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window of this dict, so entries with no green driver row yet sit
-    # FIRST (round-1 reds, then the LLM-pipeline / window / join families the
-    # r01 sweep never reached); queries already driver-verified green in r01
-    # sit at the end.  Every entry stays green locally regardless of order.
+    # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
+    # are exactly the queries with no driver row in r01 or r02 (54 existed;
+    # the 4 weakest-oracle rows-only ones — a_approx_distinct, a_hll_mergeable,
+    # ann_ivf_topk, graph_pagerank, each backed by differential pytest — are
+    # deferred to positions 51-54).  Everything driver-green in r01/r02 sits
+    # behind them and stays green in the local replica regardless of order.
     return {
-        # --- round-1 red rows, fixed this round (need fresh driver rows) ---
+        # --- never-driver-verified: embeddings / graph / LLM-data ---
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "graph_connected_components": graph_connected_components,
+        "text_hash_features": text_hash_features,
+        "text_lm_familiarity": text_lm_familiarity,
+        "dedup_url_canonical": dedup_url_canonical,
+        "dedup_spans": dedup_spans,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        # --- never-driver-verified: streaming / fleet / CDC ---
+        "stream_fleet_hourly": stream_fleet_hourly,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "op_scd2_intervals": op_scd2_intervals,
+        "j_temporal_scd2": j_temporal_scd2,
+        "j_skew_salted": j_skew_salted,
+        # --- never-driver-verified: stats / analytics family ---
+        "a8_sliding_window": a8_sliding_window,
+        "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "ts_dominant_period": ts_dominant_period,
+        "a_quantiles": a_quantiles,
+        "a_cohort_retention": a_cohort_retention,
+        "a_corr_regr": a_corr_regr,
+        "a_funnel": a_funnel,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_gini": a_gini,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
+        # --- never-driver-verified: windows / projections / quality ---
+        "w_first_last": w_first_last,
+        "w_rolling_corr": w_rolling_corr,
+        "w_step_detect": w_step_detect,
+        "p_debounce_burst": p_debounce_burst,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        # --- never-driver-verified: functions / grouping / TPC-H tails ---
+        "f_collections": f_collections,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "f_url_suite": f_url_suite,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        # --- positions 51-54: deferred rows-only queries (differential
+        #     pytest-backed; weakest oracle form, so last of the unverified) ---
+        "a_approx_distinct": a_approx_distinct,
+        "a_hll_mergeable": a_hll_mergeable,
+        "ann_ivf_topk": ann_ivf_topk,
+        "graph_pagerank": graph_pagerank,
+        # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
-        # --- new this round: partsupp-derived join shapes ---
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
         "tpch_q16_partsupp": tpch_q16_partsupp,
-        # --- SURVEY §2 operators with no r01 driver row ---
         "w2_centered_median": w2_centered_median,
         "w3_count_window_median": w3_count_window_median,
         "w4_trailing_mean_minp": w4_trailing_mean_minp,
@@ -5889,13 +5962,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_head_mean": a9_head_mean,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
-        # --- streaming twins (batch-parity semantics) ---
         "stream_hourly_agg": stream_hourly_agg,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
         "fleet_udg_filter": fleet_udg_filter,
         "fleet_tdr_depth": fleet_tdr_depth,
-        # --- LLM-data pipeline: dedup / text / curation / ANN / embeddings ---
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_cluster": dedup_minhash_cluster,
@@ -5923,62 +5994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
         "mm_png_roundtrip": mm_png_roundtrip,
-        "stream_fleet_hourly": stream_fleet_hourly,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        # --- past the 50-slot window r01's driver sweep covered ---
-        "text_hash_features": text_hash_features,
-        "dedup_url_canonical": dedup_url_canonical,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_inertia": emb_label_inertia,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        "emb_label_centroids": emb_label_centroids,
-        "dedup_spans": dedup_spans,
-        "text_lm_familiarity": text_lm_familiarity,
-        "curation_domain_mix": curation_domain_mix,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "w_first_last": w_first_last,
-        # --- graph / stats / sessionization / misc analytics ---
-        "graph_connected_components": graph_connected_components,
-        "graph_pagerank": graph_pagerank,
-        "a_approx_distinct": a_approx_distinct,
-        "a8_sliding_window": a8_sliding_window,
-        "a_sessionize": a_sessionize,
-        "a_linreg_trend": a_linreg_trend,
-        "ts_dominant_period": ts_dominant_period,
-        "a_quantiles": a_quantiles,
-        "f_collections": f_collections,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "a_hll_mergeable": a_hll_mergeable,
-        "a_cohort_retention": a_cohort_retention,
-        "j_skew_salted": j_skew_salted,
-        "op_scd2_intervals": op_scd2_intervals,
-        "a_corr_regr": a_corr_regr,
-        "f_url_suite": f_url_suite,
-        "a_funnel": a_funnel,
-        "w_rolling_corr": w_rolling_corr,
-        "p_debounce_burst": p_debounce_burst,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "w_step_detect": w_step_detect,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        "j_temporal_scd2": j_temporal_scd2,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_gini": a_gini,
-        "a_chi_square": a_chi_square,
-        "a_winsorized_stats": a_winsorized_stats,
-        "a_histogram_equidepth": a_histogram_equidepth,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
         # --- driver-verified green in r01 (CORRECTNESS_r01.json) ---
         "flagship_events_hourly": flagship_events_hourly,
         "tpch_q1": tpch_q1,

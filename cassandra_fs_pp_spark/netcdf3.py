@@ -97,14 +97,21 @@ def write_netcdf3(
     dims: Mapping[str, int | None],
     variables: Sequence[Nc3Variable],
     global_attrs: Mapping[str, object] | None = None,
+    version: int = 1,
 ) -> None:
-    """Write a classic-format (CDF-1) NetCDF file.
+    """Write a classic-format NetCDF file (CDF-1, or CDF-2 with
+    ``version=2`` — the "64-bit offset" variant whose only on-disk
+    difference is an 8-byte per-variable ``begin`` field).
 
     ``dims`` maps name -> size, with ``None`` marking the single
     unlimited (record) dimension; a variable whose FIRST dim is the
     record dim is stored as record data (interleaved per-record slabs,
     the classic layout), everything else as contiguous fixed data.
     """
+    if version not in (1, 2):
+        raise ValueError(f"version must be 1 (CDF-1) or 2 (CDF-2), got {version}")
+    begin_fmt = ">q" if version == 2 else ">i"
+    begin_len = 8 if version == 2 else 4
     dim_names = list(dims)
     dim_ids = {n: i for i, n in enumerate(dim_names)}
     record_dim = next((n for n, s in dims.items() if s is None), None)
@@ -130,7 +137,7 @@ def write_netcdf3(
         canon.append((v, nc_type, arr.astype(_TYPE_NP[nc_type])))
 
     # --- header ---
-    out = bytearray(b"CDF\x01")
+    out = bytearray(b"CDF" + bytes([version]))
     out += struct.pack(">i", numrecs)
     if dim_names:
         out += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
@@ -142,24 +149,31 @@ def write_netcdf3(
     _pack_att_list(out, dict(global_attrs or {}))
 
     # Variable metadata; 'begin' offsets are backfilled after sizing.
+    # Spec special case (Unidata classic-format spec, "Note on vsize"):
+    # when there is EXACTLY ONE record variable and its type is byte,
+    # char, or short, its per-record slab is NOT padded to 4 bytes.
+    rec_flags = [
+        record_dim is not None and v.dims[:1] == (record_dim,) for v, _, _ in canon
+    ]
+    n_rec_vars = sum(rec_flags)
     begin_slots: list[int] = []
     vsizes: list[int] = []
     is_record: list[bool] = []
     if canon:
         out += struct.pack(">ii", _NC_VARIABLE, len(canon))
-        for v, nc_type, arr in canon:
+        for (v, nc_type, arr), rec in zip(canon, rec_flags):
             _pack_name(out, v.name)
             out += struct.pack(">i", len(v.dims))
             for d in v.dims:
                 out += struct.pack(">i", dim_ids[d])
             _pack_att_list(out, v.attrs)
-            rec = record_dim is not None and v.dims[:1] == (record_dim,)
             per_rec_elems = int(np.prod([dim_size(d) for d in v.dims[1:]], dtype=np.int64)) if rec else arr.size
             nbytes = per_rec_elems * _TYPE_SIZE[nc_type]
-            vsize = nbytes + _pad4(nbytes)
+            unpadded = rec and n_rec_vars == 1 and nc_type in (NC_BYTE, NC_CHAR, NC_SHORT)
+            vsize = nbytes if unpadded else nbytes + _pad4(nbytes)
             out += struct.pack(">ii", nc_type, vsize)
             begin_slots.append(len(out))
-            out += struct.pack(">i", 0)  # begin placeholder (CDF-1: 32-bit)
+            out += struct.pack(begin_fmt, 0)  # begin placeholder (32/64-bit)
             vsizes.append(vsize)
             is_record.append(rec)
     else:
@@ -178,7 +192,7 @@ def write_netcdf3(
             begins[i] = offset
             offset += vsizes[i]
     for slot, begin in zip(begin_slots, begins):
-        out[slot : slot + 4] = struct.pack(">i", begin)
+        out[slot : slot + begin_len] = struct.pack(begin_fmt, begin)
 
     # --- data section ---
     body = bytearray()
@@ -248,6 +262,7 @@ def read_netcdf3(path: str) -> tuple[dict[str, int | None], dict[str, object], l
         buf = memoryview(f.read())
     if bytes(buf[:3]) != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a classic NetCDF file")
+    version = buf[3]  # 1 = CDF-1 (32-bit begin), 2 = CDF-2 (64-bit begin)
     (numrecs,) = struct.unpack_from(">i", buf, 4)
     pos = 8
     tag, count = struct.unpack_from(">ii", buf, pos)
@@ -274,8 +289,15 @@ def read_netcdf3(path: str) -> tuple[dict[str, int | None], dict[str, object], l
             dids = struct.unpack_from(f">{ndims}i", buf, pos) if ndims else ()
             pos += 4 * ndims
             vattrs, pos = _read_att_list(buf, pos)
-            nc_type, vsize, begin = struct.unpack_from(">iii", buf, pos)
-            pos += 12
+            # CDF-2 ("64-bit offset" format) widens ONLY the begin field
+            # to 64 bits; nc_type/vsize stay 32-bit in both versions.
+            if version == 2:
+                nc_type, vsize = struct.unpack_from(">ii", buf, pos)
+                (begin,) = struct.unpack_from(">q", buf, pos + 8)
+                pos += 16
+            else:
+                nc_type, vsize, begin = struct.unpack_from(">iii", buf, pos)
+                pos += 12
             vdims = tuple(dim_names[i] for i in dids)
             shape = tuple(
                 numrecs if dim_sizes[i] == 0 else dim_sizes[i] for i in dids
@@ -293,6 +315,11 @@ def read_netcdf3(path: str) -> tuple[dict[str, int | None], dict[str, object], l
         int(np.prod(shape[1:], dtype=np.int64)) * _TYPE_SIZE[t] + _pad4(int(np.prod(shape[1:], dtype=np.int64)) * _TYPE_SIZE[t])
         for _, t, _, shape in rec_vars
     )
+    if len(rec_vars) == 1 and rec_vars[0][1] in (NC_BYTE, NC_CHAR, NC_SHORT):
+        # Mirror the writer's spec special case: a lone byte/char/short
+        # record variable is stored with UNPADDED per-record slabs.
+        only_shape = rec_vars[0][3]
+        recsize = int(np.prod(only_shape[1:], dtype=np.int64)) * _TYPE_SIZE[rec_vars[0][1]]
     for var, nc_type, begin, shape in rec_vars:
         per_rec_elems = int(np.prod(shape[1:], dtype=np.int64))
         per_rec_bytes = per_rec_elems * _TYPE_SIZE[nc_type]

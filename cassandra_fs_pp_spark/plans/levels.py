@@ -161,6 +161,15 @@ def level0_to_level1(
 # --------------------------------------------------------------------------- #
 
 
+def _round2_half_up(x: float) -> float:
+    """2-dp HALF_UP round matching Spark's ``F.round(col, 2)`` on doubles
+    (Spark rounds BigDecimal.valueOf(d) = the shortest decimal repr, which
+    is exactly what ``repr(float)`` yields)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
 def _to_ts(d) -> _dt.datetime:
     if isinstance(d, _dt.datetime):
         return d
@@ -381,7 +390,12 @@ def fleet_normalise_udg(
                     )
                 # identical arithmetic to the sequential path, which rounds
                 # the offset-applied medians (median commutes with the shift)
-                delta = round(round(post_raw - off, 2) - round(pre_raw - off, 2), 2)
+                # with F.round = HALF_UP — Python round() is banker's and
+                # diverges by 0.01 on exact .xx5 medians, so use HALF_UP here
+                delta = round(
+                    _round2_half_up(post_raw - off) - _round2_half_up(pre_raw - off),
+                    2,
+                )
             off += delta
             out.append((date, delta))
         deltas_by_site[site] = out

@@ -68,6 +68,83 @@ def test_netcdf3_writer_reader_roundtrip(tmp_path):
     assert v["temp"].attrs["scale_factor"] == 0.001
 
 
+def test_netcdf3_cdf2_roundtrip(tmp_path):
+    """CDF-2 ("64-bit offset") variant: magic byte 2, 8-byte begin fields.
+
+    Guards the reader's version branch — a CDF-2 file parsed with 32-bit
+    begin offsets would misalign every data slab (ADVICE r2: netcdf3.py
+    accepted version byte 2 but always unpacked '>iii')."""
+    path = str(tmp_path / "v2.nc")
+    depth = np.array([0.05, 0.35, 0.65], dtype="float64")
+    temp = np.arange(12, dtype="int32").reshape(4, 3)
+    tvals = np.array([0.0, 3600.0, 7200.0, 10800.0], dtype="float64")
+    write_netcdf3(
+        path,
+        {"time": None, "sensor": 3},
+        [
+            Nc3Variable("time", ("time",), tvals, {"units": "s"}),
+            Nc3Variable("depth", ("sensor",), depth),
+            Nc3Variable("temp", ("time", "sensor"), temp),
+        ],
+        {"site": "FS_TEST"},
+        version=2,
+    )
+    with open(path, "rb") as f:
+        assert f.read(4) == b"CDF\x02"
+    dims, gattrs, varlist = read_netcdf3(path)
+    assert dims == {"time": None, "sensor": 3}
+    v = {x.name: x for x in varlist}
+    np.testing.assert_array_equal(v["time"].data, tvals)
+    np.testing.assert_array_equal(v["depth"].data, depth)
+    np.testing.assert_array_equal(v["temp"].data.astype("int32"), temp)
+
+
+def test_netcdf3_single_short_record_var_unpadded(tmp_path):
+    """Spec special case: a LONE byte/char/short record variable is laid
+    out with unpadded per-record slabs (Unidata classic spec, vsize note).
+
+    With one int16 record var over a 3-wide dim, each record is 6 bytes;
+    padded layout would burn 8 bytes/record and external readers (which
+    honor the spec) would read garbage from record 1 onward."""
+    path = str(tmp_path / "short.nc")
+    vals = np.arange(12, dtype="int16").reshape(4, 3)
+    write_netcdf3(
+        path,
+        {"time": None, "sensor": 3},
+        [Nc3Variable("v", ("time", "sensor"), vals)],
+    )
+    import os as _os
+
+    # header + 4 records x 6 bytes, no per-record padding: file must be
+    # exactly begin + 24 bytes (the padded layout would be begin + 32).
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    # vsize field of the only variable must be the unpadded 6.
+    # (find it by scanning: last 12 bytes of var metadata are type,vsize,begin)
+    dims, _, varlist = read_netcdf3(path)
+    np.testing.assert_array_equal(varlist[0].data.astype("int16"), vals)
+    begin = len(raw) - 4 * 6  # 4 records x 6 bytes each, unpadded
+    tail = raw[begin:]
+    expect = vals.astype(">i2").tobytes()
+    assert tail == expect, "record slabs must be contiguous/unpadded"
+    # mixed case: ADD a second record var -> padding returns
+    path2 = str(tmp_path / "short2.nc")
+    write_netcdf3(
+        path2,
+        {"time": None, "sensor": 3},
+        [
+            Nc3Variable("v", ("time", "sensor"), vals),
+            Nc3Variable("t", ("time",), np.arange(4, dtype="float64")),
+        ],
+    )
+    _, _, varlist2 = read_netcdf3(path2)
+    v2 = {x.name: x for x in varlist2}
+    np.testing.assert_array_equal(v2["v"].data.astype("int16"), vals)
+    np.testing.assert_array_equal(v2["t"].data, np.arange(4, dtype="float64"))
+
+
 def test_to_netcdf_end_to_end(spark, tmp_path):
     """Spark L2-shaped frame -> real .nc on disk -> re-read: dims, attrs,
     int32/0.001/-9999 encoding, and value fidelity to half a scale step."""

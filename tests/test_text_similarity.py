@@ -365,3 +365,27 @@ def test_kmeans_assign_partition_invariant(spark):
     }
     assert a == b and len(a) == emb.count()
     assert len(set(a.values())) > 1  # actually clusters, not one blob
+
+
+def test_lm_familiarity_single_token_doc(spark, tmp_path):
+    """A one-token document must be dropped (no bigrams), not crash.
+
+    Regression for ADVICE r2: sequence(1, size-1) on a single-token doc
+    produced the DESCENDING [1, 0] and element_at(ws, 0) threw at runtime."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["solo", "alpha beta alpha beta", "alpha beta"],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    out = entrymod.text_lm_familiarity(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 not in rows  # single-token doc contributes no bigrams
+    assert rows[2]["n_bigrams"] == 3
+    # 'alpha beta' occurs 3x corpus-wide, 'beta alpha' 1x
+    assert rows[3]["n_bigrams"] == 1 and rows[3]["mean_bigram_freq"] == 3.0
