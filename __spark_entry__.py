@@ -2869,14 +2869,40 @@ def _lsh_bits(n: int) -> int:
     return max(4, round(math.log2(max(n, 1) / LSH_TARGET_BUCKET)))
 
 
+def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata (no Spark job).  Both
+    this and the oracle's ``_gate_embeddings_count`` read the same footer,
+    so the two sides can never disagree on the derived LSH bit count."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        files = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-k (the second scale path
     beside IVF) — deterministic seeded planes, fully oracle-checkable (the
-    oracle derives the same bits from the gate corpus's row count)."""
+    oracle derives the same bits from the gate corpus's row count).
+
+    Corpus size comes from parquet footer metadata, not ``df.count()`` — a
+    count job per plan build is pure latency here and at 100 TB the footer
+    statistic is how you'd size the tables anyway."""
     from cassandra_fs_pp_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    bits = _lsh_bits(emb.count())
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    bits = _lsh_bits(n if n is not None else emb.count())
     return lsh_topk(emb, k=5, bits=bits, tables=LSH_TABLES, dim=EMB_DIM)
 
 

@@ -53,6 +53,7 @@ HEADLINE = [
     "p_debounce_burst",
     "a_time_weighted_avg",
     "fleet_udg_filter",
+    "fleet_tdr_depth",
 ]
 
 
@@ -68,6 +69,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # Optional subset (scale probes at large N time only the queries under
+    # investigation): comma-separated names in $SPARK_GRAFT_BENCH_QUERIES.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        names = [n for n in names if n in keep]
 
     # Warm pass (untimed): run every query once so JIT/codegen compilation
     # and parquet footer caches don't land on whichever query happens to

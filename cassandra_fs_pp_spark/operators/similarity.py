@@ -45,6 +45,28 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def _dlit(x: float) -> str:
+    """SQL DOUBLE literal with full round-trip precision (repr is the
+    shortest decimal that parses back to the same IEEE double in both
+    Python and the JVM)."""
+    return repr(float(x)) + "D"
+
+
+def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of :func:`dot_unrolled` over column NAMES.
+
+    Semantically identical expression tree (left-associated ``0.0D + x1*y1
+    + ...``), but built as ONE string for ``F.expr``: the Column form costs
+    ~4*dim py4j round-trips PER PLAN BUILD (~1s at dim=64), which dominates
+    sub-second queries that rebuild their plan every run."""
+    terms = "".join(
+        f" + CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return "0.0D" + terms
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -217,6 +239,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`lsh_bucket` over a column NAME — same compact
+    ``zip_with``/``aggregate`` expression tree, but one ``F.expr`` string
+    instead of bits*dim ``F.lit`` py4j round-trips per plan build (at
+    4 tables x 6 bits x 64 dims that is ~1500 driver calls ~= 3-4 s of
+    pure plan-construction latency per query run)."""
+    parts = []
+    for b, plane in enumerate(planes):
+        arr = ", ".join(_dlit(x) for x in plane)
+        d = (
+            f"aggregate(zip_with({vec}, array({arr}),"
+            f" (x, p) -> CAST(x AS DOUBLE) * p),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(
+            f"CAST(CASE WHEN {d} >= 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
+        )
+    return "CAST(0 AS BIGINT) + " + " + ".join(parts)
+
+
 def lsh_topk(
     vectors: DataFrame,
     *,
@@ -244,22 +286,20 @@ def lsh_topk(
     # bucket-assignment compute (at real scale the scan is already split).
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     vectors = vectors.repartition(n_parts)
+    # All tables' bucket ids in ONE F.expr string: the Column-builder form
+    # costs tables*bits*dim F.lit py4j round-trips per plan build (~4 s at
+    # 4x6x64) — that flat driver-side latency, not cluster compute, was the
+    # whole headline-bench outlier (BENCH_r02 7.9 s vs the 4.0 s probe).
+    tb_sql = ", ".join(
+        "named_struct('t', {t}, 'b', {b})".format(
+            t=t,
+            b=lsh_bucket_sql(vec_col, hyperplane_lsh_perms(bits, dim, seed + t)),
+        )
+        for t in range(tables)
+    )
     with_b = vectors.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(
-                            F.col(vec_col),
-                            hyperplane_lsh_perms(bits, dim, seed + t),
-                        ).alias("b"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("__tb"),
+        F.explode(F.expr(f"array({tb_sql})")).alias("__tb"),
     ).select(
         id_col,
         F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"),
@@ -314,7 +354,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             (
-                dot_unrolled(F.col("qv"), F.col("nv"), dim)
+                F.expr(dot_unrolled_sql("qv", "nv", dim))
                 / (F.col("qn") * F.col("nn"))
             ).alias("cos_raw"),
         )
@@ -365,7 +405,7 @@ def embedding_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_raw",
-            dot_unrolled(F.col("va"), F.col("vb"), dim)
+            F.expr(dot_unrolled_sql("va", "vb", dim))
             / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cos_raw") >= threshold)

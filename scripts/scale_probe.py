@@ -56,7 +56,7 @@ def synthesize(spark, n: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def run_bench(sf_dir: str, repeats: int = 2) -> dict:
+def run_bench(sf_dir: str, repeats: int = 2, queries: list[str] | None = None) -> dict:
     """Per-query MIN over ``repeats`` fresh bench processes: a single pass
     is hostage to whatever GC/allocator state the 19 preceding queries
     left behind (observed 10x swings on the suite tail); the min over
@@ -64,6 +64,8 @@ def run_bench(sf_dir: str, repeats: int = 2) -> dict:
     best: dict | None = None
     for _ in range(repeats):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        if queries:
+            env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(queries)
         p = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -83,31 +85,77 @@ def run_bench(sf_dir: str, repeats: int = 2) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    out_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_{n}x")
+    # scale_probe.py [N ...] [--deep=q1,q2,...]
+    #   full headline suite at every N except ones beyond the first, which
+    #   (when --deep is given) time only the deep subset — the 64x pass
+    #   exists to confirm the WORST 8x ratios stay linear, not to re-time
+    #   two dozen already-flat queries at an hour of wall each.
+    argv = sys.argv[1:]
+    deep: list[str] | None = None
+    ns: list[int] = []
+    for a in argv:
+        if a.startswith("--deep="):
+            deep = [q.strip() for q in a.split("=", 1)[1].split(",")]
+        else:
+            ns.append(int(a))
+    if not ns:
+        ns = [8]
+
     spark = get_spark("scale_probe")
-    t0 = time.time()
-    synthesize(spark, n, out_dir)
-    print(f"synthesized {n}x at {out_dir} in {time.time()-t0:.0f}s")
+    dirs: dict[int, str] = {}
+    for n in ns:
+        out_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_{n}x")
+        t0 = time.time()
+        synthesize(spark, n, out_dir)
+        print(f"synthesized {n}x at {out_dir} in {time.time()-t0:.0f}s")
+        dirs[n] = out_dir
     spark.stop()
 
     base = run_bench(BASE)
-    big = run_bench(out_dir)
+    bigs: dict[int, dict] = {}
+    for i, n in enumerate(ns):
+        qsub = deep if (deep and i > 0) else None
+        bigs[n] = run_bench(dirs[n], queries=qsub)
+        print(f"{n}x suite: {bigs[n]['value']}s")
 
+    n0 = ns[0]
+    big = bigs[n0]
     lines = [
-        f"# SCALE — {n}x scale-up probe",
+        f"# SCALE — {'/'.join(str(n) + 'x' for n in ns)} scale-up probe",
         "",
-        f"Base: {BASE} -> {base['value']}s. {n}x (shifted key spaces) -> "
+        f"Base: {BASE} -> {base['value']}s. {n0}x (shifted key spaces) -> "
         f"{big['value']}s (per-query best-of-2, fresh JVM each). "
-        f"Ratio at perfect linear scaling = {n}.0.",
+        f"Ratio at perfect linear scaling = {n0}.0.",
         "",
-        "| query | 1x sec | {n}x sec | ratio |".replace("{n}", str(n)),
+        "| query | 1x sec | {n}x sec | ratio |".replace("{n}", str(n0)),
         "|---|---|---|---|",
     ]
     for q, t1 in base["queries"].items():
         t2 = big["queries"].get(q)
         ratio = round(t2 / t1, 1) if t1 and t2 else None
         lines.append(f"| {q} | {t1} | {t2} | {ratio} |")
+    for n in ns[1:]:
+        sub = bigs[n]["queries"]
+        lines += [
+            "",
+            f"## {n}x deep probe (worst {n0}x ratios re-measured at {n}x)",
+            "",
+            f"| query | 1x sec | {n}x sec | ratio | ratio/{n} |",
+            "|---|---|---|---|---|",
+        ]
+        for q, t2 in sub.items():
+            t1 = base["queries"].get(q)
+            if t1 and t2:
+                lines.append(
+                    f"| {q} | {t1} | {t2} | {round(t2 / t1, 1)} |"
+                    f" {round(t2 / t1 / n, 2)} |"
+                )
+        lines += [
+            "",
+            f"A ratio well below {n} at {n}x data means fixed overheads and",
+            "sub-linear stages still dominate; linear scaling is ratio ~= N;",
+            "anything persistently ABOVE N is a scale bug.",
+        ]
     lines += [
         "",
         "Reading: ratios well under N mean fixed overheads still dominate at",
