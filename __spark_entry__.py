@@ -5899,6 +5899,108 @@ FROM b GROUP BY 1
 # Contract surface
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Embedding compression (scalar quantization) + ADC search, and the
+# deterministic training-export shuffle — new in round 3.
+# --------------------------------------------------------------------------
+
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8-class scalar quantization of the embedding
+    corpus, long form (vec_id, pos, code, dq) — the compression step that
+    makes a 100 TB vector store 4x smaller. Narrow 64-key stats agg +
+    broadcast-back; fully oracle-checkable (round ties away-from-zero on
+    the non-negative scaled value in both engines)."""
+    from cassandra_fs_pp_spark.operators.similarity import scalar_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return scalar_quantize(emb)
+
+
+def ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k: fp32 queries (deterministic id-mod
+    subset) against the dequantized scalar-quantized corpus — serving
+    shape for compressed vector stores. Linear in corpus size for the
+    fixed query set (not all-pairs)."""
+    from cassandra_fs_pp_spark.operators.similarity import adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return adc_topk(emb, dim=EMB_DIM)
+
+
+def curation_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export (md5-hash order, no RNG): (doc_id, shard, shard_pos)."""
+    from cassandra_fs_pp_spark.functions.curation import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shard(docs, "doc_id", shards=8)
+
+
+_SQ_CODE_SQL = (
+    "CASE WHEN mx = mn THEN 0 ELSE "
+    "CAST(round(((v - mn) / (mx - mn)) * CAST(255 AS DOUBLE)) AS INT) END"
+)
+_SQ_DQ_SQL = (
+    f"mn + CAST({_SQ_CODE_SQL} AS DOUBLE) * ((mx - mn) / CAST(255 AS DOUBLE))"
+)
+
+EMB_SQ_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), st AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos
+)
+SELECT ex.vec_id, ex.pos, {_SQ_CODE_SQL} AS code, {_SQ_DQ_SQL} AS dq
+FROM ex JOIN st USING (pos)
+"""
+
+ANN_ADC_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), st AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos
+), cdq AS (
+  SELECT ex.vec_id, ex.pos, {_SQ_DQ_SQL} AS dq
+  FROM ex JOIN st USING (pos)
+), corpus AS (
+  SELECT vec_id AS neighbor_id, list(dq ORDER BY pos) AS dqv
+  FROM cdq GROUP BY vec_id
+), corpus_n AS (
+  SELECT neighbor_id, dqv, sqrt(list_dot_product(dqv, dqv)) AS nn
+  FROM corpus
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 37 = 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, dqv) / (qn * nn) AS cosine
+  FROM q, corpus_n WHERE query_id <> neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+CURATION_SHUFFLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle7'), 1, 15))::BIGINT
+           AS kk
+  FROM documents
+)
+SELECT doc_id, CAST(kk % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY kk % 8 ORDER BY kk, doc_id) AS INT)
+         AS shard_pos
+FROM k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -5969,6 +6071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_hll_mergeable": a_hll_mergeable,
         "ann_ivf_topk": ann_ivf_topk,
         "graph_pagerank": graph_pagerank,
+        # --- new in round 3 (behind the window on purpose: the front-50
+        #     slots belong to the backlog; these rotate forward next round) ---
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "ann_adc_topk": ann_adc_topk,
+        "curation_shuffle_shard": curation_shuffle_shard,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6223,4 +6330,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_stats": MM_AUDIO_ORACLE,
         "stream_hourly_agg": STREAM_A8_ORACLE,
         "stream_dedup_counts": STREAM_DEDUP_ORACLE,
+        "emb_scalar_quantize": EMB_SQ_ORACLE,
+        "ann_adc_topk": ANN_ADC_ORACLE,
+        "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
     }

@@ -245,3 +245,34 @@ def weighted_reservoir_topk(
         .withColumn("sample_rank", F.col("__rk"))
         .drop("__key", "__rk")
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    *,
+    shards: int = 8,
+    seed: str = "shuffle7",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every row gets a ``shard`` and a stable position within it.
+
+    Training runs need the corpus in a reproducible pseudo-random order,
+    split into equal-ish shards (one per output file / data-loader
+    worker). RNG-based shuffles aren't rerunnable; this orders by a
+    60-bit md5 hash of (id, seed) — same order on every engine, run, and
+    partitioning — and shards by ``hash % shards`` so membership never
+    depends on global position.
+
+    One shuffle (the per-shard window); each partition sees ~n/shards
+    rows. At 100 TB set ``shards`` to the output-file count and write
+    with ``partitionBy(shard)`` — the window's sort IS the file order.
+    """
+    key = hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    shard = (key % F.lit(shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("__k"), shard.alias("shard"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("int"))
+        .select(id_col, "shard", "shard_pos")
+    )

@@ -413,6 +413,127 @@ def embedding_near_dups(
     )
 
 
+def scalar_quantize(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to integer
+    codes ``0..levels`` (int8-class compression — the standard first step
+    for storing billions of vectors: 4x smaller than fp32 at ~0.1% recall
+    loss; see also :func:`adc_topk` for searching the compressed corpus).
+
+    Two linear passes, both narrow: a 64-key per-dimension min/max
+    aggregate (map-side partial, ~nothing shuffled) broadcast back over
+    the corpus. Long-form output ``(id, pos 1-based, code, dq)`` keeps
+    every column scalar (cross-engine comparable) and the shuffle key
+    narrow at scale.
+
+    Determinism: ``round`` on the non-negative scaled value ties
+    away-from-zero in both Spark (HALF_UP) and DuckDB; the dequantized
+    value ``mn + code * ((mx-mn)/levels)`` uses the same operation order
+    both sides — bit-identical.
+    """
+    ex = vectors.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v0"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    stats = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    rng = F.col("mx") - F.col("mn")
+    code = (
+        F.when(rng == 0, F.lit(0))
+        .otherwise(
+            F.round(((F.col("v") - F.col("mn")) / rng) * F.lit(float(levels)), 0)
+        )
+        .cast("int")
+    )
+    j = ex.join(F.broadcast(stats), "pos")
+    return j.select(
+        F.col(id_col),
+        F.col("pos"),
+        code.alias("code"),
+        (
+            F.col("mn")
+            + code.cast("double") * (rng / F.lit(float(levels)))
+        ).alias("dq"),
+    )
+
+
+def adc_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    levels: int = 255,
+    dim: int | None = None,
+    query_mod: int = 37,
+) -> DataFrame:
+    """Asymmetric-distance top-k: full-precision QUERIES scored against the
+    scalar-quantized (dequantized) corpus — how ANN serves embeddings it
+    can't afford to keep in fp32.  Cost is O(|queries| * n * d) with a
+    FIXED deterministic query subset (``id % query_mod == 0``), i.e.
+    linear in the corpus like :func:`block_topk`, not all-pairs.
+
+    At 100 TB the corpus side is the compact code table (4x smaller scan,
+    same shuffle shape); compose with IVF cells to prune candidates.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    sq = scalar_quantize(
+        vectors, id_col=id_col, vec_col=vec_col, levels=levels
+    )
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    corpus = (
+        sq.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+                lambda s: s["dq"],
+            ).alias("dqv")
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "dqv",
+            l2_norm(F.col("dqv")).alias("nn"),
+        )
+        .repartition(n_parts, "neighbor_id")
+    )
+    q = vectors.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(dot_unrolled_sql("qv", "dqv", dim))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cos_raw").alias("cosine"), "rank"
+        )
+    )
+
+
 # Fixed-point scale for cross-row vector reductions. Float sums are
 # order-dependent (partitioning would leak into results); quantizing each
 # per-row term with round(x * SCALE) -> bigint makes every reduction an

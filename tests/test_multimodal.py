@@ -131,6 +131,26 @@ def test_real_decode_dispatch():
             decode_real_image(b"\xff\xd8\xff\xe0 not really a jpeg")
 
 
+def test_real_jpeg_decode_via_pillow():
+    """Exercise the optional-Pillow fallback wherever Pillow IS installed
+    (skips cleanly in this container, which has no imaging libs): a real
+    JPEG payload must decode to the original shape and approximate values
+    through decode_real_image's PIL branch."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :] = (10, 200, 30)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    out = decode_real_image(buf.getvalue())
+    assert out.shape == (8, 8, 3)
+    # lossy codec: same ballpark, not bit-equal
+    assert abs(int(out[0, 0, 1]) - 200) < 40
+
+
 def test_png_payloads_through_spark_pipeline(spark):
     """REAL (PNG) payload column through the same Arrow mapInPandas
     plumbing as the fake codec: encode per row, decode+stats distributed."""

@@ -389,3 +389,76 @@ def test_lm_familiarity_single_token_doc(spark, tmp_path):
     assert rows[2]["n_bigrams"] == 3
     # 'alpha beta' occurs 3x corpus-wide, 'beta alpha' 1x
     assert rows[3]["n_bigrams"] == 1 and rows[3]["mean_bigram_freq"] == 3.0
+
+
+def test_scalar_quantize_error_bound(spark):
+    """Dequantized values stay within half a quantization step of the
+    original, per dimension (the defining property of min/max scalar
+    quantization); codes cover the full 0..255 range at the extremes."""
+    from cassandra_fs_pp_spark.operators.similarity import scalar_quantize
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sq = scalar_quantize(emb).cache()
+    ex = emb.select(
+        F.col("vec_id"), F.posexplode("embedding").alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
+    joined = sq.join(ex, ["vec_id", "pos"])
+    stats = (
+        ex.groupBy("pos")
+        .agg(((F.max("v") - F.min("v")) / F.lit(510.0)).alias("half_step"))
+    )
+    bad = (
+        joined.join(stats, "pos")
+        .filter(F.abs(F.col("dq") - F.col("v")) > F.col("half_step") + F.lit(1e-12))
+        .count()
+    )
+    assert bad == 0
+    rng = sq.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] == 0 and rng[1] == 255
+
+
+def test_adc_topk_recall_vs_brute(spark):
+    """Quantization barely perturbs cosine ranking: ADC top-5 over the
+    dequantized corpus keeps high recall vs full-precision brute force
+    for the same query subset."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        adc_topk,
+        brute_force_topk,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    queries = emb.filter((F.col("vec_id") % 37) == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5, queries=queries).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in adc_topk(emb, k=5, dim=64).collect()
+    }
+    assert len(exact) == len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    """Shard assignment is partition-invariant (hash-keyed, no RNG) and
+    roughly balanced; shard_pos is a dense 1..n_s sequence per shard."""
+    from cassandra_fs_pp_spark.functions.curation import shuffle_shard
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shard(docs, "doc_id", shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shard(docs.repartition(13), "doc_id", shards=8).collect()}
+    assert a == b
+    n = len(a)
+    sizes = {}
+    for shard, pos in a.values():
+        sizes[shard] = max(sizes.get(shard, 0), pos)
+    assert sum(sizes.values()) == n  # dense per-shard positions
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * n / 8  # no hot shard
