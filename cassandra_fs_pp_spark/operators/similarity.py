@@ -682,19 +682,19 @@ def block_matmul_topk(
     )
 
 
-def _qdist2(vec: Column, centroid: list[float]) -> Column:
-    """Quantized squared distance: sum over dims of
+def _qdist2_sql(vec: str, centroid: list[float]) -> str:
+    """Quantized squared distance as ONE SQL string: sum over dims of
     ``round((x_i - c_i)^2 * VEC_FIXED_SCALE)`` as an exact integer —
-    order-independent and bit-identical across engines (no float sum)."""
-    arr = F.array([F.lit(float(c)) for c in centroid])
-    terms = F.zip_with(
-        vec,
-        arr,
-        lambda x, c: F.round(
-            (x.cast("double") - c) * (x.cast("double") - c) * VEC_FIXED_SCALE
-        ).cast("long"),
+    order-independent and bit-identical across engines (no float sum).
+    String form for the same reason as :func:`lsh_bucket_sql`: k x dim
+    ``F.lit`` calls per iteration are pure py4j latency."""
+    arr = ", ".join(_dlit(c) for c in centroid)
+    return (
+        f"aggregate(zip_with({vec}, array({arr}),"
+        f" (x, c) -> CAST(round((CAST(x AS DOUBLE) - c)"
+        f" * (CAST(x AS DOUBLE) - c) * {VEC_FIXED_SCALE}) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, t) -> acc + t)"
     )
-    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t)
 
 
 def kmeans_assign(
@@ -735,7 +735,7 @@ def kmeans_assign(
     assigned = None
     for _ in range(iterations):
         d = [
-            _qdist2(F.col(vec_col), cents[c]).alias(f"__d{c}")
+            F.expr(_qdist2_sql(vec_col, cents[c])).alias(f"__d{c}")
             for c in range(k)
         ]
         scored = vectors.select(id_col, vec_col, *d)
@@ -748,9 +748,15 @@ def kmeans_assign(
             step = F.when(cond, F.lit(c))
             cluster = step if cluster is None else cluster.when(cond, F.lit(c))
         cluster = cluster.otherwise(F.lit(k - 1))
+        # localCheckpoint: the centroid collect below AND the caller's
+        # final action both consume this round's assignment — without it
+        # each one re-runs the k-way distance scan from the source
+        # (2x the passes over 100 TB); with it the round materializes once
+        # and lineage stays flat across iterations (same pattern as
+        # operators/graph.py connected_components).
         assigned = scored.select(
             id_col, vec_col, cluster.alias("cluster")
-        )
+        ).localCheckpoint()
         # exact fixed-point means per (cluster, pos) -> next centroids
         ex = assigned.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
