@@ -2902,8 +2902,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     n = _parquet_num_rows(sf_dir, "embeddings")
-    bits = _lsh_bits(n if n is not None else emb.count())
-    return lsh_topk(emb, k=5, bits=bits, tables=LSH_TABLES, dim=EMB_DIM)
+    if n is None:
+        n = emb.count()
+    bits = _lsh_bits(n)
+    return lsh_topk(
+        emb, k=5, bits=bits, tables=LSH_TABLES, dim=EMB_DIM, corpus_rows=n
+    )
 
 
 def _gate_embeddings_count() -> int:

@@ -32,11 +32,16 @@ def dot(a: Column, b: Column) -> Column:
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Same dot product with the loop UNROLLED into a left-associated
-    arithmetic expression. Bit-identical to :func:`dot` (addition runs in
-    the same sequential order: ``0 + x0 + x1 + ...``) but whole-stage
-    codegen compiles it, where the higher-order ``aggregate`` lambda stays
-    interpreted — ~10-30x faster on the candidate-pair hot path. Use when
-    ``dim`` is known (fixed-width embedding columns)."""
+    arithmetic expression — bit-identical to :func:`dot` (addition runs in
+    the same sequential order: ``0 + x0 + x1 + ...``).
+
+    MEASURED SLOWER than :func:`dot` at dim=64 on Spark 4.1 (~3x, at both
+    266k and 31M pair volumes): the 64-term chain exceeds what whole-stage
+    codegen will compile into one method, so it evaluates as a ~260-node
+    interpreted tree, while the compact ``zip_with``/``aggregate`` lambda
+    runs two tight array-specialized loops. Kept for the differential
+    tests that pin the fold-order equivalence; use :func:`dot` in hot
+    paths."""
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
@@ -53,12 +58,10 @@ def _dlit(x: float) -> str:
 
 
 def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """SQL text of :func:`dot_unrolled` over column NAMES.
-
-    Semantically identical expression tree (left-associated ``0.0D + x1*y1
-    + ...``), but built as ONE string for ``F.expr``: the Column form costs
-    ~4*dim py4j round-trips PER PLAN BUILD (~1s at dim=64), which dominates
-    sub-second queries that rebuild their plan every run."""
+    """SQL text of :func:`dot_unrolled` over column NAMES (one ``F.expr``
+    string instead of ~4*dim py4j calls to build). Same caveat as
+    :func:`dot_unrolled`: interpreted at dim=64, ~3x slower than
+    :func:`dot` — test/differential use only."""
     terms = "".join(
         f" + CAST(element_at({a}, {i}) AS DOUBLE)"
         f" * CAST(element_at({b}, {i}) AS DOUBLE)"
@@ -269,6 +272,7 @@ def lsh_topk(
     tables: int = 4,
     dim: int | None = None,
     seed: int = 7,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-k: ``tables`` independent
     sign-bucket hash tables; candidates = union of same-(table, bucket)
@@ -312,10 +316,15 @@ def lsh_topk(
     # parallelism of the scoring stage: AQE would otherwise coalesce these
     # tiny-byte exchanges into a handful of tasks and serialize the
     # quadratic per-bucket compute.
+    # shuffle_hash on every candidate-volume join: past ~10 MB the vector
+    # map outgrows autoBroadcast and Catalyst falls back to SortMergeJoin,
+    # which SORTS the O(candidates) stream (measured 64x probe: 3 SMJs,
+    # 148 s). Hash build on the corpus-sized side instead — no sort of the
+    # big stream; AQE still upgrades back to broadcast when a side is tiny.
     a, b = with_b.alias("a"), with_b.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & (F.col("a.__table") == F.col("b.__table"))
             & (F.col("a.__bucket") == F.col("b.__bucket")),
@@ -327,26 +336,40 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .repartition(n_parts, "query_id")
     )
-    # Stage 2 — vector attach + rerank: id->(vec, norm) map joins (auto
-    # broadcast at this scale; plain shuffle joins on id at 100 TB), then
-    # the unrolled codegen dot (bit-identical to dot()) per candidate.
+    # Stage 2 — vector attach + rerank. The candidate stream is
+    # O(tables * n * bucket) WIDE rows once vectors attach, so the join
+    # strategy is the whole ballgame at scale (64x probe: SMJ sorted the
+    # 31M-pair stream twice, ~45 s of the query): BROADCAST the id->(vec,
+    # norm) map while it fits an executor (the caller passes corpus_rows
+    # from parquet footer stats), else shuffle-hash — hash build on the
+    # corpus-sized side, never a sort of the candidate stream.
     vmap = vectors.select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
     )
+    est_bytes = (corpus_rows or 0) * ((dim or 64) * 8 + 48)
+    small_vmap = corpus_rows is not None and est_bytes < 128 * 1024 * 1024
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_vmap else df.hint("shuffle_hash")
+
     scored = (
         pairs.join(
-            vmap.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-                F.col("__n").alias("qn"),
+            _side(
+                vmap.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"),
+                    F.col("__n").alias("qn"),
+                )
             ),
             "query_id",
         )
         .join(
-            vmap.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("nv"),
-                F.col("__n").alias("nn"),
+            _side(
+                vmap.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("nv"),
+                    F.col("__n").alias("nn"),
+                )
             ),
             "neighbor_id",
         )
@@ -354,7 +377,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             (
-                F.expr(dot_unrolled_sql("qv", "nv", dim))
+                dot(F.col("qv"), F.col("nv"))
                 / (F.col("qn") * F.col("nn"))
             ).alias("cos_raw"),
         )
@@ -405,8 +428,7 @@ def embedding_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_raw",
-            F.expr(dot_unrolled_sql("va", "vb", dim))
-            / (F.col("na") * F.col("nb")),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.col("cos_raw").alias("cosine"))
@@ -517,7 +539,7 @@ def adc_topk(
             "query_id",
             "neighbor_id",
             (
-                F.expr(dot_unrolled_sql("qv", "dqv", dim))
+                dot(F.col("qv"), F.col("dqv"))
                 / (F.col("qn") * F.col("nn"))
             ).alias("cos_raw"),
         )
