@@ -462,3 +462,39 @@ def test_shuffle_shard_deterministic_and_balanced(spark):
     assert sum(sizes.values()) == n  # dense per-shard positions
     assert len(sizes) == 8
     assert max(sizes.values()) < 2 * n / 8  # no hot shard
+
+
+def test_dot_and_bucket_sql_forms_bit_identical(spark):
+    """The F.expr string builders produce bit-identical results to the
+    Column builders (same left-to-right fold order): guards the SQL-text
+    fast path against accidental reassociation, which would silently
+    break oracle hash parity."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        dot,
+        dot_unrolled,
+        dot_unrolled_sql,
+        hyperplane_lsh_perms,
+        lsh_bucket,
+        lsh_bucket_sql,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    planes = hyperplane_lsh_perms(6, 64, 9)
+    buckets = emb.select(
+        lsh_bucket(F.col("embedding"), planes).alias("col_form"),
+        F.expr(lsh_bucket_sql("embedding", planes)).alias("sql_form"),
+    )
+    assert buckets.filter(F.col("col_form") != F.col("sql_form")).count() == 0
+
+    pairs = emb.select(F.col("embedding").alias("a")).crossJoin(
+        emb.limit(5).select(F.col("embedding").alias("b"))
+    )
+    dots = pairs.select(
+        dot(F.col("a"), F.col("b")).alias("lam"),
+        dot_unrolled(F.col("a"), F.col("b"), 64).alias("unrl"),
+        F.expr(dot_unrolled_sql("a", "b", 64)).alias("sql"),
+    )
+    assert dots.filter(
+        (F.col("lam") != F.col("unrl")) | (F.col("lam") != F.col("sql"))
+    ).count() == 0
