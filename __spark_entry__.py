@@ -6038,7 +6038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_sliding_window": a8_sliding_window,
         "a_sessionize": a_sessionize,
         "a_linreg_trend": a_linreg_trend,
-        "ts_dominant_period": ts_dominant_period,
+        # ann_adc_topk (full SQL oracle, new in r3) takes the window slot
+        # ts_dominant_period (rows-only oracle + differential pytest) held:
+        # a hash-match driver row beats a rows-only one.
+        "ann_adc_topk": ann_adc_topk,
         "a_quantiles": a_quantiles,
         "a_cohort_retention": a_cohort_retention,
         "a_corr_regr": a_corr_regr,
@@ -6075,10 +6078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_hll_mergeable": a_hll_mergeable,
         "ann_ivf_topk": ann_ivf_topk,
         "graph_pagerank": graph_pagerank,
+        "ts_dominant_period": ts_dominant_period,
         # --- new in round 3 (behind the window on purpose: the front-50
         #     slots belong to the backlog; these rotate forward next round) ---
         "emb_scalar_quantize": emb_scalar_quantize,
-        "ann_adc_topk": ann_adc_topk,
         "curation_shuffle_shard": curation_shuffle_shard,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
