@@ -3760,6 +3760,32 @@ FROM lineitem
 """
 
 
+def r4_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — frame transpose (reference ``investigate_2022_fs_data.py:113``
+    ``.T`` before heatmaps): rows become columns via unpivot+pivot — no
+    driver collect of data (only the distinct key list that names the new
+    columns).  Demonstrated on the bounded `region` dim, matching the
+    boundedness contract pandas ``.T`` implies."""
+    from cassandra_fs_pp_spark.operators.projection import transpose_frame
+
+    return transpose_frame(_t(spark, sf_dir, "nation"), "n_nationkey")
+
+
+def _r4_oracle() -> str:
+    keys = range(25)  # nation is the fixed 25-row TPC-H dim
+    rows = []
+    for var in ("n_name", "n_regionkey"):
+        cells = ",\n       ".join(
+            f"MAX(CASE WHEN n_nationkey = {k} THEN CAST({var} AS VARCHAR) END)"
+            f""" AS "{k}\"""" for k in keys
+        )
+        rows.append(f"SELECT '{var}' AS \"column\",\n       {cells}\nFROM nation")
+    return "\nUNION ALL\n".join(rows)
+
+
+R4_ORACLE = _r4_oracle()
+
+
 def p5_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex column-family selection (`colRegex`) — the reference's
     ``df.filter(regex=..., axis=1)`` (SURVEY §2.3 P5)."""
@@ -6083,6 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     slots belong to the backlog; these rotate forward next round) ---
         "emb_scalar_quantize": emb_scalar_quantize,
         "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6329,6 +6356,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cohort_retention": A_COHORT_ORACLE,
         "text_bigram_pmi": TEXT_PMI_ORACLE,
         "r1_melt": R1_ORACLE,
+        "r4_transpose": R4_ORACLE,
         "p5_regex_projection": P5_ORACLE,
         "mm_image_meta": MM_META_ORACLE,
         "mm_image_stats": MM_STATS_ORACLE,

@@ -90,3 +90,30 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df.select(
         *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
     )
+
+
+def transpose_frame(
+    df: DataFrame, key_col: str, *, value_type: str = "string"
+) -> DataFrame:
+    """R4 — transpose: rows become columns, columns become rows
+    (reference ``investigate_2022_fs_data.py:113,140,156`` uses ``.T`` on
+    collected pandas frames before heatmap plotting).
+
+    Distributed shape: unpivot to ``(column, key, value)`` then pivot on
+    the key — one shuffle each way, no driver collect of the data itself
+    (Spark's pivot collects only the DISTINCT KEY LIST to name the output
+    columns).  The output is as wide as the input is long, so this carries
+    the same boundedness contract pandas ``.T`` implies: transpose the
+    aggregated/plot-bound frame, not the raw table.  Mixed input dtypes
+    collapse to ``value_type`` (pandas ``.T`` likewise yields object)."""
+    cols = [c for c in df.columns if c != key_col]
+    melted = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        *[F.col(c).cast(value_type).alias(c) for c in cols],
+    ).unpivot(
+        ids=["__key"],
+        values=cols,
+        variableColumnName="column",
+        valueColumnName="__value",
+    )
+    return melted.groupBy("column").pivot("__key").agg(F.first("__value"))
