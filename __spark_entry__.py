@@ -4327,6 +4327,85 @@ FROM documents
 """
 
 
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec path under the correctness gate: each row encodes
+    an actual baseline JPEG (from-spec pure-python encoder, T.81 Annex K
+    tables) of a deterministic FLAT grayscale frame, ships the bytes
+    through the corpus, decodes with the engine's from-spec JPEG decoder,
+    and reports pixel stats.  Exactness is by construction: a flat
+    8×8-aligned block with an EVEN sample value has DC = 8·(v−128), a
+    multiple of the quality-50 DC quantum 16, and zero AC — so the lossy
+    codec is bit-exact on these frames and the oracle can recompute the
+    closed form without ever seeing the bytes."""
+    import pandas as _pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from cassandra_fs_pp_spark.functions.multimodal import decode_real_image
+    from cassandra_fs_pp_spark.jpeg import encode_jpeg
+
+    ids = _media_ids(spark, sf_dir)
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("jpg", BinaryType())]
+    )
+
+    def enc(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            pdf = pdf[["doc_id"]].copy()
+            pdf["jpg"] = [
+                encode_jpeg(
+                    _np.full(
+                        (8 * (1 + int(k) % 3), 16),
+                        2 * (int(k) % 128),
+                        dtype=_np.uint8,
+                    ),
+                    quality=50,
+                )
+                for k in pdf["doc_id"]
+            ]
+            yield pdf
+
+    out_schema = (
+        "doc_id long, h long, w long, mean_px double, min_px long, max_px long"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["doc_id"], pdf["jpg"]):
+                arr = decode_real_image(bytes(payload))
+                rows.append(
+                    (
+                        int(k),
+                        arr.shape[0],
+                        arr.shape[1],
+                        float(arr.mean()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "mean_px", "min_px", "max_px"],
+            )
+
+    return ids.mapInPandas(enc, schema=enc_schema).mapInPandas(
+        dec, schema=out_schema
+    )
+
+
+MM_JPEG_ORACLE = """
+SELECT doc_id,
+       CAST(8 * (1 + doc_id % 3) AS BIGINT) AS h,
+       CAST(16 AS BIGINT) AS w,
+       CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_px,
+       CAST(2 * (doc_id % 128) AS BIGINT) AS min_px,
+       CAST(2 * (doc_id % 128) AS BIGINT) AS max_px
+FROM documents
+"""
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     auds = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="audio")
     st = audio_stats(auds, "doc_id")
@@ -6110,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_scalar_quantize": emb_scalar_quantize,
         "curation_shuffle_shard": curation_shuffle_shard,
         "r4_transpose": r4_transpose,
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6361,6 +6441,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_meta": MM_META_ORACLE,
         "mm_image_stats": MM_STATS_ORACLE,
         "mm_png_roundtrip": MM_PNG_ORACLE,
+        "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
         "mm_frame_sample": MM_FRAMES_ORACLE,
         "mm_audio_stats": MM_AUDIO_ORACLE,
         "stream_hourly_agg": STREAM_A8_ORACLE,

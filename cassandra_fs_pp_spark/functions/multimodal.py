@@ -260,19 +260,27 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Decode a REAL image payload: PNG via the built-in pure-python
-    decoder (no imaging library needed); FIMG via the fake codec; any
-    other format (JPEG, ...) via optional Pillow when present."""
+    """Decode a REAL image payload: PNG and baseline JPEG via the
+    built-in from-spec pure-python decoders (no imaging library needed);
+    FIMG via the fake codec; any other format (WebP, TIFF, progressive
+    JPEG, ...) via optional Pillow when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] == IMG_MAGIC:
         return decode_image_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive / 12-bit etc. -> Pillow fallback below
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - optional dep
         raise NotImplementedError(
-            "non-PNG real image decode needs the optional 'Pillow' "
-            "dependency (PNG and FIMG decode built-in)"
+            "this image format needs the optional 'Pillow' dependency "
+            "(PNG, baseline JPEG and FIMG decode built-in)"
         ) from e
     import io
 
