@@ -6110,6 +6110,117 @@ FROM k
 """
 
 
+def curation_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext/logreg stage): linear
+    bag-of-words scoring with hash-derived milli-weights, keep above 0.
+    Integer sum + one exact final division — full bit-exact oracle."""
+    from cassandra_fs_pp_spark.functions.curation import quality_model_score
+
+    return quality_model_score(_t(spark, sf_dir, "documents"))
+
+
+CURATION_QUALITY_LOGREG_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         (SELECT CAST(COALESCE(SUM(
+             ('0x' || substr(md5(t.w), 1, 15))::BIGINT % 2001 - 1000), 0) AS BIGINT)
+          FROM unnest(toks) AS t(w)) AS w_sum_milli
+  FROM tok
+)
+SELECT doc_id, n_tokens, w_sum_milli,
+       CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) AS score,
+       CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) > 0.0 AS keep
+FROM w
+"""
+
+
+EMB_SEMDEDUP_BITS, EMB_SEMDEDUP_SEED = 8, 13
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding column: LSH
+    bucket = cluster proxy, min-id representative per bucket, linear and
+    single-pass (window min, no joins/pairs)."""
+    from cassandra_fs_pp_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, bits=EMB_SEMDEDUP_BITS, dim=EMB_DIM, seed=EMB_SEMDEDUP_SEED
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from cassandra_fs_pp_spark.operators.similarity import hyperplane_lsh_perms
+
+    planes = hyperplane_lsh_perms(EMB_SEMDEDUP_BITS, EMB_DIM, EMB_SEMDEDUP_SEED)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+)
+SELECT vec_id, bucket,
+       min(vec_id) OVER (PARTITION BY bucket) AS rep_id,
+       min(vec_id) OVER (PARTITION BY bucket) <> vec_id AS is_dup
+FROM b
+"""
+
+
+def curation_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-pipeline compose: fuzzy-dedup clusters × quality model —
+    keep the HIGHEST-QUALITY doc of each near-dup cluster (not the
+    arbitrary min-id one).  MinHash-LSH cluster assignment (linear,
+    single-pass) joined to the hashed-logreg score, argmax per cluster
+    via one window."""
+    from cassandra_fs_pp_spark.functions.curation import quality_model_score
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        lsh_cluster_wide,
+        minhash_signatures_wide,
+    )
+
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures_wide(corpus, num_hashes=MINHASH_K)
+    clusters = lsh_cluster_wide(sigs, num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    quality = quality_model_score(corpus).select("doc_id", "w_sum_milli")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("w_sum_milli"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep_best", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_rep", "w_sum_milli", "keep_best")
+    )
+
+
+def _keep_best_sql() -> str:
+    cluster = _minhash_cluster_sql()
+    return f"""
+WITH clusters AS ({cluster}),
+qual AS (
+  SELECT doc_id,
+         (SELECT CAST(COALESCE(SUM(
+             ('0x' || substr(md5(t.w), 1, 15))::BIGINT % 2001 - 1000), 0) AS BIGINT)
+          FROM unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(w))
+           AS w_sum_milli
+  FROM ({_CORPUS_SQL}) corpus
+)
+SELECT c.doc_id, c.cluster_rep, q.w_sum_milli,
+       row_number() OVER (PARTITION BY c.cluster_rep
+                          ORDER BY q.w_sum_milli DESC, c.doc_id) = 1
+         AS keep_best
+FROM clusters c JOIN qual q USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -6190,6 +6301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_shuffle_shard": curation_shuffle_shard,
         "r4_transpose": r4_transpose,
         "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+        "curation_quality_logreg": curation_quality_logreg,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6449,4 +6563,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_scalar_quantize": EMB_SQ_ORACLE,
         "ann_adc_topk": ANN_ADC_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
+        "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
+        "emb_semantic_dedup": _semantic_dedup_sql(),
+        "curation_keep_best_in_cluster": _keep_best_sql(),
     }

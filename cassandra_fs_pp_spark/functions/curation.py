@@ -276,3 +276,47 @@ def shuffle_shard(
         .withColumn("shard_pos", F.row_number().over(w).cast("int"))
         .select(id_col, "shard", "shard_pos")
     )
+
+
+def quality_model_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filtering (the fasttext/logreg stage of a
+    training-data pipeline): score = mean per-token weight of a linear
+    bag-of-words model, keep docs above ``threshold``.
+
+    The weight table is the hashing trick taken to its conclusion — the
+    token's weight IS a hash: ``pmod(hash60(w), 2001) - 1000`` in
+    milli-units (a deterministic stand-in for trained weights with the
+    same plumbing: per-token lookup-free scoring, no dictionary join,
+    no broadcast). Swapping in real trained weights = replacing this
+    expression with a broadcast map lookup; the distributed shape is
+    identical and stays JVM-side either way.
+
+    Exactness: the sum is integer; the single final division of two
+    exactly-representable values is IEEE-identical across engines, so a
+    full SQL oracle holds bit-for-bit."""
+    toks = whitespace_tokens(F.col(text_col))
+    w_sum = F.expr(
+        "aggregate(transform(__toks, t -> "
+        "pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2001L)"
+        " - 1000L), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            w_sum.alias("w_sum_milli"),
+        )
+        .withColumn(
+            "score",
+            F.col("w_sum_milli").cast("double")
+            / (F.lit(1000.0) * F.col("n_tokens").cast("double")),
+        )
+        .withColumn("keep", F.col("score") > F.lit(threshold))
+    )

@@ -803,3 +803,33 @@ def kmeans_assign(
                 cents[c] = [nxt[c][p] for p in sorted(nxt[c])]
             # empty cluster: keep previous centroid (deterministic)
     return assigned.select(id_col, "cluster")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: embedding → hyperplane-LSH
+    bucket (a proxy for the k-means cluster SemDeDup uses), keep the
+    min-id representative per bucket.
+
+    Single-pass and linear like :func:`lsh_cluster_wide`'s text twin:
+    one shuffle into buckets (window min), no joins, no pairs — the
+    100 TB-credible shape for "drop embedding-near-identical docs".
+    Tightening the dedup radius = raising ``bits``; the expected bucket
+    occupancy is n / 2^bits, so candidate work stays O(n)."""
+    from pyspark.sql import Window
+
+    planes = hyperplane_lsh_perms(bits, dim, seed)
+    bucket = F.expr(lsh_bucket_sql(vec_col, planes))
+    w = Window.partitionBy("bucket")
+    return (
+        vectors.select(F.col(id_col), bucket.alias("bucket"))
+        .withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+    )

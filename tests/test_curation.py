@@ -182,3 +182,43 @@ def test_source_budget_keep_prefix_and_budget(spark):
             expect.append(r["doc_id"])
         assert [r["doc_id"] for r in rows] == expect
         assert rows[-1]["cum_size"] <= 1500
+
+
+def test_quality_model_score_exact_and_keep(spark):
+    from cassandra_fs_pp_spark.functions.curation import quality_model_score
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_model_score(df).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    assert out[1]["w_sum_milli"] == w("alpha") + w("beta")
+    assert out[2]["w_sum_milli"] == 3 * w("alpha")
+    assert out[1]["score"] == out[1]["w_sum_milli"] / 2000.0
+    assert out[1]["keep"] == (out[1]["score"] > 0)
+
+
+def test_keep_best_in_cluster_prefers_quality_not_min_id(spark):
+    """The argmax doc of a near-dup cluster wins even when it has the
+    LARGER id (min-id dedup would keep the other one)."""
+    import __spark_entry__ as entry
+
+    out = entry.curation_keep_best_in_cluster(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    multi = [v for v in by_cluster.values() if len(v) > 1]
+    assert multi, "near-dup corpus must produce multi-doc clusters"
+    inversions = 0
+    for cluster in multi:
+        best = [r for r in cluster if r["keep_best"]]
+        assert len(best) == 1
+        assert best[0]["w_sum_milli"] == max(r["w_sum_milli"] for r in cluster)
+        if best[0]["doc_id"] != min(r["doc_id"] for r in cluster):
+            inversions += 1
+    assert inversions > 0, "quality argmax never disagreed with min-id (weak test)"

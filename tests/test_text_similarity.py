@@ -498,3 +498,17 @@ def test_dot_and_bucket_sql_forms_bit_identical(spark):
     assert dots.filter(
         (F.col("lam") != F.col("unrl")) | (F.col("lam") != F.col("sql"))
     ).count() == 0
+
+
+def test_semantic_dedup_identical_vectors_collapse(spark):
+    from cassandra_fs_pp_spark.operators.similarity import semantic_dedup
+
+    v = [0.5, -0.25, 0.125, 1.0]
+    rows = [(1, v), (2, v), (3, [-x for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, bits=6, dim=4).collect()}
+    assert out[1]["bucket"] == out[2]["bucket"]
+    assert out[2]["is_dup"] and out[2]["rep_id"] == 1
+    assert not out[1]["is_dup"]
+    # the antipodal vector flips every sign bit -> complementary bucket
+    assert out[3]["bucket"] == (2**6 - 1) ^ out[1]["bucket"]
