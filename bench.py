@@ -54,6 +54,8 @@ HEADLINE = [
     "a_time_weighted_avg",
     "fleet_udg_filter",
     "fleet_tdr_depth",
+    "emb_semantic_dedup",
+    "curation_quality_logreg",
 ]
 
 

@@ -104,3 +104,36 @@ def test_lsh_topk_pair_dedup_is_narrow(spark):
     )
     assert m, plan
     assert _n(plan, "CartesianProduct") == 0
+
+
+def test_semantic_dedup_single_pass_no_joins(spark):
+    # SemDeDup path: one shuffle into buckets (window min), zero joins
+    df = entrymod.queries()["emb_semantic_dedup"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+    assert _n(plan, "SortMergeJoin") == 0
+    assert _n(plan, "BroadcastHashJoin") == 0
+    assert _n(plan, "Scan parquet") == 1
+
+
+def test_quality_logreg_is_scan_project_only(spark):
+    # linear scoring is a pure narrow projection: zero shuffles
+    df = entrymod.queries()["curation_quality_logreg"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 0, plan
+    assert _n(plan, "Scan parquet") == 1
+
+
+def test_keep_best_no_cartesian_no_nlj(spark):
+    df = entrymod.queries()["curation_keep_best_in_cluster"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "CartesianProduct") == 0
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_transpose_two_shuffles(spark):
+    # unpivot (narrow) + pivot agg: at most the pivot's agg exchange pair
+    df = entrymod.queries()["r4_transpose"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") <= 2, plan
+    assert _n(plan, "CartesianProduct") == 0
