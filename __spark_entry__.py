@@ -4512,6 +4512,56 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka retrieval: coarse top-64 on the 32-dim prefix
+    (2× fewer FLOPs at full corpus width), exact 64-dim rerank of only
+    those candidates. Deterministic global coarse cut → full SQL oracle;
+    integer-only output like ann_block_topk."""
+    from cassandra_fs_pp_spark.operators.similarity import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_topk(
+        emb, k=5, coarse_k=64, prefix_dim=32,
+        queries=emb.filter(F.col("vec_id") < 50),
+    )
+
+
+ANN_MATRYOSHKA_ORACLE = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding[1:32]::DOUBLE[], c.embedding[1:32]::DOUBLE[])
+           / (q.nrm * c.nrm) AS cs
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS crank
+    FROM coarse
+  ) WHERE crank <= 64
+), exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN q ON q.vec_id = cand.query_id
+  JOIN c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM exact
+) WHERE rank <= 5
+"""
+
+
 def curation_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus budgeting: deterministic doc order, keep while the
     running char total stays within budget — the domain-cap step of corpus
@@ -6304,6 +6354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_quality_logreg": curation_quality_logreg,
         "emb_semantic_dedup": emb_semantic_dedup,
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6483,6 +6534,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         "ann_block_topk": ANN_BLOCK_ORACLE,
+        "ann_matryoshka_topk": ANN_MATRYOSHKA_ORACLE,
         "curation_source_budget": CURATION_BUDGET_ORACLE,
         "stream_session_agg": STREAM_SESSION_ORACLE,
         "fleet_udg_filter": FLEET_UDG_ORACLE,

@@ -833,3 +833,117 @@ def semantic_dedup(
         .withColumn("rep_id", F.min(id_col).over(w))
         .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
     )
+
+
+def matryoshka_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    coarse_k: int = 32,
+    prefix_dim: int = 16,
+    queries: DataFrame,
+) -> DataFrame:
+    """Two-stage Matryoshka / adaptive-retrieval kNN: COARSE rank on the
+    first ``prefix_dim`` dims (dim/prefix_dim × fewer FLOPs), EXACT
+    full-dim rerank of only the global coarse top-``coarse_k``.
+
+    Both stages keep :func:`block_matmul_topk`'s scale shape — broadcast
+    query matrix, Arrow-batch BLAS, map-side pruning before any exchange:
+
+    * stage 1 emits ≤ ``coarse_k`` candidates per query per batch
+      (prefix dot over FULL-norm-normalized vectors), then one window
+      takes the global coarse top-``coarse_k`` — deterministic across
+      partitionings (ties broken by neighbor id), so a SQL oracle can
+      replay it;
+    * stage 2 broadcast-semi-joins the Q×coarse_k candidate ids against
+      the corpus (only those rows' full vectors are ever touched again)
+      and reranks with the exact full-dim cosine.
+
+    At 100 TB the win is stage 1's bandwidth: the prefix slice is the
+    only thing dense-scanned at full corpus width. Recall vs the exact
+    answer is tested differentially against block_matmul_topk."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(qn == 0.0, 1.0, qn)
+    bc = vectors.sparkSession.sparkContext.broadcast((q_ids, qm))
+    p = prefix_dim
+
+    def coarse(batches):
+        ids, qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(cn == 0.0, 1.0, cn)
+            scores = qmat[:, :p] @ cm[:, :p].T
+            scores[ids[:, None] == cid[None, :]] = -np.inf
+            kk = min(coarse_k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(ids)), kk)
+            cols = top.ravel()
+            keep = np.isfinite(scores[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[rows[keep]],
+                    "neighbor_id": cid[cols[keep]],
+                    "coarse": scores[rows[keep], cols[keep]],
+                }
+            )
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(
+        coarse, schema="query_id long, neighbor_id long, coarse double"
+    )
+    wC = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse"), F.asc("neighbor_id")
+    )
+    cand = (
+        cand.withColumn("crank", F.row_number().over(wC))
+        .filter(F.col("crank") <= coarse_k)
+        .select("query_id", "neighbor_id")
+    )
+
+    joined = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(F.broadcast(cand), "neighbor_id")
+
+    def exact(batches):
+        ids, qmat = bc.value
+        idx = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(cn == 0.0, 1.0, cn)
+            qi = np.array([idx[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            cos = np.einsum("ij,ij->i", qmat[qi], cm)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    res = joined.mapInPandas(
+        exact, schema="query_id long, neighbor_id long, cosine double"
+    )
+    wK = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(wK))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -512,3 +512,43 @@ def test_semantic_dedup_identical_vectors_collapse(spark):
     assert not out[1]["is_dup"]
     # the antipodal vector flips every sign bit -> complementary bucket
     assert out[3]["bucket"] == (2**6 - 1) ^ out[1]["bucket"]
+
+
+def test_matryoshka_topk_recall_vs_exact(spark):
+    """Coarse-prefix prune then exact rerank. The synthetic corpus is
+    ISOTROPIC (no MRL training), so the prefix carries only prefix/dim of
+    the signal — the worst case for this op; 0.8+ recall here means real
+    Matryoshka-trained embeddings (energy front-loaded) would be ~1.0.
+    With coarse_k = corpus size the answer is identical to exact."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        block_matmul_topk,
+        matryoshka_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in block_matmul_topk(emb, k=5, queries=q).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in matryoshka_topk(
+            emb, k=5, coarse_k=64, prefix_dim=32, queries=q
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"matryoshka recall {recall:.2f}"
+
+    n = emb.count()
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in matryoshka_topk(
+            emb, k=5, coarse_k=n, prefix_dim=32, queries=q
+        ).collect()
+    }
+    exact_ranked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in block_matmul_topk(emb, k=5, queries=q).collect()
+    }
+    assert full == exact_ranked
