@@ -40,6 +40,24 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC interchange sink (Spark-native writer): same partition-pruning
+    / column-pruning / predicate-pushdown properties as the Parquet
+    canonical sink, for pipelines whose downstream (Hive/Trino/legacy
+    warehouse) is ORC-first.  Pushdown on re-read is asserted in
+    tests/test_layout.py."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -131,3 +131,33 @@ def test_sql_facade_register_views(spark):
     assert row and row[0].n > 0
     # events view must carry the ns->us normalization (plain TIMESTAMP math)
     assert spark.sql("SELECT max(ts) FROM sqlv_events").collect()[0][0] is not None
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC interchange sink: values round-trip, filters reach the ORC
+    reader (PushedFilters), and partition columns prune at plan time."""
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.sinks import write_orc
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["part"])
+
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    assert {r["id"] for r in back.filter("part = 2").limit(5).collect()} <= {
+        i for i in range(1000) if i % 4 == 2
+    }
+
+    q = back.filter((F.col("part") == 2) & (F.col("id") > 500)).select("id", "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+    # partition pruning: only the part=2 directory is scanned
+    assert "PartitionFilters" in plan
+    got = sorted(r["id"] for r in q.collect())
+    assert got == [i for i in range(501, 1000) if i % 4 == 2]
