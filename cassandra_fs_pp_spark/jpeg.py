@@ -321,6 +321,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/Adobe) unsupported"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
@@ -484,6 +488,14 @@ def encode_jpeg(
     points that let a parallel reader split the entropy stream."""
     if img.dtype != np.uint8:
         raise TypeError("uint8 input required")
+    if img.ndim not in (2, 3):
+        raise ValueError(f"expected (h, w) or (h, w, c) input, got ndim={img.ndim}")
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    elif img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]  # drop alpha (JPEG has no transparency)
+    elif img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality)

@@ -162,8 +162,8 @@ def _fmt_num(v: float) -> str:
 def _fmt_ts(us: float, span_us: float) -> str:
     """Epoch-µs tick label; granularity follows the plotted span."""
     sec = us / 1e6
-    days = sec / 86400.0
-    d = int(days)
+    d = math.floor(sec / 86400.0)  # floor, not truncate: negative epochs
+    # land on the correct civil day
     # civil date from day number (proleptic Gregorian, epoch 1970-01-01)
     z = d + 719468
     era = z // 146097
@@ -212,15 +212,50 @@ def colormap(v: np.ndarray) -> np.ndarray:
 _ML, _MR, _MT, _MB = 52, 10, 10, 22  # margins: left/right/top/bottom
 
 
+def _t_us(time_col: str):
+    """Epoch-µs expression — the ONE definition both the bounds agg and
+    every renderer's binning use, so numeric (epoch-second) and timestamp
+    columns can't disagree on units."""
+    return F.unix_micros(F.col(time_col).cast("timestamp"))
+
+
 def _time_bounds(df: DataFrame, time_col: str) -> tuple[int, int]:
-    row = df.agg(
-        F.min(F.col(time_col)).alias("lo"), F.max(F.col(time_col)).alias("hi")
-    ).collect()[0]
+    t = _t_us(time_col)
+    row = df.agg(F.min(t).alias("lo"), F.max(t).alias("hi")).collect()[0]
     if row["lo"] is None:
         raise ValueError(f"no rows / all-null {time_col}")
-    to_us = lambda t: int(t.timestamp() * 1e6) if hasattr(t, "timestamp") else int(t)
-    lo, hi = to_us(row["lo"]), to_us(row["hi"])
+    lo, hi = int(row["lo"]), int(row["hi"])
     return lo, max(hi, lo + 1)
+
+
+def _xbin(time_col: str, lo: int, hi: int, nbins: int):
+    return F.least(
+        F.lit(nbins - 1),
+        ((_t_us(time_col) - F.lit(lo)) * nbins / F.lit(hi - lo)).cast("long"),
+    )
+
+
+def _draw_x_labels(canvas, lo: int, hi: int, pw: int, width: int, height: int):
+    for t in _nice_ticks(lo, hi, 6):
+        x = _ML + int((t - lo) / (hi - lo) * (pw - 1))
+        if _ML <= x < _ML + pw:
+            lbl = _fmt_ts(t, hi - lo)
+            _draw_text(
+                canvas,
+                min(max(_ML, x - _text_width(lbl) // 2), width - _text_width(lbl) - 1),
+                height - _MB + 6,
+                lbl,
+            )
+
+
+def _draw_colorbar(canvas, cx: int, ph: int, flo: float, fhi: float):
+    ramp = colormap(np.linspace(1.0, 0.0, ph))
+    canvas[_MT : _MT + ph, cx : cx + 10] = ramp[:, None, :]
+    for t in _nice_ticks(flo, fhi, 4):
+        y = _MT + int(round((fhi - t) / (fhi - flo) * (ph - 1)))
+        if _MT <= y < _MT + ph:
+            canvas[y, cx + 10 : cx + 13] = _BLACK
+            _draw_text(canvas, cx + 15, y - _GH // 2, _fmt_num(t))
 
 
 def _grid_agg(
@@ -229,11 +264,7 @@ def _grid_agg(
     """groupBy(xbin) → avg(value_cols): the scale valve.  One shuffle of
     ≤ nbins rows leaves the cluster regardless of input size."""
     lo, hi = _time_bounds(df, time_col)
-    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
-    xbin = F.least(
-        F.lit(nbins - 1),
-        ((t_us - F.lit(lo)) * nbins / F.lit(hi - lo)).cast("long"),
-    )
+    xbin = _xbin(time_col, lo, hi, nbins)
     rows = (
         df.where(F.col(time_col).isNotNull())
         .groupBy(xbin.alias("__xbin"))
@@ -293,35 +324,30 @@ def render_timeseries(
         x = _ML + int((t - lo) / (hi - lo) * (pw - 1))
         if _ML <= x < _ML + pw:
             canvas[_MT : _MT + ph, x] = _GRID
-            lbl = _fmt_ts(t, hi - lo)
-            _draw_text(
-                canvas,
-                min(max(_ML, x - _text_width(lbl) // 2), width - _text_width(lbl) - 1),
-                height - _MB + 6,
-                lbl,
-            )
+    _draw_x_labels(canvas, lo, hi, pw, width, height)
     # frame
     canvas[_MT, _ML : _ML + pw] = _BLACK
     canvas[_MT + ph - 1, _ML : _ML + pw] = _BLACK
     canvas[_MT : _MT + ph, _ML] = _BLACK
     canvas[_MT : _MT + ph, _ML + pw - 1] = _BLACK
 
-    # series polylines (gaps where a bin had no rows stay unplotted)
+    # series polylines; a bin with no rows OR a null average breaks the
+    # line (no fabricated segment across an outage)
+    by_bin = {int(r["__xbin"]): r for r in rows}
     for si, c in enumerate(value_cols):
         color = PALETTE[si % len(PALETTE)]
         prev = None
-        for r in rows:
-            v = r[c]
+        for b in range(pw):
+            r = by_bin.get(b)
+            v = r[c] if r is not None else None
             if v is None or not math.isfinite(v):
                 prev = None
                 continue
-            pt = (x_of(r["__xbin"]), y_of(float(v)))
+            pt = (x_of(b), y_of(float(v)))
             if prev is not None:
                 _draw_line(canvas, prev[0], prev[1], pt[0], pt[1], color)
             else:
-                canvas[
-                    max(pt[1] - 0, 0) : pt[1] + 1, max(pt[0] - 0, 0) : pt[0] + 1
-                ] = color
+                canvas[pt[1] : pt[1] + 1, pt[0] : pt[0] + 1] = color
             prev = pt
 
     if title:
@@ -356,13 +382,9 @@ def render_heatmap(
     pw = width - _ML - _MR - cbar_w
     ph = height - _MT - _MB
     lo, hi = _time_bounds(df, time_col)
-    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
-    xbin = F.least(
-        F.lit(pw - 1), ((t_us - F.lit(lo)) * pw / F.lit(hi - lo)).cast("long")
-    )
     cells = (
         df.where(F.col(time_col).isNotNull() & F.col(y_col).isNotNull())
-        .groupBy(xbin.alias("__xbin"), F.col(y_col).alias("__y"))
+        .groupBy(_xbin(time_col, lo, hi, pw).alias("__xbin"), F.col(y_col).alias("__y"))
         .agg(F.avg(F.col(value_col).cast("double")).alias("__v"))
         .collect()
     )
@@ -392,25 +414,8 @@ def render_heatmap(
         y = _MT + int((i + 0.5) / len(levels) * ph) - _GH // 2
         lbl = _fmt_num(float(lvl)) if isinstance(lvl, (int, float)) else str(lvl)[:7]
         _draw_text(canvas, _ML - 4 - _text_width(lbl), y, lbl)
-    for t in _nice_ticks(lo, hi, 6):
-        x = _ML + int((t - lo) / (hi - lo) * (pw - 1))
-        if _ML <= x < _ML + pw:
-            lbl = _fmt_ts(t, hi - lo)
-            _draw_text(
-                canvas,
-                min(max(_ML, x - _text_width(lbl) // 2), width - _text_width(lbl) - 1),
-                height - _MB + 6,
-                lbl,
-            )
-    # colorbar
-    cx = width - _MR - cbar_w + 10
-    ramp = colormap(np.linspace(1.0, 0.0, ph))
-    canvas[_MT : _MT + ph, cx : cx + 10] = ramp[:, None, :]
-    for t in _nice_ticks(flo, fhi, 4):
-        y = _MT + int(round((fhi - t) / (fhi - flo) * (ph - 1)))
-        if _MT <= y < _MT + ph:
-            canvas[y, cx + 10 : cx + 13] = _BLACK
-            _draw_text(canvas, cx + 15, y - _GH // 2, _fmt_num(t))
+    _draw_x_labels(canvas, lo, hi, pw, width, height)
+    _draw_colorbar(canvas, width - _MR - cbar_w + 10, ph, flo, fhi)
     if title:
         _draw_text(canvas, _ML, 2, title)
     return encode_png(canvas)
@@ -438,11 +443,12 @@ def render_depth_scatter(
         F.min(F.col(depth_col).cast("double")).alias("lo"),
         F.max(F.col(depth_col).cast("double")).alias("hi"),
     ).collect()[0]
+    if drow["lo"] is None:
+        raise ValueError(f"no rows / all-null {depth_col}")
     dlo, dhi = float(drow["lo"]), float(drow["hi"])
     if dhi <= dlo:
         dhi = dlo + 1.0
-    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
-    xbin = F.least(F.lit(nx - 1), ((t_us - F.lit(lo)) * nx / F.lit(hi - lo)).cast("long"))
+    xbin = _xbin(time_col, lo, hi, nx)
     ybin = F.least(
         F.lit(ny - 1),
         (
@@ -461,13 +467,16 @@ def render_depth_scatter(
         fhi = flo + 1.0
 
     canvas = np.full((height, width, 3), 255, dtype=np.uint8)
-    for r in cells:
-        if r["__v"] is None:
-            continue
-        color = colormap(np.array([(r["__v"] - flo) / (fhi - flo)]))[0]
-        x = _ML + int(r["__x"]) * 3
-        y = _MT + ph - 3 - int(r["__y"]) * 3  # depth axis increases downward data-wise
-        canvas[y : y + 3, x : x + 3] = color
+    live = [r for r in cells if r["__v"] is not None]
+    if live:
+        colors = colormap(
+            (np.array([r["__v"] for r in live]) - flo) / (fhi - flo)
+        )
+        for r, color in zip(live, colors):
+            x = _ML + int(r["__x"]) * 3
+            # depth axis increases downward data-wise
+            y = _MT + ph - 3 - int(r["__y"]) * 3
+            canvas[y : y + 3, x : x + 3] = color
     # frame + axes labels
     canvas[_MT, _ML : _ML + pw] = _BLACK
     canvas[_MT + ph - 1, _ML : _ML + pw] = _BLACK
@@ -478,24 +487,8 @@ def render_depth_scatter(
         if _MT <= y < _MT + ph:
             lbl = _fmt_num(t)
             _draw_text(canvas, _ML - 4 - _text_width(lbl), y - _GH // 2, lbl)
-    for t in _nice_ticks(lo, hi, 6):
-        x = _ML + int((t - lo) / (hi - lo) * (pw - 1))
-        if _ML <= x < _ML + pw:
-            lbl = _fmt_ts(t, hi - lo)
-            _draw_text(
-                canvas,
-                min(max(_ML, x - _text_width(lbl) // 2), width - _text_width(lbl) - 1),
-                height - _MB + 6,
-                lbl,
-            )
-    cx = width - _MR - cbar_w + 10
-    ramp = colormap(np.linspace(1.0, 0.0, ph))
-    canvas[_MT : _MT + ph, cx : cx + 10] = ramp[:, None, :]
-    for t in _nice_ticks(flo, fhi, 4):
-        y = _MT + int(round((fhi - t) / (fhi - flo) * (ph - 1)))
-        if _MT <= y < _MT + ph:
-            canvas[y, cx + 10 : cx + 13] = _BLACK
-            _draw_text(canvas, cx + 15, y - _GH // 2, _fmt_num(t))
+    _draw_x_labels(canvas, lo, hi, pw, width, height)
+    _draw_colorbar(canvas, width - _MR - cbar_w + 10, ph, flo, fhi)
     if title:
         _draw_text(canvas, _ML, 2, title)
     return encode_png(canvas)

@@ -97,3 +97,12 @@ def test_spark_jpeg_roundtrip_query(spark):
         assert r["mean_px"] == float(v)
         assert r["min_px"] == v and r["max_px"] == v
         assert r["h"] == 8 * (1 + r["doc_id"] % 3) and r["w"] == 16
+
+
+def test_rgba_drops_alpha_and_hw1_is_gray():
+    rgba = np.full((16, 16, 4), 100, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgba, quality=50))
+    assert dec.shape == (16, 16, 3)
+    hw1 = np.full((16, 16, 1), 100, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(hw1, quality=50))
+    assert dec.shape == (16, 16) and (dec == 100).all()

@@ -111,9 +111,11 @@ def test_png_decode_all_filter_types():
 
 
 def test_real_decode_dispatch():
-    """decode_real_image: PNG -> built-in decoder, FIMG -> fake codec,
-    anything else -> PIL or a clean NotImplementedError."""
+    """decode_real_image: PNG -> built-in decoder, JPEG -> built-in
+    from-spec decoder, FIMG -> fake codec, anything else -> PIL or a
+    clean NotImplementedError."""
     from cassandra_fs_pp_spark.functions.multimodal import encode_png
+    from cassandra_fs_pp_spark.jpeg import encode_jpeg
 
     img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     np.testing.assert_array_equal(decode_real_image(encode_png(img)), img)
@@ -121,14 +123,26 @@ def test_real_decode_dispatch():
     fake = encode_fake_image(0, 4, 4, 1)
     assert decode_real_image(fake).shape == (4, 4, 1)
 
+    # baseline JPEG decodes via the built-in codec — no Pillow involved
+    flat = np.full((8, 8), 100, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_real_image(encode_jpeg(flat, quality=50)), flat
+    )
+
+    # CORRUPT JPEG (valid SOI, garbage after) is a ValueError from the
+    # built-in decoder — corrupt data, not an unsupported format
+    with pytest.raises(ValueError):
+        decode_real_image(b"\xff\xd8\xff\xe0 not really a jpeg")
+
     try:
         import PIL  # noqa: F401
         has_pil = True
     except ImportError:
         has_pil = False
     if not has_pil:
+        # genuinely unsupported format (WebP magic) -> NotImplementedError
         with pytest.raises(NotImplementedError):
-            decode_real_image(b"\xff\xd8\xff\xe0 not really a jpeg")
+            decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_real_jpeg_decode_via_pillow():

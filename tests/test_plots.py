@@ -153,3 +153,50 @@ def test_cli_plot_l2_products(spark, tmp_path):
     heat = decode_png(open(os.path.join(outdir, "S_DTC1_heatmap.png"), "rb").read())
     assert line.shape == (200, 320, 3)
     assert heat.shape == (200, 320, 3)
+
+
+def test_numeric_epoch_seconds_time_column(spark):
+    """A bigint epoch-seconds time column bins identically to a timestamp
+    one (review finding: bounds and binning must share one unit)."""
+    from cassandra_fs_pp_spark.plots import _grid_agg
+
+    base = spark.range(100).select(
+        (F.lit(1_600_000_000) + F.col("id") * 3600).alias("ts_sec"),
+        F.col("id").cast("double").alias("v"),
+    )
+    rows, lo, hi = _grid_agg(base, "ts_sec", ["v"], 50)
+    assert len(rows) == 50  # spread over all bins, not clamped into one
+    assert hi - lo == 99 * 3600 * 1_000_000
+
+
+def test_outage_gap_not_bridged(spark):
+    """Bins with NO rows break the polyline: no line pixels in the
+    column range of a total outage."""
+    df = spark.createDataFrame(
+        [(i, 50.0) for i in range(0, 40)] + [(i, 50.0) for i in range(160, 200)],
+        "step long, v double",
+    ).select(
+        F.timestamp_micros(
+            (F.lit(1_600_000_000_000_000) + F.col("step") * 3_600_000_000).cast("long")
+        ).alias("ts"),
+        "v",
+    )
+    png = render_timeseries(df, "ts", ["v"], width=400, height=200, legend=False)
+    img = decode_png(png)
+    from cassandra_fs_pp_spark.plots import _ML, _MR
+
+    pw = 400 - _ML - _MR
+    # middle fifth of the plot area is inside the outage
+    mid = img[:, _ML + 2 * pw // 5 : _ML + 3 * pw // 5]
+    assert not (mid.reshape(-1, 3) == np.array(PALETTE[0], dtype=np.uint8)).all(
+        axis=1
+    ).any(), "line drawn across a no-data gap"
+
+
+def test_all_null_depth_raises_value_error(spark):
+    df = spark.createDataFrame(
+        [("2021-01-01 00:00:00", None, 1.0)],
+        "ts string, depth double, v double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "depth", "v")
+    with pytest.raises(ValueError, match="all-null"):
+        render_depth_scatter(df, "ts", "depth", "v", width=200, height=120)
