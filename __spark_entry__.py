@@ -2982,7 +2982,7 @@ def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
     )
     return embedding_near_dups(
-        emb.unionByName(shadow), threshold=0.45, dim=EMB_DIM
+        emb.unionByName(shadow), threshold=0.45
     )
 
 
@@ -5651,9 +5651,11 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_WSAMPLE_ORACLE = """
 WITH k AS (
   SELECT doc_id, lang, n_chars,
-         pow( ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                 % 1000000000) + 0.5) / 1e9,
-              1.0 / greatest(n_chars, 1) ) AS key
+         CASE WHEN n_chars > 0 THEN
+           pow( ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000000) + 0.5) / 1e9,
+                1.0 / n_chars )
+         ELSE -1.0 END AS key
   FROM documents
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
@@ -6083,7 +6085,7 @@ def ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_fs_pp_spark.operators.similarity import adc_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return adc_topk(emb, dim=EMB_DIM)
+    return adc_topk(emb)
 
 
 def curation_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6172,7 +6174,8 @@ def curation_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_QUALITY_LOGREG_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\s+') AS toks
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
   FROM documents
 ), w AS (
   SELECT doc_id,
@@ -6183,8 +6186,11 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id, n_tokens, w_sum_milli,
-       CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) AS score,
-       CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) > 0.0 AS keep
+       CASE WHEN n_tokens > 0
+            THEN CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) END AS score,
+       CASE WHEN n_tokens > 0
+            THEN CAST(w_sum_milli AS DOUBLE) / (1000.0 * n_tokens) END > 0.0
+         AS keep
 FROM w
 """
 

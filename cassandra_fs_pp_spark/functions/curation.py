@@ -45,6 +45,8 @@ def stratified_sample_keep(
     for stratum, n in rates.items():
         cond = (stratum_col == stratum) & (b < n)
         out = cond if out is None else (out | cond)
+    if out is None:  # no strata listed -> keep nothing (per the contract)
+        return F.lit(False)
     return F.coalesce(out, F.lit(False))
 
 
@@ -235,7 +237,13 @@ def weighted_reservoir_topk(
     u = (
         (hash60(F.col(id_col).cast("string")) % F.lit(1_000_000_000)) + F.lit(0.5)
     ) / F.lit(1e9)
-    key = F.pow(u, F.lit(1.0) / F.greatest(F.col(weight_col), F.lit(1)))
+    # Efraimidis-Spirakis priority u^(1/w) needs w > 0; non-positive
+    # weights sort below every real priority (u^(1/w) is in (0,1)) so
+    # they are only ever sampled after all positively-weighted rows.
+    key = F.when(
+        F.col(weight_col) > 0,
+        F.pow(u, F.lit(1.0) / F.col(weight_col)),
+    ).otherwise(F.lit(-1.0))
     part = [stratum_col] if stratum_col else []
     w = Window.partitionBy(*part).orderBy(F.desc("__key"), F.col(id_col))
     return (
@@ -300,7 +308,9 @@ def quality_model_score(
     Exactness: the sum is integer; the single final division of two
     exactly-representable values is IEEE-identical across engines, so a
     full SQL oracle holds bit-for-bit."""
-    toks = whitespace_tokens(F.col(text_col))
+    # drop the '' token Spark's split yields on empty/whitespace-only
+    # text: such docs score n_tokens=0 / score null, not md5('')'s weight
+    toks = F.filter(whitespace_tokens(F.col(text_col)), lambda t: t != "")
     w_sum = F.expr(
         "aggregate(transform(__toks, t -> "
         "pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2001L)"
@@ -315,8 +325,11 @@ def quality_model_score(
         )
         .withColumn(
             "score",
-            F.col("w_sum_milli").cast("double")
-            / (F.lit(1000.0) * F.col("n_tokens").cast("double")),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("w_sum_milli").cast("double")
+                / (F.lit(1000.0) * F.col("n_tokens").cast("double")),
+            ),
         )
         .withColumn("keep", F.col("score") > F.lit(threshold))
     )

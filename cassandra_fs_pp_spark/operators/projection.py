@@ -107,6 +107,13 @@ def transpose_frame(
     aggregated/plot-bound frame, not the raw table.  Mixed input dtypes
     collapse to ``value_type`` (pandas ``.T`` likewise yields object)."""
     cols = [c for c in df.columns if c != key_col]
+    dup = (
+        df.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        # pandas .T would emit duplicate columns; Spark cannot — refuse
+        # rather than let pivot's first() pick a partition-dependent value
+        raise ValueError(f"transpose_frame: duplicate {key_col} values")
     melted = df.select(
         F.col(key_col).cast("string").alias("__key"),
         *[F.col(c).cast(value_type).alias(c) for c in cols],

@@ -400,18 +400,17 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding-space near-dup).
 
     Quadratic by contract (the exact answer set); per-pair cost matters:
     the streamed side is repartitioned so the nested-loop join fans out
     across cores (a small corpus arrives as ONE parquet partition and
-    would otherwise run single-task), and the pair dot is the unrolled
-    codegen form when ``dim`` is known — both bit-identical to the
-    compact forms. The LSH/IVF/cluster operators are the scale paths."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    would otherwise run single-task), and the pair dot is the compact
+    ``zip_with`` fold (the unrolled variant costs seconds of Catalyst
+    analysis per plan build for no per-pair win — the cost here is the
+    crossJoin row count, not expression eval). The LSH/IVF/cluster
+    operators are the scale paths."""
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     a = vectors.repartition(n_parts).select(
         F.col(id_col).alias("id_a"),
@@ -494,7 +493,6 @@ def adc_topk(
     vec_col: str = "embedding",
     k: int = 5,
     levels: int = 255,
-    dim: int | None = None,
     query_mod: int = 37,
 ) -> DataFrame:
     """Asymmetric-distance top-k: full-precision QUERIES scored against the
@@ -506,8 +504,6 @@ def adc_topk(
     At 100 TB the corpus side is the compact code table (4x smaller scan,
     same shuffle shape); compose with IVF cells to prune candidates.
     """
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
     sq = scalar_quantize(
         vectors, id_col=id_col, vec_col=vec_col, levels=levels
     )
@@ -630,6 +626,57 @@ def label_inertia(
     )
 
 
+def _broadcast_query_matrix(vectors, queries, id_col, vec_col):
+    """Collect + L2-normalize the (small) query set and broadcast it."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(qn == 0.0, 1.0, qn)
+    return vectors.sparkSession.sparkContext.broadcast((q_ids, qm))
+
+
+def _blas_partial_topk(bc, id_col, vec_col, k, score_name, prefix_dim=None):
+    """mapInPandas mapper: per Arrow batch, one Q×B BLAS matmul (over the
+    first ``prefix_dim`` dims when set) and per-query top-k emit — the
+    map-side prune both block_matmul_topk and matryoshka_topk share."""
+    import numpy as np
+    import pandas as pd
+
+    def mapper(batches):
+        ids, qmat = bc.value
+        q = qmat if prefix_dim is None else qmat[:, :prefix_dim]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(cn == 0.0, 1.0, cn)
+            c = cm if prefix_dim is None else cm[:, :prefix_dim]
+            scores = q @ c.T  # Q x B
+            scores[ids[:, None] == cid[None, :]] = -np.inf  # self-pairs out
+            kk = min(k, scores.shape[1])
+            # argpartition: O(B) per row instead of a full sort
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(ids)), kk)
+            cols = top.ravel()
+            keep = np.isfinite(scores[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[rows[keep]],
+                    "neighbor_id": cid[cols[keep]],
+                    score_name: scores[rows[keep], cols[keep]],
+                }
+            )
+
+    return mapper
+
+
 def block_matmul_topk(
     vectors: DataFrame,
     *,
@@ -656,45 +703,10 @@ def block_matmul_topk(
     that (tested differentially vs brute_force_topk). Returns
     (query_id, neighbor_id, rank).
     """
-    import numpy as np
-    import pandas as pd
-
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    qm = qm / np.where(qn == 0.0, 1.0, qn)
-    bc = vectors.sparkSession.sparkContext.broadcast((q_ids, qm))
-
-    def partial_topk(batches):
-        ids, qmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cid = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cn = np.linalg.norm(cm, axis=1, keepdims=True)
-            cm = cm / np.where(cn == 0.0, 1.0, cn)
-            scores = qmat @ cm.T  # Q x B
-            scores[ids[:, None] == cid[None, :]] = -np.inf  # self-pairs out
-            kk = min(k, scores.shape[1])
-            # argpartition: O(B) per row instead of a full sort
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(len(ids)), kk)
-            cols = top.ravel()
-            keep = np.isfinite(scores[rows, cols])
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[rows[keep]],
-                    "neighbor_id": cid[cols[keep]],
-                    "cosine": scores[rows[keep], cols[keep]],
-                }
-            )
-
+    bc = _broadcast_query_matrix(vectors, queries, id_col, vec_col)
     cand = vectors.select(id_col, vec_col).mapInPandas(
-        partial_topk, schema="query_id long, neighbor_id long, cosine double"
+        _blas_partial_topk(bc, id_col, vec_col, k, "cosine"),
+        schema="query_id long, neighbor_id long, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -742,6 +754,10 @@ def kmeans_assign(
     Per iteration one k x dim collect (the centroid table) — identical in
     shape to MLlib's KMeans driver loop. Returns ``(id_col, cluster)``.
     """
+    if iterations < 1:
+        raise ValueError("kmeans needs iterations >= 1")
+    if k < 1:
+        raise ValueError("kmeans needs k >= 1")
     first = (
         vectors.filter(F.col(id_col) < k)
         .orderBy(id_col)
@@ -755,21 +771,26 @@ def kmeans_assign(
     }
 
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         d = [
             F.expr(_qdist2_sql(vec_col, cents[c])).alias(f"__d{c}")
             for c in range(k)
         ]
         scored = vectors.select(id_col, vec_col, *d)
-        cluster = None
-        for c in range(k - 1):
-            cond = None
-            for o in range(c + 1, k):
-                leq = F.col(f"__d{c}") <= F.col(f"__d{o}")
-                cond = leq if cond is None else (cond & leq)
-            step = F.when(cond, F.lit(c))
-            cluster = step if cluster is None else cluster.when(cond, F.lit(c))
-        cluster = cluster.otherwise(F.lit(k - 1))
+        if k == 1:
+            cluster = F.lit(0)
+        else:
+            cluster = None
+            for c in range(k - 1):
+                cond = None
+                for o in range(c + 1, k):
+                    leq = F.col(f"__d{c}") <= F.col(f"__d{o}")
+                    cond = leq if cond is None else (cond & leq)
+                step = F.when(cond, F.lit(c))
+                cluster = (
+                    step if cluster is None else cluster.when(cond, F.lit(c))
+                )
+            cluster = cluster.otherwise(F.lit(k - 1))
         # localCheckpoint: the centroid collect below AND the caller's
         # final action both consume this round's assignment — without it
         # each one re-runs the k-way distance scan from the source
@@ -779,6 +800,11 @@ def kmeans_assign(
         assigned = scored.select(
             id_col, vec_col, cluster.alias("cluster")
         ).localCheckpoint()
+        if it == iterations - 1:
+            # the final assignment IS the answer: recomputing centroids
+            # from it would cost one more full exploded-corpus pass whose
+            # result nobody reads
+            break
         # exact fixed-point means per (cluster, pos) -> next centroids
         ex = assigned.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
@@ -811,7 +837,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 13,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: embedding → hyperplane-LSH
@@ -825,6 +851,10 @@ def semantic_dedup(
     occupancy is n / 2^bits, so candidate work stays O(n)."""
     from pyspark.sql import Window
 
+    if dim is None:
+        # infer: a wrong dim would NULL every plane dot (zip_with pads
+        # with nulls) and silently collapse the corpus into bucket 0
+        dim = len(vectors.select(vec_col).first()[0])
     planes = hyperplane_lsh_perms(bits, dim, seed)
     bucket = F.expr(lsh_bucket_sql(vec_col, planes))
     w = Window.partitionBy("bucket")
@@ -867,42 +897,12 @@ def matryoshka_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    qm = qm / np.where(qn == 0.0, 1.0, qn)
-    bc = vectors.sparkSession.sparkContext.broadcast((q_ids, qm))
-    p = prefix_dim
-
-    def coarse(batches):
-        ids, qmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cid = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cn = np.linalg.norm(cm, axis=1, keepdims=True)
-            cm = cm / np.where(cn == 0.0, 1.0, cn)
-            scores = qmat[:, :p] @ cm[:, :p].T
-            scores[ids[:, None] == cid[None, :]] = -np.inf
-            kk = min(coarse_k, scores.shape[1])
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(len(ids)), kk)
-            cols = top.ravel()
-            keep = np.isfinite(scores[rows, cols])
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[rows[keep]],
-                    "neighbor_id": cid[cols[keep]],
-                    "coarse": scores[rows[keep], cols[keep]],
-                }
-            )
-
+    bc = _broadcast_query_matrix(vectors, queries, id_col, vec_col)
     cand = vectors.select(id_col, vec_col).mapInPandas(
-        coarse, schema="query_id long, neighbor_id long, coarse double"
+        _blas_partial_topk(
+            bc, id_col, vec_col, coarse_k, "coarse", prefix_dim=prefix_dim
+        ),
+        schema="query_id long, neighbor_id long, coarse double",
     )
     wC = Window.partitionBy("query_id").orderBy(
         F.desc("coarse"), F.asc("neighbor_id")

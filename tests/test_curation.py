@@ -222,3 +222,40 @@ def test_keep_best_in_cluster_prefers_quality_not_min_id(spark):
         if best[0]["doc_id"] != min(r["doc_id"] for r in cluster):
             inversions += 1
     assert inversions > 0, "quality argmax never disagreed with min-id (weak test)"
+
+
+def test_weighted_reservoir_fractional_weights_not_uniform(spark):
+    """Fractional weights must shape the E-S priority (the old greatest(w,1)
+    clamp flattened every w<=1 to uniform); zero-weight rows sort last."""
+    from cassandra_fs_pp_spark.functions.curation import weighted_reservoir_topk
+
+    rows = [(i, 0.9 if i % 2 == 0 else 0.1) for i in range(200)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_reservoir_topk(df, "w", "doc_id", k=40).collect()
+    ids = [r["doc_id"] for r in out]
+    heavy = sum(1 for i in ids if i != 999 and i % 2 == 0)
+    assert heavy > 30, f"w=0.9 rows should dominate a 9:1 sample, got {heavy}/40"
+    assert 999 not in ids, "zero-weight row sampled ahead of weighted rows"
+
+
+def test_quality_model_score_empty_doc_is_zero_tokens(spark):
+    from cassandra_fs_pp_spark.functions.curation import quality_model_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_model_score(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["score"] is None
+    assert out[2]["n_tokens"] == 0 and out[2]["score"] is None
+    assert out[3]["n_tokens"] == 1 and out[3]["score"] is not None
+
+
+def test_stratified_sample_empty_rates_keeps_nothing(spark):
+    from cassandra_fs_pp_spark.functions.curation import stratified_sample_keep
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    kept = df.filter(
+        stratified_sample_keep(F.col("doc_id"), F.col("lang"), {})
+    ).count()
+    assert kept == 0

@@ -26,3 +26,11 @@ def test_transpose_involution_shape(spark):
     assert sorted(back.columns) == ["column", "v"]
     rows = {r["column"]: r["v"] for r in back.collect()}
     assert rows == {"x": "1", "y": "2"}
+
+
+def test_transpose_duplicate_keys_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("x", 1), ("x", 2)], "k string, v int")
+    with pytest.raises(ValueError, match="duplicate"):
+        transpose_frame(df, "k")

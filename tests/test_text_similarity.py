@@ -436,7 +436,7 @@ def test_adc_topk_recall_vs_brute(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in adc_topk(emb, k=5, dim=64).collect()
+        for r in adc_topk(emb, k=5).collect()
     }
     assert len(exact) == len(approx) > 0
     recall = len(exact & approx) / len(exact)
