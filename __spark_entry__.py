@@ -5688,6 +5688,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without the cross product: 30-min error windows ×
+    30-min click windows per user, via the bucketized equi-join
+    (explode→hash-join on (user, bucket)→anchor-bucket dedup→exact
+    predicate).  The naive range condition would plan as a
+    BroadcastNestedLoopJoin; this shape is one hash shuffle."""
+    from cassandra_fs_pp_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def side(typ: str, p: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == typ).select(
+            "user_id",
+            F.col("event_id").alias(f"{p}_id"),
+            F.col("ts").alias(f"{p}_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{p}_end"),
+        )
+
+    return interval_overlap_join(
+        side("error", "a"), side("click", "b"),
+        l_start="a_start", l_end="a_end",
+        r_start="b_start", r_end="b_end",
+        bucket_s=1800, keys=("user_id",),
+    )
+
+
+J_INTERVAL_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_start,
+         ts + INTERVAL 30 MINUTE AS a_end
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT user_id, event_id AS b_id, ts AS b_start,
+         ts + INTERVAL 30 MINUTE AS b_end
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a.a_id, a.a_start, a.a_end, b.b_id, b.b_start, b.b_end
+FROM a JOIN b ON a.user_id = b.user_id
+              AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+"""
+
+
 def j_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (SCD2) join: attach each event to the dimension version
     valid at its timestamp (``valid_from <= ts < valid_to``, open current
@@ -6361,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": emb_semantic_dedup,
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
         "ann_matryoshka_topk": ann_matryoshka_topk,
+        "j_interval_overlap": j_interval_overlap,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6623,5 +6666,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),
+        "j_interval_overlap": J_INTERVAL_ORACLE,
         "curation_keep_best_in_cluster": _keep_best_sql(),
     }

@@ -197,3 +197,66 @@ def upsert_snapshot(
             for c in cols
         ]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_s: int = 3600,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-overlap (range) join without a cross product.
+
+    Spark has no native range join; the naive
+    ``l.join(r, l.start <= r.end & r.start <= l.end)`` plans as a
+    BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, a 100 TB
+    non-starter.  This is the standard bucketized formulation instead:
+
+    * each interval explodes into the fixed-width time buckets it covers
+      (``sequence(floor(start/w), floor(end/w))``);
+    * the join is an EQUI-join on (keys…, bucket) — one hash shuffle,
+      co-partitioned, AQE/skew-eligible like any other equi-join;
+    * a pair overlapping several buckets would match once per shared
+      bucket, so the join keeps only the bucket containing
+      ``greatest(l_start, r_start)`` — each true pair survives EXACTLY
+      once, no ``distinct`` pass needed;
+    * the exact overlap predicate filters residual same-bucket misses.
+
+    Shuffle volume is rows × avg buckets-per-interval: pick ``bucket_s``
+    near the typical interval length (the classic ≤2-buckets-per-row
+    sweet spot).  ``keys`` adds equality predicates (site, user…) that
+    both partition the shuffle and cut candidates."""
+    w = int(bucket_s)
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re_ = F.col(r_start), F.col(r_end)
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(ls) / w), F.floor(F.unix_timestamp(le) / w)
+        )
+    ).alias("__bucket")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(rs) / w), F.floor(F.unix_timestamp(re_) / w)
+        )
+    ).alias("__bucket")
+    lx = left.select("*", lb)
+    rx = right.select("*", rb)
+    on = [lx["__bucket"] == rx["__bucket"]] + [
+        lx[k] == rx[k] for k in keys
+    ]
+    anchor = F.floor(
+        F.greatest(F.unix_timestamp(lx[l_start]), F.unix_timestamp(rx[r_start])) / w
+    )
+    overlap = (lx[l_start] <= rx[r_end]) & (rx[r_start] <= lx[l_end])
+    joined = lx.join(rx, on)
+    cond = (lx["__bucket"] == anchor) & overlap
+    out = joined.filter(cond)
+    drop = [rx[k] for k in keys] + [lx["__bucket"], rx["__bucket"]]
+    for c in drop:
+        out = out.drop(c)
+    return out

@@ -258,3 +258,62 @@ def test_global_row_number_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_interval_overlap_join_exact_and_no_double_count(spark):
+    """Bucketized range join: exact pair set (differential vs the naive
+    range condition) and EXACTLY one output row per overlapping pair even
+    when intervals span many buckets."""
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.joins import interval_overlap_join
+
+    def mk(rows, p):
+        return spark.createDataFrame(
+            rows, f"user_id long, {p}_id long, {p}_start string, {p}_end string"
+        ).select(
+            "user_id",
+            f"{p}_id",
+            F.col(f"{p}_start").cast("timestamp").alias(f"{p}_start"),
+            F.col(f"{p}_end").cast("timestamp").alias(f"{p}_end"),
+        )
+
+    # intervals spanning up to 5 one-hour buckets; one pair overlaps at a
+    # single boundary second; one pair doesn't overlap at all
+    a = mk(
+        [
+            (1, 10, "2024-01-01 00:30:00", "2024-01-01 04:30:00"),
+            (1, 11, "2024-01-01 06:00:00", "2024-01-01 06:10:00"),
+            (2, 12, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "a",
+    )
+    b = mk(
+        [
+            (1, 20, "2024-01-01 02:00:00", "2024-01-01 07:00:00"),  # hits 10 & 11
+            (1, 21, "2024-01-01 04:30:00", "2024-01-01 05:00:00"),  # touches 10
+            (2, 22, "2024-01-01 01:00:01", "2024-01-01 02:00:00"),  # misses 12
+        ],
+        "b",
+    )
+    out = interval_overlap_join(
+        a, b, l_start="a_start", l_end="a_end",
+        r_start="b_start", r_end="b_end", bucket_s=3600, keys=("user_id",),
+    ).collect()
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out)
+    assert pairs == [(10, 20), (10, 21), (11, 20)]
+    assert len(pairs) == len(set(pairs)), "pair double-counted across buckets"
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["j_interval_overlap"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert not re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
+    assert not re.search(r"\(\d+\) CartesianProduct", plan)
+    assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
