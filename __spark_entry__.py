@@ -6322,11 +6322,12 @@ FROM clusters c JOIN qual q USING (doc_id)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
-    # are exactly the queries with no driver row in r01 or r02 (54 existed;
-    # the 4 weakest-oracle rows-only ones — a_approx_distinct, a_hll_mergeable,
-    # ann_ivf_topk, graph_pagerank, each backed by differential pytest — are
-    # deferred to positions 51-54).  Everything driver-green in r01/r02 sits
-    # behind them and stays green in the local replica regardless of order.
+    # are queries with no driver row in r01 or r02, all with FULL SQL oracles
+    # (the 5 rows-only ones — a_approx_distinct, a_hll_mergeable, ann_ivf_topk,
+    # graph_pagerank, ts_dominant_period, each backed by differential pytest —
+    # are deferred behind, as are the queries new this round).  Everything
+    # driver-green in r01/r02 sits at the back and stays green in the local
+    # replica regardless of order.
     return {
         # --- never-driver-verified: embeddings / graph / LLM-data ---
         "emb_kmeans_assign": emb_kmeans_assign,

@@ -56,6 +56,8 @@ HEADLINE = [
     "fleet_tdr_depth",
     "emb_semantic_dedup",
     "curation_quality_logreg",
+    "ann_matryoshka_topk",
+    "j_interval_overlap",
 ]
 
 
