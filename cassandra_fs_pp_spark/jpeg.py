@@ -267,7 +267,20 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) or (h, w, 3) uint8 array."""
+    """Baseline JPEG bytes → (h, w) or (h, w, 3) uint8 array.
+
+    Corrupt or truncated input raises ``ValueError`` (one exception type
+    for the pipeline to catch); genuinely unsupported-but-valid variants
+    (progressive, 12-bit, CMYK) raise ``NotImplementedError`` so the
+    caller can route to an optional fuller decoder."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError,
+            StopIteration) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

@@ -106,3 +106,26 @@ def test_rgba_drops_alpha_and_hw1_is_gray():
     hw1 = np.full((16, 16, 1), 100, dtype=np.uint8)
     dec = decode_jpeg(encode_jpeg(hw1, quality=50))
     assert dec.shape == (16, 16) and (dec == 100).all()
+
+
+def test_truncated_and_corrupt_input_raise_value_error_only():
+    """Any corrupt/truncated payload fails with ValueError (or decodes to
+    wrong-but-valid pixels — that's lossy entropy data), never a leaked
+    struct.error/IndexError/KeyError."""
+    x = np.linspace(0, 255, 32)
+    jpg = encode_jpeg(
+        np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8), quality=80
+    )
+    rng = np.random.default_rng(3)
+    for cut in range(2, len(jpg), 5):
+        try:
+            decode_jpeg(jpg[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(200):
+        b = bytearray(jpg)
+        b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
