@@ -169,7 +169,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Pure-python PNG decode (8-bit gray/RGB/gray+alpha/RGBA,
     non-interlaced) from the public PNG spec — stdlib zlib + numpy, no
     imaging library. Returns (h, w, channels) uint8 (channels axis kept
-    even for grayscale)."""
+    even for grayscale).  Corrupt/truncated input raises ValueError —
+    one exception type for pipelines to catch."""
+    import zlib
+
+    try:
+        return _decode_png(payload)
+    except (struct.error, zlib.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     import zlib
 
     if payload[:8] != PNG_SIG:

@@ -254,10 +254,20 @@ def _read_att_list(buf: memoryview, pos: int) -> tuple[dict[str, object], int]:
 def read_netcdf3(path: str) -> tuple[dict[str, int | None], dict[str, object], list[Nc3Variable]]:
     """Read back a classic NetCDF file (fixed + record variables).
 
+    Corrupt/truncated files raise ``ValueError`` (struct underflows and
+    out-of-range reads are normalized to the one exception type).
+
     Returns ``(dims, global_attrs, variables)`` with dims mapping the
     record dimension to ``None`` (its realized length is the first axis
     of any record variable), mirroring :func:`write_netcdf3`'s input.
     """
+    try:
+        return _read_netcdf3(path)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt NetCDF-3 file: {type(e).__name__}: {e}") from e
+
+
+def _read_netcdf3(path):
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     if bytes(buf[:3]) != b"CDF" or buf[3] not in (1, 2):
