@@ -303,3 +303,55 @@ def test_time_weighted_avg_matches_numpy(spark, spec):
     want = float((v[:-1] * dur).sum() / dur.sum())
     assert out[0].twa_value == pytest.approx(want, rel=1e-9)
     assert out[0].span_s == pytest.approx(float(dur.sum()))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user key
+            st.integers(0, 50_000),       # start offset seconds
+            st.integers(0, 20_000),       # duration seconds (may span buckets)
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_interval_overlap_join_matches_naive(spark, data):
+    """Property: the bucketized equi-join form returns EXACTLY the naive
+    range-join pair set, for any interval layout (zero-length intervals,
+    multi-bucket spans, bucket-boundary touches)."""
+    from cassandra_fs_pp_spark.operators.joins import interval_overlap_join
+
+    base = 1_600_000_000
+    rows = [
+        (u, i, base + s, base + s + d) for i, (u, s, d) in enumerate(data)
+    ]
+    left = spark.createDataFrame(
+        rows, "user_id long, a_id long, s long, e long"
+    ).select(
+        "user_id", "a_id",
+        F.timestamp_seconds("s").alias("a_start"),
+        F.timestamp_seconds("e").alias("a_end"),
+    )
+    right = spark.createDataFrame(
+        rows, "user_id long, b_id long, s long, e long"
+    ).select(
+        "user_id", "b_id",
+        F.timestamp_seconds("s").alias("b_start"),
+        F.timestamp_seconds("e").alias("b_end"),
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            left, right, l_start="a_start", l_end="a_end",
+            r_start="b_start", r_end="b_end",
+            bucket_s=3600, keys=("user_id",),
+        ).collect()
+    )
+    want = sorted(
+        (a[1], b[1])
+        for a in rows for b in rows
+        if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    assert got == want
