@@ -48,8 +48,9 @@ def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int, int]]:
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by normalized fingerprint; emit groups with >1 doc.
 
-    Returns (fp, n_docs, keep_id, dup_ids_csv) — keep_id is min(id) (the
-    deterministic survivor), dup_ids the sorted rest.
+    Returns (fp, n_docs, keep_id, all_ids) — keep_id is min(id) (the
+    deterministic survivor); all_ids is the sorted csv of EVERY id in the
+    group INCLUDING keep_id (drop set = all_ids minus keep_id).
     """
     fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     return (
@@ -64,8 +65,12 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def token_set(text_col: Column) -> Column:
-    """Distinct lower-cased whitespace tokens (the minhash unit set)."""
-    return F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
+    """Distinct lower-cased whitespace tokens (the minhash unit set) —
+    built on the ONE shared tokenizer so minhash/simhash/stopword oracles
+    can't drift apart."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    return F.array_distinct(whitespace_tokens(text_col))
 
 
 def minhash_signatures_wide(
@@ -115,6 +120,45 @@ def minhash_signatures(
     )
 
 
+def _band_long(
+    signatures: DataFrame, *, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """Long-form (id, k, mh) signatures -> (id, band, band_sig).  The ONE
+    definition of the band-signature string (sorted k order, ','-joined) —
+    `banded_from_wide` produces identical strings from the wide layout and
+    the DuckDB oracles replicate this exact format."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    return (
+        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+
+
+def _cluster_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_sig) -> (id, cluster_rep, is_dup) via the window-min
+    bucket representative (single pass, no self-join)."""
+    from pyspark.sql import Window
+
+    bucket = Window.partitionBy("band", "band_sig")
+    return (
+        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("cluster_rep"))
+        .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -128,21 +172,8 @@ def lsh_candidate_pairs(
     when ALL rows of some band agree — the classic LSH S-curve knob
     (bands up = recall up / precision down).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    banded = _band_long(
+        signatures, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
     a = banded.select(
         F.col("band"), F.col("band_sig"), F.col(id_col).alias("doc_a")
@@ -197,18 +228,10 @@ def lsh_cluster_wide(
     on the executed plan; 2.5x wall at sf0.1), while the window form is a
     single pass: one shuffle into buckets, min within each, one shuffle
     back to docs. Shuffle volume ∝ docs × bands short strings."""
-    from pyspark.sql import Window
-
     banded = banded_from_wide(
         wide, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
-    bucket = Window.partitionBy("band", "band_sig")
-    return (
-        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
-        .groupBy(id_col)
-        .agg(F.min("bucket_rep").alias("cluster_rep"))
-        .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
-    )
+    return _cluster_from_banded(banded, id_col)
 
 
 def lsh_cluster(
@@ -232,30 +255,9 @@ def lsh_cluster(
     aggregate would run the signature subtree twice; see
     :func:`lsh_cluster_wide`). Returns ``(id, cluster_rep, is_dup)``.
     """
-    from pyspark.sql import Window
-
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-    )
-    bucket = Window.partitionBy("band", "band_sig")
-    return (
-        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
-        .groupBy(id_col)
-        .agg(F.min("bucket_rep").alias("cluster_rep"))
-        .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
+    return _cluster_from_banded(
+        _band_long(signatures, num_hashes=num_hashes, bands=bands, id_col=id_col),
+        id_col,
     )
 
 
@@ -269,11 +271,21 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs only.
 
-    Explodes token sets and joins them through the (small) pair list, so
-    cost is O(candidate tokens), never O(corpus^2).
+    The corpus is first semi-join-pruned to the docs the pair list names
+    (broadcast — the candidate set is small by construction), so only
+    candidate documents are ever tokenized/exploded: cost is O(candidate
+    tokens), never O(corpus tokens), never O(corpus^2).  A disjoint pair
+    (zero shared tokens) is REPORTED with jaccard = 0.0, not dropped —
+    callers can tell "verified, not a dup" from "never checked".
     """
-    tok = docs.select(
-        F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w")
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    tok = (
+        docs.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+        .select(F.col(id_col), F.explode(token_set(F.col(text_col))).alias("w"))
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -286,6 +298,10 @@ def jaccard_verify(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # LEFT join from the pair list: disjoint pairs keep a row (n_inter 0)
+    inter = pairs.select("doc_a", "doc_b").join(
+        inter, on=["doc_a", "doc_b"], how="left"
+    ).withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
     out = (
         inter.join(
             sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")),
@@ -339,10 +355,13 @@ def winnow_fingerprints(
         id_col,
         "__s",
         F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length("__s") - F.lit(k - 1), F.lit(0)),
-            )
+            # docs shorter than k have NO k-grams: emit an empty array
+            # (sequence(1, 0) would be the DESCENDING [1, 0] in Spark and
+            # generate a bogus position-0 gram the tail filter must mask)
+            F.when(
+                F.length("__s") >= k,
+                F.sequence(F.lit(1), F.length("__s") - F.lit(k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("__i"),
     )
     hashed = positions.select(
@@ -374,32 +393,31 @@ def simhash(
     fingerprint bit = (sum >= 0). Returns (id, simhash) with simhash the
     packed bigint. Near-dup docs differ in few bits (hamming).
     """
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
     tok = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("w"),
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("w")
     )
     h = tok.select(id_col, hash60(F.col("w")).alias("hw"))
-    bit_df = h.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        h.crossJoin(F.broadcast(bit_df))
-        .withColumn(
-            "vote",
-            # shiftright with a COLUMN shift amount needs the SQL form
-            F.when(F.expr("shiftright(hw, bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
+    # ONE groupBy with a per-bit conditional sum — the same single-pass
+    # wide-aggregate shape as minhash_signatures_wide (a bits-row
+    # crossJoin would multiply every token row by `bits` before the
+    # partial aggregate and need a second shuffle)
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(hw, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"__s{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") >= 0,
-                F.pow(F.lit(2.0), F.col("bit")).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    packed = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"__s{b}") >= 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -290,9 +290,16 @@ def stream_static_enrich(
     on: str | list[str],
 ) -> DataFrame:
     """Stream-static broadcast enrichment: the streaming twin of the J1/J6
-    dimension attach. The static side is re-resolved per micro-batch (so a
-    slowly-refreshed dim table picks up changes) and broadcast — no state
-    store, no watermark needed for an inner/left equi-join."""
+    dimension attach. No state store, no watermark needed for an
+    inner/left equi-join.
+
+    Refresh caveat: a plain-parquet ``dim`` PINS its file listing when
+    the DataFrame is created — micro-batches re-execute the plan but do
+    NOT re-list files, so overwriting the dim directory mid-stream either
+    serves stale rows or fails on deleted part files.  To pick up dim
+    refreshes, back the dim with a format that re-resolves per batch
+    (Delta/Iceberg) or rebuild the stream (foreachBatch re-reading the
+    dim is the plain-parquet workaround)."""
     return stream_df.join(F.broadcast(dim), on)
 
 
@@ -301,30 +308,35 @@ def stream_stream_interval_join(
     right: DataFrame,
     *,
     key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
     watermark: str = "2 hours",
     within: str = "1 hour",
 ) -> DataFrame:
     """Stream-stream inner join: right-side events matching a left event's
-    key within ``[left.ts, left.ts + within]`` event time.
+    key within ``[left.ts_col, left.ts_col + within]`` event time.
 
     Both sides carry watermarks and the join predicate bounds event time,
     so Spark can size the state store and evict rows older than the
     watermark — the required shape for an unbounded stream-stream join
     (an unconstrained one would buffer both streams forever).
     """
-    lw = left.withWatermark("ts", watermark).alias("l")
-    rw = right.withWatermark("ts", watermark).alias("r")
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col("r.ts") >= F.col("l.ts"))
-        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
     )
     return lw.join(rw, cond, "inner").select(
         F.col(f"l.{key}").alias(key),
-        F.col("l.event_id").alias("left_event"),
-        F.col("r.event_id").alias("right_event"),
-        F.col("l.ts").alias("left_ts"),
-        F.col("r.ts").alias("right_ts"),
+        F.col(f"l.{id_col}").alias("left_event"),
+        F.col(f"r.{id_col}").alias("right_event"),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
     )
 
 
@@ -342,10 +354,13 @@ def foreach_batch_upsert(
     (``order_by`` descending picks the winner when one batch carries
     several versions of a key), then (2) merged into the parquet snapshot
     with :func:`~cassandra_fs_pp_spark.operators.joins.upsert_snapshot`
-    full-row-replace semantics, and (3) the snapshot is atomically swapped
-    (write to a temp dir, rename). Restart-safe: the checkpoint makes each
-    input file process exactly once, so re-running after a crash resumes
-    the fold instead of replaying it.
+    full-row-replace semantics, and (3) the snapshot is swapped in via a
+    two-rename protocol (current → ``.old``, temp → current, drop
+    ``.old``) with crash RECOVERY in the read path: if a crash lands
+    between the renames the next batch (or restart) finds the ``.old``
+    snapshot and resumes the fold from it — no window exists where the
+    merge base can silently vanish.  foreachBatch is at-least-once, so a
+    replayed batch re-merges idempotently (latest-wins on the key).
 
     This is the standard Structured-Streaming CDC pattern when no
     transactional table format is available; at 100 TB, back the snapshot
@@ -362,6 +377,19 @@ def foreach_batch_upsert(
 
     keys = [key] if isinstance(key, str) else list(key)
 
+    old_dir = f"{snapshot_dir}.old"
+
+    def _resolve_base_dir() -> str | None:
+        """Current snapshot, or the ``.old`` one if a crash interrupted a
+        previous swap between its two renames."""
+        if os.path.isdir(snapshot_dir):
+            if os.path.isdir(old_dir):  # crashed after rename 2: finish cleanup
+                shutil.rmtree(old_dir)
+            return snapshot_dir
+        if os.path.isdir(old_dir):  # crashed between renames: recover
+            return old_dir
+        return None
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
@@ -369,16 +397,21 @@ def foreach_batch_upsert(
             batch_df, keys=keys, order_by=[F.desc(c) for c in order_by]
         )
         spark = batch_df.sparkSession
-        if os.path.isdir(snapshot_dir):
-            base = spark.read.parquet(snapshot_dir)
+        base_dir = _resolve_base_dir()
+        if base_dir is not None:
+            base = spark.read.parquet(base_dir)
             merged = upsert_snapshot(base, latest.select(*base.columns), key=keys)
         else:
             merged = latest
         tmp = f"{snapshot_dir}.tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+        # two-rename swap: every crash point leaves either snapshot_dir or
+        # old_dir intact for _resolve_base_dir to pick up
+        if base_dir == snapshot_dir:
+            os.rename(snapshot_dir, old_dir)
         os.rename(tmp, snapshot_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
 
     ckpt = checkpoint_dir or os.path.join(
         tempfile.mkdtemp(prefix="ckpt_"), "upsert"
