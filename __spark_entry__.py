@@ -5476,10 +5476,20 @@ WITH iv AS (
 ), r AS (
   SELECT t, d, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
   FROM b
+), day_tot AS (
+  SELECT date_trunc('day', t) AS day_ts, sum(d) AS dd FROM b GROUP BY 1
+), off AS (
+  SELECT day_ts,
+         COALESCE(sum(dd) OVER (ORDER BY day_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM day_tot
 )
-SELECT date_trunc('day', t) AS day_ts,
-       CAST(max(conc) AS BIGINT) AS max_concurrent
-FROM r GROUP BY 1
+SELECT r.day_ts,
+       CAST(greatest(max(r.conc), any_value(o.base)) AS BIGINT)
+         AS max_concurrent
+FROM (SELECT date_trunc('day', t) AS day_ts, conc FROM r) r
+JOIN off o USING (day_ts)
+GROUP BY r.day_ts
 """
 
 

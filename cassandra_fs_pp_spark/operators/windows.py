@@ -215,6 +215,12 @@ def resample_ffill(
 ) -> DataFrame:
     """W5 — pandas ``resample(freq).ffill(limit=n)`` parity (reindex-ffill).
 
+    With ``freq_s=None`` the per-key dominant frequency is inferred; keys
+    with fewer than 2 samples have NO definable grid and are EXCLUDED
+    from the output (the inferred-frequency inner join drops them) — the
+    single-series path raises instead.  Callers needing those keys back
+    should union them in untouched.
+
     Pandas' resample-ffill is a **reindex**, not a value ffill
     (``cassandra_fs_pp/fs_pp.py:559``): grid labels present in the original
     index keep their value — including NaN — and only *new* grid labels are
@@ -337,7 +343,12 @@ def interpolate_linear(
     t: str | Column,
     partition_by: Sequence[str | Column] | None = None,
 ) -> Column:
-    """W6 — pandas ``Series.interpolate()`` parity.
+    """W6 — pandas ``Series.interpolate(method='index')`` semantics
+    (time-weighted blend).  NOTE: pandas' *default* ``method='linear'``
+    is POSITIONAL (index-ignoring); the two coincide on the regular grids
+    the reference interpolates (it resamples before interpolating,
+    ``bin/plot_L2.py:121``), which is why the parity tests pass — on an
+    irregular grid this is the index/time-weighted form, deliberately.
 
     Interior nulls: time-weighted blend of neighbors. Trailing nulls: carry
     last valid. Leading nulls: stay null.
@@ -459,6 +470,13 @@ def sweep_concurrency(
     = running total of *prior* days' deltas, computed on the tiny day-level
     aggregate and broadcast back. (a)+(b) equals the global cumsum exactly,
     because day boundaries respect the global (t, d) ordering.
+
+    The day maximum includes the CARRIED-IN baseline itself (intervals
+    open at midnight hold until the day's first boundary, so a day whose
+    events are all ends still peaked at ``base``).  Contract: only days
+    with at least one boundary event are emitted — a day lying entirely
+    inside long intervals has no row; join a day spine against the
+    running baseline if silent days must be reported.
     """
     # explode(array(...)) emits both boundary rows from ONE pass over the
     # input (a union of two selects would scan it twice per consumer)
@@ -487,7 +505,11 @@ def sweep_concurrency(
     return (
         within.join(F.broadcast(offsets), "day_ts")
         .groupBy("day_ts")
-        .agg(F.max(F.col("base") + F.col("run")).alias("max_concurrent"))
+        .agg(
+            F.greatest(
+                F.max("base"), F.max(F.col("base") + F.col("run"))
+            ).alias("max_concurrent")
+        )
     )
 
 

@@ -135,12 +135,19 @@ def level0_to_level1(
 
     # _file (a file:// URI) -> global sequence number, as a literal map:
     # a few entries per site, folded into the plan (no join, no shuffle).
+    # input_file_name() percent-encodes the URI, so match BOTH the raw
+    # path and its quoted form (a space in data_root would otherwise
+    # silently NULL every _seq and break keep-first determinism).
+    from urllib.parse import quote as _quote
+
     seq_expr = F.lit(None).cast("int")
     for path, i in seq_of.items():
-        seq_expr = F.when(F.col("_file").endswith(path), F.lit(i)).otherwise(seq_expr)
+        cond = F.col("_file").endswith(path)
+        q = _quote(path)
+        if q != path:
+            cond = cond | F.col("_file").endswith(q)
+        seq_expr = F.when(cond, F.lit(i)).otherwise(seq_expr)
     union = union.withColumn("_seq", seq_expr).drop("_file")
-
-    data_cols = [c for c in union.columns if c not in ("_seq",)]
 
     # P1 all-null column prune (one count pass, then Catalyst prunes the scan)
     union = prune_all_null_columns(union, protect=(TIME, "RECORD", "_seq"))
@@ -344,6 +351,18 @@ def fleet_normalise_udg(
                 auto_rows.append((site, k, date))
             out.append((k, date, user_delta))
         parsed[site] = out
+        # validate the >2-day spacing the offset-invariance argument
+        # rests on: an AUTO event whose ±1-day median windows straddle
+        # the previous step would silently produce a corrupt delta
+        # (explicit user deltas don't use the windows, so they're exempt)
+        for (_, d0, _), (_, d1_, later_user_delta) in zip(out, out[1:]):
+            if later_user_delta is None and (d1_ - d0) <= _dt.timedelta(days=2):
+                raise ValueError(
+                    f"site {site}: auto udg_height_change event at {d1_} is "
+                    f"<=2 days after the {d0} event — its ±1-day median "
+                    "window would straddle the earlier step; supply the "
+                    "height explicitly"
+                )
 
     # -- one distributed aggregation for every auto event's medians --
     raw_medians: dict[tuple[str, int], tuple[float | None, float | None]] = {}
@@ -409,8 +428,17 @@ def fleet_normalise_udg(
         f"{site_col} string, __evs array<struct<d:timestamp,delta:double>>",
     )
     tc = F.col(t)
+    # coalesce: a site with NO configured events folds over an empty
+    # array (pass-through) — a NULL __evs from the left join would
+    # otherwise NULL the site's whole series
     applied = F.aggregate(
-        F.filter("__evs", lambda e: e["d"] <= tc),
+        F.filter(
+            F.coalesce(
+                F.col("__evs"),
+                F.expr("CAST(array() AS array<struct<d:timestamp,delta:double>>)"),
+            ),
+            lambda e: e["d"] <= tc,
+        ),
         F.col(udg_col).cast("double"),
         lambda acc, e: acc - e["delta"],
     )
@@ -491,8 +519,6 @@ def fleet_calc_depth_tdr(
     Returns ``(site_col, t, out_col)`` from the install date onward.
     """
     from pyspark.sql import Window as _W
-
-    from cassandra_fs_pp_spark.operators.windows import ratchet_depth
 
     date = _to_ts(install_date)
     after = udg.filter(F.col(t) >= F.lit(date)).filter(

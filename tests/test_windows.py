@@ -267,3 +267,24 @@ def test_sweep_concurrency_overnight_baseline(spark):
         for r in sweep_concurrency(df, "s", "e").collect()
     }
     assert got == {"2024-01-01": 2, "2024-01-02": 3}
+
+
+def test_sweep_concurrency_baseline_is_the_peak(spark):
+    """A day whose boundaries are ALL ends still peaked at the carried-in
+    baseline (intervals open at midnight hold until the first end)."""
+    from cassandra_fs_pp_spark.operators.windows import sweep_concurrency
+
+    day1 = dt.datetime(2024, 3, 1, 20, 0, 0)
+    # five intervals open on day 1, all ending on day 2 — day 2 has only
+    # -1 boundaries, so post-boundary sums are 4,3,2,1,0 but the true
+    # day-2 max concurrency is the baseline 5
+    rows = [
+        (day1 + dt.timedelta(minutes=i), day1 + dt.timedelta(hours=10 + i))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r.day_ts.date().isoformat(): r.max_concurrent
+        for r in sweep_concurrency(df, "s", "e").collect()
+    }
+    assert got == {"2024-03-01": 5, "2024-03-02": 5}
