@@ -2231,7 +2231,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_STATS_ORACLE = r"""
 SELECT doc_id,
-       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok_ws,
+       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '')) AS n_tok_ws,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tok_bpe,
        CASE WHEN length(text) > 0
             THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
@@ -2250,9 +2251,9 @@ SELECT doc_id,
                       / length(text)
                  ELSE 0.0 END) * 10.0))
        + 0.3 * greatest(0.0, 1.0 - abs(
-           (CASE WHEN CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) > 0
+           (CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS DOUBLE) > 0
                  THEN CAST(length(text) AS DOUBLE)
-                      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+                      / CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS DOUBLE)
                  ELSE 0.0 END) - 5.0) / 5.0) AS quality,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
@@ -2324,7 +2325,7 @@ SELECT doc_id,
       regexp_replace(text,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+    '(\+\d{1,3}[\s.-]?)?(\(\d{3}\)[\s.-]?|\d{3}[\s.-])\d{3}[\s.-]?\d{4}\b', '<PHONE>', 'g') AS clean
 FROM salted
 """
 
@@ -2416,7 +2417,8 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_PACK_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '')) AS n_tok
   FROM documents),
 c AS (
   SELECT doc_id, n_tok,

@@ -41,8 +41,9 @@ def whitespace_tokens(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(whitespace_tokens(col))
+    """Whitespace token count; empty/whitespace-only text counts 0
+    (``split`` alone would yield the single ``''`` token)."""
+    return F.size(F.filter(whitespace_tokens(col), lambda t: t != ""))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -92,9 +93,9 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 
 def lang_id(col: Column) -> Column:
-    """Heuristic language ID: argmax stopword ratio, ties -> 'und' unless a
-    single language leads strictly. Deterministic tie-break by language
-    code order (en < de < fr < es resolved alphabetically: de,en,es,fr)."""
+    """Heuristic language ID: argmax stopword ratio; 'und' only when NO
+    language has any stopword hit. Ties between scoring languages break
+    deterministically to the alphabetically-first code (de,en,es,fr)."""
     scores = lang_scores(col)
     # build: greatest score, then first lang (alphabetical) achieving it
     langs = sorted(scores)
@@ -121,7 +122,11 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # RE2-safe (no lookaround/backrefs): portable Spark <-> DuckDB
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # NANP-shaped phones only (555-123-4567 / (555) 123-4567 /
+    # +1 555 123 4567): the old catch-all \+?\d[\d\s().-]{7,}\d also
+    # swallowed ISO dates, timestamps and 9+-digit ids
+    (r"(\+\d{1,3}[\s.-]?)?(\(\d{3}\)[\s.-]?|\d{3}[\s.-])\d{3}[\s.-]?\d{4}\b",
+     "<PHONE>"),
 )
 
 

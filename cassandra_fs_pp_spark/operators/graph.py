@@ -98,6 +98,12 @@ def connected_components(
         )
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; "
+            "returning partial labels would silently split components"
+        )
     return labels
 
 
@@ -133,6 +139,8 @@ def pagerank(
         .localCheckpoint()
     )
     n_total = nodes.count()
+    if n_total == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph: no rows
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(outdeg, "s").localCheckpoint()
     base = (1.0 - damping) / n_total

@@ -111,14 +111,18 @@ def encode_fixed_point(
     _FillValue -9999). Applied to every double column by default.
 
     ``bround`` (half-even), matching numpy/xarray's ``np.around`` in the
-    reference's NetCDF encode path — Spark's ``round`` is half-up."""
+    reference's NetCDF encode path — Spark's ``round`` is half-up.
+    NaN encodes as ``fill`` exactly like null (matching
+    ``netcdf3._encode_series``'s ``np.isnan`` path) — under ANSI mode a
+    bare NaN→int cast would otherwise crash the job, and with ANSI off it
+    would silently store 0."""
     if cols is None:
         cols = [c for c, d in df.dtypes if d == "double"]
     return df.withColumns(
         {
-            c: F.coalesce(
-                F.bround(F.col(c) / F.lit(float(scale))).cast("int"), F.lit(int(fill))
-            )
+            c: F.when(
+                F.col(c).isNull() | F.isnan(F.col(c)), F.lit(int(fill))
+            ).otherwise(F.bround(F.col(c) / F.lit(float(scale))).cast("int"))
             for c in cols
         }
     )
@@ -249,10 +253,13 @@ def to_netcdf_long(
     ).astype("float64")
     attrs = dict(var_attrs or {})
     data = _encode_series(wide.to_numpy(dtype="float64"), attrs, encode)
-    name_len = max(len(s) for s in sensors)
+    # size by encoded BYTE length: a non-ASCII sensor id is longer in
+    # utf-8 bytes than in characters and would overflow a char-sized row
+    encoded = [s.encode() for s in sensors]
+    name_len = max(len(b) for b in encoded)
     name_mat = np.zeros((len(sensors), name_len), dtype="S1")
-    for i, s in enumerate(sensors):
-        for j, ch in enumerate(s.encode()):
+    for i, b in enumerate(encoded):
+        for j, ch in enumerate(b):
             name_mat[i, j] = bytes([ch])
     variables = [
         Nc3Variable(

@@ -49,10 +49,23 @@ class Toa5Header:
         return dict(zip(self.names, self.units))
 
 
-def read_toa5_header(path: str) -> Toa5Header:
+def _head_lines(path: str, n: int, spark=None) -> list[str]:
+    """First ``n`` lines of ``path``: local ``open`` when the path is on
+    the driver's filesystem, else (object stores — s3a://, hdfs://) a
+    ``textFile().take(n)`` through Hadoop's FS layer (``take`` reads
+    partition 0, i.e. the file head)."""
+    try:
+        with open(path, newline="") as f:
+            return [f.readline() for _ in range(n)]
+    except (OSError, ValueError):
+        if spark is None:
+            raise
+        return [ln + "\n" for ln in spark.sparkContext.textFile(path).take(n)]
+
+
+def read_toa5_header(path: str, spark=None) -> Toa5Header:
     """Driver-side peek at the 4 header lines (metadata plane only)."""
-    with open(path, newline="") as f:
-        rows = list(csv.reader(io.StringIO("".join(f.readline() for _ in range(4)))))
+    rows = list(csv.reader(io.StringIO("".join(_head_lines(path, 4, spark)))))
     if len(rows) < 4 or not rows[0] or rows[0][0] != "TOA5":
         raise ValueError(f"{path}: not a TOA5 file (missing TOA5 env line)")
     return Toa5Header(
@@ -94,7 +107,7 @@ def read_toa5(
     if isinstance(paths, str):
         paths = [paths]
     if schema_ddl is None:
-        schema_ddl = toa5_schema_ddl(read_toa5_header(paths[0]))
+        schema_ddl = toa5_schema_ddl(read_toa5_header(paths[0], spark))
     txt = spark.read.text(paths).select(
         F.input_file_name().alias("_file"), F.col("value")
     )
@@ -134,23 +147,34 @@ def read_beadedstream_csv(
     """
     if isinstance(paths, str):
         paths = [paths]
-    with open(paths[0], newline="") as f:
-        for _ in range(skiprows):
-            f.readline()
-        names = next(csv.reader([f.readline()]))
+    head = _head_lines(paths[0], skiprows + 1, spark)
+    names = next(csv.reader([head[skiprows]]))
     parts = [
         f"`{n}` timestamp" if n == ts_col else f"`{n}` double" for n in names
     ]
     schema_ddl = ", ".join(parts)
     txt = spark.read.text(paths)
-    rows = txt.filter(F.col("value").rlike(DATA_ROW_RE))
-    return rows.select(
+    # the ISO-shape prologue filter only applies when ts_format IS the
+    # ISO default — a non-ISO format (e.g. MM/dd/yyyy) would silently
+    # drop every data row; fall back to "starts with a digit" there
+    row_re = (
+        DATA_ROW_RE
+        if ts_format.startswith("yyyy-MM-dd")
+        else r'^"?\d'
+    )
+    rows = txt.filter(F.col("value").rlike(row_re))
+    parsed = rows.select(
         F.from_csv(
             "value",
             schema_ddl,
             {"nullValue": "NAN", "timestampFormat": ts_format, "emptyValue": ""},
         ).alias("r")
     ).select("r.*")
+    # non-ISO path: the header line also starts with a digit-free name,
+    # but junk rows that slip the looser filter parse to all-null; drop them
+    if row_re != DATA_ROW_RE:
+        parsed = parsed.where(F.col(ts_col).isNotNull())
+    return parsed
 
 
 def read_toa5_positions(
@@ -162,4 +186,11 @@ def read_toa5_positions(
     first = df.orderBy("TIMESTAMP").limit(1).drop("TIMESTAMP", *drop).collect()
     if not first:
         raise ValueError(f"{path}: no data rows")
-    return [float(v) for v in first[0]]
+    vals = list(first[0])
+    if any(v is None for v in vals):
+        bad = [c for c, v in zip(first[0].__fields__, vals) if v is None]
+        raise ValueError(
+            f"{path}: first data row has unreadable (NAN) positions in "
+            f"{bad} — positions must come from a complete row"
+        )
+    return [float(v) for v in vals]
