@@ -51,7 +51,12 @@ class SplitSentences:
             return
         idx = 0
         for m in _SENT_RE.finditer(text):
-            s = m.group(0).strip()
+            raw = m.group(0)
+            s = raw.strip()
             if s:
-                yield idx, m.start(), m.end(), s
+                # offsets delimit the STRIPPED sentence, so
+                # text[start_off:end_off] == sentence holds
+                lead = len(raw) - len(raw.lstrip())
+                start = m.start() + lead
+                yield idx, start, start + len(s), s
                 idx += 1

@@ -36,6 +36,8 @@ def dedup_keep_first(
     ``order_by`` defines "first" (e.g. ``[file_seq, RECORD]`` for the
     reference's concat order, or an event id). One shuffle on ``keys``.
     """
+    if "__rn" in df.columns:
+        raise ValueError("dedup_keep_first: input already has a __rn column")
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_by]
     )
@@ -78,7 +80,10 @@ def debounce_keep_first(
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(us).over(w)
-    brk = F.when(prev.isNull() | ((us - prev) > int(gap_s * 1_000_000)), 1).otherwise(0)
+    # round, not int(): truncation makes a gap of EXACTLY gap_s break or
+    # not depending on gap_s's binary representation (0.3s -> 299999us)
+    gap_us = round(gap_s * 1_000_000)
+    brk = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     annotated = (
         df.withColumn("__brk", brk)
         .withColumn("__rn", F.row_number().over(w))

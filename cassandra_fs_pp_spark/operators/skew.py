@@ -44,10 +44,14 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     on = list(on)
-    # deterministic scatter: hash EVERY big-side column so identical rows
-    # still spread (xxhash64 is a stable JVM-side hash)
+    # deterministic scatter: hash every HASHABLE big-side column so
+    # identical rows still spread (xxhash64 is a stable JVM-side hash;
+    # MapType columns are unhashable and would fail analysis — skip them)
+    hashable = [c for c, d in big.dtypes if not d.startswith("map<")]
+    if not hashable:
+        raise ValueError("salted_join: no hashable columns on the big side")
     big_s = big.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt_n))
     )
     small_s = small.withColumn(
         SALT,

@@ -47,7 +47,14 @@ def null_out_of_range(
         pat = re.compile(_family_regex(spec_key))
         for c in df.columns:
             if pat.match(c):
-                exprs[c] = in_range_or_null(F.col(c), lo, hi)
+                checked = in_range_or_null(
+                    exprs.get(c, F.col(c)), lo, hi
+                )
+                # two spec keys matching one column COMPOSE (intersection
+                # of ranges), mirroring the reference's sequential
+                # .where() filters — last-wins would be insertion-order-
+                # dependent
+                exprs[c] = checked
     if not exprs:
         return df
     return df.withColumns(exprs)

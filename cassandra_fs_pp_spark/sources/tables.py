@@ -35,7 +35,13 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Lazy: no IO until an action runs."""
+    """Scan one table. Lazy: no IO until an action runs.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong`` for the SESSION (not
+    restored: the returned frame is lazy, so the conf must still hold at
+    action time — an engine session owns this defense; callers reading
+    their own TIMESTAMP(NANOS) parquet in the same session will see those
+    columns as raw ns longs and should convert as done here)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,10 +52,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # raw ns long; re-materialized copies are already timestamps
         if dtypes.get(col) == "bigint":
             # integer div (not /) — ns epochs exceed double's 2^53 range
+            # pure NTZ arithmetic from the epoch — no tz-aware hop, so
+            # the result is identical under ANY spark.sql.session.timeZone
             df = df.withColumn(
                 col,
-                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
-                    "timestamp_ntz"
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{col}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
     return df

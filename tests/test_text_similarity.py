@@ -198,7 +198,11 @@ def test_split_sentences_udtf(spark):
     ).collect()
     assert [r["sentence"] for r in out] == ["One.", "Two two!", "Three"]
     assert [r["sent_idx"] for r in out] == [0, 1, 2]
-    assert out[1]["start_off"] == 4
+    # offsets delimit the stripped sentence: text[start:end] == sentence
+    text = "One. Two two! Three"
+    for r in out:
+        assert text[r["start_off"] : r["end_off"]] == r["sentence"]
+    assert out[1]["start_off"] == 5
     # DataFrame-API invocation too
     df = SplitSentences(F.lit("A? B."))
     assert df.count() == 2
