@@ -317,3 +317,55 @@ def test_interval_overlap_join_plan_is_equi_join(spark):
     assert not re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
     assert not re.search(r"\(\d+\) CartesianProduct", plan)
     assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_debounce_gap_boundary_is_inclusive(spark):
+    """A gap of EXACTLY gap_s does not break the burst (int() truncation
+    of 0.3s used to split it one microsecond early)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.dedup import debounce_keep_first
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0),
+        ("k", t0 + dt.timedelta(microseconds=300_000)),   # exactly 0.3s
+        ("k", t0 + dt.timedelta(microseconds=700_000)),   # 0.4s later > 0.3
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    kept = debounce_keep_first(df, ["k"], "ts", 0.3).collect()
+    assert len(kept) == 2  # first burst absorbs the exact-gap event
+    assert sorted(r["burst_n"] for r in kept) == [1, 2]
+
+
+def test_salted_join_with_map_column(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}), (1, {"c": "d"}), (2, {"e": "f"})],
+        "k long, attrs map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    out = salted_join(big, small, on=["k"]).collect()
+    assert len(out) == 3
+    assert {r["name"] for r in out} == {"one", "two"}
+
+
+def test_validity_ranges_compose_not_overwrite(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.validity import null_out_of_range
+
+    df = spark.createDataFrame(
+        [(-20.0,), (-3.0,), (2.0,), (8.0,)], "TDR1_T double"
+    )
+    out = null_out_of_range(
+        df, {"TDR_T": (-50.0, 10.0), "TDR1_T": (0.0, 5.0)}
+    ).collect()
+    vals = [r["TDR1_T"] for r in out]
+    # intersection of both matching specs: only (0, 5) survives
+    assert vals.count(None) == 3 and 2.0 in vals
