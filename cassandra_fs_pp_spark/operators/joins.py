@@ -244,19 +244,17 @@ def interval_overlap_join(
             F.floor(F.unix_timestamp(rs) / w), F.floor(F.unix_timestamp(re_) / w)
         )
     ).alias("__bucket")
-    lx = left.select("*", lb)
-    rx = right.select("*", rb)
-    on = [lx["__bucket"] == rx["__bucket"]] + [
-        lx[k] == rx[k] for k in keys
-    ]
+    lx = left.select("*", lb).alias("__l")
+    rx = right.select("*", rb).alias("__r")
+    lc = lambda c: F.col(f"__l.{c}")
+    rc = lambda c: F.col(f"__r.{c}")
+    on = [lc("__bucket") == rc("__bucket")] + [lc(k) == rc(k) for k in keys]
     anchor = F.floor(
-        F.greatest(F.unix_timestamp(lx[l_start]), F.unix_timestamp(rx[r_start])) / w
+        F.greatest(F.unix_timestamp(lc(l_start)), F.unix_timestamp(rc(r_start)))
+        / w
     )
-    overlap = (lx[l_start] <= rx[r_end]) & (rx[r_start] <= lx[l_end])
-    joined = lx.join(rx, on)
-    cond = (lx["__bucket"] == anchor) & overlap
-    out = joined.filter(cond)
-    drop = [rx[k] for k in keys] + [lx["__bucket"], rx["__bucket"]]
-    for c in drop:
-        out = out.drop(c)
-    return out
+    overlap = (lc(l_start) <= rc(r_end)) & (rc(r_start) <= lc(l_end))
+    out = lx.join(rx, on).filter((lc("__bucket") == anchor) & overlap)
+    for k in keys:
+        out = out.drop(rc(k))
+    return out.drop(lc("__bucket")).drop(rc("__bucket"))
