@@ -6377,6 +6377,426 @@ FROM clusters c JOIN qual q USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Round-3 breadth batch: nearest as-of, CUSUM changepoints, blocked fuzzy
+# join, grid-bucketed spatial radius join, triangle census, Misra-Gries
+# heavy hitters, RAG chunk retrieval. Each pairs a scale-shaped engine
+# plan with an exactly-equivalent naive/window SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest direction: each click matched to the closest
+    error event of the same user within a 6 h tolerance, whichever side
+    it falls on (ties go backward). One shuffle: both directional carries
+    are windows over the same sorted union (operators/joins.py). Extends
+    the reference's single-direction 'record at or before t' lookup
+    (cassandra_fs_pp/fs_pp.py:621-625) to the symmetric form."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("err_value"),
+        F.col("ts").alias("err_ts"),
+    )
+    j = asof_join(
+        clicks,
+        errors,
+        on="ts",
+        by=["user_id"],
+        value_cols=["err_value", "err_ts"],
+        direction="nearest",
+        tolerance_s=21600,
+    )
+    return j.withColumn(
+        "delta_s",
+        F.col("err_ts").cast("timestamp").cast("long")
+        - F.col("ts").cast("timestamp").cast("long"),
+    )
+
+
+J_ASOF_NEAREST_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts AS t, 0 AS side, ts AS mt, value AS mv,
+         NULL::BIGINT AS event_id, NULL::DOUBLE AS lvalue
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, NULL, event_id, value
+  FROM events WHERE event_type = 'click'),
+c AS (
+  SELECT user_id, t, side, event_id, lvalue,
+         last_value(mt IGNORE NULLS) OVER wb AS bt,
+         last_value(mv IGNORE NULLS) OVER wb AS bv,
+         first_value(mt IGNORE NULLS) OVER wf AS ft,
+         first_value(mv IGNORE NULLS) OVER wf AS fv
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY t, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY t, side
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT event_id, user_id, t AS ts, lvalue AS value, bt, bv, ft, fv,
+         (bt IS NOT NULL AND epoch(t) - epoch(bt) <= 21600) AS b_ok,
+         (ft IS NOT NULL AND epoch(ft) - epoch(t) <= 21600) AS f_ok
+  FROM c WHERE side = 1),
+sel AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN b_ok AND (NOT f_ok
+                   OR epoch(ts) - epoch(bt) <= epoch(ft) - epoch(ts))
+              THEN bv WHEN f_ok THEN fv END AS err_value,
+         CASE WHEN b_ok AND (NOT f_ok
+                   OR epoch(ts) - epoch(bt) <= epoch(ft) - epoch(ts))
+              THEN bt WHEN f_ok THEN ft END AS err_ts
+  FROM p)
+SELECT event_id, user_id, ts, value, err_value, err_ts,
+       CAST(floor(epoch(err_ts)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS delta_s
+FROM sel
+"""
+
+
+CUSUM_DRIFT = 6000  # centi-units; value*100 vs drift 60.00 (mean ~49.6)
+CUSUM_ALERT = 25000  # alert when the accumulated positive drift tops 250.00
+
+
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM level-shift detector over the event value
+    stream, reported as per-user alert counts. The recurrence
+    ``s = max(0, s + (x - k))`` is evaluated via its exact prefix-scan
+    closed form (cumsum + running min — operators/windows.py ``cusum``):
+    one exchange, no Python loop, linear at any scale. Values quantized
+    to centi-units so the running sums are exact integers."""
+    from cassandra_fs_pp_spark.operators.windows import cusum
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__x", F.round(F.col("value") * 100).cast("long")
+    )
+    s = cusum(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        "__x",
+        drift=CUSUM_DRIFT,
+    )
+    return s.groupBy("user_id").agg(
+        F.sum(F.when(F.col("cusum") > CUSUM_ALERT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alerts"),
+        F.max("cusum").alias("max_cusum"),
+        F.min(
+            F.when(F.col("cusum") > CUSUM_ALERT, F.col("ts"))
+        ).alias("first_alert_ts"),
+    )
+
+
+TS_CUSUM_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - {CUSUM_DRIFT} AS d
+  FROM events),
+r AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run
+  FROM d),
+c AS (
+  SELECT user_id, ts,
+         run - least(0, min(run) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM r)
+SELECT user_id,
+       CAST(sum(CASE WHEN cusum > {CUSUM_ALERT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alerts,
+       max(cusum) AS max_cusum,
+       min(CASE WHEN cusum > {CUSUM_ALERT} THEN ts END) AS first_alert_ts
+FROM c GROUP BY user_id
+"""
+
+
+def fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a deterministically-corrupted probe list (every
+    20th part name with its 3rd char deleted; every 40th additionally its
+    6th) matched back against the master part table at edit distance <= 2.
+    Length-band blocking makes the candidate join a hash equi-join that is
+    EXACTLY equivalent to the naive cross join the oracle runs
+    (operators/fuzzyjoin.py)."""
+    from cassandra_fs_pp_spark.operators.fuzzyjoin import blocked_levenshtein_join
+
+    part = _t(spark, sf_dir, "part")
+    master = part.select(
+        "p_partkey", F.lower(F.col("p_name")).alias("master_name")
+    )
+    n1 = F.concat(
+        F.expr("substring(lower(p_name), 1, 2)"),
+        F.expr("substring(lower(p_name), 4)"),
+    )
+    probes = (
+        part.filter(F.col("p_partkey") % 20 == 0)
+        .withColumn("__n1", n1)
+        .select(
+            F.col("p_partkey").alias("probe_key"),
+            F.when(
+                F.col("p_partkey") % 40 == 0,
+                F.concat(
+                    F.expr("substring(__n1, 1, 4)"), F.expr("substring(__n1, 6)")
+                ),
+            )
+            .otherwise(F.col("__n1"))
+            .alias("probe_name"),
+        )
+    )
+    return blocked_levenshtein_join(
+        probes, master, "probe_name", "master_name", threshold=2
+    )
+
+
+FUZZY_MATCH_ORACLE = """
+WITH m AS (SELECT p_partkey, lower(p_name) AS master_name FROM part),
+p0 AS (
+  SELECT p_partkey AS probe_key,
+         substr(lower(p_name), 1, 2) || substr(lower(p_name), 4) AS n1
+  FROM part WHERE p_partkey % 20 = 0),
+p AS (
+  SELECT probe_key,
+         CASE WHEN probe_key % 40 = 0
+              THEN substr(n1, 1, 4) || substr(n1, 6) ELSE n1 END AS probe_name
+  FROM p0)
+SELECT p.probe_key, p.probe_name, m.p_partkey, m.master_name,
+       CAST(levenshtein(p.probe_name, m.master_name) AS INT) AS dist
+FROM p, m
+WHERE levenshtein(p.probe_name, m.master_name) <= 2
+"""
+
+
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join: all event pairs within 300 m on a synthetic
+    100 km tangent plane (integer meter coordinates hashed from event ids —
+    portable, deterministic). Grid blocking with cell == radius turns the
+    O(n^2) distance join into a 9-stencil hash equi-join with identical
+    results (operators/geo.py); the oracle runs the naive range join."""
+    from cassandra_fs_pp_spark.functions.text import hash60
+    from cassandra_fs_pp_spark.operators.geo import grid_radius_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (
+            hash60(F.concat(F.lit("gx"), F.col("event_id").cast("string")))
+            % 100000
+        ).alias("x"),
+        (
+            hash60(F.concat(F.lit("gy"), F.col("event_id").cast("string")))
+            % 100000
+        ).alias("y"),
+    )
+    return grid_radius_join(pts, radius=300)
+
+
+GEO_GRID_ORACLE = """
+WITH p AS (
+  SELECT event_id AS id,
+         ('0x' || substr(md5('gx' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100000 AS x,
+         ('0x' || substr(md5('gy' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100000 AS y
+  FROM events)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+FROM p a JOIN p b
+  ON a.id < b.id
+ AND b.x BETWEEN a.x - 300 AND a.x + 300
+ AND b.y BETWEEN a.y - 300 AND a.y + 300
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 90000
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph (parts sharing
+    an order, both with quantity >= 45). Degree-ordered edge orientation
+    bounds the wedge join at O(m^1.5) (operators/graph.py
+    ``triangle_stats``); the oracle's id-oriented 3-way self-join counts
+    the same triangles."""
+    from cassandra_fs_pp_spark.operators.graph import triangle_stats
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_stats(e)
+
+
+GRAPH_TRIANGLE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+    AND a.l_quantity >= 45 AND b.l_quantity >= 45),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e0) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT count(*)
+        FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+             JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
+def a_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-20 tokens via the Misra-Gries sketch-then-verify
+    pattern (operators/stats.py ``heavy_hitters_exact``): map-side MG
+    summaries prune the vocabulary to a guaranteed-superset candidate
+    set, then a broadcast semi-join recounts only candidates — the
+    shuffle never carries the singleton tail. Result is exact, so the
+    oracle is the plain group-by top-k."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+    from cassandra_fs_pp_spark.operators.stats import heavy_hitters_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", k=20, capacity=1000)
+
+
+HEAVY_HITTERS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+r AS (SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+      FROM c)
+SELECT tok, cnt FROM r WHERE rk <= 20
+"""
+
+
+RAG_CHUNK_WORDS = 40
+RAG_STRIDE = 20
+RAG_DIM = 32
+RAG_QUERY_TEXT = "solar panel efficiency report analysis"
+RAG_TOPK = 10
+
+
+def _rag_query_vec() -> list[int]:
+    """Hashing-trick term counts of the fixed retrieval query — computed
+    driver-side with hashlib's md5 (bit-identical to both engines'
+    md5-backed hash60)."""
+    import hashlib
+
+    v = [0] * RAG_DIM
+    for w in RAG_QUERY_TEXT.split():
+        v[int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % RAG_DIM] += 1
+    return v
+
+
+def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval over the corpus: overlapping 40-word chunks (stride
+    20), 32-bucket hashing-trick term vectors, cosine score against a
+    fixed query vector, global top-10 chunks. All JVM-side higher-order
+    expressions over one scan; top-k via TakeOrdered (no single-partition
+    window sort). Integer dots + IEEE sqrt/div keep the scores
+    engine-portable bit-for-bit."""
+    qv = _rag_query_vec()
+    qself = sum(c * c for c in qv)
+    docs = _t(spark, sf_dir, "documents")
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    chunks = docs.withColumn("__ws", whitespace_tokens(F.col("text"))).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(floor((size(__ws) - 1)"
+                f" / {RAG_STRIDE}.0) as int)),"
+                f" ci -> slice(__ws, ci * {RAG_STRIDE} + 1, {RAG_CHUNK_WORDS}))"
+            )
+        ).alias("chunk_id", "cw"),
+    )
+    tf_expr = (
+        f"transform(sequence(0, {RAG_DIM - 1}), b -> size(filter(cw,"
+        f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+        f" % {RAG_DIM} = b)))"
+    )
+    dot_terms = " + ".join(
+        f"{c} * element_at(__tfs, {b + 1})" for b, c in enumerate(qv) if c
+    )
+    feat = chunks.withColumn("__tfs", F.expr(tf_expr)).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(f"cast({dot_terms} as bigint)").alias("dot"),
+        F.expr(
+            "aggregate(__tfs, cast(0 as bigint), (a, t) -> a + t * t)"
+        ).alias("__self"),
+    )
+    scored = feat.withColumn(
+        "score",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("__self").cast("double") * F.lit(float(qself))),
+    ).drop("__self")
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")
+    ).limit(RAG_TOPK)
+
+
+def _rag_chunk_sql() -> str:
+    qv = _rag_query_vec()
+    qself = sum(c * c for c in qv)
+    dot_terms = " + ".join(
+        f"{c} * tfs[{b + 1}]" for b, c in enumerate(qv) if c
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(range(CAST(floor((len(ws) - 1) / {RAG_STRIDE}.0) AS INT) + 1))
+           AS chunk_id,
+         ws
+  FROM tok),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         ws[chunk_id * {RAG_STRIDE} + 1
+            : chunk_id * {RAG_STRIDE} + {RAG_CHUNK_WORDS}] AS cw
+  FROM ch),
+feat AS (
+  SELECT doc_id, chunk_id,
+         list_transform(range(0, {RAG_DIM}),
+           b -> len(list_filter(cw,
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {RAG_DIM} = b)))
+           AS tfs
+  FROM chunks),
+scored AS (
+  SELECT doc_id, chunk_id,
+         CAST({dot_terms} AS BIGINT) AS dot,
+         list_sum(list_transform(tfs, t -> t * t)) AS self
+  FROM feat),
+r AS (
+  SELECT doc_id, chunk_id, dot,
+         CAST(dot AS DOUBLE) / sqrt(CAST(self AS DOUBLE) * {qself}.0) AS score,
+         row_number() OVER (
+           ORDER BY CAST(dot AS DOUBLE)
+                      / sqrt(CAST(self AS DOUBLE) * {qself}.0) DESC,
+                    doc_id, chunk_id) AS rk
+  FROM scored)
+SELECT doc_id, chunk_id, dot, score FROM r WHERE rk <= {RAG_TOPK}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -6463,6 +6883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
         "ann_matryoshka_topk": ann_matryoshka_topk,
         "j_interval_overlap": j_interval_overlap,
+        "j_asof_nearest": j_asof_nearest,
+        "ts_cusum_alerts": ts_cusum_alerts,
+        "fuzzy_match_join": fuzzy_match_join,
+        "geo_grid_join": geo_grid_join,
+        "graph_triangle_count": graph_triangle_count,
+        "a_heavy_hitters_mg": a_heavy_hitters_mg,
+        "rag_chunk_topk": rag_chunk_topk,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -6728,4 +7155,11 @@ def oracle_sql() -> dict[str, str]:
         "j_interval_overlap": J_INTERVAL_ORACLE,
         "ann_ivf_topk": ANN_IVF_ORACLE,
         "curation_keep_best_in_cluster": _keep_best_sql(),
+        "j_asof_nearest": J_ASOF_NEAREST_ORACLE,
+        "ts_cusum_alerts": TS_CUSUM_ORACLE,
+        "fuzzy_match_join": FUZZY_MATCH_ORACLE,
+        "geo_grid_join": GEO_GRID_ORACLE,
+        "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
+        "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
+        "rag_chunk_topk": _rag_chunk_sql(),
     }

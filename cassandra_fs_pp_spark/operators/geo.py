@@ -1,0 +1,87 @@
+"""Grid-bucketed spatial radius join.
+
+The reference engine is a point-timeseries processor with no spatial
+surface; fleet deployments (its multi-site generalization) immediately
+need "which stations are within R meters of each other" for cross-site
+QC and sensor-drift cross-checks. This is the planar version of that
+primitive, built the way a 100 TB engine must build it:
+
+naive radius join = O(n^2) distance evaluations. Grid blocking with
+cell size == R makes it exact at hash-join cost: any pair within
+distance R lies in the same or an adjacent cell (a disk of radius R
+fits inside the 3x3 stencil of R-sized cells around its center), so
+candidates = equi-join of "each point exploded to its 9-cell stencil"
+against "each point in its own cell", then the exact distance filter.
+Every unordered pair meets exactly twice (a's stencil covers b's home
+cell and vice versa) — the ``id_a < id_b`` filter keeps exactly one,
+no distinct pass.
+
+At scale: the join shuffles on a single bigint cell key; dense urban
+cells are the skew risk — AQE skew-join splitting or salting the hot
+cells handles it, and the stencil fan-out is a fixed 9x (row-count
+linear). Works unchanged for any metric with an exact bounding-box
+lower bound (great-circle via per-latitude lon scaling, L1, chebyshev).
+
+Coordinates here are integers (meters on a local tangent plane / web-
+mercator tile offsets): integer squared distances are exact, overflow-
+free within +-3e9 m, and engine-portable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_radius_join(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: int,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` with squared euclidean distance
+    ``<= radius**2``. Input columns must be integral (meters).
+
+    Returns ``(id_a, id_b, dist_sq)`` — ``dist_sq`` as bigint keeps the
+    output exact (callers wanting meters take ``sqrt`` themselves).
+    """
+    r = int(radius)
+    # Single bigint cell key: cx * 2^21 + cy keeps the join key narrow
+    # (one long, not a struct) while staying collision-free for any
+    # plausible tangent-plane extent (cy < 2^21 cells).
+    cx = F.floor(F.col(x_col) / r).cast("long")
+    cy = F.floor(F.col(y_col) / r).cast("long")
+    home = points.select(
+        F.col(id_col).alias("__idb"),
+        F.col(x_col).alias("__xb"),
+        F.col(y_col).alias("__yb"),
+        (cx * F.lit(1 << 21) + cy).alias("__cell"),
+    )
+    stencil = F.array(
+        *[
+            (cx + F.lit(dx)) * F.lit(1 << 21) + (cy + F.lit(dy))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = points.select(
+        F.col(id_col).alias("__ida"),
+        F.col(x_col).alias("__xa"),
+        F.col(y_col).alias("__ya"),
+        F.explode(stencil).alias("__cell"),
+    )
+    dx = F.col("__xa") - F.col("__xb")
+    dy = F.col("__ya") - F.col("__yb")
+    return (
+        probe.join(home, on="__cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("dist_sq", (dx * dx + dy * dy).cast("long"))
+        .filter(F.col("dist_sq") <= F.lit(r * r))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "dist_sq",
+        )
+    )

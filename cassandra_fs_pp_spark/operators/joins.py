@@ -73,11 +73,17 @@ def asof_join(
     ``right.time <= left.time`` (backward) or earliest with ``>=`` (forward),
     optionally per ``by`` key and within ``tolerance_s`` seconds.
 
+    ``direction="nearest"`` picks whichever of the two is closer in time
+    (ties go backward; an equal-timestamp right row counts as a backward
+    match at distance 0). Still ONE shuffle: both carries are windows over
+    the same sorted union, so Catalyst evaluates them in a single Sort +
+    Window pass — no second exchange for the forward leg.
+
     Sort-based union implementation (one shuffle on ``by`` + sort):
     scalable alternative to per-group ``pd.merge_asof``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     by = list(by or [])
     right_on = right_on or on
     if value_cols is None:
@@ -85,7 +91,9 @@ def asof_join(
 
     # Tag sides; right rows sort before left at equal timestamps for
     # backward-inclusive semantics (and after, for forward-inclusive).
-    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    # "nearest" uses the backward layout: the equal-ts right row is the
+    # backward candidate at distance 0, which wins every tie anyway.
+    r_side, l_side = (0, 1) if direction in ("backward", "nearest") else (1, 0)
     r = right.select(
         *by,
         F.col(right_on).alias("__t"),
@@ -113,6 +121,57 @@ def asof_join(
     u = r.unionByName(l)
 
     base = Window.partitionBy(*by) if by else Window
+    if direction == "nearest":
+        wb = base.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wf = base.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        back = lambda c: F.last(c, ignorenulls=True).over(wb)  # noqa: E731
+        fwd = lambda c: F.first(c, ignorenulls=True).over(wf)  # noqa: E731
+        cand = u.select(
+            *by,
+            "__t",
+            "__side",
+            back(F.col("__matched_t")).alias("__mb_t"),
+            fwd(F.col("__matched_t")).alias("__mf_t"),
+            *[back(F.col(f"__v_{c}")).alias(f"__mb_{c}") for c in value_cols],
+            *[fwd(F.col(f"__v_{c}")).alias(f"__mf_{c}") for c in value_cols],
+            *[F.col(f"__l_{c}") for c in l_cols],
+        ).filter(F.col("__side") == l_side)
+        # Epoch-double gaps: TIMESTAMP_NTZ has no direct numeric cast
+        # (route via TIMESTAMP; the session is pinned UTC), and the double
+        # keeps sub-second precision exactly (µs fits the 52-bit mantissa).
+        ep = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+        gap_b = ep("__t") - ep("__mb_t")
+        gap_f = ep("__mf_t") - ep("__t")
+        b_ok = F.col("__mb_t").isNotNull()
+        f_ok = F.col("__mf_t").isNotNull()
+        if tolerance_s is not None:
+            b_ok = b_ok & (gap_b <= int(tolerance_s))
+            f_ok = f_ok & (gap_f <= int(tolerance_s))
+        use_b = b_ok & (~f_ok | (gap_b <= gap_f))
+        matched = cand.select(
+            *by,
+            "__t",
+            F.when(use_b, F.col("__mb_t"))
+            .when(f_ok, F.col("__mf_t"))
+            .alias("__m_t"),
+            *[
+                F.when(use_b, F.col(f"__mb_{c}"))
+                .when(f_ok, F.col(f"__mf_{c}"))
+                .alias(f"__m_{c}")
+                for c in value_cols
+            ],
+            *[F.col(f"__l_{c}") for c in l_cols],
+        )
+        out_names = {c: (c if c not in l_cols else c + suffix) for c in value_cols}
+        return matched.select(
+            *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+            *[F.col(f"__m_{c}").alias(out_names[c]) for c in value_cols],
+        )
+
     if direction == "backward":
         w = base.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
             Window.unboundedPreceding, 0
@@ -134,7 +193,10 @@ def asof_join(
     ).filter(F.col("__side") == l_side)
 
     if tolerance_s is not None:
-        gap = F.abs(F.col("__t").cast("long") - F.col("__m_t").cast("long"))
+        gap = F.abs(
+            F.col("__t").cast("timestamp").cast("double")
+            - F.col("__m_t").cast("timestamp").cast("double")
+        )
         keep = gap <= int(tolerance_s)
         matched = matched.select(
             *by, "__t",

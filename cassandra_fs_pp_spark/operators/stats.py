@@ -79,3 +79,68 @@ def global_row_number(
         .withColumn(out_col, (F.col("__lidx") + F.col("__off") + 1).cast("long"))
         .drop("__pid", "__lidx")
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int,
+    capacity: int = 1000,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values via a Misra-Gries prefilter.
+
+    The plain ``groupBy(col).count().orderBy(...)`` answer shuffles EVERY
+    distinct value — at 100 TB of tokens that is a full-vocabulary
+    exchange dominated by the singleton tail. This runs the classic
+    sketch-then-verify pattern instead:
+
+    1. **Map-side Misra-Gries** (``mapInPandas``, one pass, ``capacity``
+       counters per partition): any value with global frequency
+       > N/capacity survives in at least one partition summary, so the
+       union of survivors is a guaranteed superset of every true top-k
+       whose count exceeds that bound (pick ``capacity >> k``; with
+       capacity=1000 the bound is 0.1% of rows — far below any credible
+       top-20 token). Summary size: <= capacity rows per partition.
+    2. **Exact recount of candidates only**: broadcast semi-join of the
+       tiny candidate set against the stream, then an ordinary count —
+       the shuffle now carries only candidate rows.
+    3. Deterministic top-k: count desc, value asc tie-break.
+
+    The result is EXACT (the sketch only prunes, never estimates), so the
+    SQL oracle is the plain group-by top-k.
+    """
+    import pandas as pd
+
+    schema = StructType([StructField("cand", df.schema[col].dataType, False)])
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Weighted Misra-Gries: merge vectorized per-batch value_counts,
+        # then bleed off uniform mass while over capacity (each bleed of m
+        # removes >= (capacity+1)*m total, preserving the N/capacity
+        # undercount bound of the unit-decrement original).
+        counters: dict[object, int] = {}
+        for pdf in batches:
+            for v, c in pdf[col].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            while len(counters) > capacity:
+                m = min(counters.values())
+                counters = {
+                    key: n - m for key, n in counters.items() if n > m
+                }
+        yield pd.DataFrame({"cand": list(counters.keys())})
+
+    cands = df.select(col).mapInPandas(mg, schema).distinct()
+    counted = (
+        df.join(
+            F.broadcast(cands), df[col] == cands["cand"], "left_semi"
+        )
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(col).asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .drop("rk")
+    )

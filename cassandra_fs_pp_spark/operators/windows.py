@@ -549,3 +549,44 @@ def step_detect(
         }
     ).withColumn("step", F.col("med_after") - F.col("med_before"))
     return out.filter(F.abs(F.col("step")) > float(threshold))
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    t: str | Sequence[str],
+    x: str,
+    *,
+    drift: int,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM change detector, shuffle-free closed form.
+
+    The textbook recurrence ``s_i = max(0, s_{i-1} + (x_i - drift))`` looks
+    inherently sequential (and the obvious port is a per-key Python loop),
+    but it has an exact prefix-scan closed form:
+
+        ``s_i = R_i - min(0, min_{j<=i} R_j)``  with  ``R = cumsum(x - drift)``
+
+    so it is two running window aggregates (cumulative sum + running min)
+    over ONE partitioning — a single exchange on ``keys``, fully
+    JVM-side, linear at any scale. No ``applyInPandas``, no driver loop.
+
+    ``x`` should be an integer column (quantize floats first): integer
+    sums keep the result exact and engine-portable. Beyond the reference
+    (its despike is threshold-vs-rolling-median, fs_pp.py:443); CUSUM is
+    the standard drift/level-shift detector for sensor streams.
+    """
+    order = [t] if isinstance(t, str) else list(t)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = F.col(x).cast("long") - F.lit(int(drift))
+    # Catalyst can't nest window exprs directly; stage the prefix sum.
+    staged = df.withColumn("__r", F.sum(d).over(w))
+    return staged.withColumn(
+        out_col,
+        F.col("__r") - F.least(F.lit(0).cast("long"), F.min("__r").over(w)),
+    ).drop("__r")

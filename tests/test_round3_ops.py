@@ -1,0 +1,211 @@
+"""Differential tests for the round-3 breadth batch: nearest as-of,
+CUSUM closed form, blocked fuzzy join, grid radius join, triangle
+census, Misra-Gries heavy hitters. Each operator is checked against an
+independent naive implementation on randomized inputs (the oracle gate
+covers the registry queries; these pin the operators' semantics on
+layouts the testdata does not exercise)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_fs_pp_spark.operators.fuzzyjoin import blocked_levenshtein_join
+from cassandra_fs_pp_spark.operators.geo import grid_radius_join
+from cassandra_fs_pp_spark.operators.graph import triangle_stats
+from cassandra_fs_pp_spark.operators.joins import asof_join
+from cassandra_fs_pp_spark.operators.stats import heavy_hitters_exact
+from cassandra_fs_pp_spark.operators.windows import cusum
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_asof_nearest_matches_naive_loop(spark):
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    left = [
+        (i, rng.randrange(3), t0 + timedelta(seconds=rng.randrange(10000)))
+        for i in range(120)
+    ]
+    right = [
+        (rng.randrange(3), t0 + timedelta(seconds=rng.randrange(10000)), float(i))
+        for i in range(80)
+    ]
+    tol = 600
+    ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "v"])
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            on="ts",
+            by=["k"],
+            value_cols=["v"],
+            direction="nearest",
+            tolerance_s=tol,
+        ).collect()
+    }
+    for lid, k, ts in left:
+        best = None
+        for rk, rts, v in right:
+            if rk != k:
+                continue
+            gap = abs((rts - ts).total_seconds())
+            back = rts <= ts
+            if gap > tol:
+                continue
+            # nearest; ties prefer the backward (earlier-or-equal) side
+            key = (gap, 0 if back else 1)
+            if best is None or key < best[0]:
+                best = (key, v)
+        assert got[lid] == (best[1] if best else None), lid
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    rng = random.Random(11)
+    rows = [
+        (k, i, rng.randrange(-50, 60)) for k in range(5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["k", "i", "x"])
+    got = {
+        (r["k"], r["i"]): r["cusum"]
+        for r in cusum(df, ["k"], "i", "x", drift=3).collect()
+    }
+    for k in range(5):
+        s = 0
+        for i in range(200):
+            x = dict(((kk, ii), xx) for kk, ii, xx in rows)[(k, i)]
+            s = max(0, s + x - 3)
+            assert got[(k, i)] == s, (k, i)
+
+
+def test_blocked_levenshtein_equals_cross_join(spark):
+    rng = random.Random(13)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 9)))
+        for _ in range(60)
+    ]
+    probes = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words[:25])], ["pid", "pw"]
+    )
+    master = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words[25:])], ["mid", "mw"]
+    )
+    for threshold in (1, 2, 3):
+        got = {
+            (r["pid"], r["mid"]): r["dist"]
+            for r in blocked_levenshtein_join(
+                probes, master, "pw", "mw", threshold=threshold
+            ).collect()
+        }
+        want = {}
+        for i, pw in enumerate(words[:25]):
+            for j, mw in enumerate(words[25:]):
+                d = _lev(pw, mw)
+                if d <= threshold:
+                    want[(i, j)] = d
+        assert got == want, threshold
+
+
+def test_grid_radius_join_equals_naive_pairs(spark):
+    rng = random.Random(17)
+    pts = [
+        (i, rng.randrange(-2000, 2000), rng.randrange(-2000, 2000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    r = 150
+    got = {
+        (row["id_a"], row["id_b"]): row["dist_sq"]
+        for row in grid_radius_join(df, radius=r).collect()
+    }
+    want = {}
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+        d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+        if d2 <= r * r:
+            want[(min(i, j), max(i, j))] = d2
+    assert got == want
+
+
+def test_triangle_stats_equals_bruteforce(spark):
+    rng = random.Random(19)
+    n = 40
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(200)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_stats(df).collect()[0]
+    eset = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+
+
+def test_heavy_hitters_exact_on_skewed_multipartition_data(spark):
+    rng = random.Random(23)
+    # Zipf-ish: token_i has ~ C/i occurrences; singleton tail beyond.
+    vals = []
+    for i in range(1, 200):
+        vals += [f"tok{i:03d}"] * (2000 // i)
+    vals += [f"tail{i}" for i in range(3000)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["tok"]).repartition(8)
+    got = [(r["tok"], r["cnt"]) for r in heavy_hitters_exact(
+        df, "tok", k=15, capacity=400
+    ).orderBy(F.desc("cnt"), F.asc("tok")).collect()]
+    from collections import Counter
+
+    want = sorted(
+        Counter(vals).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:15]
+    assert got == want
+
+
+def test_asof_nearest_prefers_backward_on_exact_tie(spark):
+    t0 = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame([(1, t0 + timedelta(seconds=100))], ["lid", "ts"])
+    rdf = spark.createDataFrame(
+        [
+            (t0 + timedelta(seconds=90), 1.0),
+            (t0 + timedelta(seconds=110), 2.0),
+        ],
+        ["ts", "v"],
+    )
+    out = asof_join(
+        ldf, rdf, on="ts", value_cols=["v"], direction="nearest"
+    ).collect()
+    assert out[0]["v"] == 1.0
