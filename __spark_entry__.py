@@ -6797,6 +6797,158 @@ SELECT doc_id, chunk_id, dot, score FROM r WHERE rk <= {RAG_TOPK}
 """
 
 
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix (upper triangle) of the embedding corpus
+    — the PCA/whitening input. Map-side X^T X per Arrow batch; the
+    exchange carries O(parts * d^2) tiny partial rows, never the corpus;
+    fixed-point partials are partition-invariant bit-for-bit
+    (operators/similarity.py ``gram_matrix``)."""
+    from cassandra_fs_pp_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+EMB_GRAM_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i))
+SELECT CAST(a.pos AS INT) AS i, CAST(b.pos AS INT) AS j,
+       CAST(sum(a.q * b.q) AS BIGINT) AS gram_sum
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
+OP_ROLLUP_SPLIT = "2024-02-01 00:00:00"
+
+
+def op_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a pre-aggregated prior state (events
+    before the split date) merged with the new delta's partial aggregate
+    via one full-outer join — provably equal to recomputing over all
+    data, which is exactly what the oracle does. At 100 TB the nightly
+    state is a compact per-key table and only the delta is scanned and
+    shuffled; counts/sums stay in exact integer cents so merge ==
+    recompute bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+    split = F.lit(OP_ROLLUP_SPLIT).cast("timestamp_ntz")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__cents").alias("s")
+        )
+
+    prior = state(ev.filter(F.col("ts") < split)).select(
+        "user_id", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    delta = state(ev.filter(F.col("ts") >= split)).select(
+        "user_id", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    merged = prior.join(delta, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+            "n_events"
+        ),
+        (F.coalesce("s_a", F.lit(0)) + F.coalesce("s_b", F.lit(0))).alias(
+            "sum_cents"
+        ),
+    ).withColumn(
+        "avg_cents", F.col("sum_cents").cast("double") / F.col("n_events")
+    )
+
+
+OP_ROLLUP_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*)
+         AS avg_cents
+FROM events GROUP BY user_id
+"""
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (alpha = 1/2) of the event value stream:
+    the sequential fold ``s = (s + x) / 2`` evaluated as a higher-order
+    ``aggregate`` over the time-ordered value array. With the identical
+    add/halve operation order on both engines the doubles are
+    bit-identical (halving is exact; additions round identically), so
+    this carries a FULL oracle despite being a float recurrence. Per-key
+    series must fit in one task (same contract as every collect_list
+    window); beyond that, chunk the fold by day and carry the chunk
+    boundary states."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__s")
+    )
+    g = g.select(
+        "user_id",
+        F.size("__s").alias("n_events"),
+        F.expr("transform(__s, r -> r.value)").alias("__v"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(__v, 2, size(__v) - 1), element_at(__v, 1),"
+            " (a, x) -> (a + x) / 2D)"
+        ).alias("ewma_half"),
+    )
+
+
+TS_EWMA_ORACLE = """
+WITH l AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS v
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(len(v) AS INT) AS n_events,
+       list_reduce(v, (a, b) -> (a + b) / 2) AS ewma_half
+FROM l
+"""
+
+
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM detector as a custom stateful streaming operator
+    (``applyInPandasWithState`` carrying one long of state per user —
+    streaming/filestream.py ``cusum_stateful``), drained with
+    availableNow and rolled up to the same per-user alert profile as the
+    batch ``ts_cusum_alerts``. Same oracle: streaming twin == batch
+    closed form == naive recurrence."""
+    from cassandra_fs_pp_spark.session import tune
+    from cassandra_fs_pp_spark.streaming.filestream import cusum_stateful
+
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    rows = run_available_now(
+        cusum_stateful(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            x_col="x",
+            drift=CUSUM_DRIFT,
+            order_cols=["ts", "event_id"],
+        )
+    )
+    return rows.groupBy("user_id").agg(
+        F.sum(F.when(F.col("cusum") > CUSUM_ALERT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alerts"),
+        F.max("cusum").alias("max_cusum"),
+        F.min(F.when(F.col("cusum") > CUSUM_ALERT, F.col("ts"))).alias(
+            "first_alert_ts"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -6890,6 +7042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": graph_triangle_count,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
         "rag_chunk_topk": rag_chunk_topk,
+        "emb_gram_matrix": emb_gram_matrix,
+        "op_incremental_rollup": op_incremental_rollup,
+        "ts_ewma": ts_ewma,
+        "stream_cusum_alerts": stream_cusum_alerts,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -7162,4 +7318,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
+        "emb_gram_matrix": EMB_GRAM_ORACLE,
+        "op_incremental_rollup": OP_ROLLUP_ORACLE,
+        "ts_ewma": TS_EWMA_ORACLE,
+        "stream_cusum_alerts": TS_CUSUM_ORACLE,
     }

@@ -947,3 +947,56 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+GRAM_SCALE = 10_000
+
+
+def gram_matrix(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """Exact integer Gram (uncentred second-moment) matrix of the corpus:
+    ``(i, j, gram_sum)`` for the upper triangle ``i <= j``, where
+    ``gram_sum = sum_rows floor(x_i * scale) * floor(x_j * scale)``.
+
+    The d x d covariance/Gram matrix is the workhorse behind PCA
+    whitening and embedding diagnostics. Spark-first shape: map-side
+    ``X^T X`` per Arrow batch (one int64 matmul per batch — the same
+    broadcast-free pattern as ``block_matmul_topk``), emitting only the
+    d(d+1)/2 upper-triangle partials per partition; the exchange carries
+    O(parts * d^2) tiny rows, never the corpus. Integer fixed-point
+    partials make the reduction exact and partition-invariant
+    (bit-identical at any parallelism — same contract as
+    ``label_centroids``). ``floor`` (not round) quantization: float32
+    inputs land exactly on .5 at coarse scales, where engines' rounding
+    modes disagree; floor of the identical IEEE product is portable.
+    At extreme corpus sizes rescale ``scale`` to keep
+    ``rows * (max|x| * scale)^2`` inside int64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            acc += Q.T @ Q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "s": acc[iu]}
+            )
+
+    parts = vectors.select(vec_col).mapInPandas(part, "i int, j int, s long")
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("gram_sum"))

@@ -58,6 +58,40 @@ def write_orc(
     writer.orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    *,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML interchange sink (Spark 4 native ``xml`` datasource — no
+    external package). Row-based text format: no column pruning or
+    predicate pushdown on re-read, so this is strictly an interchange
+    edge (export to legacy/partner systems), never a pipeline-internal
+    handoff — that stays Parquet/ORC. Timestamps round-trip as ISO-8601
+    strings; re-read with an explicit schema for type fidelity."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
+def read_xml(
+    spark,
+    path: str,
+    *,
+    row_tag: str = "row",
+    schema=None,
+):
+    """Read an XML export back (schema-inferred unless given — pass the
+    writer's schema for exact dtype fidelity)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -256,6 +256,66 @@ def ratchet_stateful(
     )
 
 
+def cusum_stateful(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    drift: int,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM as a custom stateful streaming operator — the
+    streaming twin of the batch prefix-scan closed form
+    (``operators/windows.py`` ``cusum``; same exact integer semantics).
+
+    State per key is the single running statistic ``s`` (one long —
+    contrast the batch form's two window passes; streaming CUSUM is the
+    textbook O(1)-state detector). Each micro-batch is sorted on
+    ``order_cols`` (default ``[ts_col]``) before the fold; requires
+    per-key in-order arrival ACROSS batches (file order), the same
+    contract as ``ratchet_stateful``.
+    """
+    from pyspark.sql.types import LongType
+
+    order = list(order_cols or [ts_col])
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField(ts_col, df.schema[ts_col].dataType),
+            StructField("cusum", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+    k = int(drift)
+
+    def step(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (kk,) = key
+        s = state.get[0] if state.exists else 0
+        for pdf in batches:
+            pdf = pdf.sort_values(order)
+            out = []
+            for x in pdf[x_col]:
+                s = max(0, s + int(x) - k)
+                out.append(s)
+            yield pd.DataFrame(
+                {key_col: kk, ts_col: pdf[ts_col].to_list(), "cusum": out}
+            )
+        state.update((s,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

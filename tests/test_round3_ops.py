@@ -209,3 +209,152 @@ def test_asof_nearest_prefers_backward_on_exact_tie(spark):
         ldf, rdf, on="ts", value_cols=["v"], direction="nearest"
     ).collect()
     assert out[0]["v"] == 1.0
+
+
+def test_xml_roundtrip_preserves_values(spark, tmp_path):
+    from cassandra_fs_pp_spark.sinks import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a & <b>", 1.5), (2, None, -0.25), (3, "unicode éß", 0.0)],
+        ["id", "name", "v"],
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(df, path)
+    back = read_xml(spark, path, schema=df.schema)
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_cusum_matches_batch_closed_form(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        cusum_stateful,
+        run_available_now,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ts = pd.date_range("2024-06-01", periods=n, freq="min")
+    frames = []
+    for lo, hi in ((0, 200), (200, 400)):  # state must carry across files
+        frames.append(
+            pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "k": k,
+                            "ts": ts[lo:hi],
+                            "x": rng.integers(-40, 50, hi - lo),
+                        }
+                    )
+                    for k in (1, 2)
+                ]
+            )
+        )
+    d = str(tmp_path / "in")
+    import os
+
+    os.makedirs(d)
+    for i, f in enumerate(frames):
+        spark.createDataFrame(f).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    schema = "k long, ts timestamp, x long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        run_available_now(
+            cusum_stateful(stream, key_col="k", ts_col="ts", x_col="x", drift=3)
+        )
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    batch = (
+        cusum(spark.read.parquet(d), ["k"], "ts", "x", drift=3)
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    assert got["cusum"].tolist() == batch["cusum"].tolist()
+
+
+def test_gram_matrix_partition_invariant_and_correct(spark):
+    import numpy as np
+
+    from cassandra_fs_pp_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(31)
+    dim = 8
+    X = rng.normal(size=(100, dim)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(
+            parts
+        )
+        out = {
+            (r["i"], r["j"]): r["gram_sum"]
+            for r in gram_matrix(df, dim=dim).collect()
+        }
+        outs.append(out)
+    assert outs[0] == outs[1]  # exact partition invariance
+    Q = np.floor(X.astype(np.float64) * 10000).astype(np.int64)
+    G = Q.T @ Q
+    want = {
+        (i, j): int(G[i, j]) for i in range(dim) for j in range(i, dim)
+    }
+    assert outs[0] == want
+
+
+def test_ewma_fold_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    vals = rng.normal(size=50)
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "i", "x"])
+    g = df.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s")
+    )
+    out = g.select(
+        F.expr(
+            "aggregate(slice(transform(s, r -> r.x), 2, size(s) - 1),"
+            " element_at(transform(s, r -> r.x), 1), (a, x) -> (a + x) / 2D)"
+        ).alias("e")
+    ).collect()[0]["e"]
+    want = (
+        pd.Series(vals).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+    )
+    assert out == pytest.approx(want, rel=1e-12)
+
+
+def test_incremental_rollup_merge_equals_recompute(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    merged = (
+        entrymod.op_incremental_rollup(spark, sf)
+        .orderBy("user_id")
+        .collect()
+    )
+    ev = spark.read.parquet(sf + "/events.parquet").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+    full = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r["user_id"], r["n_events"], r["sum_cents"]) for r in merged] == [
+        (r["user_id"], r["n_events"], r["sum_cents"]) for r in full
+    ]
