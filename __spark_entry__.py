@@ -6949,6 +6949,167 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_expr(cx: str, cy: str, bits: int, dialect: str) -> str:
+    """Bit-interleaved Morton (Z-order) value of two cell coordinates —
+    the same expression text is generated for Spark SQL and DuckDB (both
+    use C-style shift/and/or on BIGINT), so the oracle is structurally
+    identical."""
+    terms = []
+    for b in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({cx}, {b}) & 1, {2 * b})")
+            terms.append(f"shiftleft(shiftright({cy}, {b}) & 1, {2 * b + 1})")
+        else:
+            terms.append(f"((({cx} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({cy} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the layout technique behind
+    multi-column data skipping at 100 TB: interleave the bits of the two
+    grid coordinates, bucket by Z prefix, and report each bucket's row
+    count and per-dimension min/max envelope. Tight envelopes on BOTH
+    dimensions are exactly what lets a scan prune files for 2-D
+    predicates (a plain x-sort gives unbounded y ranges). Pure integer
+    bit arithmetic — engine-portable."""
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (
+            hash60(F.concat(F.lit("gx"), F.col("event_id").cast("string")))
+            % 100000
+        ).alias("x"),
+        (
+            hash60(F.concat(F.lit("gy"), F.col("event_id").cast("string")))
+            % 100000
+        ).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.expr("cast(floor(x / 128) as bigint)").alias("cx"),
+        F.expr("cast(floor(y / 128) as bigint)").alias("cy"),
+    )
+    z = F.expr(_zorder_expr("cx", "cy", 10, "spark"))
+    return (
+        pts.withColumn("zbucket", F.shiftright(z, 8))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    return f"""
+WITH p AS (
+  SELECT ('0x' || substr(md5('gx' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100000 AS x,
+         ('0x' || substr(md5('gy' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100000 AS y
+  FROM events),
+c AS (
+  SELECT x, y, CAST(floor(x / 128) AS BIGINT) AS cx,
+         CAST(floor(y / 128) AS BIGINT) AS cy
+  FROM p),
+z AS (SELECT x, y, ({_zorder_expr("cx", "cy", 10, "duck")}) >> 8 AS zbucket
+      FROM c)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY zbucket
+"""
+
+
+def dq_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-bucket content digests of the orders table —
+    the anti-entropy primitive for comparing two replicas / two
+    snapshots of a 100 TB table without moving rows: ship only the 64
+    (bucket, xor-digest, count) rows and diff them; mismatched buckets
+    localize the repair. XOR of row hashes is commutative, so the digest
+    is partition- and order-invariant by construction. Floats enter the
+    row rendering as exact integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    return (
+        o.select(
+            F.pmod(F.col("o_orderkey"), F.lit(64)).alias("bucket"),
+            hash60(row_str).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+    )
+
+
+DQ_DIGEST_ORACLE = """
+WITH h AS (
+  SELECT o_orderkey % 64 AS bucket,
+         ('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' || o_orderpriority || '|' ||
+            CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         ), 1, 15))::BIGINT AS h
+  FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS digest
+FROM h GROUP BY bucket
+"""
+
+
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type via bitmap aggregation
+    (the roaring-bitmap pattern): users map to (word = id div 63,
+    bit = id mod 63), a first map-side-combinable ``bit_or`` collapses
+    each (type, word) to one long, then popcounts sum. The shuffle
+    carries O(types * words) longs instead of O(types * users) distinct
+    pairs — the standard exact-distinct rewrite for high-cardinality
+    keys. 63-bit words keep the sign bit clear (portable shifts)."""
+    ev = _t(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("cast(floor(user_id / 63) as bigint)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+            .alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("bm"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+A_BITMAP_ORACLE = """
+WITH w AS (
+  SELECT event_type, CAST(floor(user_id / 63) AS BIGINT) AS word,
+         bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bm
+  FROM events GROUP BY event_type, word)
+SELECT event_type,
+       CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_users,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM w GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -7046,6 +7207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_incremental_rollup": op_incremental_rollup,
         "ts_ewma": ts_ewma,
         "stream_cusum_alerts": stream_cusum_alerts,
+        "layout_zorder_stats": layout_zorder_stats,
+        "dq_table_digest": dq_table_digest,
+        "a_bitmap_distinct": a_bitmap_distinct,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -7322,4 +7486,7 @@ def oracle_sql() -> dict[str, str]:
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
+        "layout_zorder_stats": _zorder_oracle(),
+        "dq_table_digest": DQ_DIGEST_ORACLE,
+        "a_bitmap_distinct": A_BITMAP_ORACLE,
     }

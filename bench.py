@@ -58,6 +58,9 @@ HEADLINE = [
     "curation_quality_logreg",
     "ann_matryoshka_topk",
     "j_interval_overlap",
+    "geo_grid_join",
+    "fuzzy_match_join",
+    "emb_gram_matrix",
 ]
 
 

@@ -108,19 +108,21 @@ def test_blocked_levenshtein_equals_cross_join(spark):
         [(i, w) for i, w in enumerate(words[25:])], ["mid", "mw"]
     )
     for threshold in (1, 2, 3):
-        got = {
-            (r["pid"], r["mid"]): r["dist"]
-            for r in blocked_levenshtein_join(
-                probes, master, "pw", "mw", threshold=threshold
-            ).collect()
-        }
         want = {}
         for i, pw in enumerate(words[:25]):
             for j, mw in enumerate(words[25:]):
                 d = _lev(pw, mw)
                 if d <= threshold:
                     want[(i, j)] = d
-        assert got == want, threshold
+        for method in ("pigeonhole", "length"):
+            got = {
+                (r["pid"], r["mid"]): r["dist"]
+                for r in blocked_levenshtein_join(
+                    probes, master, "pw", "mw",
+                    threshold=threshold, method=method,
+                ).collect()
+            }
+            assert got == want, (threshold, method)
 
 
 def test_grid_radius_join_equals_naive_pairs(spark):
@@ -358,3 +360,72 @@ def test_incremental_rollup_merge_equals_recompute(spark):
     assert [(r["user_id"], r["n_events"], r["sum_cents"]) for r in merged] == [
         (r["user_id"], r["n_events"], r["sum_cents"]) for r in full
     ]
+
+
+def test_bitmap_distinct_matches_count_distinct(spark):
+    rng = random.Random(47)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randrange(0, 500))
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "uid"])
+    words = (
+        df.select(
+            "k",
+            F.expr("cast(floor(uid / 63) as bigint)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(uid % 63 as int))")
+            .alias("m"),
+        )
+        .groupBy("k", "w")
+        .agg(F.expr("bit_or(m)").alias("bm"))
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in words.groupBy("k")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("n"))
+        .collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_table_digest_partition_invariant(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r["bucket"]): (r["n_rows"], r["digest"])
+        for r in entrymod.dq_table_digest(spark, sf).collect()
+    }
+    # same digest from a deliberately re-partitioned scan (commutativity)
+    o = spark.read.parquet(sf + "/orders.parquet").repartition(13)
+    o.createOrReplaceTempView("__digest_probe")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    again = {
+        r["bucket"]: (r["n_rows"], r["digest"])
+        for r in o.select(
+            F.pmod(F.col("o_orderkey"), F.lit(64)).alias("bucket"),
+            hash60(row_str).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+        .collect()
+    }
+    assert base == again
