@@ -161,3 +161,33 @@ def deterministic_split(
         out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
         lo += n
     return out
+
+
+def cdc_chunk_expr(s: str, k: int = 8, mask: int = 64) -> str:
+    """SQL expression (string) evaluating to the array of content-defined
+    chunks of string expression ``s``: a boundary falls before each
+    position whose ``k``-char window hash is ``0 mod mask`` (rsync/LBFS
+    rolling-window CDC, expected chunk length ~``mask``). Boundaries
+    depend only on local content, so they RE-SYNCHRONIZE after an
+    insertion/deletion — shifted copies still produce mostly-identical
+    chunks, which fixed-width spans cannot (``dedup_spans``). Empty
+    chunks (boundary at position 1) are dropped; the surviving chunks
+    concatenate back to exactly ``s``... minus nothing — the cuts
+    partition the string."""
+    h = (
+        f"cast(conv(substring(md5(substring({s}, i, {k})), 1, 15),"
+        f" 16, 10) as bigint) % {mask}"
+    )
+    bs = (
+        f"CASE WHEN length({s}) >= {k} THEN"
+        f" filter(sequence(1, length({s}) - {k - 1}), i -> {h} = 0)"
+        f" ELSE array() END"
+    )
+    starts = f"concat(array(1), transform({bs}, b -> b))"
+    ends = f"concat(transform({bs}, b -> b - 1), array(length({s})))"
+    return (
+        f"filter(transform(sequence(1, size({starts})),"
+        f" j -> substring({s}, element_at({starts}, j),"
+        f" element_at({ends}, j) - element_at({starts}, j) + 1)),"
+        f" c -> c <> '')"
+    )

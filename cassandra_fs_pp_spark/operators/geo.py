@@ -48,20 +48,22 @@ def grid_radius_join(
     output exact (callers wanting meters take ``sqrt`` themselves).
     """
     r = int(radius)
-    # Single bigint cell key: cx * 2^21 + cy keeps the join key narrow
-    # (one long, not a struct) while staying collision-free for any
-    # plausible tangent-plane extent (cy < 2^21 cells).
+    # Single bigint cell key: cx * 2^31 + cy keeps the join key narrow
+    # (one long, not a struct) and is collision-free while |cy| < 2^31
+    # cells — at 1 m radius that is a ±2.1e9 m extent, beyond any
+    # tangent-plane use (the base-2^31 digit encoding stays injective
+    # for negative coordinates too).
     cx = F.floor(F.col(x_col) / r).cast("long")
     cy = F.floor(F.col(y_col) / r).cast("long")
     home = points.select(
         F.col(id_col).alias("__idb"),
         F.col(x_col).alias("__xb"),
         F.col(y_col).alias("__yb"),
-        (cx * F.lit(1 << 21) + cy).alias("__cell"),
+        (cx * F.lit(1 << 31) + cy).alias("__cell"),
     )
     stencil = F.array(
         *[
-            (cx + F.lit(dx)) * F.lit(1 << 21) + (cy + F.lit(dy))
+            (cx + F.lit(dx)) * F.lit(1 << 31) + (cy + F.lit(dy))
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
         ]

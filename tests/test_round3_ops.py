@@ -429,3 +429,28 @@ def test_table_digest_partition_invariant(spark):
         .collect()
     }
     assert base == again
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    from cassandra_fs_pp_spark.functions.text import cdc_chunk_expr
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of golden wheat while clouds drift slowly past "
+        "the mountain ridge where eagles circle high above the valley"
+    ) * 3
+    shifted = "inserted prefix text! " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "s"])
+    out = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select(
+            "doc_id", F.expr(cdc_chunk_expr("s")).alias("chunks")
+        ).collect()
+    }
+    # chunks partition the string exactly
+    assert "".join(out[1]) == base
+    assert "".join(out[2]) == shifted
+    # CDC boundaries re-synchronize: most of the base doc's chunks
+    # reappear verbatim in the shifted doc (fixed-width spans share ~0)
+    common = set(out[1]) & set(out[2])
+    assert len(common) >= len(out[1]) * 0.6, (len(common), len(out[1]))
