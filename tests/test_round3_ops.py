@@ -450,7 +450,9 @@ def test_cdc_chunks_resync_after_insertion(spark):
     # chunks partition the string exactly
     assert "".join(out[1]) == base
     assert "".join(out[2]) == shifted
-    # CDC boundaries re-synchronize: most of the base doc's chunks
-    # reappear verbatim in the shifted doc (fixed-width spans share ~0)
-    common = set(out[1]) & set(out[2])
-    assert len(common) >= len(out[1]) * 0.6, (len(common), len(out[1]))
+    # CDC boundaries re-synchronize: most of the base doc's distinct
+    # chunks reappear verbatim in the shifted doc (fixed-width spans
+    # would share ~none after a 22-char shift)
+    distinct = set(out[1])
+    common = distinct & set(out[2])
+    assert len(common) >= len(distinct) * 0.6, (len(common), len(distinct))
