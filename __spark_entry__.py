@@ -6580,20 +6580,18 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable, deterministic). Grid blocking with cell == radius turns the
     O(n^2) distance join into a 9-stencil hash equi-join with identical
     results (operators/geo.py); the oracle runs the naive range join."""
-    from cassandra_fs_pp_spark.functions.text import hash60
     from cassandra_fs_pp_spark.operators.geo import grid_radius_join
 
     ev = _t(spark, sf_dir, "events")
+    # One md5 per point: hex digits 1-15 drive x, 16-30 drive y (both
+    # 60-bit, independent) — halves the hash cost vs two salted hashes.
+    md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))
     pts = ev.select(
         F.col("event_id").alias("id"),
-        (
-            hash60(F.concat(F.lit("gx"), F.col("event_id").cast("string")))
-            % 100000
-        ).alias("x"),
-        (
-            hash60(F.concat(F.lit("gy"), F.col("event_id").cast("string")))
-            % 100000
-        ).alias("y"),
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % 100000)
+        .alias("x"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
+        .alias("y"),
     )
     return grid_radius_join(pts, radius=300)
 
@@ -6601,9 +6599,9 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 GEO_GRID_ORACLE = """
 WITH p AS (
   SELECT event_id AS id,
-         ('0x' || substr(md5('gx' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
            % 100000 AS x,
-         ('0x' || substr(md5('gy' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 16, 15))::BIGINT
            % 100000 AS y
   FROM events)
 SELECT a.id AS id_a, b.id AS id_b,
@@ -6973,18 +6971,13 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions are exactly what lets a scan prune files for 2-D
     predicates (a plain x-sort gives unbounded y ranges). Pure integer
     bit arithmetic — engine-portable."""
-    from cassandra_fs_pp_spark.functions.text import hash60
-
     ev = _t(spark, sf_dir, "events")
+    md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))
     pts = ev.select(
-        (
-            hash60(F.concat(F.lit("gx"), F.col("event_id").cast("string")))
-            % 100000
-        ).alias("x"),
-        (
-            hash60(F.concat(F.lit("gy"), F.col("event_id").cast("string")))
-            % 100000
-        ).alias("y"),
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % 100000)
+        .alias("x"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
+        .alias("y"),
     ).select(
         "x",
         "y",
@@ -7008,9 +7001,9 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle() -> str:
     return f"""
 WITH p AS (
-  SELECT ('0x' || substr(md5('gx' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+  SELECT ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
            % 100000 AS x,
-         ('0x' || substr(md5('gy' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 16, 15))::BIGINT
            % 100000 AS y
   FROM events),
 c AS (
@@ -7178,6 +7171,76 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between click and
+    view value distributions. D = max |F1 - F2| evaluated at distinct
+    values with the INTEGER numerator |c1*n2 - c2*n1| (exact, engine-
+    portable; the single division happens once at the end). Spark-first
+    shape: the per-value tallies aggregate distributed; the global
+    running-max window then runs over DISTINCT values only — bounded by
+    the value domain (<= 49k two-decimal values here) regardless of
+    corpus row count, so the single-partition window never grows with
+    the data."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("da"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("db"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("da").over(w).alias("c1"), F.sum("db").over(w).alias("c2")
+    )
+    tot = g.agg(
+        F.sum("da").cast("long").alias("n1"),
+        F.sum("db").cast("long").alias("n2"),
+    )
+    num = c.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "__num"
+        ),
+    )
+    return num.groupBy("n1", "n2").agg(
+        F.max("__num").alias("d_num")
+    ).withColumn(
+        "d_stat",
+        F.col("d_num").cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"),
+    )
+
+
+A_KS_ORACLE = """
+WITH g AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS da,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS db
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value),
+c AS (
+  SELECT CAST(sum(da) OVER w AS BIGINT) AS c1,
+         CAST(sum(db) OVER w AS BIGINT) AS c2
+  FROM g
+  WINDOW w AS (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT CAST(sum(da) AS BIGINT) AS n1, CAST(sum(db) AS BIGINT) AS n2
+  FROM g)
+SELECT n1, n2, max(abs(c1 * n2 - c2 * n1)) AS d_num,
+       CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+         / CAST(n1 * n2 AS DOUBLE) AS d_stat
+FROM c, tot GROUP BY n1, n2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
@@ -7279,6 +7342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_table_digest": dq_table_digest,
         "a_bitmap_distinct": a_bitmap_distinct,
         "text_cdc_chunks": text_cdc_chunks,
+        "a_ks_test": a_ks_test,
         # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
         "tpch_q12_latemode": tpch_q12_latemode,
         "f_higher_order": f_higher_order,
@@ -7559,4 +7623,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_table_digest": DQ_DIGEST_ORACLE,
         "a_bitmap_distinct": A_BITMAP_ORACLE,
         "text_cdc_chunks": TEXT_CDC_ORACLE,
+        "a_ks_test": A_KS_ORACLE,
     }

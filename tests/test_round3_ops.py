@@ -456,3 +456,30 @@ def test_cdc_chunks_resync_after_insertion(spark):
     distinct = set(out[1])
     common = distinct & set(out[2])
     assert len(common) >= len(distinct) * 0.6, (len(common), len(distinct))
+
+
+def test_ks_statistic_matches_naive(spark):
+    rng = random.Random(53)
+    s1 = [round(rng.uniform(0, 10), 1) for _ in range(300)]
+    s2 = [round(rng.gauss(6, 2), 1) for _ in range(200)]
+    rows = [("a", v) for v in s1] + [("b", v) for v in s2]
+    df = spark.createDataFrame(rows, ["k", "value"])
+    g = df.groupBy("value").agg(
+        F.sum(F.when(F.col("k") == "a", 1).otherwise(0)).cast("long").alias("da"),
+        F.sum(F.when(F.col("k") == "b", 1).otherwise(0)).cast("long").alias("db"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(F.sum("da").over(w).alias("c1"), F.sum("db").over(w).alias("c2"))
+    n1, n2 = len(s1), len(s2)
+    d_num = c.select(
+        F.max(F.abs(F.col("c1") * n2 - F.col("c2") * n1)).alias("m")
+    ).collect()[0]["m"]
+    # naive ECDF max-gap over distinct values
+    want = 0
+    for v in sorted(set(s1) | set(s2)):
+        c1 = sum(1 for x in s1 if x <= v)
+        c2 = sum(1 for x in s2 if x <= v)
+        want = max(want, abs(c1 * n2 - c2 * n1))
+    assert d_num == want
