@@ -137,3 +137,37 @@ def test_transpose_two_shuffles(spark):
     plan = _formatted_plan(df)
     assert _n(plan, "Exchange") <= 2, plan
     assert _n(plan, "CartesianProduct") == 0
+
+
+def test_asof_nearest_single_exchange(spark):
+    # both directional carries must share one Sort+Window pass
+    df = entrymod.queries()["j_asof_nearest"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+    assert _n(plan, "Window") == 1, plan
+
+
+def test_cusum_single_exchange(spark):
+    df = entrymod.queries()["ts_cusum_alerts"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+
+
+def test_geo_grid_join_no_cartesian(spark):
+    df = entrymod.queries()["geo_grid_join"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_fuzzy_join_equi_only(spark):
+    df = entrymod.queries()["fuzzy_match_join"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_gram_matrix_single_exchange(spark):
+    df = entrymod.queries()["emb_gram_matrix"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
