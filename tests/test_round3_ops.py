@@ -99,8 +99,11 @@ def test_blocked_levenshtein_equals_cross_join(spark):
     alphabet = "abcde"
     words = [
         "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 9)))
-        for _ in range(60)
+        for _ in range(58)
     ]
+    # empty-string edges on both sides: lev("", x) = len(x)
+    words.insert(3, "")
+    words.insert(40, "")
     probes = spark.createDataFrame(
         [(i, w) for i, w in enumerate(words[:25])], ["pid", "pw"]
     )
