@@ -3942,7 +3942,11 @@ def f_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("types", 1).alias("first_type"),
         F.size(F.array_distinct("types")).alias("n_distinct"),
         F.array_contains("types", "error").alias("has_error"),
-        F.slice(F.array_distinct("types"), 1, 2).alias("first_two_distinct"),
+        # Serialized to a scalar string: the driver's canonicalizer cannot
+        # hash ArrayType cells (r1 f_higher_order / r3 f_collections lesson).
+        F.array_join(F.slice(F.array_distinct("types"), 1, 2), ",").alias(
+            "first_two_distinct"
+        ),
     )
 
 
@@ -3955,7 +3959,8 @@ SELECT user_id, len(types) AS n,
        types[1] AS first_type,
        len(list_distinct(types)) AS n_distinct,
        list_contains(types, 'error') AS has_error,
-       list_slice(list_sort(list_distinct(types)), 1, 2) AS first_two_distinct
+       array_to_string(list_slice(list_sort(list_distinct(types)), 1, 2), ',')
+         AS first_two_distinct
 FROM per_user
 """
 
@@ -7243,90 +7248,15 @@ FROM c, tot GROUP BY n1, n2
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-3 rotation: the FIRST 50
-    # are queries with no driver row in r01 or r02, all with FULL SQL oracles
-    # (the 5 rows-only ones — a_approx_distinct, a_hll_mergeable, ann_ivf_topk,
-    # graph_pagerank, ts_dominant_period, each backed by differential pytest —
-    # are deferred behind, as are the queries new this round).  Everything
-    # driver-green in r01/r02 sits at the back and stays green in the local
-    # replica regardless of order.
+    # prefix window (50 entries) of this dict.  Round-4 rotation: the FIRST 50
+    # are (a) the 30 queries with no driver row in r01-r03 — the 26 full-oracle
+    # ones first, then the 4 rows-only (each backed by a differential pytest),
+    # (b) f_collections (r3's one red row, fixed: array output serialized via
+    # array_join on both sides), and (c) 19 long-green re-confirmation fillers
+    # spanning every family.  A green r04 window makes every one of the 178
+    # registry queries driver-verified at least once.
     return {
-        # --- never-driver-verified: embeddings / graph / LLM-data ---
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_label_inertia": emb_label_inertia,
-        "graph_connected_components": graph_connected_components,
-        "text_hash_features": text_hash_features,
-        "text_lm_familiarity": text_lm_familiarity,
-        "dedup_url_canonical": dedup_url_canonical,
-        "dedup_spans": dedup_spans,
-        "curation_domain_mix": curation_domain_mix,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        # --- never-driver-verified: streaming / fleet / CDC ---
-        "stream_fleet_hourly": stream_fleet_hourly,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "op_scd2_intervals": op_scd2_intervals,
-        "j_temporal_scd2": j_temporal_scd2,
-        "j_skew_salted": j_skew_salted,
-        # --- never-driver-verified: stats / analytics family ---
-        "a8_sliding_window": a8_sliding_window,
-        "a_sessionize": a_sessionize,
-        "a_linreg_trend": a_linreg_trend,
-        # ann_adc_topk (full SQL oracle, new in r3) takes the window slot
-        # ts_dominant_period (rows-only oracle + differential pytest) held:
-        # a hash-match driver row beats a rows-only one.
-        "ann_adc_topk": ann_adc_topk,
-        "a_quantiles": a_quantiles,
-        "a_cohort_retention": a_cohort_retention,
-        "a_corr_regr": a_corr_regr,
-        "a_funnel": a_funnel,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_gini": a_gini,
-        "a_chi_square": a_chi_square,
-        "a_winsorized_stats": a_winsorized_stats,
-        "a_histogram_equidepth": a_histogram_equidepth,
-        # --- never-driver-verified: windows / projections / quality ---
-        "w_first_last": w_first_last,
-        "w_rolling_corr": w_rolling_corr,
-        "w_step_detect": w_step_detect,
-        "p_debounce_burst": p_debounce_burst,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        # --- never-driver-verified: functions / grouping / TPC-H tails ---
-        "f_collections": f_collections,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "f_url_suite": f_url_suite,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
-        # --- positions 51-54: deferred rows-only queries (differential
-        #     pytest-backed; weakest oracle form, so last of the unverified) ---
-        "a_approx_distinct": a_approx_distinct,
-        "a_hll_mergeable": a_hll_mergeable,
-        "ann_ivf_topk": ann_ivf_topk,
-        "graph_pagerank": graph_pagerank,
-        "ts_dominant_period": ts_dominant_period,
-        # --- new in round 3 (behind the window on purpose: the front-50
-        #     slots belong to the backlog; these rotate forward next round) ---
-        "emb_scalar_quantize": emb_scalar_quantize,
-        "curation_shuffle_shard": curation_shuffle_shard,
-        "r4_transpose": r4_transpose,
-        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
-        "curation_quality_logreg": curation_quality_logreg,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "ann_matryoshka_topk": ann_matryoshka_topk,
-        "j_interval_overlap": j_interval_overlap,
+        # --- never driver-verified (full SQL oracles) ---
         "j_asof_nearest": j_asof_nearest,
         "ts_cusum_alerts": ts_cusum_alerts,
         "fuzzy_match_join": fuzzy_match_join,
@@ -7343,9 +7273,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_bitmap_distinct": a_bitmap_distinct,
         "text_cdc_chunks": text_cdc_chunks,
         "a_ks_test": a_ks_test,
-        # --- driver-verified green in r02 (CORRECTNESS_r02.json) ---
-        "tpch_q12_latemode": tpch_q12_latemode,
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+        "curation_quality_logreg": curation_quality_logreg,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "j_interval_overlap": j_interval_overlap,
+        # --- never driver-verified (rows-only oracles, differential pytests) ---
+        "a_approx_distinct": a_approx_distinct,
+        "a_hll_mergeable": a_hll_mergeable,
+        "graph_pagerank": graph_pagerank,
+        "ts_dominant_period": ts_dominant_period,
+        # --- round-3 red, fixed this round ---
+        "f_collections": f_collections,
+        # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
+        "flagship_events_hourly": flagship_events_hourly,
+        "tpch_q1": tpch_q1,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ann_lsh_topk": ann_lsh_topk,
+        "text_tfidf": text_tfidf,
+        "curation_pipeline": curation_pipeline,
+        "w1_rolling_median_2d": w1_rolling_median_2d,
+        "j4_asof_backward": j4_asof_backward,
+        "stream_hourly_agg": stream_hourly_agg,
+        "a_gini": a_gini,
+        "graph_connected_components": graph_connected_components,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "w8_ratchet_depth": w8_ratchet_depth,
+        "dedup_spans": dedup_spans,
+        "mm_png_roundtrip": mm_png_roundtrip,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        "a8_sliding_window": a8_sliding_window,
+        # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "text_hash_features": text_hash_features,
+        "text_lm_familiarity": text_lm_familiarity,
+        "dedup_url_canonical": dedup_url_canonical,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        "stream_fleet_hourly": stream_fleet_hourly,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "op_scd2_intervals": op_scd2_intervals,
+        "j_temporal_scd2": j_temporal_scd2,
+        "j_skew_salted": j_skew_salted,
+        "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "ann_adc_topk": ann_adc_topk,
+        "a_quantiles": a_quantiles,
+        "a_cohort_retention": a_cohort_retention,
+        "a_corr_regr": a_corr_regr,
+        "a_funnel": a_funnel,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
+        "w_first_last": w_first_last,
+        "w_rolling_corr": w_rolling_corr,
+        "w_step_detect": w_step_detect,
+        "p_debounce_burst": p_debounce_burst,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "f_url_suite": f_url_suite,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        "tpch_q12_latemode": tpch_q12_latemode,
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
@@ -7362,13 +7372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_head_mean": a9_head_mean,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
-        "stream_hourly_agg": stream_hourly_agg,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
         "fleet_udg_filter": fleet_udg_filter,
         "fleet_tdr_depth": fleet_tdr_depth,
         "dedup_exact_docs": dedup_exact_docs,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_banded": dedup_simhash_banded,
@@ -7380,7 +7388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": text_split_assign,
         "text_token_topk": text_token_topk,
         "text_repetition": text_repetition,
-        "text_tfidf": text_tfidf,
         "text_bigram_pmi": text_bigram_pmi,
         "curation_stratified_sample": curation_stratified_sample,
         "curation_pack_sequences": curation_pack_sequences,
@@ -7388,15 +7395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_quality_filter": curation_quality_filter,
         "curation_source_budget": curation_source_budget,
         "curation_weighted_sample": curation_weighted_sample,
-        "curation_pipeline": curation_pipeline,
         "ann_block_topk": ann_block_topk,
-        "ann_lsh_topk": ann_lsh_topk,
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
-        "mm_png_roundtrip": mm_png_roundtrip,
-        # --- driver-verified green in r01 (CORRECTNESS_r01.json) ---
-        "flagship_events_hourly": flagship_events_hourly,
-        "tpch_q1": tpch_q1,
         "p2_dedup_rows": p2_dedup_rows,
         "p3_dedup_keep_first": p3_dedup_keep_first,
         "p7_validity_null": p7_validity_null,
@@ -7406,9 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_per_key_freq": a3_per_key_freq,
         "a6_monthly_rollup": a6_monthly_rollup,
         "a8_resample_hourly": a8_resample_hourly,
-        "w1_rolling_median_2d": w1_rolling_median_2d,
         "j1_calibration_fallback": j1_calibration_fallback,
-        "j4_asof_backward": j4_asof_backward,
         "j_range_interval": j_range_interval,
         "j_semi_users": j_semi_users,
         "j_anti_users": j_anti_users,
@@ -7417,7 +7416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_ranking": w_ranking,
         "w5_resample_ffill": w5_resample_ffill,
         "w6_interpolate": w6_interpolate,
-        "w8_ratchet_depth": w8_ratchet_depth,
         "w9_piecewise_offset": w9_piecewise_offset,
         "a5_positive_sum_slice": a5_positive_sum_slice,
         "a7_daily_profile": a7_daily_profile,
@@ -7437,12 +7435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": tpch_q7_nation_volume,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q13_custdist": tpch_q13_custdist,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
         "tpch_q19_disjunctive": tpch_q19_disjunctive,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
         "tpch_q17_small_quantity": tpch_q17_small_quantity,
         "tpch_q22_idle_customers": tpch_q22_idle_customers,
-        "tpch_q9_profit_shape": tpch_q9_profit_shape,
     }
 
 

@@ -51,7 +51,39 @@ def main() -> int:
     print(f"registry: {len(qs)} queries, {len(osql)} full oracles, "
           f"rows-only: {sorted(rows_only)}")
     print(f"COVERAGE.md mentions {len(doc_queries)} of {len(qs)} queries")
+
+    if "--schemas" in sys.argv:
+        bad = scalar_schema_lint() or bad
     return 1 if bad else 0
+
+
+def scalar_schema_lint() -> bool:
+    """Assert every registry query's output schema is scalar-only.
+
+    The driver canonicalizer sorts rows by every column and dies on
+    ArrayType/MapType/StructType cells (`unhashable type: numpy.ndarray` —
+    the r1 f_higher_order / r3 f_collections failure class).  Analyzes each
+    query's plan (no execution for lazy queries) at sf0.001.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cassandra_fs_pp_spark.session import get_spark
+    from oracle_check import complex_output_cols  # noqa: F401 (sibling script)
+
+    spark = get_spark("schema_lint", shuffle_partitions=4)
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    bad = False
+    for name, fn in entrymod.queries().items():
+        try:
+            cols = complex_output_cols(fn(spark, sf_dir).schema)
+        except Exception as e:
+            print(f"schema-lint ERROR {name}: {e}")
+            bad = True
+            continue
+        if cols:
+            print(f"schema-lint FAIL {name}: non-scalar output columns {cols}")
+            bad = True
+    print("schema-lint: " + ("FAIL" if bad else f"all {len(entrymod.queries())} scalar-only"))
+    return bad
 
 
 if __name__ == "__main__":

@@ -30,6 +30,23 @@ from cassandra_fs_pp_spark.sources.tables import TABLES
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
 
+def complex_output_cols(schema) -> list[str]:
+    """Columns whose Spark type the driver's canonicalizer cannot hash.
+
+    The driver sorts rows by every column; an ArrayType/MapType/StructType
+    cell arrives in pandas as an ndarray/dict and `sort_values` raises
+    `unhashable type` — the exact r1 `f_higher_order` / r3 `f_collections`
+    failure.  Serialize such columns (array_join / to_json) in the query.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
@@ -126,7 +143,17 @@ def main(argv: list[str]) -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            sdf_spark = fn(spark, SF_DIR)
+            bad_cols = complex_output_cols(sdf_spark.schema)
+            if bad_cols:
+                print(
+                    f"FAIL {name}: non-scalar output columns {bad_cols} — "
+                    "the driver canonicalizer cannot hash these; serialize "
+                    "via array_join/to_json"
+                )
+                failures += 1
+                continue
+            sdf = sdf_spark.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
