@@ -61,6 +61,11 @@ HEADLINE = [
     "geo_grid_join",
     "fuzzy_match_join",
     "emb_gram_matrix",
+    # round-4 additions: the two round-3 heavyweights whose join volume
+    # could curve at scale (Misra-Gries summary merge; O(m^1.5) wedge
+    # join) — headline membership gives them per-round bench + SCALE rows.
+    "a_heavy_hitters_mg",
+    "graph_triangle_count",
 ]
 
 

@@ -27,6 +27,24 @@ from cassandra_fs_pp_spark.session import get_spark
 from cassandra_fs_pp_spark.sources.tables import TABLES, load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Permanent 64x deep set: the historical worst-8x ratios plus the
+# operators whose candidate volume could curve super-linearly (triangle
+# wedge join O(m^1.5), Misra-Gries merge, pigeonhole fuzzy blocking).
+# Used when multiple Ns are given without an explicit --deep=.
+DEFAULT_DEEP = [
+    "tpch_q18_large_orders",
+    "dedup_minhash_cluster",
+    "ann_lsh_topk",
+    "curation_decontaminate",
+    "p_debounce_burst",
+    "j_interval_overlap",
+    "geo_grid_join",
+    "fuzzy_match_join",
+    "emb_gram_matrix",
+    "a_heavy_hitters_mg",
+    "graph_triangle_count",
+]
+
 FACT_SHIFT = {
     # table -> (id columns to shift so the key space grows per copy)
     "events": ("event_id", "user_id"),
@@ -100,6 +118,8 @@ def main() -> None:
             ns.append(int(a))
     if not ns:
         ns = [8]
+    if deep is None and len(ns) > 1:
+        deep = list(DEFAULT_DEEP)
 
     spark = get_spark("scale_probe")
     dirs: dict[int, str] = {}

