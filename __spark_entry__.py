@@ -2820,6 +2820,72 @@ FROM g a JOIN g b ON b.doc_id = a.doc_id + 100000
 """
 
 
+def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact word-set Jaccard join at >= 0.6 via prefix filtering
+    (operators/textdedup.py ``set_similarity_join`` — PPJoin-family
+    blocking: rarest-token prefixes + length filter generate candidates
+    through a hash equi-join, never a cross join; the oracle is the
+    exact all-intersecting-pairs SQL).  Beyond-parity LLM-dedup operator
+    (the reference has no similarity join)."""
+    from cassandra_fs_pp_spark.operators.textdedup import set_similarity_join
+
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    # 4-word shingles (the standard dedup shingle width): the synthetic
+    # corpus has a ~31-word vocabulary, so unigrams/bigrams saturate (a
+    # fixed 961-bigram space makes every doc pair a candidate — quadratic
+    # at any corpus size).  The 31^4 shingle space keeps candidate volume
+    # proportional to TRUE near-dup density, which is what the prefix
+    # filter delivers on real text.  The word split is materialized once
+    # per row (__ws) so the transform does not re-split per element.
+    toks = corpus.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__ws")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(__ws) - 4, 0) - 1),"
+            " i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2], __ws[i+3]))"
+        ).alias("toks"),
+    )
+    out = set_similarity_join(toks, "doc_id", "toks", threshold=0.6)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    )
+
+
+DEDUP_SETSIM_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws) - 3, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+           AS toks
+  FROM w
+),
+e AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM g
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter,
+         CAST(any_value(a.n) + any_value(b.n) - count(*) AS BIGINT) AS n_union
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       n_inter / n_union AS jaccard
+FROM cand
+WHERE CAST(n_inter AS DOUBLE) >= 0.6 * CAST(n_union AS DOUBLE)
+"""
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
@@ -7290,6 +7356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dominant_period": ts_dominant_period,
         # --- round-3 red, fixed this round ---
         "f_collections": f_collections,
+        # --- new in round 4 (front-loaded: local gate is now
+        #     replica-faithful incl. the scalar-output lint) ---
+        "dedup_setsim_join": dedup_setsim_join,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7309,8 +7378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "mm_png_roundtrip": mm_png_roundtrip,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
-        "a8_sliding_window": a8_sliding_window,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "a8_sliding_window": a8_sliding_window,
         "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
@@ -7516,6 +7585,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_decontaminate": CURATION_DECONTAM_ORACLE,
         "curation_quality_filter": CURATION_QUALITY_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
+        "dedup_setsim_join": DEDUP_SETSIM_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         "ann_block_topk": ANN_BLOCK_ORACLE,
         "ann_matryoshka_topk": ANN_MATRYOSHKA_ORACLE,

@@ -484,3 +484,122 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """All-pairs exact Jaccard join at ``>= threshold`` via prefix
+    filtering (the PPJoin family: Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin — public algorithms; the reference has no set-similarity join,
+    this is a beyond-parity LLM-dedup operator).
+
+    ``tokens_col`` is an array<string> treated as a SET (deduped here).
+    Returns ``(doc_a, doc_b, n_inter, n_union, jaccard)`` with
+    ``doc_a < doc_b``.
+
+    Scale shape — the reason this beats the O(n^2) cross join:
+    * Each record keeps only a PREFIX of its tokens, ordered by global
+      document frequency ascending (rarest first): prefix length
+      ``n - ceil(t*n) + 1``. Two sets with Jaccard >= t MUST share a
+      prefix token under any common total order (if all shared tokens
+      were outside A's prefix, the overlap would be < t*|A| <= |inter|).
+    * Candidates = hash equi-join of exploded prefixes on the token —
+      shuffle volume is O(sum of prefix lengths), and rare tokens make
+      small buckets by construction; the frequency order concentrates
+      hot (stopword-ish) tokens OUTSIDE prefixes.
+    * Length filter ``t*max(na,nb) <= min(na,nb)`` prunes before verify;
+      verification is one array_intersect on the two full token sets.
+
+    The token->df ranking is computed with an aggregation + shuffle join
+    (never collected/broadcast): the vocabulary can be arbitrarily large.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+
+    tok = base.select("__id", F.explode("__toks").alias("__tok"))
+    # Document frequency via a count window over the token partition —
+    # one shuffle on __tok (the same key a groupBy+join-back would
+    # shuffle twice on).  Hot tokens concentrate in a partition either
+    # way; they are exactly the tokens the frequency order then EXCLUDES
+    # from prefixes.
+    from pyspark.sql.window import Window
+
+    tok = tok.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__tok"))
+    )
+    # Per-doc token list ordered by (df ASC, token ASC): sort structs,
+    # then project the token back out — the global order is total and
+    # identical for every doc, which the prefix theorem requires.
+    ordered = (
+        tok.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__df", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ).alias("__ord"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(t) * F.col("__n")).cast("int") + F.lit(1)
+    )
+    pref = ordered.select(
+        "__id",
+        "__n",
+        F.explode(F.slice("__ord", 1, prefix_len)).alias("__tok"),
+    )
+    a = pref.select(
+        F.col("__tok"),
+        F.col("__id").alias("doc_a"),
+        F.col("__n").alias("__na"),
+    )
+    b = pref.select(
+        F.col("__tok"),
+        F.col("__id").alias("doc_b"),
+        F.col("__n").alias("__nb"),
+    )
+    cand = (
+        a.join(b, on="__tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t  =>  t * max <= min
+        .filter(
+            F.lit(t) * F.greatest("__na", "__nb")
+            <= F.least("__na", "__nb").cast("double")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("doc_a"), F.col("__toks").alias("__ta"))
+    sb = base.select(F.col("__id").alias("doc_b"), F.col("__toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union", F.size("__ta") + F.size("__tb") - F.col("n_inter")
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            >= F.lit(t) * F.col("n_union").cast("double")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        )
+    )

@@ -369,3 +369,43 @@ def test_validity_ranges_compose_not_overwrite(spark):
     vals = [r["TDR1_T"] for r in out]
     # intersection of both matching specs: only (0, 5) survives
     assert vals.count(None) == 3 and 2.0 in vals
+
+
+def test_set_similarity_join_vs_bruteforce(spark):
+    """Prefix-filter set-similarity join == brute-force all-pairs Jaccard
+    on a random token corpus (and the prefix/length filters must not drop
+    a single qualifying pair — the theorem's guarantee, checked end to end).
+    """
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.textdedup import set_similarity_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(80):
+        base = rng.sample(vocab, rng.randint(4, 20))
+        docs.append((i, base))
+        if i % 3 == 0:  # a near-dup: drop one token, add one
+            mut = base[1:] + [rng.choice(vocab)]
+            docs.append((1000 + i, mut))
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+
+    t = 0.55
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in set_similarity_join(df, "doc_id", "toks", threshold=t).collect()
+    }
+
+    sets = {i: set(tk) for i, tk in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter >= t * union:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert len(want) > 20  # the fixture actually exercises matches
