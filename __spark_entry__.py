@@ -4934,6 +4934,45 @@ GROUP BY e.event_type, d.type_n
 """
 
 
+def j_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.py ``bloom_semi_join``):
+    lineitem ⋉ urgent orders, then per-returnflag revenue.  The bloom is
+    an aggregated 8 KiB bitmap broadcast as one row; lineitem rows failing
+    the k=3 membership probes never reach the semi join's Exchange.  The
+    result is EXACT (the hash semi-join removes bloom false positives),
+    so the oracle is a plain IN-subquery aggregate."""
+    from cassandra_fs_pp_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(price * (1 - disc)), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+J_BLOOM_SEMI_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from a change log: per (user, event_type)
     stream of values, collapse consecutive duplicates (lag), then derive
@@ -7359,6 +7398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (front-loaded: local gate is now
         #     replica-faithful incl. the scalar-output lint) ---
         "dedup_setsim_join": dedup_setsim_join,
+        "j_bloom_semi": j_bloom_semi,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7380,6 +7420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "a8_sliding_window": a8_sliding_window,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
         "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
@@ -7586,6 +7627,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_quality_filter": CURATION_QUALITY_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "dedup_setsim_join": DEDUP_SETSIM_ORACLE,
+        "j_bloom_semi": J_BLOOM_SEMI_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         "ann_block_topk": ANN_BLOCK_ORACLE,
         "ann_matryoshka_topk": ANN_MATRYOSHKA_ORACLE,

@@ -320,3 +320,78 @@ def interval_overlap_join(
     for k in keys:
         out = out.drop(rc(k))
     return out.drop(lc("__bucket")).drop(rc("__bucket"))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_col: str,
+    small_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Semi join ``big ⋉ small`` with a Bloom-filter pre-filter on the big
+    side — EXACT result (the final hash semi-join removes the bloom's
+    false positives); the bloom only cuts the big side's shuffle volume.
+
+    The pattern a 100 TB engine needs when the probe side is huge and the
+    build side is selective-but-not-broadcastable: the filter is a single
+    aggregated bitmap row (``m_bits/64`` longs, e.g. 8 KiB at 2^16 bits)
+    cross-joined (broadcast, 1 row) against the big side; rows failing any
+    of the ``k`` membership probes never reach the join's Exchange.  Spark
+    has a runtime bloom-join optimization of its own; this form makes the
+    pre-filter explicit, deterministic (md5-based hash60), and available
+    to any plan shape.
+
+    False-positive rate ~ (1 - e^(-k*n/m))^k: 2^16 bits / k=3 holds ~6500
+    keys at <1% — size ``m_bits`` to the build side's distinct count.
+    """
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(hash60(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))),
+                   F.lit(m_bits))
+            for i in range(k)
+        ]
+
+    # Build: one bitmap row.  Per-row positions -> collect into a set of
+    # bit indices per partition via explode+distinct (the agg shuffles
+    # O(distinct positions) <= m_bits ints), then fold into the bitmap.
+    pos = (
+        small.select(F.explode(F.array(*positions(F.col(small_col)))).alias("__p"))
+        .distinct()
+    )
+    # SQL-expr fold: the DSL's shiftleft takes only literal shift counts;
+    # the SQL form accepts a column, which the per-position fold needs.
+    bitmap = pos.agg(
+        F.expr(
+            f"aggregate(collect_list(__p), array_repeat(0L, {n_words}),"
+            " (acc, p) -> transform(acc, (word, wi) ->"
+            "   IF(wi = cast(p / 64 AS int),"
+            "      word | shiftleft(1L, cast(p % 64 AS int)), word)))"
+        ).alias("__bloom")
+    )
+
+    probed = big.join(F.broadcast(bitmap))  # 1-row cross join, broadcast
+    all_set = None
+    for i, p in enumerate(positions(F.col(big_col))):
+        probed = probed.withColumn(f"__h{i}", p)
+        test = F.expr(
+            f"(element_at(__bloom, cast(__h{i} / 64 AS int) + 1)"
+            f" & shiftleft(1L, cast(__h{i} % 64 AS int))) != 0"
+        )
+        all_set = test if all_set is None else (all_set & test)
+    passed = probed.filter(all_set).drop(
+        "__bloom", *[f"__h{i}" for i in range(k)]
+    )
+    # Exact semi join over the pre-filtered (much smaller) big side.
+    keys = small.select(F.col(small_col).alias("__k")).distinct()
+    return passed.join(
+        keys, on=passed[big_col] == keys["__k"], how="leftsemi"
+    )

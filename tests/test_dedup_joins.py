@@ -409,3 +409,27 @@ def test_set_similarity_join_vs_bruteforce(spark):
             want[(a, b)] = (inter, union)
     assert got == want
     assert len(want) > 20  # the fixture actually exercises matches
+
+
+def test_bloom_semi_join_exact_vs_plain_semi(spark):
+    """Bloom pre-filter + semi join == plain semi join (false positives
+    removed, no true key lost), including a tiny m_bits that FORCES
+    false positives through the bloom stage."""
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.joins import bloom_semi_join
+
+    big = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 997).alias("v")
+    )
+    small = spark.range(0, 40).select((F.col("id") * 7 + 1).alias("key"))
+    for m_bits in (64, 1 << 16):  # 64 bits ~ all-pass bloom
+        got = {
+            r["id"]
+            for r in bloom_semi_join(
+                big, small, "v", "key", m_bits=m_bits
+            ).collect()
+        }
+        keys = {i * 7 + 1 for i in range(40)}
+        want = {i for i in range(20000) if i % 997 in keys}
+        assert got == want, m_bits
