@@ -7019,6 +7019,70 @@ FROM l
 """
 
 
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear (double-exponential) smoothing with
+    alpha = beta = 1/2: level l' = (y + (l+b))/2, trend
+    b' = ((l'-l) + b)/2, initialized l=v2, b=v2-v1.  Like ts_ewma, the
+    halvings are IEEE-exact and the add/subtract order is identical on
+    both engines, so the struct-state ``aggregate`` fold carries a FULL
+    oracle (a recursive CTE replays the same recurrence in DuckDB).
+    Forecast column is the one-step-ahead l + b."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__s")
+    )
+    g = g.select(
+        "user_id",
+        F.size("__s").alias("n_events"),
+        F.expr("transform(__s, r -> r.value)").alias("__v"),
+    )
+    state = F.expr(
+        "CASE WHEN size(__v) = 1 THEN"
+        " named_struct('l', element_at(__v, 1), 'b', 0D)"
+        " ELSE aggregate(slice(__v, 3, size(__v) - 2),"
+        "   named_struct('l', element_at(__v, 2),"
+        "                'b', element_at(__v, 2) - element_at(__v, 1)),"
+        "   (s, x) -> named_struct("
+        "     'l', (x + (s.l + s.b)) / 2D,"
+        "     'b', (((x + (s.l + s.b)) / 2D - s.l) + s.b) / 2D))"
+        " END"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        state.getField("l").alias("holt_level"),
+        state.getField("b").alias("holt_trend"),
+        (state.getField("l") + state.getField("b")).alias("forecast_1"),
+    )
+
+
+TS_HOLT_ORACLE = """
+WITH l0 AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+         CAST(len(list(value)) AS INT) AS n
+  FROM events GROUP BY user_id),
+singles AS (
+  SELECT user_id, n, v[1] AS l, CAST(0 AS DOUBLE) AS b FROM l0 WHERE n = 1),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT user_id, 2 AS i, CAST(v[2] AS DOUBLE) AS l,
+           CAST(v[2] - v[1] AS DOUBLE) AS b, v, n
+    FROM l0 WHERE n >= 2
+    UNION ALL
+    SELECT user_id, i + 1,
+           (v[i+1] + (l + b)) / 2,
+           (((v[i+1] + (l + b)) / 2 - l) + b) / 2,
+           v, n
+    FROM r WHERE i < n)
+  SELECT user_id, n, l, b FROM r WHERE i = n)
+SELECT user_id, n AS n_events, l AS holt_level, b AS holt_trend,
+       l + b AS forecast_1
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM rec)
+"""
+
+
 def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSUM detector as a custom stateful streaming operator
     (``applyInPandasWithState`` carrying one long of state per user —
@@ -7213,6 +7277,114 @@ FROM w GROUP BY event_type
 """
 
 
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over lineitem prices — the
+    classic fabricated-numbers screen for financial/data-quality
+    pipelines.  Digit extraction goes through the DECIMAL(14,2) string
+    form (portable between engines; no float log10 near a digit
+    boundary); expected frequencies are log10(1 + 1/d)."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.regexp_extract(
+        F.col("l_extendedprice").cast("decimal(14,2)").cast("string"),
+        r"^([1-9])",
+        1,
+    ).cast("int")
+    per = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("__tot"))
+    d = F.col("digit").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / d)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("observed_p"),
+            F.round(expected, 6).alias("benford_p"),
+            F.round(
+                (F.col("n") - expected * F.col("__tot"))
+                * (F.col("n") - expected * F.col("__tot"))
+                / (expected * F.col("__tot")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+DQ_BENFORD_ORACLE = """
+WITH per AS (
+  SELECT CAST(regexp_extract(
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR),
+           '^([1-9])', 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
+SELECT digit, n,
+       round(n / CAST(t AS DOUBLE), 6) AS observed_p,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+       round((n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * t)
+             * (n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * t)
+             / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * t), 6) AS chi2_term
+FROM per, tot
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: least-
+    squares slope/intercept of ln(freq) against ln(rank) (rank by count
+    desc, token asc — a total order), the standard sanity screen that a
+    text corpus has natural-language token statistics (synthetic or
+    template-generated corpora show flat or cliffed curves)."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.col("n"),
+    )
+    n_types = F.count(F.lit(1)).cast("long")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    slope = (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
+    return xy.agg(
+        n_types.alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n_types, 6).alias("zipf_intercept"),
+    )
+
+
+TEXT_ZIPF_ORACLE = """
+WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y, n
+  FROM freq),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM xy)
+SELECT n_types, n_tokens,
+       round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 6)
+         AS zipf_slope,
+       round((sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx)
+             / n_types, 6) AS zipf_intercept
+FROM s
+"""
+
+
 CDC_K = 8  # rolling window chars
 CDC_MASK = 64  # boundary when window-hash % 64 == 0 -> ~64-char chunks
 
@@ -7399,6 +7571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     replica-faithful incl. the scalar-output lint) ---
         "dedup_setsim_join": dedup_setsim_join,
         "j_bloom_semi": j_bloom_semi,
+        "dq_benford": dq_benford,
+        "text_zipf_fit": text_zipf_fit,
+        "ts_holt_linear": ts_holt_linear,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7414,11 +7589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_gini": a_gini,
         "graph_connected_components": graph_connected_components,
         "emb_kmeans_assign": emb_kmeans_assign,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "w8_ratchet_depth": w8_ratchet_depth,
         "dedup_spans": dedup_spans,
         "mm_png_roundtrip": mm_png_roundtrip,
-        "tpch_q9_profit_shape": tpch_q9_profit_shape,
-        # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "a8_sliding_window": a8_sliding_window,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         "emb_near_dups": emb_near_dups,
@@ -7628,6 +7803,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "dedup_setsim_join": DEDUP_SETSIM_ORACLE,
         "j_bloom_semi": J_BLOOM_SEMI_ORACLE,
+        "dq_benford": DQ_BENFORD_ORACLE,
+        "text_zipf_fit": TEXT_ZIPF_ORACLE,
         "ann_bruteforce_topk": ANN_BRUTE_ORACLE,
         "ann_block_topk": ANN_BLOCK_ORACLE,
         "ann_matryoshka_topk": ANN_MATRYOSHKA_ORACLE,
@@ -7726,6 +7903,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_gram_matrix": EMB_GRAM_ORACLE,
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
+        "ts_holt_linear": TS_HOLT_ORACLE,
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
         "layout_zorder_stats": _zorder_oracle(),
         "dq_table_digest": DQ_DIGEST_ORACLE,

@@ -486,3 +486,38 @@ def test_ks_statistic_matches_naive(spark):
         c2 = sum(1 for x in s2 if x <= v)
         want = max(want, abs(c1 * n2 - c2 * n1))
     assert d_num == want
+
+
+def test_holt_linear_fold_matches_loop(spark):
+    """ts_holt_linear's struct-state fold == the naive Python recurrence
+    (alpha = beta = 1/2), bit-for-bit, including 1- and 2-element series."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["holt_level"], r["holt_trend"])
+        for r in entrymod.ts_holt_linear(spark, sf).collect()
+    }
+    ev = (
+        spark.read.parquet(sf + "/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    assert got.keys() == series.keys()
+    for uid, v in series.items():
+        if len(v) == 1:
+            l, b = v[0], 0.0
+        else:
+            l, b = v[1], v[1] - v[0]
+            for x in v[2:]:
+                l2 = (x + (l + b)) / 2
+                b = ((l2 - l) + b) / 2
+                l = l2
+        n, gl, gb = got[uid]
+        assert n == len(v)
+        assert gl == l and gb == b, uid  # exact: same op order, exact halving
