@@ -3313,6 +3313,54 @@ FROM daily
 """
 
 
+def w_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter over per-user daily series (decomposed
+    two-pass form: each row's deviation uses its OWN centered median, and
+    the rolling MAD is the centered median of those deviations — the
+    SQL-expressible variant, identical nested windows on both engines).
+    Flag = |x - med| > 3 * 1.4826 * mad.  The robust alternative to
+    z-score spike detection for sensor streams (P9's threshold-vs-
+    rolling-median generalized to a scale-aware gate)."""
+    daily = _daily_by_user(spark, sf_dir)
+    frame = row_frame("day_ts", before=3, after=3, partition_by=["user_id"])
+    with_med = daily.withColumn(
+        "med", rolling_median("day_value", frame)
+    ).withColumn("dev", F.abs(F.col("day_value") - F.col("med")))
+    out = with_med.withColumn("mad", rolling_median("dev", frame))
+    return out.select(
+        "user_id",
+        "day_ts",
+        "day_value",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        (F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+W_HAMPEL_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+m AS (
+  SELECT user_id, day_ts, day_value,
+         median(day_value) OVER (
+           PARTITION BY user_id ORDER BY day_ts
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM daily),
+d AS (
+  SELECT *, abs(day_value - med) AS dev FROM m),
+x AS (
+  SELECT *, median(dev) OVER (
+           PARTITION BY user_id ORDER BY day_ts
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mad
+  FROM d)
+SELECT user_id, day_ts, day_value,
+       round(med, 4) AS med, round(mad, 4) AS mad,
+       dev > 3.0 * 1.4826 * mad AS is_outlier
+FROM x
+"""
+
+
 def w4_trailing_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day mean over per-user daily sums, null below min_periods=3
     (pandas ``rolling('24H', min_periods=10)`` shape at daily grain)."""
@@ -6748,6 +6796,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(e)
 
 
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the same co-purchase graph as graph_triangle_count
+    (operators/graph.py ``k_core`` — distributed peeling to the unique
+    maximal subgraph with min degree >= 3).  Rows-only driver check (the
+    iterative fixpoint has no single-pass SQL form); the differential
+    pytest replays peeling in Python."""
+    from cassandra_fs_pp_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return k_core(e, k=3)
+
+
 GRAPH_TRIANGLE_ORACLE = """
 WITH e0 AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -7574,6 +7646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_benford": dq_benford,
         "text_zipf_fit": text_zipf_fit,
         "ts_holt_linear": ts_holt_linear,
+        "w_hampel_outliers": w_hampel_outliers,
+        "graph_kcore": graph_kcore,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7585,12 +7659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "j4_asof_backward": j4_asof_backward,
-        "stream_hourly_agg": stream_hourly_agg,
-        "a_gini": a_gini,
         "graph_connected_components": graph_connected_components,
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "stream_hourly_agg": stream_hourly_agg,
+        "a_gini": a_gini,
         "w8_ratchet_depth": w8_ratchet_depth,
         "dedup_spans": dedup_spans,
         "mm_png_roundtrip": mm_png_roundtrip,
@@ -7904,6 +7978,7 @@ def oracle_sql() -> dict[str, str]:
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
         "ts_holt_linear": TS_HOLT_ORACLE,
+        "w_hampel_outliers": W_HAMPEL_ORACLE,
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
         "layout_zorder_stats": _zorder_oracle(),
         "dq_table_digest": DQ_DIGEST_ORACLE,

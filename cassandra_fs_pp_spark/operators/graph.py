@@ -232,3 +232,53 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(tri)
     )
     return summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Exact k-core of the undirected simple graph: the maximal subgraph
+    in which every node has degree >= k (unique, so order of peeling
+    does not matter — deterministic at any parallelism).  Returns
+    ``(node, core_degree)`` for surviving nodes, ``core_degree`` = the
+    node's degree WITHIN the core.
+
+    Distributed peeling: each round computes degrees (one shuffle on the
+    node key) and anti-joins the below-k nodes out of the edge set; the
+    weak set is typically tiny after the first rounds, so AQE plans the
+    anti joins as broadcasts (unhinted: a huge first-round weak set must
+    stay a shuffle join).  Rounds = peeling depth (degeneracy ladder), with
+    ``localCheckpoint`` truncating lineage per round exactly like
+    :func:`connected_components`.  Peeling depth is O(n) only on
+    adversarial chains; real similarity/co-occurrence graphs peel in a
+    handful of rounds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        weak = (
+            deg.filter(F.col("deg") < k)
+            .select(F.col("a").alias("w"))
+            .localCheckpoint()  # eager: one evaluation serves test + joins
+        )
+        if weak.limit(1).count() == 0:
+            break
+        sym = (
+            sym.join(weak, sym["a"] == weak["w"], "left_anti")
+            .join(weak, sym["b"] == weak["w"], "left_anti")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

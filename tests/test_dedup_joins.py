@@ -433,3 +433,43 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
         keys = {i * 7 + 1 for i in range(40)}
         want = {i for i in range(20000) if i % 997 in keys}
         assert got == want, m_bits
+
+
+def test_kcore_vs_python_peeling(spark):
+    """Distributed k-core peeling == Python reference peeling (the k-core
+    is unique, so any peeling order converges to the same subgraph),
+    on a graph with a clique, a chain that fully peels, and a ladder."""
+    import random
+
+    from cassandra_fs_pp_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    edges = set()
+    for a in range(10):          # K10 clique: survives any k <= 9
+        for b in range(a + 1, 10):
+            edges.add((a, b))
+    edges |= {(100 + i, 101 + i) for i in range(30)}   # chain: peels at k=2
+    for i in range(40):          # random sparse tail
+        a, b = rng.randrange(200, 260), rng.randrange(200, 260)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+
+    for k in (2, 3, 5):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        want = {n: len(nb) for n, nb in adj.items()}
+
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()
+        }
+        assert got == want, k
