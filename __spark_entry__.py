@@ -3511,6 +3511,21 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx / Greenwald-Khanna,
+    accuracy 1/1e-4): the bounded-memory path for percentiles at 100 TB,
+    where a_quantiles' exact interpolation needs a per-group sort.  Like
+    the HLL pair, algorithm-specific -> rows-only driver check; the
+    pytest sandwiches every sketch value inside the exact
+    rank-error window."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_sketch"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_sketch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def a8_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour windows every 15 min (each event lands in 4 windows)."""
     ev = _t(spark, sf_dir, "events")
@@ -7648,6 +7663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_linear": ts_holt_linear,
         "w_hampel_outliers": w_hampel_outliers,
         "graph_kcore": graph_kcore,
+        "a_approx_quantiles": a_approx_quantiles,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,

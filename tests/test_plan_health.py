@@ -171,3 +171,40 @@ def test_gram_matrix_single_exchange(spark):
     df = entrymod.queries()["emb_gram_matrix"](spark, SF)
     plan = _formatted_plan(df)
     assert _n(plan, "Exchange") == 1, plan
+
+
+def test_setsim_join_equi_joins_only(spark):
+    """Prefix-filter similarity join must plan as hash equi-joins — a
+    nested-loop/cartesian anywhere means the blocking regressed to
+    all-pairs."""
+    df = entrymod.queries()["dedup_setsim_join"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_bloom_semi_filter_precedes_join(spark):
+    """j_bloom_semi: the only nested-loop join is the 1-row bitmap
+    broadcast; membership Filter sits on the big side BEFORE the semi
+    join, and the semi join itself is a hash join."""
+    df = entrymod.queries()["j_bloom_semi"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "BroadcastNestedLoopJoin") == 1, plan  # 1-row bitmap only
+    assert _n(plan, "CartesianProduct") == 0, plan
+    # the bloom membership predicate (bitmap word test) appears in a Filter
+    assert "shiftleft" in plan, plan
+
+
+def test_kcore_result_partition_invariant(spark):
+    """k-core output is identical at 1 and 8 partitions (unique core +
+    deterministic degrees)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.graph import k_core
+
+    edges = [(a, b) for a in range(12) for b in range(a + 1, 12) if (a + b) % 3]
+    df1 = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    df8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    r1 = {(r["node"], r["core_degree"]) for r in k_core(df1, k=4).collect()}
+    r8 = {(r["node"], r["core_degree"]) for r in k_core(df8, k=4).collect()}
+    assert r1 == r8 and r1

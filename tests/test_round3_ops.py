@@ -521,3 +521,30 @@ def test_holt_linear_fold_matches_loop(spark):
         n, gl, gb = got[uid]
         assert n == len(v)
         assert gl == l and gb == b, uid  # exact: same op order, exact halving
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """percentile_approx at accuracy=10000 must land within the GK rank
+    window: the sketch value sits between the exact values at ranks
+    floor((q - eps)*n) and ceil((q + eps)*n), eps = 1/accuracy."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.a_approx_quantiles(spark, sf).collect()
+    assert rows
+    vals_by_type = {}
+    for r in (
+        spark.read.parquet(sf + "/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals_by_type.setdefault(r["event_type"], []).append(r["value"])
+    eps = 1.0 / 10000
+    for r in rows:
+        vals = sorted(vals_by_type[r["event_type"]])
+        n = len(vals)
+        assert r["n"] == n
+        for q, got in ((0.5, r["p50_sketch"]), (0.99, r["p99_sketch"])):
+            lo = vals[max(0, int((q - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((q + eps) * n) + 1)]
+            assert lo <= got <= hi, (r["event_type"], q, got, lo, hi)
