@@ -178,6 +178,12 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     purely the cost bound (an id orientation gives the same number, which
     is what the SQL oracle uses).
     """
+    # und / deg / oriented are each referenced several times below; without
+    # checkpoints every reference re-expands the full upstream lineage
+    # (including whatever self-join built the edge list) — observed as a
+    # 40-scan, 42-exchange plan on the co-purchase graph. localCheckpoint
+    # collapses each to a single materialization, exactly as in k_core /
+    # connected_components.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -185,12 +191,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("n"))
         .union(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     # Orient a->b iff (deg(a), a) < (deg(b), b).
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
@@ -208,6 +216,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint()
     )
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
