@@ -4588,6 +4588,42 @@ FROM documents
 """
 
 
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection: 64-bit perceptual hash (DCT pHash,
+    functions/multimodal.py ``phash64`` over Arrow batches) + banded
+    hamming search reusing the TEXT dedup machinery
+    (``simhash_band_pairs`` with bits=64) — same-photo-small-edit pairs
+    surface, independent images do not.  Corpus = k-seeded noise images
+    plus a perturbed copy (clipped +7 on a 3x3 patch) for every 5th doc.
+    Rows-only driver check (the DCT has no SQL form); the pytest pins
+    planted-pair recall and a numpy reference hash."""
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        image_phash,
+        perturb_image,
+        synthesize_noise_media,
+    )
+    from cassandra_fs_pp_spark.operators.textdedup import simhash_band_pairs
+
+    ids = _media_ids(spark, sf_dir)
+    orig = synthesize_noise_media(ids, "doc_id")
+
+    import pandas as _pd  # noqa: N813
+
+    def mutate(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["doc_id"] % 5 == 0].copy()
+            pdf["payload"] = [perturb_image(bytes(p)) for p in pdf["payload"]]
+            pdf["doc_id"] = pdf["doc_id"] + 100000
+            yield pdf
+
+    dups = orig.mapInPandas(mutate, schema=orig.schema)
+    hashed = image_phash(orig.unionByName(dups), "doc_id")
+    return simhash_band_pairs(
+        hashed, bits=64, bands=8, max_hamming=7,
+        id_col="doc_id", fp_col="phash",
+    )
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     auds = synthesize_media(_media_ids(spark, sf_dir), "doc_id", kind="audio")
     st = audio_stats(auds, "doc_id")
@@ -7664,6 +7700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hampel_outliers": w_hampel_outliers,
         "graph_kcore": graph_kcore,
         "a_approx_quantiles": a_approx_quantiles,
+        "mm_phash_pairs": mm_phash_pairs,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,

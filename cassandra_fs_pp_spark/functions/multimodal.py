@@ -501,3 +501,95 @@ def audio_stats(
             )
 
     return df.mapInPandas(stats, schema=schema)
+
+
+def encode_noise_image(k: int, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic k-seeded NOISE image (PCG64) — the corpus for
+    perceptual-hash tests: unlike the gradient fake (whose images are all
+    value-shifts of one sawtooth, making every pair a pHash near-dup),
+    independent noise gives uniform, well-separated hashes."""
+    rng = np.random.default_rng(k)
+    px = rng.integers(0, 256, size=width * height * 3, dtype=np.int64).astype(
+        np.uint8
+    )
+    return IMG_MAGIC + struct.pack("<HHB", width, height, 3) + px.tobytes()
+
+
+def perturb_image(payload: bytes, delta: int = 7, patch: int = 3) -> bytes:
+    """Near-duplicate mutation: clipped +delta on the top-left
+    patch x patch pixel block, re-encoded in place — the 'same photo,
+    small edit' fixture for perceptual dedup."""
+    img = decode_image_pixels(payload).copy()
+    img[:patch, :patch, :] = np.clip(
+        img[:patch, :patch, :].astype(np.int16) + delta, 0, 255
+    ).astype(np.uint8)
+    h, w, c = img.shape
+    return IMG_MAGIC + struct.pack("<HHB", w, h, c) + img.tobytes()
+
+
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash (pHash, public scheme): grayscale ->
+    nearest-gather 32x32 resize -> 2-D DCT-II (cosine-basis matmul,
+    pure numpy) -> top-left 8x8 coefficients -> median threshold.
+    Returns a signed int64 (bit 63 may be set)."""
+    img = decode_image_pixels(payload).astype(np.float64)
+    gray = img.mean(axis=2)
+    h, w = gray.shape
+    n = 32
+    yi = (np.arange(n) * h // n).clip(0, h - 1)
+    xi = (np.arange(n) * w // n).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    u = np.arange(n)
+    basis = np.cos(np.pi * (2 * u[None, :] + 1) * u[:, None] / (2 * n))
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].ravel()
+    med = float(np.median(block))
+    val = 0
+    for i, c in enumerate(block):
+        if c > med:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash -> (id, phash bigint); feed into
+    ``operators/textdedup.simhash_band_pairs(bits=64)`` for banded
+    hamming near-dup search — image dedup with the text-dedup machinery."""
+    from pyspark.sql.types import LongType
+
+    schema = StructType([df.schema[id_col], StructField("phash", LongType())])
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (k, phash64(p))
+                for k, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.mapInPandas(ph, schema=schema)
+
+
+def synthesize_noise_media(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Attach a k-seeded noise FIMG payload per row (pHash corpus)."""
+    schema = StructType(df.schema.fields + [StructField(out_col, BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                encode_noise_image(int(k)) for k in pdf[id_col].astype("int64")
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)

@@ -294,3 +294,53 @@ def test_image_embedding_feeds_similarity(spark, media):
     v = np.array(rows[0]["embedding"])
     assert v.shape == (16,)
     assert v.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_phash_planted_near_dups_and_reference(spark):
+    """mm_phash_pairs finds every planted (k, k+100000) perturbed pair
+    with small hamming; phash64 matches an independent numpy DCT
+    reference; a perturbed image's hash stays within the band bound
+    while independent noise images differ by ~32 bits."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_noise_image,
+        perturb_image,
+        phash64,
+    )
+
+    rows = entrymod.mm_phash_pairs(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id").collect()
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs
+        if r["doc_id"] % 5 == 0
+    }
+    assert planted <= set(pairs), planted - set(pairs)
+    assert all(h <= 7 for h in pairs.values())
+
+    # independent numpy reference for the hash itself
+    p = encode_noise_image(42)
+    img = decode_image_pixels(p).astype(np.float64).mean(axis=2)
+    n = 32
+    u = np.arange(n)
+    basis = np.cos(np.pi * (2 * u[None, :] + 1) * u[:, None] / (2 * n))
+    block = (basis @ img @ basis.T)[:8, :8].ravel()
+    med = float(np.median(block))
+    want = 0
+    for i, c in enumerate(block):
+        if c > med:
+            want |= 1 << i
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert phash64(p) == want
+
+    # near-dup close, independent images far
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(phash64(p), phash64(perturb_image(p))) <= 7
+    assert ham(phash64(p), phash64(encode_noise_image(43))) > 10
