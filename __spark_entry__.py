@@ -3994,6 +3994,91 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dominant_period(hourly, ["user_id"])
 
 
+def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR, shifts, popcount, single-bit
+    extract — the ops the engine's bitmap/simhash internals use, exposed
+    as a first-class projection suite (integer-exact, trivially
+    portable)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    a = F.col("user_id").cast("long")
+    b = F.col("event_id").cast("long")
+    return ev.select(
+        "event_id",
+        a.bitwiseAND(b).alias("b_and"),
+        a.bitwiseOR(b).alias("b_or"),
+        a.bitwiseXOR(b).alias("b_xor"),
+        F.shiftleft(a, 3).alias("b_shl"),
+        F.shiftright(b, 2).alias("b_shr"),
+        F.bit_count(b).alias("b_pop"),
+        F.expr("(event_id >> 4) & 1").cast("long").alias("b_bit4"),
+        F.expr("~(CAST(user_id AS BIGINT) ^ CAST(user_id AS BIGINT))")
+        .alias("b_zero_not"),  # ~0 == -1, sign-safe
+    )
+
+
+F_BITWISE_ORACLE = """
+SELECT event_id,
+       user_id & event_id AS b_and,
+       user_id | event_id AS b_or,
+       xor(user_id, event_id) AS b_xor,
+       user_id << 3 AS b_shl,
+       event_id >> 2 AS b_shr,
+       CAST(bit_count(event_id) AS INT) AS b_pop,
+       (event_id >> 4) & 1 AS b_bit4,
+       CAST(-1 AS BIGINT) AS b_zero_not
+FROM events WHERE event_id < 2000
+"""
+
+
+def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust trend: the MEDIAN of all pairwise slopes
+    of the daily series — outlier-resistant where a_linreg_trend's OLS is
+    not.  Pairs come from a per-user self-join on the (tiny) daily
+    aggregate, never the raw events: O(days^2) per user with days bounded
+    by the retention window, while the raw-event reduction happens first
+    at O(n).  Slope unit: value per day."""
+    daily = _daily_by_user(spark, sf_dir)
+    a = daily.select(
+        "user_id",
+        F.col("day_ts").cast("double").alias("xa"),
+        F.col("day_value").alias("ya"),
+    )
+    b = daily.select(
+        "user_id",
+        F.col("day_ts").cast("double").alias("xb"),
+        F.col("day_value").alias("yb"),
+    )
+    pairs = a.join(b, on="user_id").filter(F.col("xa") < F.col("xb"))
+    slope = (F.col("yb") - F.col("ya")) / (
+        (F.col("xb") - F.col("xa")) / F.lit(86400.0)
+    )
+    return (
+        pairs.select("user_id", slope.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("s"), 8).alias("theil_sen_slope"),
+        )
+    )
+
+
+A_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(sum(value), 3) AS day_value
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.user_id,
+         (b.day_value - a.day_value)
+           / ((epoch(b.day_ts) - epoch(a.day_ts)) / 86400.0) AS s
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND epoch(a.day_ts) < epoch(b.day_ts))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(s), 8) AS theil_sen_slope
+FROM p GROUP BY user_id
+"""
+
+
 def a_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of value over time via covariance/variance
     aggregates (closed-form OLS — no iteration, one shuffle)."""
@@ -7701,6 +7786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "a_approx_quantiles": a_approx_quantiles,
         "mm_phash_pairs": mm_phash_pairs,
+        "f_bitwise_suite": f_bitwise_suite,
+        "a_theil_sen": a_theil_sen,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7708,14 +7795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_lsh_topk": ann_lsh_topk,
-        "text_tfidf": text_tfidf,
-        "curation_pipeline": curation_pipeline,
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "j4_asof_backward": j4_asof_backward,
         "graph_connected_components": graph_connected_components,
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "text_tfidf": text_tfidf,
+        "curation_pipeline": curation_pipeline,
         "stream_hourly_agg": stream_hourly_agg,
         "a_gini": a_gini,
         "w8_ratchet_depth": w8_ratchet_depth,
@@ -8031,6 +8118,8 @@ def oracle_sql() -> dict[str, str]:
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
         "ts_holt_linear": TS_HOLT_ORACLE,
+        "f_bitwise_suite": F_BITWISE_ORACLE,
+        "a_theil_sen": A_THEIL_SEN_ORACLE,
         "w_hampel_outliers": W_HAMPEL_ORACLE,
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
         "layout_zorder_stats": _zorder_oracle(),
