@@ -2886,6 +2886,57 @@ WHERE CAST(n_inter AS DOUBLE) >= 0.6 * CAST(n_union AS DOUBLE)
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sub-document detection: ordered pairs with shingle
+    containment |A∩B|/|A| >= 0.8 (operators/textdedup.py
+    ``containment_join`` — A-side-only prefix filter, B unpruned; exact
+    all-intersecting-pairs SQL oracle).  Catches near-fully-quoted docs
+    symmetric Jaccard misses when B is much larger."""
+    from cassandra_fs_pp_spark.operators.textdedup import containment_join
+
+    corpus = _doc_corpus_with_near_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__ws")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(__ws) - 4, 0) - 1),"
+            " i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2], __ws[i+3]))"
+        ).alias("toks"),
+    )
+    return containment_join(toks, "doc_id", "toks", threshold=0.8)
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws) - 3, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+           AS toks
+  FROM w
+),
+e AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM g
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter,
+         CAST(any_value(a.n) AS BIGINT) AS n_a
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, n_a,
+       n_inter / n_a AS containment
+FROM cand
+WHERE CAST(n_inter AS DOUBLE) >= 0.8 * CAST(n_a AS DOUBLE)
+"""
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
@@ -7788,12 +7839,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": mm_phash_pairs,
         "f_bitwise_suite": f_bitwise_suite,
         "a_theil_sen": a_theil_sen,
+        "dedup_containment": dedup_containment,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
         "tpch_q1": tpch_q1,
         "tpch_q18_large_orders": tpch_q18_large_orders,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_lsh_topk": ann_lsh_topk,
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "j4_asof_backward": j4_asof_backward,
@@ -7801,6 +7852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "dedup_minhash_lsh": dedup_minhash_lsh,
         "text_tfidf": text_tfidf,
         "curation_pipeline": curation_pipeline,
         "stream_hourly_agg": stream_hourly_agg,
@@ -8016,6 +8068,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_quality_filter": CURATION_QUALITY_ORACLE,
         "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
         "dedup_setsim_join": DEDUP_SETSIM_ORACLE,
+        "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
         "j_bloom_semi": J_BLOOM_SEMI_ORACLE,
         "dq_benford": DQ_BENFORD_ORACLE,
         "text_zipf_fit": TEXT_ZIPF_ORACLE,

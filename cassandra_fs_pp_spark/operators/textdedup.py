@@ -603,3 +603,86 @@ def set_similarity_join(
             (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """Directional set-containment join: all ordered pairs (a, b), a != b,
+    with ``|A ∩ B| / |A| >= threshold`` — the sub-document / quote
+    detection primitive (a near-fully-contained doc is a candidate for
+    dropping even when symmetric Jaccard is low because B is much
+    larger).
+
+    Prefix filtering adapts to the asymmetric predicate: containment
+    ``>= t`` forces ``|A∩B| >= ceil(t*|A|)``, so A's
+    ``|A| - ceil(t*|A|) + 1``-prefix (rarest-first global order, as in
+    :func:`set_similarity_join`) must intersect B — but B contributes ALL
+    its tokens to the candidate join (no symmetric prefix shrink is
+    sound for the small-into-big case).  Shuffle is O(sum prefix_A) +
+    O(sum |B|) on the token key; the frequency order still keeps hot
+    tokens out of A-prefixes.  Returns (doc_a, doc_b, n_inter, n_a,
+    containment).
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+
+    tok = base.select("__id", F.explode("__toks").alias("__tok"))
+    from pyspark.sql.window import Window
+
+    tok = tok.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__tok"))
+    )
+    ordered = tok.groupBy("__id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+            lambda s: s["__tok"],
+        ).alias("__ord"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(t) * F.col("__n")).cast("int") + F.lit(1)
+    )
+    pref_a = ordered.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__n").alias("__na"),
+        F.explode(F.slice("__ord", 1, prefix_len)).alias("__tok"),
+    )
+    all_b = tok.select(
+        F.col("__tok"), F.col("__id").alias("doc_b")
+    )
+    cand = (
+        pref_a.join(all_b, on="__tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("doc_a"), F.col("__toks").alias("__ta"))
+    sb = base.select(F.col("__id").alias("doc_b"), F.col("__toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("n_inter", inter)
+        .withColumn("n_a", F.size("__ta"))
+        .filter(
+            F.col("n_inter").cast("double")
+            >= F.lit(t) * F.col("n_a").cast("double")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            (F.col("n_inter") / F.col("n_a")).alias("containment"),
+        )
+    )

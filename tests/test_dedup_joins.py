@@ -473,3 +473,39 @@ def test_kcore_vs_python_peeling(spark):
             r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()
         }
         assert got == want, k
+
+
+def test_containment_join_vs_bruteforce(spark):
+    """A-side prefix-filtered containment join == brute-force directional
+    containment on random token sets, including a small-doc-inside-
+    big-doc case symmetric Jaccard would miss."""
+    import itertools
+    import random
+
+    from cassandra_fs_pp_spark.operators.textdedup import containment_join
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(5, 25))
+        docs.append((i, base))
+        if i % 4 == 0:  # a contained fragment: first 80% of the tokens
+            frag = base[: max(2, int(len(base) * 0.8))]
+            docs.append((1000 + i, frag))
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+
+    t = 0.8
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"])
+        for r in containment_join(df, "doc_id", "toks", threshold=t).collect()
+    }
+    sets = {i: set(tk) for i, tk in docs}
+    want = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if sets[a] and inter >= t * len(sets[a]):
+            want[(a, b)] = (inter, len(sets[a]))
+    assert got == want
+    # fragments really are detected as contained in their source
+    assert any(a >= 1000 and b == a - 1000 for a, b in want)
