@@ -7164,6 +7164,20 @@ SELECT doc_id, chunk_id, dot, score FROM r WHERE rk <= {RAG_TOPK}
 """
 
 
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-axis projection of the embedding corpus
+    (operators/similarity.py ``pca_project``: exact integer Gram ->
+    driver-side d x d eigh [bounded d^2 collect] -> Arrow-batched
+    projection; the corpus never shuffles).  Rows-only driver check (no
+    SQL eigensolver); the pytest replays the whole computation in numpy
+    and asserts near-exact equality plus variance ordering."""
+    from cassandra_fs_pp_spark.operators.similarity import pca_project
+
+    return pca_project(
+        _t(spark, sf_dir, "embeddings"), dim=EMB_DIM, k=2
+    )
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gram matrix (upper triangle) of the embedding corpus
     — the PCA/whitening input. Map-side X^T X per Arrow batch; the
@@ -7840,6 +7854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_bitwise_suite": f_bitwise_suite,
         "a_theil_sen": a_theil_sen,
         "dedup_containment": dedup_containment,
+        "emb_pca_project": emb_pca_project,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
@@ -7852,6 +7867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "w1_rolling_median_2d": w1_rolling_median_2d,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "text_tfidf": text_tfidf,
         "curation_pipeline": curation_pipeline,

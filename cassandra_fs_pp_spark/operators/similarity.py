@@ -1000,3 +1000,64 @@ def gram_matrix(
 
     parts = vectors.select(vec_col).mapInPandas(part, "i int, j int, s long")
     return parts.groupBy("i", "j").agg(F.sum("s").alias("gram_sum"))
+
+
+def pca_project(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 2,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal axes of the
+    UNCENTRED second-moment matrix (truncated SVD of X — the standard
+    embedding-compression / visualization step).
+
+    Scale shape: the only global reduction is :func:`gram_matrix`'s
+    O(parts * d^2) integer partials; the d x d eigenproblem solves on the
+    DRIVER (d^2 scalars — a bounded collect by the same contract as the
+    k x d centroid fetches), and the k eigenvectors ship back inside the
+    Arrow projection closure.  The corpus itself streams map-side twice
+    (Gram pass + projection pass), never shuffles.
+
+    Determinism: the Gram is exact integer (partition-invariant); eigen
+    sign is fixed by forcing each axis's largest-|component| positive.
+    Returns (id, pc1..pck) doubles, unrounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = gram_matrix(vectors, vec_col=vec_col, dim=dim, scale=scale).collect()
+    M = np.zeros((dim, dim), dtype=np.float64)
+    for r in g:
+        M[r["i"], r["j"]] = r["gram_sum"]
+        M[r["j"], r["i"]] = r["gram_sum"]
+    vals, vecs = np.linalg.eigh(M)  # ascending
+    top = vecs[:, ::-1][:, :k].copy()  # descending eigenvalue order
+    for c in range(top.shape[1]):
+        piv = int(np.argmax(np.abs(top[:, c])))
+        if top[piv, c] < 0:
+            top[:, c] = -top[:, c]
+    # undo the fixed-point quantization scale so scores are in data units
+    V = top / float(scale)
+
+    cols = [f"pc{i + 1}" for i in range(k)]
+    out_schema = ", ".join(
+        [f"{id_col} long"] + [f"{c} double" for c in cols]
+    )
+
+    def proj(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64).astype(np.float64)
+            S = Q @ V
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i, c in enumerate(cols):
+                out[c] = S[:, i]
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(proj, out_schema)
