@@ -7394,6 +7394,41 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing as a custom stateful streaming operator
+    (streaming/filestream.py ``holt_stateful``: (n, level, trend) state
+    per user, availableNow drain) rolled up to the final per-user state
+    — bit-identical to the batch struct-state fold, so it carries the
+    SAME full oracle as ts_holt_linear."""
+    from cassandra_fs_pp_spark.session import tune
+    from cassandra_fs_pp_spark.streaming.filestream import holt_stateful
+
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    rows = run_available_now(
+        holt_stateful(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            x_col="value",
+            order_cols=["ts", "event_id"],
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    last = rows.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return last.select(
+        "user_id",
+        F.col("n_seen").cast("int").alias("n_events"),
+        F.col("level").alias("holt_level"),
+        F.col("trend").alias("holt_trend"),
+        (F.col("level") + F.col("trend")).alias("forecast_1"),
+    )
+
+
 def _zorder_expr(cx: str, cy: str, bits: int, dialect: str) -> str:
     """Bit-interleaved Morton (Z-order) value of two cell coordinates —
     the same expression text is generated for Spark SQL and DuckDB (both
@@ -7855,11 +7890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "dedup_containment": dedup_containment,
         "emb_pca_project": emb_pca_project,
+        "stream_holt_linear": stream_holt_linear,
         # --- long-green re-confirmation fillers ---
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
         "tpch_q1": tpch_q1,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
         "ann_lsh_topk": ann_lsh_topk,
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "j4_asof_backward": j4_asof_backward,
@@ -7867,6 +7902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "text_tfidf": text_tfidf,
@@ -8187,6 +8223,7 @@ def oracle_sql() -> dict[str, str]:
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
         "ts_holt_linear": TS_HOLT_ORACLE,
+        "stream_holt_linear": TS_HOLT_ORACLE,
         "f_bitwise_suite": F_BITWISE_ORACLE,
         "a_theil_sen": A_THEIL_SEN_ORACLE,
         "w_hampel_outliers": W_HAMPEL_ORACLE,

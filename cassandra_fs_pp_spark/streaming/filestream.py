@@ -483,3 +483,86 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def holt_stateful(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Holt linear smoothing (alpha = beta = 1/2) as a custom stateful
+    streaming operator — the streaming twin of the batch struct-state
+    fold (``__spark_entry__.ts_holt_linear``), bit-identical because the
+    add/halve op order matches the batch fold exactly.
+
+    State per key is ``(n, a, b)``: n counts events; before the second
+    event ``a`` holds v1; from the second on ``(a, b)`` are (level,
+    trend). Same in-order-arrival contract as ``cusum_stateful``.
+    Emits the running (level, trend) per row; the final row per key
+    equals the batch result.
+    """
+    from pyspark.sql.types import DoubleType, LongType
+
+    order = list(order_cols or [ts_col])
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField(ts_col, df.schema[ts_col].dataType),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("a", DoubleType()),
+            StructField("b", DoubleType()),
+        ]
+    )
+
+    def step(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (kk,) = key
+        n, a, b = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in batches:
+            pdf = pdf.sort_values(order)
+            levels, trends, seen = [], [], []
+            for x in pdf[x_col]:
+                x = float(x)
+                if n == 0:
+                    a, b = x, 0.0  # provisional: level=v1, trend 0
+                elif n == 1:
+                    a, b = x, x - a  # init l=v2, b=v2-v1
+                else:
+                    l2 = (x + (a + b)) / 2
+                    b = ((l2 - a) + b) / 2
+                    a = l2
+                n += 1
+                levels.append(a)
+                trends.append(b)
+                seen.append(n)
+            yield pd.DataFrame(
+                {
+                    key_col: kk,
+                    ts_col: pdf[ts_col].to_list(),
+                    "level": levels,
+                    "trend": trends,
+                    "n_seen": seen,
+                }
+            )
+        state.update((n, a, b))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -489,3 +489,20 @@ def test_stream_fleet_hourly_matches_batch(spark):
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()
     ]
+
+
+def test_stream_holt_matches_batch(spark):
+    """Stateful streaming Holt == batch struct-state fold, bit-for-bit
+    (same add/halve op order)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["user_id"]: (r["n_events"], r["holt_level"], r["holt_trend"])
+        for r in m.ts_holt_linear(spark, sf).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["holt_level"], r["holt_trend"])
+        for r in m.stream_holt_linear(spark, sf).collect()
+    }
+    assert batch == stream
