@@ -3412,6 +3412,136 @@ FROM x
 """
 
 
+def w_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over per-user daily series: trailing 7-row mean ±
+    2 sample stddevs, with breakout flags — the volatility-envelope
+    sibling of the Hampel gate (mean/stddev where Hampel is
+    median/MAD)."""
+    daily = _daily_by_user(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_ts")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mid = F.avg("day_value").over(w)
+    sd = F.stddev_samp("day_value").over(w)
+    return daily.select(
+        "user_id",
+        "day_ts",
+        "day_value",
+        F.round(mid, 6).alias("bb_mid"),
+        F.round(mid + 2 * sd, 6).alias("bb_hi"),
+        F.round(mid - 2 * sd, 6).alias("bb_lo"),
+        # single-row windows have NULL stddev -> no band -> not a breakout
+        F.coalesce(F.col("day_value") > mid + 2 * sd, F.lit(False)).alias(
+            "breakout_hi"
+        ),
+        F.coalesce(F.col("day_value") < mid - 2 * sd, F.lit(False)).alias(
+            "breakout_lo"
+        ),
+    )
+
+
+W_BOLLINGER_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT user_id, day_ts, day_value,
+       round(avg(day_value) OVER w, 6) AS bb_mid,
+       round(avg(day_value) OVER w + 2 * stddev_samp(day_value) OVER w, 6)
+         AS bb_hi,
+       round(avg(day_value) OVER w - 2 * stddev_samp(day_value) OVER w, 6)
+         AS bb_lo,
+       coalesce(day_value > avg(day_value) OVER w
+                + 2 * stddev_samp(day_value) OVER w, false) AS breakout_hi,
+       coalesce(day_value < avg(day_value) OVER w
+                - 2 * stddev_samp(day_value) OVER w, false) AS breakout_lo
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def a_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 and lag-7 autocorrelation of the daily series
+    (Pearson corr of the series against its lag) — the seasonality /
+    persistence screen before fitting any forecaster."""
+    daily = _daily_by_user(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day_ts")
+    lagged = daily.select(
+        "user_id",
+        "day_value",
+        F.lag("day_value", 1).over(w).alias("l1"),
+        F.lag("day_value", 7).over(w).alias("l7"),
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("day_value", "l1"), 6).alias("acf_1"),
+        F.round(F.corr("day_value", "l7"), 6).alias("acf_7"),
+    )
+
+
+A_AUTOCORR_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+l AS (
+  SELECT user_id, day_value,
+         lag(day_value, 1) OVER w AS l1,
+         lag(day_value, 7) OVER w AS l7
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day_ts))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(day_value, l1), 6) AS acf_1,
+       round(corr(day_value, l7), 6) AS acf_7
+FROM l GROUP BY user_id
+"""
+
+
+def layout_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit from the scan's ``_metadata`` hidden column:
+    rows per parquet file plus the small-file / skew signals a compaction
+    policy watches (the table-maintenance primitive for any lakehouse
+    layout).  One row: file count, total rows, min/max per-file rows,
+    skew ratio."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    per_file = (
+        ev.select(F.col("_metadata.file_name").alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"),
+        F.round(
+            F.max("rows").cast("double") / F.min("rows").cast("double"), 6
+        ).alias("skew_ratio"),
+    )
+
+
+LAYOUT_FILE_STATS_ORACLE_TEMPLATE = """
+WITH per AS (
+  SELECT parse_filename(filename) AS f, CAST(count(*) AS BIGINT) AS rows
+  FROM read_parquet('{path}', filename=true) GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(rows) AS BIGINT) AS total_rows,
+       min(rows) AS min_rows, max(rows) AS max_rows,
+       round(CAST(max(rows) AS DOUBLE) / CAST(min(rows) AS DOUBLE), 6)
+         AS skew_ratio
+FROM per
+"""
+
+
+def _layout_file_stats_oracle() -> str:
+    import os as _os
+
+    sf_dir = _os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    # driver testdata ships each table as ONE parquet file; a Spark-style
+    # directory would need the '<dir>/**/*.parquet' glob instead
+    path = _os.path.join(sf_dir, "events.parquet")
+    if _os.path.isdir(path):
+        path = _os.path.join(path, "**", "*.parquet")
+    return LAYOUT_FILE_STATS_ORACLE_TEMPLATE.format(path=path)
+
+
 def w4_trailing_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day mean over per-user daily sums, null below min_periods=3
     (pandas ``rolling('24H', min_periods=10)`` shape at daily grain)."""
@@ -7892,6 +8022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": emb_pca_project,
         "stream_holt_linear": stream_holt_linear,
         # --- long-green re-confirmation fillers ---
+        # (w_bollinger_bands / a_autocorr / layout_file_stats are
+        #  registered BEHIND the window below: added after the r4 window
+        #  froze; they rotate forward in r5)
         "f_higher_order": f_higher_order,
         "flagship_events_hourly": flagship_events_hourly,
         "tpch_q1": tpch_q1,
@@ -7901,6 +8034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": graph_connected_components,
         "emb_kmeans_assign": emb_kmeans_assign,
         "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        # --- new late-r4, behind the window (r5 rotation) ---
+        "w_bollinger_bands": w_bollinger_bands,
+        "a_autocorr": a_autocorr,
+        "layout_file_stats": layout_file_stats,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -8227,6 +8364,9 @@ def oracle_sql() -> dict[str, str]:
         "f_bitwise_suite": F_BITWISE_ORACLE,
         "a_theil_sen": A_THEIL_SEN_ORACLE,
         "w_hampel_outliers": W_HAMPEL_ORACLE,
+        "w_bollinger_bands": W_BOLLINGER_ORACLE,
+        "a_autocorr": A_AUTOCORR_ORACLE,
+        "layout_file_stats": _layout_file_stats_oracle(),
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
         "layout_zorder_stats": _zorder_oracle(),
         "dq_table_digest": DQ_DIGEST_ORACLE,
