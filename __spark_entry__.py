@@ -3542,6 +3542,68 @@ def _layout_file_stats_oracle() -> str:
     return LAYOUT_FILE_STATS_ORACLE_TEMPLATE.format(path=path)
 
 
+def w_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row OLS slope of each user's daily series (covar_pop /
+    var_pop over the window — a_linreg_trend's closed form made rolling).
+    Null where the window has a single row (zero x-variance)."""
+    daily = _daily_by_user(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_ts")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    # Exact-integer window sums: day_ts is midnight (epoch divisible by
+    # 86400) and day_value is 3-dp — so x (days) and y (millis) are exact
+    # int64 and the OLS slope reduces to ONE int-ratio division, identical
+    # in both engines.  covar_pop/var_pop window aggregates use different
+    # one-pass update orders per engine and drift across round(·, 6) ties.
+    x = (F.col("day_ts").cast("double") / F.lit(86400.0)).cast("long")
+    y = F.round(F.col("day_value") * 1000).cast("long")
+    with_x = daily.select(
+        "user_id", "day_ts", "day_value", x.alias("x"), y.alias("y")
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / F.nullif(den, F.lit(0.0)) / F.lit(1000.0)
+    return with_x.select(
+        "user_id",
+        "day_ts",
+        "day_value",
+        F.round(slope, 6).alias("slope_7d"),
+        n.cast("int").alias("n_window"),
+    )
+
+
+W_ROLLING_SLOPE_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+d AS (SELECT user_id, day_ts, day_value,
+             CAST(epoch(day_ts) / 86400.0 AS BIGINT) AS x,
+             CAST(round(day_value * 1000) AS BIGINT) AS y
+      FROM daily),
+s AS (
+  SELECT user_id, day_ts, day_value,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY day_ts
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day_ts, day_value,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 1000.0, 6)
+         AS slope_7d,
+       CAST(n AS INT) AS n_window
+FROM s
+"""
+
+
 def w4_trailing_mean_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day mean over per-user daily sums, null below min_periods=3
     (pandas ``rolling('24H', min_periods=10)`` shape at daily grain)."""
@@ -3876,6 +3938,77 @@ def op_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_bal"),
         F.sum("c_custkey").alias("key_checksum"),
     )
+
+
+def op_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE apply (operators/joins.py ``merge_changes``): a change
+    feed with op in {U, I, D} — balance-zero updates for one segment,
+    appended keys, and deletes of every 89th customer — folded over the
+    snapshot in ONE anti join + union (deletes ride the same touched-key
+    pass as upserts).  Verified by per-segment aggregate profile."""
+    from cassandra_fs_pp_spark.operators.joins import merge_changes
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("U").alias("op"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.concat(F.lit("merged_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("MERGED").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 89 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("D").alias("op"),
+    )
+    merged = merge_changes(
+        cust.select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        ),
+        updates.unionByName(inserts).unionByName(deletes),
+        "c_custkey",
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )
+
+
+OP_CDC_MERGE_ORACLE = """
+WITH merged AS (
+  -- untouched base rows: key neither updated (BUILDING) nor deleted
+  -- (%89); the %101 INSERT keys are shifted by 2000000 and never
+  -- collide with base keys.  A key that is BOTH updated and deleted
+  -- keeps its U row (merge_changes drops only D change rows; the anti
+  -- join removes the base row either way) — so the U branch below has
+  -- NO %89 exclusion.
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 89 <> 0
+  UNION ALL
+  SELECT c_custkey, 0.0 AS c_acctbal, c_mktsegment FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey + 2000000, 1.0, 'MERGED' FROM customer
+  WHERE c_custkey % 101 = 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_bal,
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+FROM merged GROUP BY c_mktsegment
+"""
 
 
 OP_UPSERT_ORACLE = """
@@ -8038,6 +8171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
+        "w_rolling_slope": w_rolling_slope,
+        "op_cdc_merge": op_cdc_merge,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -8365,6 +8500,8 @@ def oracle_sql() -> dict[str, str]:
         "a_theil_sen": A_THEIL_SEN_ORACLE,
         "w_hampel_outliers": W_HAMPEL_ORACLE,
         "w_bollinger_bands": W_BOLLINGER_ORACLE,
+        "w_rolling_slope": W_ROLLING_SLOPE_ORACLE,
+        "op_cdc_merge": OP_CDC_MERGE_ORACLE,
         "a_autocorr": A_AUTOCORR_ORACLE,
         "layout_file_stats": _layout_file_stats_oracle(),
         "stream_cusum_alerts": TS_CUSUM_ORACLE,

@@ -395,3 +395,29 @@ def bloom_semi_join(
     return passed.join(
         keys, on=passed[big_col] == keys["__k"], how="leftsemi"
     )
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE-style CDC apply: ``changes`` rows carry ``op_col`` in
+    {'U','I','D'} — upserts (U/I, full-row replace) and deletes (D).
+    Columns of ``changes`` minus ``op_col`` must equal ``base``'s.
+
+    Same two-hash-join shape as :func:`upsert_snapshot` (anti join on
+    the touched keys + union of surviving upserts): at scale this is the
+    partition-pruned rewrite path, with deletes folded into the SAME
+    anti join — touched = upserted ∪ deleted keys, one pass.
+    """
+    cols = [c for c in changes.columns if c != op_col]
+    if set(cols) != set(base.columns):
+        raise ValueError(
+            f"changes columns {sorted(cols)} != base {sorted(base.columns)}"
+        )
+    touched = changes.select(F.col(key).alias("__k")).distinct()
+    kept = base.join(touched, base[key] == touched["__k"], "left_anti")
+    upserts = changes.filter(F.col(op_col) != "D").select(*base.columns)
+    return kept.unionByName(upserts)
