@@ -6251,6 +6251,121 @@ FROM lineitem l ANTI JOIN (SELECT * FROM supplier WHERE s_suppkey % 7 <> 0) s
 """
 
 
+DQ_RULES: list[tuple[str, str]] = [
+    # (rule_name, SQL predicate that a VIOLATING row fails) — shared text
+    # for both engines, so the rule spec itself cannot drift.
+    ("value_in_range", "value IS NULL OR (value >= 0 AND value <= 2000)"),
+    ("type_in_domain",
+     "event_type IN ('click','view','purchase','error','signup')"),
+    ("user_nonneg", "user_id >= 0"),
+    ("ts_in_window", "ts >= TIMESTAMP '2020-01-01 00:00:00'"),
+    ("props_wellformed", "props IS NULL OR props LIKE '{%'"),
+]
+
+
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine: a config list of named SQL predicates
+    evaluated in ONE scan (each rule is a conditional count — no
+    per-rule pass), reporting violations and violation rate per rule.
+    The rule text is shared verbatim with the oracle, the way a real
+    data-contract suite pins its checks."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for name, pred in DQ_RULES:
+        aggs.append(
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"v_{name}")
+        )
+    one = ev.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_items = ", ".join(
+        f"'{name}', v_{name}" for name, _ in DQ_RULES
+    )
+    return one.selectExpr(
+        f"stack({len(DQ_RULES)}, {stack_items}) AS (rule, n_violations)",
+        "__n AS n_rows",
+    ).selectExpr(
+        "rule",
+        "n_violations",
+        "n_rows",
+        "round(CAST(n_violations AS DOUBLE) / n_rows, 8) AS violation_rate",
+    )
+
+
+def _dq_rules_oracle() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule,\n"
+        f"       CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_violations,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_rows\nFROM events"
+        for name, pred in DQ_RULES
+    )
+    return (
+        "SELECT rule, n_violations, n_rows,\n"
+        "       round(CAST(n_violations AS DOUBLE) / n_rows, 8)"
+        " AS violation_rate\n"
+        f"FROM ({branches})"
+    )
+
+
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of value per event type (weight = 1 + number
+    of props bytes, an arbitrary integer weight): sort by value, running
+    weight cumsum, first value whose cumsum reaches half the total —
+    the lower weighted median, integer-exact on both engines (no
+    interpolation, so no engine-specific percentile semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    # null values excluded: the engines disagree on null sort position
+    # (Spark NULLS FIRST asc, DuckDB NULLS LAST), which would shift the
+    # cumsum; tied values are safe (the qualifying-value set depends only
+    # on the total weight at <= v, not the intra-tie order).
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.lit(1) + F.coalesce(F.length("props"), F.lit(0)))
+        .cast("long")
+        .alias("wt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cum = base.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
+A_WEIGHTED_MEDIAN_ORACLE = """
+WITH base AS (
+  SELECT event_type, value,
+         CAST(1 + coalesce(length(props), 0) AS BIGINT) AS wt
+  FROM events WHERE value IS NOT NULL),
+c AS (
+  SELECT event_type, value,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(wt) OVER (PARTITION BY event_type) AS tw
+  FROM base)
+SELECT event_type, min(value) AS weighted_median,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY event_type
+"""
+
+
 def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile (count / nulls / exact distinct) in ONE scan: a single
     multi-aggregate row exploded via ``stack``. ``value_valid`` is the
@@ -8173,6 +8288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_file_stats": layout_file_stats,
         "w_rolling_slope": w_rolling_slope,
         "op_cdc_merge": op_cdc_merge,
+        "dq_rule_violations": dq_rule_violations,
+        "a_weighted_median": a_weighted_median,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -8502,6 +8619,8 @@ def oracle_sql() -> dict[str, str]:
         "w_bollinger_bands": W_BOLLINGER_ORACLE,
         "w_rolling_slope": W_ROLLING_SLOPE_ORACLE,
         "op_cdc_merge": OP_CDC_MERGE_ORACLE,
+        "dq_rule_violations": _dq_rules_oracle(),
+        "a_weighted_median": A_WEIGHTED_MEDIAN_ORACLE,
         "a_autocorr": A_AUTOCORR_ORACLE,
         "layout_file_stats": _layout_file_stats_oracle(),
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
