@@ -4011,6 +4011,97 @@ FROM merged GROUP BY c_mktsegment
 """
 
 
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table diff (dq_table_digest's companion: the digest says
+    WHETHER replicas drifted, this says WHAT): full outer join of two
+    snapshots on the key, rows classified added / removed / changed /
+    unchanged by key presence + portable row hash (md5 of a
+    '|'-delimited canonical string with explicit NULL markers).  The
+    second snapshot is the op_cdc_merge change feed applied, so the diff
+    counts are known: changed = BUILDING-minus-deleted, removed =
+    deleted-minus-BUILDING, added = inserts."""
+    from cassandra_fs_pp_spark.operators.joins import merge_changes
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    cust = _t(spark, sf_dir, "customer").select(*cols)
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"), "c_mktsegment",
+        F.lit("U").alias("op"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 89 == 0).select(
+        *cols, F.lit("D").alias("op")
+    )
+    new = merge_changes(cust, updates.unionByName(deletes), "c_custkey")
+
+    def row_sig(prefix: str):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(f"{prefix}.{c}").cast("string"),
+                               F.lit("\\N"))
+                    for c in cols
+                ],
+            )
+        )
+
+    a = cust.alias("a")
+    b = new.alias("b")
+    j = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    diff_type = (
+        F.when(F.col("a.c_custkey").isNull(), "added")
+        .when(F.col("b.c_custkey").isNull(), "removed")
+        .when(row_sig("a") != row_sig("b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            diff_type.alias("diff_type"),
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("k"),
+        )
+        .groupBy("diff_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_checksum"),
+        )
+    )
+
+
+OP_SNAPSHOT_DIFF_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer),
+new AS (
+  -- the same U-beats-D merge as op_cdc_merge, without inserts
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM base WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 89 <> 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, 0.0, c_mktsegment
+  FROM base WHERE c_mktsegment = 'BUILDING'),
+j AS (
+  SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+         md5(concat_ws('|', coalesce(CAST(a.c_custkey AS VARCHAR), '\\N'),
+                            coalesce(a.c_name, '\\N'),
+                            coalesce(CAST(a.c_nationkey AS VARCHAR), '\\N'),
+                            coalesce(CAST(a.c_acctbal AS VARCHAR), '\\N'),
+                            coalesce(a.c_mktsegment, '\\N'))) AS ha,
+         md5(concat_ws('|', coalesce(CAST(b.c_custkey AS VARCHAR), '\\N'),
+                            coalesce(b.c_name, '\\N'),
+                            coalesce(CAST(b.c_nationkey AS VARCHAR), '\\N'),
+                            coalesce(CAST(b.c_acctbal AS VARCHAR), '\\N'),
+                            coalesce(b.c_mktsegment, '\\N'))) AS hb
+  FROM base a FULL OUTER JOIN new b ON a.c_custkey = b.c_custkey)
+SELECT CASE WHEN ak IS NULL THEN 'added'
+            WHEN bk IS NULL THEN 'removed'
+            WHEN ha <> hb THEN 'changed'
+            ELSE 'unchanged' END AS diff_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(coalesce(ak, bk)) AS BIGINT) AS key_checksum
+FROM j GROUP BY 1
+"""
+
+
 OP_UPSERT_ORACLE = """
 WITH changes AS (
   SELECT c_custkey, c_name, c_nationkey,
@@ -8290,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cdc_merge": op_cdc_merge,
         "dq_rule_violations": dq_rule_violations,
         "a_weighted_median": a_weighted_median,
+        "op_snapshot_diff": op_snapshot_diff,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -8621,6 +8713,7 @@ def oracle_sql() -> dict[str, str]:
         "op_cdc_merge": OP_CDC_MERGE_ORACLE,
         "dq_rule_violations": _dq_rules_oracle(),
         "a_weighted_median": A_WEIGHTED_MEDIAN_ORACLE,
+        "op_snapshot_diff": OP_SNAPSHOT_DIFF_ORACLE,
         "a_autocorr": A_AUTOCORR_ORACLE,
         "layout_file_stats": _layout_file_stats_oracle(),
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
