@@ -5412,6 +5412,132 @@ GROUP BY doc_id
 """
 
 
+def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch upsampling (the LLaMA-recipe mixing step): a
+    per-source repeat factor f means every doc appears floor(f) times
+    plus once more for a hash-selected frac(f) share — in expectation
+    exactly f epochs, with NO RNG (md5 threshold, reproducible at any
+    parallelism).  Factor = 1.0 + 0.7 * (source_num % 4) over the
+    src0..src19 corpus -> {1.0, 1.7, 2.4, 3.1} epochs.  Explode-by-
+    sequence: one narrow generator, no joins; (doc_id, copy_idx) rows
+    give downstream packing distinct rows per epoch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    factor = F.lit(1.0) + F.lit(0.7) * (srcnum % 4).cast("double")
+    base = F.floor(factor).cast("int")
+    frac = factor - F.floor(factor)
+    # hash-uniform u in [0, 1): first 15 md5 hex digits / 16^15
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ep"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("double") / F.lit(float(16 ** 15))
+    n_copies = (base + F.when(u < frac, 1).otherwise(0)).alias("n_copies")
+    with_n = docs.select("doc_id", "source", n_copies)
+    return with_n.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.expr("sequence(1, n_copies)"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("copy_idx"),
+    )
+
+
+CURATION_EPOCH_ORACLE = """
+WITH f AS (
+  SELECT doc_id, source,
+         1.0 + 0.7 * CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+                          AS DOUBLE) AS factor,
+         ('0x' || substr(md5('ep' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(16::HUGEINT ** 15 AS DOUBLE) AS u
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(factor) + CASE WHEN u < factor - floor(factor)
+                                   THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM f)
+SELECT doc_id, source, n_copies, CAST(unnest(range(1, n_copies + 1)) AS INT)
+         AS copy_idx
+FROM n WHERE n_copies >= 1
+"""
+
+
+def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength score per event type: 1 − var(residual) /
+    var(value) where the seasonal component is the hour-of-day mean —
+    the variance-explained screen before committing to a seasonal
+    model.  Integer-safe: variances computed from exact cent sums
+    (sum/sumsq/count), one final division per group."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hh"), cents.alias("c")
+    )
+    hw = Window.partitionBy("event_type", "hh")
+    tw = Window.partitionBy("event_type")
+    # residual in exact cents scaled by the hour-group count: r = c*n - s
+    # keeps everything integer (var of scaled residual / n^2 later)
+    scored = base.select(
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(hw).alias("hn"),
+        F.sum("c").over(hw).alias("hs"),
+    )
+    # var(value) and var(resid) via exact integer sums; resid = c - hs/hn
+    # -> use rationals: resid*hn = c*hn - hs (integer)
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(
+            (F.col("c") * F.col("hn") - F.col("hs"))
+            * (F.col("c") * F.col("hn") - F.col("hs"))
+            / (F.col("hn") * F.col("hn"))
+        ).alias("srr"),
+    )
+    var_tot = (
+        F.col("scc").cast("double") / F.col("n")
+        - (F.col("sc").cast("double") / F.col("n"))
+        * (F.col("sc").cast("double") / F.col("n"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.lit(1.0) - (F.col("srr") / F.col("n")) / var_tot, 6).alias(
+            "seasonality_strength"
+        ),
+    )
+
+
+A_SEASONALITY_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hh,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type, c,
+         CAST(count(*) OVER (PARTITION BY event_type, hh) AS BIGINT) AS hn,
+         CAST(sum(c) OVER (PARTITION BY event_type, hh) AS BIGINT) AS hs
+  FROM base),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc,
+         sum(CAST((c * hn - hs) * (c * hn - hs) AS DOUBLE) / (hn * hn)) AS srr
+  FROM s GROUP BY event_type)
+SELECT event_type, n,
+       round(1.0 - (srr / n)
+             / (CAST(scc AS DOUBLE) / n
+                - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6)
+         AS seasonality_strength
+FROM a
+"""
+
+
 def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix rebalancing: per-source token share vs a uniform target
     proportion; the per-source sampling rate ``min(1, target/share)`` is
@@ -8382,6 +8508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rule_violations": dq_rule_violations,
         "a_weighted_median": a_weighted_median,
         "op_snapshot_diff": op_snapshot_diff,
+        "curation_epoch_upsample": curation_epoch_upsample,
+        "a_seasonality_strength": a_seasonality_strength,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "w1_rolling_median_2d": w1_rolling_median_2d,
@@ -8714,6 +8842,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_rule_violations": _dq_rules_oracle(),
         "a_weighted_median": A_WEIGHTED_MEDIAN_ORACLE,
         "op_snapshot_diff": OP_SNAPSHOT_DIFF_ORACLE,
+        "curation_epoch_upsample": CURATION_EPOCH_ORACLE,
+        "a_seasonality_strength": A_SEASONALITY_ORACLE,
         "a_autocorr": A_AUTOCORR_ORACLE,
         "layout_file_stats": _layout_file_stats_oracle(),
         "stream_cusum_alerts": TS_CUSUM_ORACLE,
