@@ -2842,8 +2842,10 @@ def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, greatest(size(__ws) - 4, 0) - 1),"
+            "case when size(__ws) >= 4 then"
+            " transform(sequence(0, size(__ws) - 4),"
             " i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2], __ws[i+3]))"
+            " else cast(array() as array<string>) end"
         ).alias("toks"),
     )
     out = set_similarity_join(toks, "doc_id", "toks", threshold=0.6)
@@ -2864,7 +2866,7 @@ w AS (
 g AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(ws) - 3, 1)),
+           range(1, greatest(len(ws) - 2, 1)),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
            AS toks
   FROM w
@@ -2900,8 +2902,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, greatest(size(__ws) - 4, 0) - 1),"
+            "case when size(__ws) >= 4 then"
+            " transform(sequence(0, size(__ws) - 4),"
             " i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2], __ws[i+3]))"
+            " else cast(array() as array<string>) end"
         ).alias("toks"),
     )
     return containment_join(toks, "doc_id", "toks", threshold=0.8)
@@ -2915,7 +2919,7 @@ w AS (
 g AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(ws) - 3, 1)),
+           range(1, greatest(len(ws) - 2, 1)),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
            AS toks
   FROM w
@@ -5492,9 +5496,13 @@ def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("sc"),
         F.sum(F.col("c") * F.col("c")).alias("scc"),
+        # cast the scaled residual to double BEFORE squaring: c*hn - hs is
+        # exact in int64, but its square overflows int64 once an
+        # (event_type, hour) group passes ~5e4 rows at cent scale —
+        # Spark (non-ANSI) would wrap silently while DuckDB raises.
         F.sum(
-            (F.col("c") * F.col("hn") - F.col("hs"))
-            * (F.col("c") * F.col("hn") - F.col("hs"))
+            (F.col("c") * F.col("hn") - F.col("hs")).cast("double")
+            * (F.col("c") * F.col("hn") - F.col("hs")).cast("double")
             / (F.col("hn") * F.col("hn"))
         ).alias("srr"),
     )
@@ -5527,7 +5535,8 @@ a AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(c) AS BIGINT) AS sc,
          CAST(sum(c * c) AS BIGINT) AS scc,
-         sum(CAST((c * hn - hs) * (c * hn - hs) AS DOUBLE) / (hn * hn)) AS srr
+         sum(CAST(c * hn - hs AS DOUBLE) * CAST(c * hn - hs AS DOUBLE)
+             / (hn * hn)) AS srr
   FROM s GROUP BY event_type)
 SELECT event_type, n,
        round(1.0 - (srr / n)
@@ -7581,9 +7590,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the same co-purchase graph as graph_triangle_count
     (operators/graph.py ``k_core`` — distributed peeling to the unique
-    maximal subgraph with min degree >= 3).  Rows-only driver check (the
-    iterative fixpoint has no single-pass SQL form); the differential
-    pytest replays peeling in Python."""
+    maximal subgraph with min degree >= 3).  FULL hash oracle since r5:
+    the k-core is unique and integer-valued (engine-independent), so a
+    DuckDB recursive-CTE peel replays the fixpoint exactly; the
+    differential pytest additionally replays peeling in Python."""
     from cassandra_fs_pp_spark.operators.graph import k_core
 
     li = (
@@ -7600,6 +7610,40 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return k_core(e, k=3)
+
+
+GRAPH_KCORE_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+    AND a.l_quantity >= 45 AND b.l_quantity >= 45),
+-- one peel round per recursion step: drop edges incident to any node of
+-- degree < 3; recurse only while a weak node exists (strictly shrinking,
+-- so termination is guaranteed without an iteration cap)
+peel(iter, a, b) AS (
+  SELECT 0, a, b FROM e0
+  UNION ALL
+  SELECT iter + 1, a, b FROM (
+    SELECT iter, a, b, da, db, min(least(da, db)) OVER () AS mindeg
+    FROM (
+      SELECT iter, a, b,
+             count(*) OVER (PARTITION BY a) AS da,
+             count(*) OVER (PARTITION BY b) AS db
+      FROM (SELECT iter, a, b FROM peel
+            UNION ALL SELECT iter, b, a FROM peel)
+    ) s1
+  ) s2
+  WHERE a < b AND mindeg < 3 AND da >= 3 AND db >= 3
+),
+last AS (SELECT a, b FROM peel WHERE iter = (SELECT max(iter) FROM peel)),
+sym AS (SELECT a AS n FROM last UNION ALL SELECT b FROM last),
+deg AS (SELECT n, count(*) AS d FROM sym GROUP BY n)
+-- the max-iter set is the fixpoint iff min degree >= 3; otherwise the
+-- true 3-core is empty (recursion stopped because the next set was empty)
+SELECT n AS node, CAST(d AS BIGINT) AS core_degree FROM deg
+WHERE (SELECT min(d) FROM deg) >= 3
+"""
 
 
 GRAPH_TRIANGLE_ORACLE = """
@@ -8512,7 +8556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_seasonality_strength": a_seasonality_strength,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
-        "w1_rolling_median_2d": w1_rolling_median_2d,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "text_tfidf": text_tfidf,
         "curation_pipeline": curation_pipeline,
@@ -8522,7 +8565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "mm_png_roundtrip": mm_png_roundtrip,
         "a8_sliding_window": a8_sliding_window,
-        "tpch_q9_profit_shape": tpch_q9_profit_shape,
         "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
@@ -8826,6 +8868,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_join": FUZZY_MATCH_ORACLE,
         "geo_grid_join": GEO_GRID_ORACLE,
         "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
+        "graph_kcore": GRAPH_KCORE_ORACLE,
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,

@@ -273,6 +273,7 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         weak = (
@@ -281,11 +282,19 @@ def k_core(
             .localCheckpoint()  # eager: one evaluation serves test + joins
         )
         if weak.limit(1).count() == 0:
+            converged = True
             break
         sym = (
             sym.join(weak, sym["a"] == weak["w"], "left_anti")
             .join(weak, sym["b"] == weak["w"], "left_anti")
             .localCheckpoint()
+        )
+    if not converged:
+        # A partially-peeled graph is a WRONG k-core (nodes below k may
+        # remain); chain-like graphs can need peel depth > max_iter.
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (peel depth equals the graph's degeneracy ladder)"
         )
     return (
         sym.groupBy(F.col("a").alias("node"))
