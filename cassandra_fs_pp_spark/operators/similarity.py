@@ -223,8 +223,9 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     Kept as the compact ``zip_with``/``aggregate`` form on purpose: an
     unrolled variant (bits x dim explicit terms, x tables call sites)
     multiplies Catalyst analysis time by seconds-per-query; this runs
-    once per corpus row, so interpreted eval is fine — the quadratic
-    candidate-pair rerank is where :func:`dot_unrolled` pays off."""
+    once per corpus row, so interpreted eval is fine (the candidate-pair
+    rerank likewise uses the compact :func:`dot` — measured ~3x faster
+    than the unrolled form at dim=64, see :func:`dot_unrolled`)."""
     bucket = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         d = F.aggregate(
@@ -289,7 +290,6 @@ def lsh_topk(
     # Small corpora arrive as one parquet file -> one partition; spread the
     # bucket-assignment compute (at real scale the scan is already split).
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    vectors = vectors.repartition(n_parts)
     # All tables' bucket ids in ONE F.expr string: the Column-builder form
     # costs tables*bits*dim F.lit py4j round-trips per plan build (~4 s at
     # 4x6x64) — that flat driver-side latency, not cluster compute, was the
@@ -301,21 +301,40 @@ def lsh_topk(
         )
         for t in range(tables)
     )
-    with_b = vectors.select(
-        F.col(id_col),
-        F.explode(F.expr(f"array({tb_sql})")).alias("__tb"),
+    # ONE corpus scan feeds the whole query: ids + vectors + norms + all
+    # tables' bucket ids are projected in a single pass and pinned with
+    # localCheckpoint.  Before r5 the self-join sides and the two vmap
+    # attaches each re-expanded the scan lineage (4 parquet scans, and the
+    # tables*bits*dim interpreted bucket eval ran TWICE); the checkpoint is
+    # one corpus-sized executor-storage write — the same bytes one shuffle
+    # of the corpus would move — bought back immediately by the removed
+    # re-scans.  At cluster scale this is storage-local (no network).
+    base = (
+        vectors.repartition(n_parts)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__n"),
+            F.expr(f"array({tb_sql})").alias("__tbs"),
+        )
+        .localCheckpoint()
+    )
+    with_b = base.select(
+        F.col(id_col), F.explode("__tbs").alias("__tb")
     ).select(
         id_col,
         F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"),
     )
     # Stage 1 — candidate GENERATION stays narrow: the bucket self-join,
-    # pair dedup, and repartition move only (id, id) pairs, never vectors.
-    # The two join sides are the SAME canonical plan (aliased, renamed
-    # after the join) so ReuseExchange ships one bucket-assignment pass +
-    # one shuffle write instead of two. The explicit repartition pins the
-    # parallelism of the scoring stage: AQE would otherwise coalesce these
-    # tiny-byte exchanges into a handful of tasks and serialize the
-    # quadratic per-bucket compute.
+    # repartition, and pair dedup move only (id, id) pairs, never vectors.
+    # The two join sides are the SAME canonical checkpoint-backed plan, so
+    # ReuseExchange ships one shuffle write read twice.  The explicit
+    # repartition pins the parallelism of the scoring stage (AQE would
+    # otherwise coalesce these tiny-byte exchanges and serialize the
+    # quadratic per-bucket compute) and comes BEFORE dropDuplicates:
+    # HashPartitioning(query_id) satisfies the dedup's (query_id,
+    # neighbor_id) clustering and the final window's query_id partitioning,
+    # so neither adds an exchange.
     # shuffle_hash on every candidate-volume join: past ~10 MB the vector
     # map outgrows autoBroadcast and Catalyst falls back to SortMergeJoin,
     # which SORTS the O(candidates) stream (measured 64x probe: 3 SMJs,
@@ -333,8 +352,8 @@ def lsh_topk(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"b.{id_col}").alias("neighbor_id"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
         .repartition(n_parts, "query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     # Stage 2 — vector attach + rerank. The candidate stream is
     # O(tables * n * bucket) WIDE rows once vectors attach, so the join
@@ -342,10 +361,10 @@ def lsh_topk(
     # 31M-pair stream twice, ~45 s of the query): BROADCAST the id->(vec,
     # norm) map while it fits an executor (the caller passes corpus_rows
     # from parquet footer stats), else shuffle-hash — hash build on the
-    # corpus-sized side, never a sort of the candidate stream.
-    vmap = vectors.select(
-        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
-    )
+    # corpus-sized side, never a sort of the candidate stream.  Neighbor
+    # side attaches FIRST so the shuffle-hash path's last exchange keys on
+    # query_id and the top-k window inherits it exchange-free.
+    vmap = base.select(id_col, vec_col, "__n")
     est_bytes = (corpus_rows or 0) * ((dim or 64) * 8 + 48)
     small_vmap = corpus_rows is not None and est_bytes < 128 * 1024 * 1024
 
@@ -356,22 +375,22 @@ def lsh_topk(
         pairs.join(
             _side(
                 vmap.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col(vec_col).alias("qv"),
-                    F.col("__n").alias("qn"),
-                )
-            ),
-            "query_id",
-        )
-        .join(
-            _side(
-                vmap.select(
                     F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("nv"),
                     F.col("__n").alias("nn"),
                 )
             ),
             "neighbor_id",
+        )
+        .join(
+            _side(
+                vmap.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"),
+                    F.col("__n").alias("qn"),
+                )
+            ),
+            "query_id",
         )
         .select(
             "query_id",
