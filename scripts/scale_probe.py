@@ -43,6 +43,11 @@ DEFAULT_DEEP = [
     "emb_gram_matrix",
     "a_heavy_hitters_mg",
     "graph_triangle_count",
+    # multi-station TOA5 pipeline — closest analogue to the reference's
+    # real workload; 8x ratios were ~1 (fixed overheads dominate), the
+    # 64x rows give it the same evidence depth as the TPC-H spine
+    "fleet_udg_filter",
+    "fleet_tdr_depth",
 ]
 
 FACT_SHIFT = {
@@ -188,6 +193,16 @@ def main() -> None:
         "candidates. Approximate scale paths: `ann_ivf_topk` (probe-pruned)",
         "and `dedup_minhash_cluster` (bucketed). A ratio far above N",
         "anywhere else would flag a plan that breaks at 100 TB.",
+        "",
+        "`p_debounce_burst` (and every event_type-keyed window): the plan",
+        "IS per-key partitioned (plan tests assert no SinglePartition),",
+        "but the probe grows row count while `event_type` stays a ~5-value",
+        "enum — per-key series grow Nx and at most |event_type| tasks",
+        "carry each sort, so the ratio reflects per-key n log n with",
+        "5-way parallelism, not a missing partitioning. That is the true",
+        "100 TB shape for low-cardinality enum keys; the valve is keying",
+        "the debounce by a real series key (site/sensor/user), which the",
+        "operator takes as a parameter.",
     ]
     doc = "\n".join(lines) + "\n"
     with open("SCALE.md", "w") as f:

@@ -417,6 +417,74 @@ def test_foreach_batch_upsert_incremental(spark, tmp_path):
     assert got[2] == ("b3", 3) and 4 in got and got[1] == ("a1", 1)
 
 
+def test_foreach_batch_upsert_crash_and_replay(spark, tmp_path):
+    """Exactly-once under restart, exercised at its two crash points.
+
+    (a) crash BETWEEN the two renames of the snapshot swap: the current
+    snapshot is gone and only ``.old`` exists — the next drain must
+    recover the merge base from ``.old`` (``_resolve_base_dir``) instead
+    of restarting the fold from empty.  (b) a REPLAYED micro-batch:
+    foreachBatch is at-least-once, so deleting the newest checkpoint
+    commit marker makes the restarted stream re-run the last batch — the
+    latest-wins merge must be idempotent and leave the snapshot
+    byte-identical.  Together these are the restart story the docstring
+    claims; the happy-path incremental test above never kills anything."""
+    from cassandra_fs_pp_spark.operators.joins import upsert_snapshot
+    from cassandra_fs_pp_spark.streaming.filestream import foreach_batch_upsert
+
+    schema = "k long, v string, ver long"
+    b1 = [(1, "a1", 1), (2, "b1", 1), (3, "c1", 1)]
+    b2 = [(2, "b2", 2), (4, "d1", 2)]
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = foreach_batch_upsert(
+            stream, snap, key="k", order_by=["ver"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(indir)
+    drain()
+
+    # (a) simulate dying between rename 1 (current -> .old) and rename 2
+    # (tmp -> current): only the .old snapshot exists at restart
+    os.rename(snap, snap + ".old")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(indir)
+    drain()
+    assert not os.path.isdir(snap + ".old")  # recovery cleaned up
+
+    base = spark.createDataFrame(b1, schema)
+    want = {
+        r.k: (r.v, r.ver)
+        for r in upsert_snapshot(
+            base, spark.createDataFrame(b2, schema), "k"
+        ).collect()
+    }
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(snap).collect()}
+    assert got == want
+
+    # (b) force an at-least-once REPLAY of the newest batch: drop its
+    # commit marker so the restarted query re-runs it from the offset log
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = max(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):  # orphaned sidecar trips the concurrent-query check
+        os.remove(crc)
+    drain()
+    got_replayed = {
+        r.k: (r.v, r.ver) for r in spark.read.parquet(snap).collect()
+    }
+    assert got_replayed == want  # idempotent re-merge, no dup/loss
+
+
 def test_stream_table_ns_long_layout(spark, tmp_path):
     """The driver's testdata has shipped events.ts as BOTH timestamp[us]
     and TIMESTAMP(NANOS); under ``nanosAsLong`` the latter arrives as a
