@@ -8470,6 +8470,403 @@ FROM c, tot GROUP BY n1, n2
 """
 
 
+def w_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per (user, hour) open/high/low/close/count —
+    the finance-standard downsample (A8's resample with order-aware
+    first/last instead of sum/avg).  ``min_by``/``max_by`` over a
+    (ts, event_id) struct keep the open/close deterministic under ties;
+    no arithmetic at all, so the values hash exactly."""
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+W_OHLC_ORACLE = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, value, ts, event_id
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, hour_ts
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, hour_ts
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b)
+SELECT user_id, hour_ts,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM r GROUP BY 1, 2
+"""
+
+
+def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: peak-to-trough drop of the cumulative
+    running max over the time-ordered value series.  Exact integer
+    cents throughout (running max and differences never touch floats);
+    the dollar figure is a single final /100."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ev.select(
+        "user_id",
+        (F.max(c).over(w) - c).alias("__dd"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__dd").alias("max_drawdown_cents"),
+        (F.max("__dd").cast("double") / F.lit(100.0)).alias("max_drawdown"),
+    )
+
+
+W_DRAWDOWN_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+  FROM events WHERE value IS NOT NULL),
+d AS (
+  SELECT user_id,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - c AS dd
+  FROM c)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(dd) AS DOUBLE) / 100.0 AS max_drawdown
+FROM d GROUP BY user_id
+"""
+
+
+def a_entropy_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional Shannon entropy of the user behaviour chain: for each
+    from-state, H(next | prev) over the global transition counts (the
+    information-theoretic summary of ``a_transition_matrix``).  Counts
+    stay integer; H = ln(n) − Σ c·ln(c)/n touches floats only in the
+    final expression, rounded to 6."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+            "ts",
+            "event_id",
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tr.groupBy("from_type").agg(
+        F.sum("c").alias("n_trans"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+A_ENTROPY_TRANS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, CAST(sum(c) AS BIGINT) AS n_trans,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+FROM tr GROUP BY from_type
+"""
+
+
+def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-row skewness + excess kurtosis per event type, from
+    EXACT integer power sums in deci-units (value*10 keeps d^4 well
+    inside int64; cents would overflow at the 4th power) with one final
+    float formula per row — the w_rolling_slope discipline extended to
+    3rd/4th moments, because engine var/covar window aggregates drift
+    across round(.,6) ties (r4 gotcha).  Full windows only."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.round(F.col("value") * 10).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        d.alias("__d"),
+        F.row_number().over(wn).alias("__rn"),
+    )
+    s1 = F.sum("__d").over(w)
+    s2 = F.sum(F.col("__d") * F.col("__d")).over(w)
+    s3 = F.sum(F.col("__d") * F.col("__d") * F.col("__d")).over(w)
+    s4 = F.sum(
+        F.col("__d") * F.col("__d") * F.col("__d") * F.col("__d")
+    ).over(w)
+    stats = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        s3.alias("__s3"),
+        s4.alias("__s4"),
+        "__rn",
+    ).filter(F.col("__rn") >= 24)
+    n = F.lit(24.0)
+    m1 = F.col("__s1").cast("double") / n
+    m2 = F.col("__s2").cast("double") / n - m1 * m1
+    m3c = (
+        F.col("__s3").cast("double") / n
+        - F.lit(3.0) * m1 * (F.col("__s2").cast("double") / n)
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    m4c = (
+        F.col("__s4").cast("double") / n
+        - F.lit(4.0) * m1 * (F.col("__s3").cast("double") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("__s2").cast("double") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return stats.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(m2 > 0, F.round(m3c / (m2 * F.sqrt(m2)), 6)).alias("skew_24"),
+        F.when(m2 > 0, F.round(m4c / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "exkurt_24"
+        ),
+    )
+
+
+W_SKEWKURT_ORACLE = """
+WITH b AS (
+  SELECT event_type, ts, event_id, CAST(round(value * 10) AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type, ts, event_id, rn,
+         CAST(sum(d) OVER w AS BIGINT) AS s1,
+         CAST(sum(d * d) OVER w AS BIGINT) AS s2,
+         CAST(sum(d * d * d) OVER w AS BIGINT) AS s3,
+         CAST(sum(d * d * d * d) OVER w AS BIGINT) AS s4
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT event_type, ts, event_id,
+         CAST(s1 AS DOUBLE) / 24.0 AS m1,
+         CAST(s2 AS DOUBLE) / 24.0 AS e2,
+         CAST(s3 AS DOUBLE) / 24.0 AS e3,
+         CAST(s4 AS DOUBLE) / 24.0 AS e4
+  FROM s WHERE rn >= 24)
+SELECT event_type, ts, event_id,
+       CASE WHEN e2 - m1 * m1 > 0 THEN
+         round((e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1)
+               / ((e2 - m1 * m1) * sqrt(e2 - m1 * m1)), 6) END AS skew_24,
+       CASE WHEN e2 - m1 * m1 > 0 THEN
+         round((e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
+                - 3.0 * m1 * m1 * m1 * m1)
+               / ((e2 - m1 * m1) * (e2 - m1 * m1)) - 3.0, 6) END AS exkurt_24
+FROM m
+"""
+
+
+def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs view values, the KS test's
+    rank-based sibling).  Average ranks with ties are half-integers, so
+    DOUBLED rank sums stay exact int64 (2·avgrank = 2·cumprev + cnt + 1);
+    the tie-corrected z touches floats only in the single final
+    formula.  U exact to the half; z rounded to 6."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "da"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "db"
+        ),
+    )
+    wv = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("cnt"),
+        (F.sum(F.col("da") + F.col("db")).over(wv) - (F.col("da") + F.col("db"))).alias(
+            "cumprev"
+        ),
+    )
+    agg = r.agg(
+        F.sum("da").alias("n1"),
+        F.sum("db").alias("n2"),
+        F.sum(
+            F.col("da") * (F.lit(2) * F.col("cumprev") + F.col("cnt") + F.lit(1))
+        ).alias("r1x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u1x2 = F.col("r1x2") - n1 * (n1 + F.lit(1))  # = 2*U1, exact int
+    znum = (u1x2 - n1 * n2).cast("double")  # = 2*(U1 - n1 n2/2)
+    var = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1)).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (nn * (nn - F.lit(1))).cast("double")
+        )
+    )
+    return agg.select(
+        n1,
+        n2,
+        (u1x2.cast("double") / F.lit(2.0)).alias("u1"),
+        F.round(znum / (F.lit(2.0) * F.sqrt(var)), 6).alias("z"),
+    )
+
+
+A_MANN_WHITNEY_ORACLE = """
+WITH g AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS da,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS db
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value),
+r AS (
+  SELECT da, db, da + db AS cnt,
+         CAST(sum(da + db) OVER (ORDER BY value
+              ROWS UNBOUNDED PRECEDING) - (da + db) AS BIGINT) AS cumprev
+  FROM g),
+a AS (
+  SELECT CAST(sum(da) AS BIGINT) AS n1, CAST(sum(db) AS BIGINT) AS n2,
+         CAST(sum(da * (2 * cumprev + cnt + 1)) AS BIGINT) AS r1x2,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+  FROM r)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       round(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie_sum AS DOUBLE)
+                      / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z
+FROM a
+"""
+
+
+def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for serial randomness, per event type:
+    sign of value vs the per-type exact median (median-equal rows
+    dropped), runs counted over the time order; z from the closed-form
+    mean/variance.  Run/side counts exact integers; one final float
+    expression."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", "ts", "event_id", c.alias("c"))
+    med = base.groupBy("event_type").agg(
+        F.percentile(F.col("c"), F.lit(0.5)).alias("med")
+    )
+    j = base.join(F.broadcast(med), "event_type").filter(
+        F.col("c").cast("double") != F.col("med")
+    )
+    s = F.when(F.col("c").cast("double") > F.col("med"), 1).otherwise(-1)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = j.select(
+        "event_type",
+        s.alias("sgn"),
+        F.lag(s).over(w).alias("prev"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1
+            ).otherwise(0)
+        ).alias("runs"),
+    )
+    n1, n2, rr = F.col("n_pos"), F.col("n_neg"), F.col("runs")
+    nn = (n1 + n2).cast("double")
+    two = (F.lit(2) * n1 * n2).cast("double")
+    mu = two / nn + F.lit(1.0)
+    var = (
+        two * (two - nn) / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return agg.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.round((rr.cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+A_RUNS_ORACLE = """
+WITH b AS (
+  SELECT event_type, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, median(c) AS med FROM b GROUP BY event_type),
+j AS (
+  SELECT b.event_type, ts, event_id,
+         CASE WHEN CAST(c AS DOUBLE) > med THEN 1 ELSE -1 END AS sgn
+  FROM b JOIN m ON b.event_type = m.event_type
+  WHERE CAST(c AS DOUBLE) <> med),
+s AS (
+  SELECT event_type, sgn,
+         lag(sgn) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS prev
+  FROM j),
+a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM s GROUP BY event_type)
+SELECT event_type, n_pos, n_neg, runs,
+       round((CAST(runs AS DOUBLE)
+              - (CAST(2 * n_pos * n_neg AS DOUBLE)
+                 / CAST(n_pos + n_neg AS DOUBLE) + 1.0))
+             / sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
+                    * (CAST(2 * n_pos * n_neg AS DOUBLE)
+                       - CAST(n_pos + n_neg AS DOUBLE))
+                    / (CAST(n_pos + n_neg AS DOUBLE)
+                       * CAST(n_pos + n_neg AS DOUBLE)
+                       * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))), 6) AS z
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-4 rotation: the FIRST 50
@@ -8554,6 +8951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_snapshot_diff": op_snapshot_diff,
         "curation_epoch_upsample": curation_epoch_upsample,
         "a_seasonality_strength": a_seasonality_strength,
+        # --- new in round 5 ---
+        "w_ohlc": w_ohlc,
+        "w_drawdown": w_drawdown,
+        "a_entropy_transitions": a_entropy_transitions,
+        "w_rolling_skewkurt": w_rolling_skewkurt,
+        "a_mann_whitney": a_mann_whitney,
+        "a_runs_test": a_runs_test,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8869,6 +9273,12 @@ def oracle_sql() -> dict[str, str]:
         "geo_grid_join": GEO_GRID_ORACLE,
         "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
         "graph_kcore": GRAPH_KCORE_ORACLE,
+        "w_ohlc": W_OHLC_ORACLE,
+        "w_drawdown": W_DRAWDOWN_ORACLE,
+        "a_entropy_transitions": A_ENTROPY_TRANS_ORACLE,
+        "w_rolling_skewkurt": W_SKEWKURT_ORACLE,
+        "a_mann_whitney": A_MANN_WHITNEY_ORACLE,
+        "a_runs_test": A_RUNS_ORACLE,
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,
