@@ -8867,6 +8867,371 @@ FROM a
 """
 
 
+def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch with a PORTABLE hash —
+    the fully-oracled member of the approximate-cardinality family
+    (``a_approx_distinct``'s HLL++ is engine-internal and rows-only by
+    necessity; KMV over md5-backed ``hash60`` is deterministic in both
+    engines, bit for bit).  Estimator: (k−1)/u_(k) with u = hash/2^60;
+    groups smaller than k fall back to the exact count — the standard
+    KMV rule.  At 100 TB the k smallest hashes per group are a
+    mergeable bounded-size state (partial TakeOrdered per partition)."""
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    u = (
+        hash60(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .cast("double")
+        / F.lit(1152921504606846976.0)  # 2^60
+    )
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    r = d.select("event_type", "user_id", u.alias("u")).select(
+        "event_type", "u", F.row_number().over(w).alias("rn")
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == K, F.col("u"))).alias("uk"),
+    )
+    est = F.when(
+        F.col("n_exact") >= K, F.lit(float(K - 1)) / F.col("uk")
+    ).otherwise(F.col("n_exact").cast("double"))
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("kmv_est"),
+        F.round(
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+A_KMV_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u
+  FROM d),
+r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY u, user_id) AS rn
+  FROM h),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+         max(CASE WHEN rn = 64 THEN u END) AS uk
+  FROM r GROUP BY event_type)
+SELECT event_type, n_exact,
+       round(CASE WHEN n_exact >= 64 THEN 63.0 / uk
+                  ELSE CAST(n_exact AS DOUBLE) END, 4) AS kmv_est,
+       round(abs(CASE WHEN n_exact >= 64 THEN 63.0 / uk
+                      ELSE CAST(n_exact AS DOUBLE) END
+                 - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 4) AS rel_err
+FROM a
+"""
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the co-purchase graph (sources =
+    part keys divisible by 97), ``operators/graph.py bfs_levels`` —
+    frontier-expansion Pregel rounds, each one shuffle.  Unique
+    integer-valued answer, so FULL hash oracle via a DuckDB
+    UNION-dedup recursive CTE (min dist per reached node)."""
+    from cassandra_fs_pp_spark.operators.graph import bfs_levels
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return bfs_levels(e, seeds, max_hops=8)
+
+
+GRAPH_BFS_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+    AND a.l_quantity >= 45 AND b.l_quantity >= 45),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+seeds AS (SELECT DISTINCT a AS n FROM sym WHERE a % 97 = 0),
+bfs(n, dist) AS (
+  SELECT n, 0 FROM seeds
+  UNION
+  SELECT s.b, bfs.dist + 1
+  FROM bfs JOIN sym s ON s.a = bfs.n
+  WHERE bfs.dist < 8
+)
+SELECT n AS node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY n
+"""
+
+
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two epochs of the events table
+    (null fraction + exact distinct count per column, first half-month
+    vs the rest) with drift flags — the DQ gate a pipeline runs before
+    accepting a new data drop.  Counts exact integers; ratios are one
+    final division each."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.withColumn(
+        "epoch",
+        F.when(F.col("ts") < "2024-01-15", 1).otherwise(2),
+    )
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs: list = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"ndv_{c}"))
+    wide = e.groupBy("epoch").agg(*aggs)
+    stack_expr = "stack({n}, {body}) as (col_name, n_nulls, ndv)".format(
+        n=len(cols),
+        body=", ".join(f"'{c}', nulls_{c}, ndv_{c}" for c in cols),
+    )
+    long = wide.select("epoch", "n", F.expr(stack_expr))
+    e1 = long.filter(F.col("epoch") == 1).select(
+        "col_name",
+        F.col("n").alias("n_1"),
+        F.col("n_nulls").alias("nulls_1"),
+        F.col("ndv").alias("ndv_1"),
+    )
+    e2 = long.filter(F.col("epoch") == 2).select(
+        "col_name",
+        F.col("n").alias("n_2"),
+        F.col("n_nulls").alias("nulls_2"),
+        F.col("ndv").alias("ndv_2"),
+    )
+    j = e1.join(e2, "col_name")
+    nf1 = F.col("nulls_1").cast("double") / F.col("n_1").cast("double")
+    nf2 = F.col("nulls_2").cast("double") / F.col("n_2").cast("double")
+    ndv_ratio = F.col("ndv_2").cast("double") / F.col("ndv_1").cast("double")
+    return j.select(
+        "col_name",
+        "n_1",
+        "nulls_1",
+        "ndv_1",
+        "n_2",
+        "nulls_2",
+        "ndv_2",
+        F.round(ndv_ratio, 6).alias("ndv_ratio"),
+        F.round(nf2 - nf1, 6).alias("null_frac_delta"),
+        (
+            (F.abs(ndv_ratio - F.lit(1.0)) > F.lit(0.5))
+            | (F.abs(nf2 - nf1) > F.lit(0.05))
+        ).alias("drift_flag"),
+    )
+
+
+DQ_SCHEMA_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT *, CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 2 END AS epoch
+  FROM events),
+w AS (
+  SELECT epoch, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_event_id,
+    CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_user_id,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_event_type,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_value,
+    CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_props,
+    CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+  FROM e GROUP BY epoch),
+long AS (
+  SELECT epoch, n, 'event_id' AS col_name, nu_event_id AS n_nulls, nd_event_id AS ndv FROM w
+  UNION ALL SELECT epoch, n, 'user_id', nu_user_id, nd_user_id FROM w
+  UNION ALL SELECT epoch, n, 'event_type', nu_event_type, nd_event_type FROM w
+  UNION ALL SELECT epoch, n, 'value', nu_value, nd_value FROM w
+  UNION ALL SELECT epoch, n, 'props', nu_props, nd_props FROM w)
+SELECT a.col_name,
+       a.n AS n_1, a.n_nulls AS nulls_1, a.ndv AS ndv_1,
+       b.n AS n_2, b.n_nulls AS nulls_2, b.ndv AS ndv_2,
+       round(CAST(b.ndv AS DOUBLE) / CAST(a.ndv AS DOUBLE), 6) AS ndv_ratio,
+       round(CAST(b.n_nulls AS DOUBLE) / CAST(b.n AS DOUBLE)
+             - CAST(a.n_nulls AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+         AS null_frac_delta,
+       (abs(CAST(b.ndv AS DOUBLE) / CAST(a.ndv AS DOUBLE) - 1.0) > 0.5
+        OR abs(CAST(b.n_nulls AS DOUBLE) / CAST(b.n AS DOUBLE)
+               - CAST(a.n_nulls AS DOUBLE) / CAST(a.n AS DOUBLE)) > 0.05)
+         AS drift_flag
+FROM (SELECT * FROM long WHERE epoch = 1) a
+JOIN (SELECT * FROM long WHERE epoch = 2) b ON a.col_name = b.col_name
+"""
+
+
+def w_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-D Kalman filter (constant-position model, q=0.1, r=1):
+    predict p'=p+q, gain k=p'/(p'+r), update x'=x+k(z−x),
+    p''=(1−k)p'.  Same struct-state ``aggregate`` fold discipline as
+    ``ts_holt_linear``: every step is the identical IEEE expression tree
+    in both engines, so the filtered state carries a FULL oracle via a
+    recursive-CTE replay — no rounding needed."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__s")
+    )
+    g = g.select(
+        "user_id",
+        F.size("__s").alias("n_events"),
+        F.expr("transform(__s, r -> r.value)").alias("__v"),
+    )
+    state = F.expr(
+        "aggregate(slice(__v, 2, size(__v) - 1),"
+        " named_struct('x', element_at(__v, 1), 'p', 1.0D),"
+        " (s, z) -> named_struct("
+        "   'x', s.x + ((s.p + 0.1D) / ((s.p + 0.1D) + 1.0D)) * (z - s.x),"
+        "   'p', (1.0D - ((s.p + 0.1D) / ((s.p + 0.1D) + 1.0D)))"
+        "        * (s.p + 0.1D)))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        state.getField("x").alias("kalman_x"),
+        state.getField("p").alias("kalman_p"),
+    )
+
+
+W_KALMAN_ORACLE = """
+WITH l0 AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+         CAST(len(list(value)) AS INT) AS n
+  FROM events GROUP BY user_id),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT user_id, 1 AS i, CAST(v[1] AS DOUBLE) AS x,
+           CAST(1.0 AS DOUBLE) AS p, v, n
+    FROM l0
+    UNION ALL
+    SELECT user_id, i + 1,
+           x + ((p + 0.1) / ((p + 0.1) + 1.0)) * (v[i+1] - x),
+           (1.0 - ((p + 0.1) / ((p + 0.1) + 1.0))) * (p + 0.1),
+           v, n
+    FROM r WHERE i < n
+  )
+  SELECT user_id, x, p, n FROM r WHERE i = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       x AS kalman_x, p AS kalman_p
+FROM rec
+"""
+
+
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization per user: the value series (time order) is
+    z-normalized from EXACT integer cent sums, piecewise-aggregated
+    into 8 segments (PAA), and each segment mean mapped to a 4-letter
+    alphabet at the N(0,1) quartile breakpoints — the classic symbolic
+    time-series representation for motif/anomaly search.  All
+    arithmetic integer until one final z formula per segment."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", c.alias("c"), F.row_number().over(w).alias("rn")
+    )
+    tot = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    seg = (
+        base.join(tot.select("user_id", "n"), "user_id")
+        .select(
+            "user_id",
+            "c",
+            F.floor((F.col("rn") - 1) * 8 / F.col("n")).alias("seg"),
+        )
+        .groupBy("user_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_seg"),
+            F.sum("c").alias("segsum"),
+        )
+    )
+    j = seg.join(tot, "user_id")
+    m = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - m * m
+    z = (
+        F.col("segsum").cast("double") / F.col("n_in_seg").cast("double") - m
+    ) / F.sqrt(var)
+    sym = (
+        F.when(z < F.lit(-0.6745), "a")
+        .when(z < F.lit(0.0), "b")
+        .when(z < F.lit(0.6745), "c")
+        .otherwise("d")
+    )
+    return j.select(
+        "user_id",
+        "seg",
+        "n_in_seg",
+        F.when(var > 0, F.round(z, 6)).alias("sax_z"),
+        F.when(var > 0, sym).alias("symbol"),
+    )
+
+
+TS_SAX_ORACLE = """
+WITH b AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM b GROUP BY user_id),
+seg AS (
+  SELECT b.user_id, CAST(floor((rn - 1) * 8 / t.n) AS BIGINT) AS seg,
+         CAST(count(*) AS BIGINT) AS n_in_seg,
+         CAST(sum(c) AS BIGINT) AS segsum
+  FROM b JOIN tot t ON b.user_id = t.user_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT s.user_id, seg, n_in_seg, segsum, n, s1, s2,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+  FROM seg s JOIN tot t ON s.user_id = t.user_id)
+SELECT user_id, seg, n_in_seg,
+       CASE WHEN var > 0 THEN
+         round((CAST(segsum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) - m)
+               / sqrt(var), 6) END AS sax_z,
+       CASE WHEN var > 0 THEN
+         CASE WHEN (CAST(segsum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) - m)
+                   / sqrt(var) < -0.6745 THEN 'a'
+              WHEN (CAST(segsum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) - m)
+                   / sqrt(var) < 0.0 THEN 'b'
+              WHEN (CAST(segsum AS DOUBLE) / CAST(n_in_seg AS DOUBLE) - m)
+                   / sqrt(var) < 0.6745 THEN 'c'
+              ELSE 'd' END END AS symbol
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-4 rotation: the FIRST 50
@@ -8958,6 +9323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_skewkurt": w_rolling_skewkurt,
         "a_mann_whitney": a_mann_whitney,
         "a_runs_test": a_runs_test,
+        "a_kmv_distinct": a_kmv_distinct,
+        "graph_bfs_levels": graph_bfs_levels,
+        "dq_schema_drift": dq_schema_drift,
+        "w_kalman_1d": w_kalman_1d,
+        "ts_sax_symbols": ts_sax_symbols,
         # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -9279,6 +9649,11 @@ def oracle_sql() -> dict[str, str]:
         "w_rolling_skewkurt": W_SKEWKURT_ORACLE,
         "a_mann_whitney": A_MANN_WHITNEY_ORACLE,
         "a_runs_test": A_RUNS_ORACLE,
+        "a_kmv_distinct": A_KMV_ORACLE,
+        "graph_bfs_levels": GRAPH_BFS_ORACLE,
+        "dq_schema_drift": DQ_SCHEMA_DRIFT_ORACLE,
+        "w_kalman_1d": W_KALMAN_ORACLE,
+        "ts_sax_symbols": TS_SAX_ORACLE,
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,

@@ -300,3 +300,55 @@ def k_core(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source breadth-first search: shortest hop distance from ANY
+    source node, up to ``max_hops``.  Returns ``(node, dist)`` — unique
+    and integer-valued at any parallelism, so fully hash-oracle-able
+    (DuckDB recursive CTE with UNION-dedup recursion).
+
+    Frontier expansion, the Pregel shape: each round joins the current
+    frontier to the symmetric edge list (one shuffle on the node key),
+    anti-joins already-visited nodes out, and folds the survivors into
+    the visited set at dist = round.  Rounds = min(max_hops, graph
+    diameter); ``localCheckpoint`` truncates lineage per round exactly
+    like :func:`connected_components`.  At 100 TB the frontier is the
+    only growing shuffle side and is bounded by the reachable set.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        sources.select(F.col(node).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("n")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["a"])
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("n").alias("v"), "n", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(hop).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.select(F.col("n").alias("node"), "dist")

@@ -475,6 +475,49 @@ def test_kcore_vs_python_peeling(spark):
         assert got == want, k
 
 
+def test_bfs_levels_vs_python(spark):
+    """Distributed frontier BFS == Python BFS (exact hop distances),
+    on a graph with two components, a chain longer than max_hops (the
+    cap must truncate, not mislabel), and multiple sources."""
+    import collections
+    import random
+
+    from cassandra_fs_pp_spark.operators.graph import bfs_levels
+
+    rng = random.Random(29)
+    edges = {(100 + i, 101 + i) for i in range(20)}  # chain of 21 nodes
+    for _ in range(60):  # random component
+        a, b = rng.randrange(0, 40), rng.randrange(0, 40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    sources = [0, 5, 100]
+    max_hops = 6
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {s: 0 for s in sources if s in adj}
+    frontier = list(want)
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in want:
+                    want[m] = hop
+                    nxt.append(m)
+        frontier = nxt
+
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(e, s, max_hops=max_hops).collect()
+    }
+    assert got == want
+    assert max(want.values()) == max_hops  # the cap actually truncated
+
+
 def test_containment_join_vs_bruteforce(spark):
     """A-side prefix-filtered containment join == brute-force directional
     containment on random token sets, including a small-doc-inside-
