@@ -9234,78 +9234,15 @@ FROM j
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-4 rotation: the FIRST 50
-    # are (a) the 30 queries with no driver row in r01-r03 — the 26 full-oracle
-    # ones first, then the 4 rows-only (each backed by a differential pytest),
-    # (b) f_collections (r3's one red row, fixed: array output serialized via
-    # array_join on both sides), and (c) 19 long-green re-confirmation fillers
-    # spanning every family.  A green r04 window makes every one of the 178
-    # registry queries driver-verified at least once.
+    # prefix window (50 entries) of this dict.  Round-5 rotation: the FIRST 50
+    # are (a) the 10 late-r4 queries behind the frozen r04 window, (b) the
+    # r5-new queries, (c) queries whose code changed this round, and (d)
+    # long-green re-confirmation fillers spanning every family.  A green r05
+    # window leaves only the deliberately rows-only sketch/eigen/FFT entries
+    # never hash-checked (their rationale: COVERAGE.md 'rows-only' section).
     return {
-        # --- never driver-verified (full SQL oracles) ---
-        "j_asof_nearest": j_asof_nearest,
-        "ts_cusum_alerts": ts_cusum_alerts,
-        "fuzzy_match_join": fuzzy_match_join,
-        "geo_grid_join": geo_grid_join,
-        "graph_triangle_count": graph_triangle_count,
-        "a_heavy_hitters_mg": a_heavy_hitters_mg,
-        "rag_chunk_topk": rag_chunk_topk,
-        "emb_gram_matrix": emb_gram_matrix,
-        "op_incremental_rollup": op_incremental_rollup,
-        "ts_ewma": ts_ewma,
-        "stream_cusum_alerts": stream_cusum_alerts,
-        "layout_zorder_stats": layout_zorder_stats,
-        "dq_table_digest": dq_table_digest,
-        "a_bitmap_distinct": a_bitmap_distinct,
-        "text_cdc_chunks": text_cdc_chunks,
-        "a_ks_test": a_ks_test,
-        "emb_scalar_quantize": emb_scalar_quantize,
-        "curation_shuffle_shard": curation_shuffle_shard,
-        "r4_transpose": r4_transpose,
-        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
-        "curation_quality_logreg": curation_quality_logreg,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "ann_matryoshka_topk": ann_matryoshka_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "j_interval_overlap": j_interval_overlap,
-        # --- never driver-verified (rows-only oracles, differential pytests) ---
-        "a_approx_distinct": a_approx_distinct,
-        "a_hll_mergeable": a_hll_mergeable,
-        "graph_pagerank": graph_pagerank,
-        "ts_dominant_period": ts_dominant_period,
-        # --- round-3 red, fixed this round ---
-        "f_collections": f_collections,
-        # --- new in round 4 (front-loaded: local gate is now
-        #     replica-faithful incl. the scalar-output lint) ---
-        "dedup_setsim_join": dedup_setsim_join,
-        "j_bloom_semi": j_bloom_semi,
-        "dq_benford": dq_benford,
-        "text_zipf_fit": text_zipf_fit,
-        "ts_holt_linear": ts_holt_linear,
-        "w_hampel_outliers": w_hampel_outliers,
-        "graph_kcore": graph_kcore,
-        "a_approx_quantiles": a_approx_quantiles,
-        "mm_phash_pairs": mm_phash_pairs,
-        "f_bitwise_suite": f_bitwise_suite,
-        "a_theil_sen": a_theil_sen,
-        "dedup_containment": dedup_containment,
-        "emb_pca_project": emb_pca_project,
-        "stream_holt_linear": stream_holt_linear,
-        # --- long-green re-confirmation fillers ---
-        # (w_bollinger_bands / a_autocorr / layout_file_stats are
-        #  registered BEHIND the window below: added after the r4 window
-        #  froze; they rotate forward in r5)
-        "f_higher_order": f_higher_order,
-        "flagship_events_hourly": flagship_events_hourly,
-        "tpch_q1": tpch_q1,
-        "ann_lsh_topk": ann_lsh_topk,
-        "w1_rolling_median_2d": w1_rolling_median_2d,
-        "j4_asof_backward": j4_asof_backward,
-        "graph_connected_components": graph_connected_components,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "tpch_q9_profit_shape": tpch_q9_profit_shape,
-        # --- new late-r4, behind the window (r5 rotation) ---
+        # --- (a) late-r4 queries behind the frozen r04 window: locally
+        # green (judge re-verified), never driver-seen ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -9316,7 +9253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_snapshot_diff": op_snapshot_diff,
         "curation_epoch_upsample": curation_epoch_upsample,
         "a_seasonality_strength": a_seasonality_strength,
-        # --- new in round 5 ---
+        # --- (b) new in r5 ---
         "w_ohlc": w_ohlc,
         "w_drawdown": w_drawdown,
         "a_entropy_transitions": a_entropy_transitions,
@@ -9328,12 +9265,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_schema_drift": dq_schema_drift,
         "w_kalman_1d": w_kalman_1d,
         "ts_sax_symbols": ts_sax_symbols,
-        # --- driver-green in r01-r03 (see CORRECTNESS_r0*.json) ---
+        # --- (c) code changed in r5: single-scan LSH rewrite, k-core
+        # full oracle + convergence fix, shingle-bounds fix ---
+        "ann_lsh_topk": ann_lsh_topk,
+        "graph_kcore": graph_kcore,
+        "dedup_setsim_join": dedup_setsim_join,
+        "dedup_containment": dedup_containment,
+        # --- (d) long-green re-confirmation fillers spanning every family ---
+        "tpch_q1": tpch_q1,
         "tpch_q18_large_orders": tpch_q18_large_orders,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "text_tfidf": text_tfidf,
+        "flagship_events_hourly": flagship_events_hourly,
+        "dedup_minhash_cluster": dedup_minhash_cluster,
+        "ann_block_topk": ann_block_topk,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_gram_matrix": emb_gram_matrix,
         "curation_pipeline": curation_pipeline,
+        "curation_decontaminate": curation_decontaminate,
+        "curation_quality_logreg": curation_quality_logreg,
+        "text_tfidf": text_tfidf,
+        "text_zipf_fit": text_zipf_fit,
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+        "stream_cusum_alerts": stream_cusum_alerts,
         "stream_hourly_agg": stream_hourly_agg,
+        "graph_triangle_count": graph_triangle_count,
+        "graph_connected_components": graph_connected_components,
+        "w1_rolling_median_2d": w1_rolling_median_2d,
+        "w_hampel_outliers": w_hampel_outliers,
+        "j4_asof_backward": j4_asof_backward,
+        "j_asof_nearest": j_asof_nearest,
+        "fleet_udg_filter": fleet_udg_filter,
+        "a8_resample_hourly": a8_resample_hourly,
+        "dq_table_digest": dq_table_digest,
+        # ---------- window cut: entries below are driver-green in earlier
+        # rounds (see CORRECTNESS_r0*.json) or rows-only with differential
+        # pytests ----------
+        "ts_cusum_alerts": ts_cusum_alerts,
+        "fuzzy_match_join": fuzzy_match_join,
+        "geo_grid_join": geo_grid_join,
+        "a_heavy_hitters_mg": a_heavy_hitters_mg,
+        "rag_chunk_topk": rag_chunk_topk,
+        "op_incremental_rollup": op_incremental_rollup,
+        "ts_ewma": ts_ewma,
+        "layout_zorder_stats": layout_zorder_stats,
+        "a_bitmap_distinct": a_bitmap_distinct,
+        "text_cdc_chunks": text_cdc_chunks,
+        "a_ks_test": a_ks_test,
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "ann_ivf_topk": ann_ivf_topk,
+        "j_interval_overlap": j_interval_overlap,
+        "a_approx_distinct": a_approx_distinct,
+        "a_hll_mergeable": a_hll_mergeable,
+        "graph_pagerank": graph_pagerank,
+        "ts_dominant_period": ts_dominant_period,
+        "f_collections": f_collections,
+        "j_bloom_semi": j_bloom_semi,
+        "dq_benford": dq_benford,
+        "ts_holt_linear": ts_holt_linear,
+        "a_approx_quantiles": a_approx_quantiles,
+        "mm_phash_pairs": mm_phash_pairs,
+        "f_bitwise_suite": f_bitwise_suite,
+        "a_theil_sen": a_theil_sen,
+        "emb_pca_project": emb_pca_project,
+        "stream_holt_linear": stream_holt_linear,
+        "f_higher_order": f_higher_order,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
         "a_gini": a_gini,
         "w8_ratchet_depth": w8_ratchet_depth,
         "dedup_spans": dedup_spans,
@@ -9402,10 +9403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_regex_projection": p5_regex_projection,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
-        "fleet_udg_filter": fleet_udg_filter,
         "fleet_tdr_depth": fleet_tdr_depth,
         "dedup_exact_docs": dedup_exact_docs,
-        "dedup_minhash_cluster": dedup_minhash_cluster,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_banded": dedup_simhash_banded,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -9419,11 +9418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_pmi": text_bigram_pmi,
         "curation_stratified_sample": curation_stratified_sample,
         "curation_pack_sequences": curation_pack_sequences,
-        "curation_decontaminate": curation_decontaminate,
         "curation_quality_filter": curation_quality_filter,
         "curation_source_budget": curation_source_budget,
         "curation_weighted_sample": curation_weighted_sample,
-        "ann_block_topk": ann_block_topk,
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
         "p2_dedup_rows": p2_dedup_rows,
@@ -9434,7 +9431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
         "a6_monthly_rollup": a6_monthly_rollup,
-        "a8_resample_hourly": a8_resample_hourly,
         "j1_calibration_fallback": j1_calibration_fallback,
         "j_range_interval": j_range_interval,
         "j_semi_users": j_semi_users,
