@@ -9232,6 +9232,245 @@ FROM j
 """
 
 
+def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per user over the DAILY series —
+    the rank-based significance companion to ``a_theil_sen``'s slope
+    (same O(n) raw reduction, then O(days^2) pairs on the tiny daily
+    aggregate).  S = Σ sign(y_j − y_i) over i<j is integer; the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18
+    uses integer tie-group counts; z applies the ±1 continuity
+    correction.  Daily values are EXACT integer cents, so tie detection
+    cannot drift across engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    a = daily.select(
+        "user_id", F.col("day_ts").alias("ta"), F.col("yc").alias("ya")
+    )
+    b = daily.select(
+        "user_id", F.col("day_ts").alias("tb"), F.col("yc").alias("yb")
+    )
+    s = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.signum(F.col("yb") - F.col("ya")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n = daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("user_id", "yc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s.join(n, "user_id").join(ties, "user_id")
+    nn = F.col("n_days")
+    var = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var)
+    return j.select(
+        "user_id",
+        "n_days",
+        "s_stat",
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 6).alias("mk_z"),
+        (F.abs(z) > F.lit(1.96)).alias("trend_significant"),
+    )
+
+
+A_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+s AS (
+  SELECT a.user_id,
+         CAST(sum(CASE WHEN b.yc > a.yc THEN 1
+                       WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND a.day_ts < b.day_ts
+  GROUP BY 1),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+ties AS (
+  SELECT user_id,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT user_id, yc, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1),
+j AS (
+  SELECT s.user_id, n_days, s_stat,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+              AS DOUBLE) / 18.0 AS var_s
+  FROM s JOIN n ON s.user_id = n.user_id
+  JOIN ties ON s.user_id = ties.user_id)
+SELECT user_id, n_days, s_stat, round(var_s, 6) AS var_s,
+       round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                   WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                   ELSE 0.0 END) / sqrt(var_s), 6) AS mk_z,
+       abs((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                 WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                 ELSE 0.0 END) / sqrt(var_s)) > 1.96 AS trend_significant
+FROM j
+"""
+
+
+def w_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware EWMA for IRREGULARLY sampled series: the smoothing
+    weight grows with the time gap, alpha_i = dt_i/(dt_i + tau)
+    (rational decay, tau = 1 h) — a long silence means the new reading
+    mostly replaces the stale state, where ``ts_ewma``'s fixed alpha
+    would under-react.  The decay is pure +,-,*,/ on the struct-state
+    fold (NO exp), so every step is IEEE-exact and identical in both
+    engines: full oracle via recursive-CTE replay, no rounding."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                    "event_id",
+                    "value",
+                )
+            )
+        ).alias("__s")
+    )
+    state = F.expr(
+        "aggregate(slice(__s, 2, size(__s) - 1),"
+        " named_struct('t', element_at(__s, 1).t,"
+        "              's', element_at(__s, 1).value),"
+        " (acc, r) -> named_struct("
+        "   't', r.t,"
+        "   's', acc.s + (cast(r.t - acc.t as double) / 1000000.0D"
+        "                 / (cast(r.t - acc.t as double) / 1000000.0D"
+        "                    + 3600.0D)) * (r.value - acc.s)))"
+    )
+    return g.select(
+        "user_id",
+        F.size("__s").alias("n_events"),
+        state.getField("s").alias("ewma_last"),
+    )
+
+
+W_EWMA_IRR_ORACLE = """
+WITH l0 AS (
+  SELECT user_id,
+         list(epoch_us(ts) ORDER BY ts, event_id) AS t,
+         list(value ORDER BY ts, event_id) AS v,
+         CAST(len(list(value)) AS INT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT user_id, 1 AS i, CAST(v[1] AS DOUBLE) AS s, t, v, n
+    FROM l0
+    UNION ALL
+    SELECT user_id, i + 1,
+           s + (CAST(t[i+1] - t[i] AS DOUBLE) / 1000000.0
+                / (CAST(t[i+1] - t[i] AS DOUBLE) / 1000000.0 + 3600.0))
+               * (v[i+1] - s),
+           t, v, n
+    FROM r WHERE i < n
+  )
+  SELECT user_id, s, n FROM r WHERE i = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, s AS ewma_last
+FROM rec
+"""
+
+
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity join on the co-purchase graph:
+    for node pairs sharing >= 2 common neighbors, |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| — the link-prediction / role-similarity primitive.
+    Common-neighbor counts come from the same wedge-join shape as
+    ``graph_triangle_count`` (pairs of each node's neighbor list, one
+    shuffle on the wedge center; O(Σ deg²) bounded by the quantity
+    filter), never an all-pairs node join.  Counts integer; the Jaccard
+    is one exact division."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 46)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # wedges: (u, w), (v, w) neighbors of center w -> pair (u, v), u < v
+    common = (
+        sym.alias("p")
+        .join(
+            sym.alias("q"),
+            (F.col("p.b") == F.col("q.b")) & (F.col("p.a") < F.col("q.a")),
+        )
+        .groupBy(
+            F.col("p.a").alias("u"), F.col("q.a").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    out = common.join(du, "u").join(dv, "v")
+    union_sz = F.col("deg_u") + F.col("deg_v") - F.col("common")
+    return out.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        (F.col("common").cast("double") / union_sz.cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+GRAPH_JACCARD_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+    AND x.l_quantity >= 46 AND y.l_quantity >= 46),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+common AS (
+  SELECT p.a AS u, q.a AS v, CAST(count(*) AS BIGINT) AS common
+  FROM sym p JOIN sym q ON p.b = q.b AND p.a < q.a
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(common AS DOUBLE) / CAST(du.deg + dv.deg - common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN deg du ON du.node = u
+JOIN deg dv ON dv.node = v
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-5 rotation: the FIRST 50
@@ -9265,6 +9504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_schema_drift": dq_schema_drift,
         "w_kalman_1d": w_kalman_1d,
         "ts_sax_symbols": ts_sax_symbols,
+        "a_mann_kendall": a_mann_kendall,
+        "w_ewma_irregular": w_ewma_irregular,
+        "graph_jaccard_similarity": graph_jaccard_similarity,
         # --- (c) code changed in r5: single-scan LSH rewrite, k-core
         # full oracle + convergence fix, shingle-bounds fix ---
         "ann_lsh_topk": ann_lsh_topk,
@@ -9294,12 +9536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hampel_outliers": w_hampel_outliers,
         "j4_asof_backward": j4_asof_backward,
         "j_asof_nearest": j_asof_nearest,
-        "fleet_udg_filter": fleet_udg_filter,
-        "a8_resample_hourly": a8_resample_hourly,
-        "dq_table_digest": dq_table_digest,
         # ---------- window cut: entries below are driver-green in earlier
         # rounds (see CORRECTNESS_r0*.json) or rows-only with differential
         # pytests ----------
+        "fleet_udg_filter": fleet_udg_filter,
+        "a8_resample_hourly": a8_resample_hourly,
+        "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
         "fuzzy_match_join": fuzzy_match_join,
         "geo_grid_join": geo_grid_join,
@@ -9650,6 +9892,9 @@ def oracle_sql() -> dict[str, str]:
         "dq_schema_drift": DQ_SCHEMA_DRIFT_ORACLE,
         "w_kalman_1d": W_KALMAN_ORACLE,
         "ts_sax_symbols": TS_SAX_ORACLE,
+        "a_mann_kendall": A_MANN_KENDALL_ORACLE,
+        "w_ewma_irregular": W_EWMA_IRR_ORACLE,
+        "graph_jaccard_similarity": GRAPH_JACCARD_ORACLE,
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,
