@@ -7938,8 +7938,9 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     halvings are IEEE-exact and the add/subtract order is identical on
     both engines, so the struct-state ``aggregate`` fold carries a FULL
     oracle (a recursive CTE replays the same recurrence in DuckDB).
-    Forecast column is the one-step-ahead l + b."""
-    ev = _t(spark, sf_dir, "events")
+    Forecast column is the one-step-ahead l + b.  Null observations
+    filtered up front (same rationale as ``w_kalman_1d``)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "value"))
@@ -7974,7 +7975,7 @@ TS_HOLT_ORACLE = """
 WITH l0 AS (
   SELECT user_id, list(value ORDER BY ts, event_id) AS v,
          CAST(len(list(value)) AS INT) AS n
-  FROM events GROUP BY user_id),
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
 singles AS (
   SELECT user_id, n, v[1] AS l, CAST(0 AS DOUBLE) AS b FROM l0 WHERE n = 1),
 rec AS (
@@ -8412,6 +8413,7 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     g = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -8452,7 +8454,8 @@ WITH g AS (
               AS BIGINT) AS da,
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
               AS BIGINT) AS db
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
   GROUP BY value),
 c AS (
   SELECT CAST(sum(da) OVER w AS BIGINT) AS c1,
@@ -8702,6 +8705,7 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula.  U exact to the half; z rounded to 6."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     g = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
@@ -8749,7 +8753,9 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1,
         n2,
         (u1x2.cast("double") / F.lit(2.0)).alias("u1"),
-        F.round(znum / (F.lit(2.0) * F.sqrt(var)), 6).alias("z"),
+        F.round(
+            F.when(var > 0, znum / (F.lit(2.0) * F.sqrt(var))), 6
+        ).alias("z"),
     )
 
 
@@ -8760,7 +8766,8 @@ WITH g AS (
               AS BIGINT) AS da,
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
               AS BIGINT) AS db
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
   GROUP BY value),
 r AS (
   SELECT da, db, da + db AS cnt,
@@ -8774,11 +8781,17 @@ a AS (
   FROM r)
 SELECT n1, n2,
        CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       CASE WHEN n1 * n2 > 0 AND n1 + n2 > 1
+             AND CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(tie_sum AS DOUBLE)
+                   / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE) > 0
+       THEN
        round(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
              / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
                  * (CAST(n1 + n2 + 1 AS DOUBLE)
                     - CAST(tie_sum AS DOUBLE)
-                      / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z
+                      / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6)
+       END AS z
 FROM a
 """
 
@@ -8826,7 +8839,9 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "runs",
-        F.round((rr.cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+        F.round(
+            F.when(var > 0, (rr.cast("double") - mu) / F.sqrt(var)), 6
+        ).alias("z"),
     )
 
 
@@ -8854,6 +8869,10 @@ a AS (
               AS BIGINT) AS runs
   FROM s GROUP BY event_type)
 SELECT event_type, n_pos, n_neg, runs,
+       CASE WHEN n_pos + n_neg > 1
+             AND 2 * n_pos * n_neg
+                 * (2 * n_pos * n_neg - (n_pos + n_neg)) > 0
+       THEN
        round((CAST(runs AS DOUBLE)
               - (CAST(2 * n_pos * n_neg AS DOUBLE)
                  / CAST(n_pos + n_neg AS DOUBLE) + 1.0))
@@ -8862,7 +8881,8 @@ SELECT event_type, n_pos, n_neg, runs,
                        - CAST(n_pos + n_neg AS DOUBLE))
                     / (CAST(n_pos + n_neg AS DOUBLE)
                        * CAST(n_pos + n_neg AS DOUBLE)
-                       * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))), 6) AS z
+                       * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))), 6)
+       END AS z
 FROM a
 """
 
@@ -9088,8 +9108,10 @@ def w_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     p''=(1−k)p'.  Same struct-state ``aggregate`` fold discipline as
     ``ts_holt_linear``: every step is the identical IEEE expression tree
     in both engines, so the filtered state carries a FULL oracle via a
-    recursive-CTE replay — no rounding needed."""
-    ev = _t(spark, sf_dir, "events")
+    recursive-CTE replay — no rounding needed.  Null observations are
+    filtered up front (a single NULL would otherwise poison the folded
+    state from that step onward), matching ``w_ewma_irregular``."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "value"))
@@ -9120,7 +9142,7 @@ W_KALMAN_ORACLE = """
 WITH l0 AS (
   SELECT user_id, list(value ORDER BY ts, event_id) AS v,
          CAST(len(list(value)) AS INT) AS n
-  FROM events GROUP BY user_id),
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
 rec AS (
   WITH RECURSIVE r AS (
     SELECT user_id, 1 AS i, CAST(v[1] AS DOUBLE) AS x,
@@ -9278,11 +9300,17 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
         / F.lit(18.0)
     )
-    z = (
-        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
-        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
-        .otherwise(F.lit(0.0))
-    ) / F.sqrt(var)
+    z = F.when(
+        var > 0,
+        (
+            F.when(
+                F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double")
+            )
+            .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+        )
+        / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
     return j.select(
         "user_id",
         "n_days",
@@ -9321,12 +9349,15 @@ j AS (
   FROM s JOIN n ON s.user_id = n.user_id
   JOIN ties ON s.user_id = ties.user_id)
 SELECT user_id, n_days, s_stat, round(var_s, 6) AS var_s,
-       round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+       round(CASE WHEN var_s > 0 THEN
+             (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                   ELSE 0.0 END) / sqrt(var_s), 6) AS mk_z,
-       abs((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                   ELSE 0.0 END) / sqrt(var_s) ELSE 0.0 END, 6) AS mk_z,
+       abs(CASE WHEN var_s > 0 THEN
+           (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                 ELSE 0.0 END) / sqrt(var_s)) > 1.96 AS trend_significant
+                 ELSE 0.0 END) / sqrt(var_s) ELSE 0.0 END) > 1.96
+         AS trend_significant
 FROM j
 """
 
