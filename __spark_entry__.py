@@ -8283,8 +8283,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares slope/intercept of ln(freq) against ln(rank) (rank by count
     desc, token asc — a total order), the standard sanity screen that a
     text corpus has natural-language token statistics (synthetic or
-    template-generated corpora show flat or cliffed curves)."""
+    template-generated corpora show flat or cliffed curves).  Ranks come
+    from ``global_row_number`` (range shuffle + broadcast offsets), not a
+    corpus-wide ``Window.orderBy`` — the vocabulary grows with the corpus
+    (Heaps' law), so an unpartitioned rank window would single-thread an
+    O(vocab) sort at 100 TB."""
     from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+    from cassandra_fs_pp_spark.operators.stats import global_row_number
 
     docs = _t(spark, sf_dir, "documents")
     freq = (
@@ -8292,9 +8297,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    xy = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = global_row_number(
+        freq, [F.col("n").desc(), F.col("tok").asc()], out_col="__rank"
+    )
+    xy = ranked.select(
+        F.log(F.col("__rank").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
         F.col("n"),
     )

@@ -96,17 +96,20 @@ def main() -> None:
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Per-query best-of-2: a single timed pass is hostage to GC debt left
-    # by whichever queries ran before it (observed multi-x swings on the
-    # first slot); the min of two runs is the steady-state number.
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # Per-query best-of-2, INTERLEAVED (two full suite passes, min per
+    # query): a single timed pass is hostage to GC debt left by whichever
+    # queries ran before it, and back-to-back reps of one query both land
+    # inside any transient host-contention window (observed: untouched
+    # head-of-suite queries reading 2.6x their controlled time in one
+    # round's official run). Spreading the reps a full suite apart means
+    # a spike has to persist ~the whole suite to survive the min.
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(2):
+        for name in names:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.time() - t0)
+    timings = {n: round(best[n], 3) for n in names}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -65,11 +65,27 @@ def pack_sequences(
     single-pass, shuffle-light approximation of greedy sequence packing
     (a document may straddle a boundary — the trainer's concat-and-chunk
     loader semantics), vs. exact first-fit-decreasing which is inherently
-    sequential. One window cumsum per ``partition_col`` stratum.
+    sequential. One window cumsum per ``partition_col`` stratum; with no
+    ``partition_col`` the corpus-wide prefix sum runs through
+    :func:`~cassandra_fs_pp_spark.operators.stats.global_running_sum`
+    (range shuffle + narrow local cumsums + broadcast carry-ins) — a
+    corpus-sized ``Window.orderBy`` would drag every row through ONE
+    partition, the classic 100 TB killer.
     """
-    w = Window.orderBy(order_col)
-    if partition_col is not None:
-        w = Window.partitionBy(partition_col).orderBy(order_col)
+    if partition_col is None:
+        from cassandra_fs_pp_spark.operators.stats import global_running_sum
+
+        packed = global_running_sum(
+            df,
+            token_count_col,
+            [order_col],
+            out_col="__start",
+            exclusive=True,
+        )
+        return packed.withColumn(
+            "pack_id", F.floor(F.col("__start") / F.lit(ctx_len)).cast("long")
+        ).drop("__start")
+    w = Window.partitionBy(partition_col).orderBy(order_col)
     start = (
         F.sum(F.col(token_count_col)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)

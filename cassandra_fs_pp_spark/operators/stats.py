@@ -81,6 +81,67 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    val_col: str,
+    order_by: Sequence[str | Column],
+    *,
+    out_col: str = "running_sum",
+    exclusive: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact global running sum of ``val_col`` over ``order_by`` without a
+    single-partition window — the prefix-sum sibling of
+    :func:`global_row_number`, same two-level decomposition.
+
+    Plan shape: one range shuffle establishes the total order, a narrow
+    Arrow pass computes per-partition LOCAL cumulative sums, and a
+    #partitions-row aggregate of per-partition totals becomes broadcast
+    carry-in offsets. ``exclusive=True`` gives the sum of all STRICTLY
+    preceding rows (the "start offset" shape sequence packing needs);
+    ``False`` includes the current row. The value depends only on the
+    total order (pass tiebreak columns), never on where range boundaries
+    land.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+    schema = StructType(
+        list(sorted_df.schema.fields)
+        + [StructField("__pid", IntegerType()), StructField("__lcum", LongType())]
+    )
+
+    def add_cum(batches: Iterator) -> Iterator:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry = 0
+        for pdf in batches:
+            v = pdf[val_col].fillna(0).astype("int64")
+            inc = v.cumsum() + carry
+            pdf = pdf.assign(
+                __pid=pid, __lcum=(inc - v) if exclusive else inc
+            )
+            carry = int(inc.iloc[-1]) if len(pdf) else carry
+            yield pdf
+
+    with_cum = sorted_df.mapInPandas(add_cum, schema)
+    if materialize:
+        with_cum = with_cum.localCheckpoint()
+    totals = with_cum.groupBy("__pid").agg(
+        F.sum(F.coalesce(F.col(val_col), F.lit(0))).alias("__s")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__s").over(w), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        with_cum.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lcum") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lcum", "__off")
+    )
+
+
 def heavy_hitters_exact(
     df: DataFrame,
     col: str,

@@ -195,6 +195,38 @@ def test_bloom_semi_filter_precedes_join(spark):
     assert "shiftleft" in plan, plan
 
 
+def test_lsh_topk_single_corpus_scan(spark):
+    """The corpus parquet is read ONCE, at localCheckpoint time — the
+    final plan consumes only the pinned checkpoint, so it must contain
+    ZERO parquet scans. If the checkpoint is removed the pre-fix shape
+    returns (4 corpus scans through the bucket/vector lineage)."""
+    plan = _formatted_plan(entrymod.queries()["ann_lsh_topk"](spark, SF))
+    assert _n(plan, "Scan parquet") == 0, plan
+
+
+def test_pack_sequences_offsets_only_window(spark):
+    """curation_pack_sequences (no partition_col) must route the corpus
+    prefix sum through global_running_sum: the plan's ONLY Window is the
+    #partitions-row offset cumsum ordered by __pid — corpus-sized data
+    never enters a single-partition WindowExec."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_pack_sequences"](spark, SF)
+    )
+    assert _n(plan, "Window") == 1, plan
+    m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
+    assert m and "__pid" in m.group(1), plan
+
+
+def test_zipf_rank_no_vocab_wide_window(spark):
+    """text_zipf_fit's rank must come from global_row_number — the only
+    Window in the plan is the broadcast-offset cumsum over __pid, never a
+    vocabulary-wide unpartitioned row_number."""
+    plan = _formatted_plan(entrymod.queries()["text_zipf_fit"](spark, SF))
+    assert _n(plan, "Window") == 1, plan
+    m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
+    assert m and "__pid" in m.group(1), plan
+
+
 def test_kcore_result_partition_invariant(spark):
     """k-core output is identical at 1 and 8 partitions (unique core +
     deterministic degrees)."""
