@@ -9307,6 +9307,9 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
         / F.lit(18.0)
     )
+    # degenerate variance -> NULL z ("statistic undefined"), the same
+    # convention as a_mann_whitney / a_runs_test; significance coalesces
+    # to false so the boolean column stays non-null in both engines
     z = F.when(
         var > 0,
         (
@@ -9317,14 +9320,16 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         )
         / F.sqrt(var),
-    ).otherwise(F.lit(0.0))
+    )
     return j.select(
         "user_id",
         "n_days",
         "s_stat",
         F.round(var, 6).alias("var_s"),
         F.round(z, 6).alias("mk_z"),
-        (F.abs(z) > F.lit(1.96)).alias("trend_significant"),
+        F.coalesce(F.abs(z) > F.lit(1.96), F.lit(False)).alias(
+            "trend_significant"
+        ),
     )
 
 
@@ -9359,11 +9364,11 @@ SELECT user_id, n_days, s_stat, round(var_s, 6) AS var_s,
        round(CASE WHEN var_s > 0 THEN
              (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                   ELSE 0.0 END) / sqrt(var_s) ELSE 0.0 END, 6) AS mk_z,
-       abs(CASE WHEN var_s > 0 THEN
+                   ELSE 0.0 END) / sqrt(var_s) ELSE NULL END, 6) AS mk_z,
+       coalesce(abs(CASE WHEN var_s > 0 THEN
            (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                 ELSE 0.0 END) / sqrt(var_s) ELSE 0.0 END) > 1.96
+                 ELSE 0.0 END) / sqrt(var_s) ELSE NULL END) > 1.96, false)
          AS trend_significant
 FROM j
 """

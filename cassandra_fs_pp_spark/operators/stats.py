@@ -16,11 +16,77 @@ reproducible even though the range sampler's boundaries may vary.
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+
+def _two_level_prefix(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    *,
+    local_pass: Callable[[StructType], Callable[[Iterator], Iterator]],
+    local_field: StructField,
+    totals_agg: Column,
+    combine: Callable[[Column, Column], Column],
+    out_col: str,
+    materialize: bool,
+) -> DataFrame:
+    """Shared two-level prefix decomposition behind
+    :func:`global_row_number` / :func:`global_running_sum`.
+
+    One range shuffle establishes the total order; a narrow Arrow pass
+    attaches ``(__pid, <local statistic>)`` per partition; a
+    #partitions-row aggregate of per-partition totals becomes broadcast
+    carry-in offsets; ``combine(local, offset)`` yields the global
+    value. The offset Window orders only #partitions rows (benign
+    single-partition WindowExec warning), never the corpus.
+
+    ``materialize=True`` localCheckpoints the locally-annotated data so
+    the offset-totals branch reads it back instead of re-running the
+    range shuffle + sort (both consumers of a diverging lineage would
+    otherwise recompute it — the cache-where-reused discipline, same as
+    the iterative graph ops). CAPACITY NOTE: localCheckpoint is EAGER
+    and pins one corpus-sized copy in executor block storage
+    (MEMORY_AND_DISK) until the session GC's it — acceptable O(n) with
+    disk spill, but budget executor storage for the largest input that
+    flows through here, or pass ``materialize=False`` to trade the copy
+    for one extra range shuffle + sort recompute.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+    # build a NEW StructType — StructType.add mutates in place, and
+    # df.schema hands back the df's cached instance, so chaining .add on
+    # it would poison the source df's schema with phantom columns
+    schema = StructType(
+        list(sorted_df.schema.fields)
+        + [StructField("__pid", IntegerType()), local_field]
+    )
+
+    with_local = sorted_df.mapInPandas(local_pass(schema), schema)
+    if materialize:
+        with_local = with_local.localCheckpoint()
+    totals = with_local.groupBy("__pid").agg(totals_agg.alias("__c"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).select("__pid", "__off")
+    local_name = local_field.name
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, combine(F.col(local_name), F.col("__off")))
+        .drop("__pid", local_name, "__off")
+    )
 
 
 def global_row_number(
@@ -33,51 +99,37 @@ def global_row_number(
     """Exact global 1-based row_number over ``order_by`` without a
     single-partition window.
 
-    Plan shape: one range shuffle (repartitionByRange) + narrow Arrow
-    pass adding ``(partition_id, local_index)`` + a partition-count
-    aggregate (rows = #partitions) whose running sum becomes broadcast
-    offsets. Zero full-data ORDER BY through a single executor.
-
-    ``materialize=True`` (default) localCheckpoints the indexed data so
-    the offset-count branch reads it back instead of re-running the
-    range shuffle + sort (both consumers of a diverging lineage would
-    otherwise recompute it — the cache-where-reused discipline, same as
-    the iterative graph ops). Pass False to keep a pure-lazy lineage.
+    Plan shape (via :func:`_two_level_prefix`): one range shuffle
+    (repartitionByRange) + narrow Arrow pass adding
+    ``(partition_id, local_index)`` + a partition-count aggregate
+    (rows = #partitions) whose running sum becomes broadcast offsets.
+    Zero full-data ORDER BY through a single executor. See the helper's
+    docstring for ``materialize`` semantics and the capacity note.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
 
-    # build a NEW StructType — StructType.add mutates in place, and
-    # df.schema hands back the df's cached instance, so chaining .add on
-    # it would poison the source df's schema with phantom columns
-    schema = StructType(
-        list(sorted_df.schema.fields)
-        + [StructField("__pid", IntegerType()), StructField("__lidx", LongType())]
-    )
+    def local_pass(_schema: StructType) -> Callable[[Iterator], Iterator]:
+        def add_idx(batches: Iterator) -> Iterator:
+            from pyspark import TaskContext
 
-    def add_idx(batches: Iterator) -> Iterator:
-        from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            i = 0
+            for pdf in batches:
+                n = len(pdf)
+                pdf = pdf.assign(__pid=pid, __lidx=range(i, i + n))
+                i += n
+                yield pdf
 
-        pid = TaskContext.get().partitionId()
-        i = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.assign(__pid=pid, __lidx=range(i, i + n))
-            i += n
-            yield pdf
+        return add_idx
 
-    with_idx = sorted_df.mapInPandas(add_idx, schema)
-    if materialize:
-        with_idx = with_idx.localCheckpoint()
-    counts = with_idx.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__c").over(w), F.lit(0))
-    ).select("__pid", "__off")
-    return (
-        with_idx.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__lidx") + F.col("__off") + 1).cast("long"))
-        .drop("__pid", "__lidx")
+    return _two_level_prefix(
+        df,
+        order_by,
+        local_pass=local_pass,
+        local_field=StructField("__lidx", LongType()),
+        totals_agg=F.count(F.lit(1)),
+        combine=lambda lidx, off: (lidx + off + 1).cast("long"),
+        out_col=out_col,
+        materialize=materialize,
     )
 
 
@@ -92,53 +144,61 @@ def global_running_sum(
 ) -> DataFrame:
     """Exact global running sum of ``val_col`` over ``order_by`` without a
     single-partition window — the prefix-sum sibling of
-    :func:`global_row_number`, same two-level decomposition.
+    :func:`global_row_number`, same two-level decomposition (see
+    :func:`_two_level_prefix` for the plan shape, ``materialize``
+    semantics, and the capacity note).
 
-    Plan shape: one range shuffle establishes the total order, a narrow
-    Arrow pass computes per-partition LOCAL cumulative sums, and a
-    #partitions-row aggregate of per-partition totals becomes broadcast
-    carry-in offsets. ``exclusive=True`` gives the sum of all STRICTLY
-    preceding rows (the "start offset" shape sequence packing needs);
-    ``False`` includes the current row. The value depends only on the
-    total order (pass tiebreak columns), never on where range boundaries
-    land.
+    ``exclusive=True`` gives the sum of all STRICTLY preceding rows (the
+    "start offset" shape sequence packing needs); ``False`` includes the
+    current row. The value depends only on the total order (pass
+    tiebreak columns), never on where range boundaries land.
+
+    NULL policy (matches a ``SUM(...) OVER w - col`` window and the
+    DuckDB oracle of ``pack_sequences``): a NULL ``val_col`` contributes
+    0 to every other row's prefix but its OWN ``out_col`` is NULL — a
+    null token count must poison its own pack_id, not silently count as
+    an empty document. ``val_col`` must be an integral type; fractional
+    inputs would be silently truncated by the int64 cumsum, so they are
+    rejected at entry.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    if not isinstance(
+        df.schema[val_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"global_running_sum requires an integral val_col; got "
+            f"{df.schema[val_col].dataType.simpleString()!r} for {val_col!r} "
+            "(cast explicitly if truncation is intended)"
+        )
 
-    schema = StructType(
-        list(sorted_df.schema.fields)
-        + [StructField("__pid", IntegerType()), StructField("__lcum", LongType())]
-    )
+    def local_pass(_schema: StructType) -> Callable[[Iterator], Iterator]:
+        def add_cum(batches: Iterator) -> Iterator:
+            from pyspark import TaskContext
 
-    def add_cum(batches: Iterator) -> Iterator:
-        from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            carry = 0
+            for pdf in batches:
+                v = pdf[val_col]
+                mask = v.notna()
+                filled = v.fillna(0).astype("int64")
+                inc = filled.cumsum() + carry
+                lcum = (inc - filled) if exclusive else inc
+                pdf = pdf.assign(
+                    __pid=pid, __lcum=lcum.astype("Int64").where(mask)
+                )
+                carry = int(inc.iloc[-1]) if len(pdf) else carry
+                yield pdf
 
-        pid = TaskContext.get().partitionId()
-        carry = 0
-        for pdf in batches:
-            v = pdf[val_col].fillna(0).astype("int64")
-            inc = v.cumsum() + carry
-            pdf = pdf.assign(
-                __pid=pid, __lcum=(inc - v) if exclusive else inc
-            )
-            carry = int(inc.iloc[-1]) if len(pdf) else carry
-            yield pdf
+        return add_cum
 
-    with_cum = sorted_df.mapInPandas(add_cum, schema)
-    if materialize:
-        with_cum = with_cum.localCheckpoint()
-    totals = with_cum.groupBy("__pid").agg(
-        F.sum(F.coalesce(F.col(val_col), F.lit(0))).alias("__s")
-    )
-    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__s").over(w), F.lit(0))
-    ).select("__pid", "__off")
-    return (
-        with_cum.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__lcum") + F.col("__off")).cast("long"))
-        .drop("__pid", "__lcum", "__off")
+    return _two_level_prefix(
+        df,
+        order_by,
+        local_pass=local_pass,
+        local_field=StructField("__lcum", LongType()),
+        totals_agg=F.sum(F.coalesce(F.col(val_col), F.lit(0))),
+        combine=lambda lcum, off: (lcum + off).cast("long"),
+        out_col=out_col,
+        materialize=materialize,
     )
 
 

@@ -260,6 +260,52 @@ def test_global_row_number_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_global_running_sum_null_policy_and_materialize(spark):
+    """NULL val_col contributes 0 to other rows' prefix but its OWN
+    running_sum is NULL (the SUM-over-window - col shape pack_sequences'
+    oracle uses); fractional val_col is rejected at entry; and
+    materialize=False (pure-lazy lineage, no localCheckpoint) returns
+    identical values."""
+    from pyspark.sql import Window as W
+
+    from cassandra_fs_pp_spark.operators.stats import global_running_sum
+
+    rows = [(0, 5), (1, None), (2, 7), (3, None), (4, 1), (5, 3)]
+    df = spark.createDataFrame(rows, "id long, v int").repartition(4)
+
+    want = {
+        r.id: r.rs
+        for r in df.withColumn(
+            "rs",
+            (
+                F.sum("v").over(
+                    W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+                )
+                - F.col("v")
+            ).cast("long"),
+        ).collect()
+    }
+    for mat in (True, False):
+        got = {
+            r.id: r.rs
+            for r in global_running_sum(
+                df, "v", ["id"], out_col="rs", exclusive=True, materialize=mat
+            ).collect()
+        }
+        assert got == want, f"materialize={mat}"
+
+    inc = {
+        r.id: r.rs
+        for r in global_running_sum(df, "v", ["id"], out_col="rs").collect()
+    }
+    assert inc == {0: 5, 1: None, 2: 12, 3: None, 4: 13, 5: 16}
+
+    with pytest.raises(TypeError, match="integral"):
+        global_running_sum(
+            df.withColumn("v", F.col("v").cast("double")), "v", ["id"]
+        )
+
+
 def test_interval_overlap_join_exact_and_no_double_count(spark):
     """Bucketized range join: exact pair set (differential vs the naive
     range condition) and EXACTLY one output row per overlapping pair even
