@@ -284,6 +284,20 @@ def lsh_topk(
     1 - angle/pi, so per-table collision is p^bits and the union over L
     tables lifts recall to 1-(1-p^bits)^L while each join touches only a
     ~2^bits-th of the corpus. Deterministic (seeded planes).
+
+    Exact-duplicate collapse (r7): real corpora are duplicate-heavy, and
+    byte-identical vectors collide in EVERY bucket of EVERY table no
+    matter how ``bits`` scales — a duplicate clique of size g contributes
+    g^2 candidate pairs, so candidate volume grows quadratically in the
+    replication factor (the 64x probe measured 184x the pairs for 64x
+    the rows). So the bucket self-join runs at GROUP level: vectors are
+    grouped by content hash, each DISTINCT vector is bucketed and scored
+    once per candidate group pair, and results fan back out through a
+    tie-aware expansion — within a neighbor group every member has the
+    SAME cosine, so under the (cos desc, id asc) tie-break only the k+1
+    smallest member ids can ever reach a top-k (k+1 because the query
+    itself may be one of them). The final top-k is bit-identical to the
+    member-level join: identical bytes give identical fold results.
     """
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
@@ -301,111 +315,153 @@ def lsh_topk(
         )
         for t in range(tables)
     )
-    # ONE corpus scan feeds the whole query: ids + vectors + norms + all
-    # tables' bucket ids are projected in a single pass and pinned with
-    # localCheckpoint.  Before r5 the self-join sides and the two vmap
-    # attaches each re-expanded the scan lineage (4 parquet scans, and the
-    # tables*bits*dim interpreted bucket eval ran TWICE); the checkpoint is
-    # one corpus-sized executor-storage write — the same bytes one shuffle
-    # of the corpus would move — bought back immediately by the removed
-    # re-scans.  At cluster scale this is storage-local (no network).
-    base = (
+    # Pass 0 — content grouping. ONE corpus scan feeds the whole query:
+    # (id, vector, group hash) is pinned with localCheckpoint, and every
+    # later stage derives from the pin (zero re-scans; the plan-health
+    # test asserts this). md5 over the stringified array is the group
+    # key: byte-identical arrays MUST collide, distinct arrays collide
+    # with probability 2^-128 (the standard content-address gamble).
+    reps = (
         vectors.repartition(n_parts)
         .select(
             F.col(id_col),
             F.col(vec_col),
+            F.md5(F.col(vec_col).cast("string")).alias("__g"),
+        )
+        .localCheckpoint()
+    )
+    # One row per DISTINCT vector (deterministic representative: the
+    # min-id member — all members are byte-identical anyway). Norms and
+    # the tables*bits*dim bucket eval run on distinct vectors only, and
+    # the result is pinned: four consumers (two join sides, the score
+    # attach, the self-pair filter) would otherwise each re-run the
+    # grouping shuffle.
+    gbase = (
+        reps.groupBy("__g")
+        .agg(
+            F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col),
+            F.count(F.lit(1)).alias("__gsz"),
+        )
+        .select(
+            "__g",
+            F.col(vec_col),
+            "__gsz",
             l2_norm(F.col(vec_col)).alias("__n"),
             F.expr(f"array({tb_sql})").alias("__tbs"),
         )
         .localCheckpoint()
     )
-    with_b = base.select(
-        F.col(id_col), F.explode("__tbs").alias("__tb")
-    ).select(
-        id_col,
-        F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"),
+    # Stage 1 — GROUP-level candidate generation stays narrow: the bucket
+    # self-join, repartition, and pair dedup move only (hash, hash) pairs,
+    # never vectors. Both join sides are the same checkpoint-backed plan,
+    # so ReuseExchange ships one shuffle write read twice. The explicit
+    # repartition pins scoring parallelism (AQE would coalesce the
+    # tiny-byte exchanges and serialize the per-bucket compute) and comes
+    # BEFORE dropDuplicates so HashPartitioning(__ga) satisfies the
+    # dedup's clustering without another exchange. Duplicate cliques
+    # appear here as ONE self-pair per group (gsz > 1), not g^2 rows.
+    gb = gbase.select("__g", F.explode("__tbs").alias("__tb")).select(
+        "__g",
+        F.col("__tb.t").alias("__table"),
+        F.col("__tb.b").alias("__bucket"),
     )
-    # Stage 1 — candidate GENERATION stays narrow: the bucket self-join,
-    # repartition, and pair dedup move only (id, id) pairs, never vectors.
-    # The two join sides are the SAME canonical checkpoint-backed plan, so
-    # ReuseExchange ships one shuffle write read twice.  The explicit
-    # repartition pins the parallelism of the scoring stage (AQE would
-    # otherwise coalesce these tiny-byte exchanges and serialize the
-    # quadratic per-bucket compute) and comes BEFORE dropDuplicates:
-    # HashPartitioning(query_id) satisfies the dedup's (query_id,
-    # neighbor_id) clustering and the final window's query_id partitioning,
-    # so neither adds an exchange.
-    # shuffle_hash on every candidate-volume join: past ~10 MB the vector
-    # map outgrows autoBroadcast and Catalyst falls back to SortMergeJoin,
-    # which SORTS the O(candidates) stream (measured 64x probe: 3 SMJs,
-    # 148 s). Hash build on the corpus-sized side instead — no sort of the
-    # big stream; AQE still upgrades back to broadcast when a side is tiny.
-    a, b = with_b.alias("a"), with_b.alias("b")
-    pairs = (
+    a, b = gb.alias("a"), gb.alias("b")
+    cross_pairs = (
         a.join(
             b.hint("shuffle_hash"),
-            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            (F.col("a.__g") != F.col("b.__g"))
             & (F.col("a.__table") == F.col("b.__table"))
             & (F.col("a.__bucket") == F.col("b.__bucket")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-        )
-        .repartition(n_parts, "query_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(F.col("a.__g").alias("__ga"), F.col("b.__g").alias("__gb"))
+        .repartition(n_parts, "__ga")
+        .dropDuplicates(["__ga", "__gb"])
     )
-    # Stage 2 — vector attach + rerank. The candidate stream is
-    # O(tables * n * bucket) WIDE rows once vectors attach, so the join
-    # strategy is the whole ballgame at scale (64x probe: SMJ sorted the
-    # 31M-pair stream twice, ~45 s of the query): BROADCAST the id->(vec,
-    # norm) map while it fits an executor (the caller passes corpus_rows
-    # from parquet footer stats), else shuffle-hash — hash build on the
-    # corpus-sized side, never a sort of the candidate stream.  Neighbor
-    # side attaches FIRST so the shuffle-hash path's last exchange keys on
-    # query_id and the top-k window inherits it exchange-free.
-    vmap = base.select(id_col, vec_col, "__n")
+    self_pairs = gbase.filter(F.col("__gsz") > 1).select(
+        F.col("__g").alias("__ga"), F.col("__g").alias("__gb")
+    )
+    gpairs = cross_pairs.unionByName(self_pairs)
+    # Stage 2 — score ONCE per group pair (the fold runs on distinct-level
+    # pairs, and vectors never attach to the member-level stream at all).
+    # BROADCAST the hash->(vec, norm) map while it fits an executor (the
+    # caller passes corpus_rows from parquet footer stats — an upper bound
+    # on distinct rows), else shuffle-hash: hash build, never a sort of
+    # the candidate stream (measured 64x probe pre-r5: 3 SMJs, 148 s).
+    vmap = gbase.select("__g", vec_col, "__n")
     est_bytes = (corpus_rows or 0) * ((dim or 64) * 8 + 48)
     small_vmap = corpus_rows is not None and est_bytes < 128 * 1024 * 1024
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_vmap else df.hint("shuffle_hash")
 
-    scored = (
-        pairs.join(
+    scored_g = (
+        gpairs.join(
             _side(
                 vmap.select(
-                    F.col(id_col).alias("neighbor_id"),
+                    F.col("__g").alias("__gb"),
                     F.col(vec_col).alias("nv"),
                     F.col("__n").alias("nn"),
                 )
             ),
-            "neighbor_id",
+            "__gb",
         )
         .join(
             _side(
                 vmap.select(
-                    F.col(id_col).alias("query_id"),
+                    F.col("__g").alias("__ga"),
                     F.col(vec_col).alias("qv"),
                     F.col("__n").alias("qn"),
                 )
             ),
-            "query_id",
+            "__ga",
         )
         .select(
-            "query_id",
-            "neighbor_id",
+            "__ga",
+            "__gb",
             (
                 dot(F.col("qv"), F.col("nv"))
                 / (F.col("qn") * F.col("nn"))
             ).alias("cos_raw"),
         )
     )
+    # Stage 3 — tie-aware fan-out back to members. Query side: every
+    # member of __ga. Neighbor side: only the k+1 smallest ids of __gb
+    # (sufficient for exactness, see docstring) — so member-level volume
+    # is O(n * candidate_groups * k), never O(n * g). The per-group
+    # row_number window partitions by group hash (narrow keys spread over
+    # the full hash space — no single-partition risk). scored_g gets its
+    # own broadcast gate: its row count scales with bucket OCCUPANCY, not
+    # corpus rows, so the vector-map estimate doesn't transfer.
+    est_pair_bytes = (corpus_rows or 0) * 32 * 90
+    small_pairs = corpus_rows is not None and est_pair_bytes < 128 * 1024 * 1024
+
+    def _pside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_pairs else df.hint("shuffle_hash")
+
+    members = reps.select(F.col(id_col), F.col("__g"))
+    wk = Window.partitionBy("__g").orderBy(F.asc(id_col))
+    expansion = (
+        members.withColumn("__r", F.row_number().over(wk))
+        .filter(F.col("__r") <= k + 1)
+        .select(
+            F.col("__g").alias("__gb"), F.col(id_col).alias("neighbor_id")
+        )
+    )
+    scored = (
+        members.select(
+            F.col(id_col).alias("query_id"), F.col("__g").alias("__ga")
+        )
+        .join(_pside(scored_g), "__ga")
+        .join(_pside(expansion), "__gb")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cos_raw")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.repartition(n_parts, "query_id")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", F.col("cos_raw").alias("cosine"), "rank"

@@ -92,14 +92,16 @@ def test_partsupp_trio_no_cartesian(spark):
 
 
 def test_lsh_topk_pair_dedup_is_narrow(spark):
-    """ann_lsh_topk's candidate dedup exchange must move only id pairs —
-    the embedding arrays may not appear below the dedup aggregate."""
+    """ann_lsh_topk's candidate dedup exchange must move only GROUP-hash
+    pairs (r7 duplicate-collapse shape) — embedding arrays may not appear
+    below the dedup aggregate, and the member-level fan-out never carries
+    vectors (cosine is attached per group pair, pre-expansion)."""
     import re as _re
 
     plan = _formatted_plan(entrymod.queries()["ann_lsh_topk"](spark, SF))
-    # locate the pair-dedup HashAggregate (keys = query_id, neighbor_id)
+    # locate the group-pair dedup HashAggregate (keys = __ga, __gb)
     m = _re.search(
-        r"HashAggregate[\s\S]{0,400}?Keys \[2\]: \[query_id#\d+L, neighbor_id#\d+L\]",
+        r"HashAggregate[\s\S]{0,400}?Keys \[2\]: \[__ga#\d+, __gb#\d+\]",
         plan,
     )
     assert m, plan

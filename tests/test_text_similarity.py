@@ -172,6 +172,39 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert recall > 0.5  # 8 tables x 4 bits: 1-(1-p^4)^8 on near-uniform data
 
 
+def test_lsh_topk_exact_under_replication(spark):
+    """Duplicate-collapse must be EXACT: on a corpus where every vector is
+    replicated 8x (shifted ids — the scale probe's construction), each
+    copy's true top-5 is the 5 smallest-id co-copies at cosine 1.0, which
+    share every bucket, so lsh_topk must reproduce brute force verbatim
+    including the (cos desc, id asc) tie-break through the k+1-truncated
+    group expansion."""
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    rep = base
+    for i in range(1, 8):
+        rep = rep.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    rep = rep.cache()
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(rep, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in lsh_topk(rep, k=5, bits=4, tables=8).collect()
+    }
+    assert approx == brute
+
+
 def test_normalize_nfc_pandas_udf(spark):
     from cassandra_fs_pp_spark.functions.udx import normalize_nfc
 
