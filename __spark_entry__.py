@@ -6014,6 +6014,98 @@ WHERE tf.doc_id < 50
 """
 
 
+BM25_TERMS = ("spark", "join", "window")
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) document ranking for a fixed 3-term
+    query — the IR scorer next to ``text_tfidf``'s weighting. The shape
+    holds at corpus scale: doc lengths and per-term df are skinny
+    aggregates, only POSTING rows for the 3 query terms ever shuffle
+    (an isin prune straight off the token explode), and the global
+    top-10 is TakeOrdered — the only unpartitioned window runs over the
+    10 surviving rows. Rank orders by the ROUNDED score so the
+    tie-break is identical in both engines."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    k1, b = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1
+            * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "n_terms_hit", "rank"
+    )
+
+
+TEXT_BM25_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), avgdl AS (
+  SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                              / avgdl.avgdl)))
+         ), 6) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM tf
+  JOIN df USING (w) JOIN dl USING (doc_id)
+  CROSS JOIN avgdl CROSS JOIN n
+  GROUP BY 1
+)
+SELECT doc_id, bm25, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup (web-pipeline staple): canonicalize synthesized
     URLs (lowercase host, strip query/fragment, trim trailing slash), then
@@ -7843,6 +7935,58 @@ GROUP BY 1, 2
 OP_ROLLUP_SPLIT = "2024-02-01 00:00:00"
 
 
+def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (the OPTIMIZE primitive every lakehouse table
+    needs): month partitions of ``orders`` stand in for manifest entries
+    with row-count sizes; consecutive partitions (date order) are packed
+    into target-sized rewrite groups, ``group_id = floor(exclusive
+    running rows / target)``. The manifest of a 100 TB table is millions
+    of files, so the prefix sum routes through ``global_running_sum``
+    (range shuffle + broadcast carry-ins — see
+    ``operators/stats.py:_two_level_prefix``), never a manifest-wide
+    single-partition ORDER BY window."""
+    from cassandra_fs_pp_spark.operators.stats import global_running_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    parts = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_month")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    planned = global_running_sum(
+        parts, "n_rows", ["part_month"], out_col="__start", exclusive=True
+    )
+    grouped = planned.withColumn(
+        "group_id",
+        F.floor(F.col("__start") / F.lit(COMPACTION_TARGET_ROWS)).cast("long"),
+    )
+    return grouped.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("n_rows").cast("long").alias("group_rows"),
+        F.min("part_month").alias("first_month"),
+        F.max("part_month").alias("last_month"),
+    )
+
+
+COMPACTION_TARGET_ROWS = 2500
+
+OP_COMPACTION_PLAN_ORACLE = """
+WITH parts AS (
+  SELECT date_trunc('month', o_orderdate) AS part_month,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1),
+c AS (
+  SELECT part_month, n_rows,
+         sum(n_rows) OVER (ORDER BY part_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows
+           AS start_rows
+  FROM parts)
+SELECT CAST(floor(start_rows / 2500) AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_rows) AS BIGINT) AS group_rows,
+       min(part_month) AS first_month, max(part_month) AS last_month
+FROM c GROUP BY 1
+"""
+
+
 def op_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a pre-aggregated prior state (events
     before the split date) merged with the new delta's partial aggregate
@@ -9516,15 +9660,71 @@ JOIN deg dv ON dv.node = v
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-5 rotation: the FIRST 50
-    # are (a) the 10 late-r4 queries behind the frozen r04 window, (b) the
-    # r5-new queries, (c) queries whose code changed this round, and (d)
-    # long-green re-confirmation fillers spanning every family.  A green r05
-    # window leaves only the deliberately rows-only sketch/eigen/FFT entries
-    # never hash-checked (their rationale: COVERAGE.md 'rows-only' section).
+    # prefix window (50 entries) of this dict.  Round-7 rotation targets the
+    # STALE TAIL: (a) all 43 queries whose last driver-green was round 1
+    # (the oldest evidence in CORRECTNESS_r01-r06), (b) the three queries
+    # whose code changed in round 6 but sat outside r6's (unrotated)
+    # window, (c) queries changed this round (LSH duplicate-collapse,
+    # Mann-Kendall NULL-z convention), (d) queries NEW this round.  The
+    # r02-last-green tail (42 queries) is the planned r8 window.
     return {
-        # --- (a) late-r4 queries behind the frozen r04 window: locally
-        # green (judge re-verified), never driver-seen ---
+        # --- (a) last driver-green in round 1 — oldest evidence ---
+        "a1_median_slice": a1_median_slice,
+        "a3_mode_interval": a3_mode_interval,
+        "a3_per_key_freq": a3_per_key_freq,
+        "a5_positive_sum_slice": a5_positive_sum_slice,
+        "a6_monthly_rollup": a6_monthly_rollup,
+        "a7_daily_profile": a7_daily_profile,
+        "a8_resample_hourly": a8_resample_hourly,
+        "agg_rollup": agg_rollup,
+        "f_datetime_suite": f_datetime_suite,
+        "f_null_semantics": f_null_semantics,
+        "f_scalar_suite": f_scalar_suite,
+        "f_string_suite": f_string_suite,
+        "j1_calibration_fallback": j1_calibration_fallback,
+        "j_anti_users": j_anti_users,
+        "j_range_interval": j_range_interval,
+        "j_semi_users": j_semi_users,
+        "p10_time_slice": p10_time_slice,
+        "p1_prune_all_null": p1_prune_all_null,
+        "p2_dedup_rows": p2_dedup_rows,
+        "p3_dedup_keep_first": p3_dedup_keep_first,
+        "p7_validity_null": p7_validity_null,
+        "r5_pivot": r5_pivot,
+        "tpch_q10_returns": tpch_q10_returns,
+        "tpch_q13_custdist": tpch_q13_custdist,
+        "tpch_q14": tpch_q14,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": tpch_q17_small_quantity,
+        "tpch_q19_disjunctive": tpch_q19_disjunctive,
+        "tpch_q22_idle_customers": tpch_q22_idle_customers,
+        "tpch_q3_top_orders": tpch_q3_top_orders,
+        "tpch_q4_shape": tpch_q4_shape,
+        "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
+        "tpch_q6": tpch_q6,
+        "tpch_q7_nation_volume": tpch_q7_nation_volume,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_profit_shape": tpch_q9_profit_shape,
+        "u1_union_by_name": u1_union_by_name,
+        "u_set_ops": u_set_ops,
+        "w5_resample_ffill": w5_resample_ffill,
+        "w6_interpolate": w6_interpolate,
+        "w8_ratchet_depth": w8_ratchet_depth,
+        "w9_piecewise_offset": w9_piecewise_offset,
+        "w_ranking": w_ranking,
+        # --- (b) code changed in r6, never driver-confirmed ---
+        "a_ks_test": a_ks_test,
+        "ts_holt_linear": ts_holt_linear,
+        "curation_pack_sequences": curation_pack_sequences,
+        # --- (c) code changed in r7 ---
+        "ann_lsh_topk": ann_lsh_topk,
+        "a_mann_kendall": a_mann_kendall,
+        # --- (d) new in r7 ---
+        "text_bm25_topk": text_bm25_topk,
+        "op_compaction_plan": op_compaction_plan,
+        # ---------- window cut: entries below are driver-green in
+        # earlier rounds (see CORRECTNESS_r0*.json) or rows-only with
+        # differential pytests ----------
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -9535,7 +9735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_snapshot_diff": op_snapshot_diff,
         "curation_epoch_upsample": curation_epoch_upsample,
         "a_seasonality_strength": a_seasonality_strength,
-        # --- (b) new in r5 ---
         "w_ohlc": w_ohlc,
         "w_drawdown": w_drawdown,
         "a_entropy_transitions": a_entropy_transitions,
@@ -9547,16 +9746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_schema_drift": dq_schema_drift,
         "w_kalman_1d": w_kalman_1d,
         "ts_sax_symbols": ts_sax_symbols,
-        "a_mann_kendall": a_mann_kendall,
         "w_ewma_irregular": w_ewma_irregular,
         "graph_jaccard_similarity": graph_jaccard_similarity,
-        # --- (c) code changed in r5: single-scan LSH rewrite, k-core
-        # full oracle + convergence fix, shingle-bounds fix ---
-        "ann_lsh_topk": ann_lsh_topk,
         "graph_kcore": graph_kcore,
         "dedup_setsim_join": dedup_setsim_join,
         "dedup_containment": dedup_containment,
-        # --- (d) long-green re-confirmation fillers spanning every family ---
         "tpch_q1": tpch_q1,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "flagship_events_hourly": flagship_events_hourly,
@@ -9579,11 +9773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hampel_outliers": w_hampel_outliers,
         "j4_asof_backward": j4_asof_backward,
         "j_asof_nearest": j_asof_nearest,
-        # ---------- window cut: entries below are driver-green in earlier
-        # rounds (see CORRECTNESS_r0*.json) or rows-only with differential
-        # pytests ----------
         "fleet_udg_filter": fleet_udg_filter,
-        "a8_resample_hourly": a8_resample_hourly,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
         "fuzzy_match_join": fuzzy_match_join,
@@ -9595,7 +9785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_stats": layout_zorder_stats,
         "a_bitmap_distinct": a_bitmap_distinct,
         "text_cdc_chunks": text_cdc_chunks,
-        "a_ks_test": a_ks_test,
         "emb_scalar_quantize": emb_scalar_quantize,
         "curation_shuffle_shard": curation_shuffle_shard,
         "r4_transpose": r4_transpose,
@@ -9609,7 +9798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_collections": f_collections,
         "j_bloom_semi": j_bloom_semi,
         "dq_benford": dq_benford,
-        "ts_holt_linear": ts_holt_linear,
         "a_approx_quantiles": a_approx_quantiles,
         "mm_phash_pairs": mm_phash_pairs,
         "f_bitwise_suite": f_bitwise_suite,
@@ -9618,10 +9806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
         "emb_kmeans_assign": emb_kmeans_assign,
-        "tpch_q9_profit_shape": tpch_q9_profit_shape,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "a_gini": a_gini,
-        "w8_ratchet_depth": w8_ratchet_depth,
         "dedup_spans": dedup_spans,
         "mm_png_roundtrip": mm_png_roundtrip,
         "a8_sliding_window": a8_sliding_window,
@@ -9702,52 +9888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_bigram_pmi": text_bigram_pmi,
         "curation_stratified_sample": curation_stratified_sample,
-        "curation_pack_sequences": curation_pack_sequences,
         "curation_quality_filter": curation_quality_filter,
         "curation_source_budget": curation_source_budget,
         "curation_weighted_sample": curation_weighted_sample,
         "mm_image_meta": mm_image_meta,
         "mm_image_stats": mm_image_stats,
-        "p2_dedup_rows": p2_dedup_rows,
-        "p3_dedup_keep_first": p3_dedup_keep_first,
-        "p7_validity_null": p7_validity_null,
-        "p10_time_slice": p10_time_slice,
-        "a1_median_slice": a1_median_slice,
-        "a3_mode_interval": a3_mode_interval,
-        "a3_per_key_freq": a3_per_key_freq,
-        "a6_monthly_rollup": a6_monthly_rollup,
-        "j1_calibration_fallback": j1_calibration_fallback,
-        "j_range_interval": j_range_interval,
-        "j_semi_users": j_semi_users,
-        "j_anti_users": j_anti_users,
-        "u1_union_by_name": u1_union_by_name,
-        "u_set_ops": u_set_ops,
-        "w_ranking": w_ranking,
-        "w5_resample_ffill": w5_resample_ffill,
-        "w6_interpolate": w6_interpolate,
-        "w9_piecewise_offset": w9_piecewise_offset,
-        "a5_positive_sum_slice": a5_positive_sum_slice,
-        "a7_daily_profile": a7_daily_profile,
-        "agg_rollup": agg_rollup,
-        "r5_pivot": r5_pivot,
-        "p1_prune_all_null": p1_prune_all_null,
-        "f_scalar_suite": f_scalar_suite,
-        "f_datetime_suite": f_datetime_suite,
-        "f_null_semantics": f_null_semantics,
-        "f_string_suite": f_string_suite,
-        "tpch_q3_top_orders": tpch_q3_top_orders,
-        "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
-        "tpch_q6": tpch_q6,
-        "tpch_q14": tpch_q14,
-        "tpch_q4_shape": tpch_q4_shape,
-        "tpch_q10_returns": tpch_q10_returns,
-        "tpch_q7_nation_volume": tpch_q7_nation_volume,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q13_custdist": tpch_q13_custdist,
-        "tpch_q19_disjunctive": tpch_q19_disjunctive,
-        "tpch_q15_top_supplier": tpch_q15_top_supplier,
-        "tpch_q17_small_quantity": tpch_q17_small_quantity,
-        "tpch_q22_idle_customers": tpch_q22_idle_customers,
     }
 
 
@@ -9848,6 +9993,7 @@ def oracle_sql() -> dict[str, str]:
         "f_url_suite": F_URL_ORACLE,
         "a_funnel": A_FUNNEL_ORACLE,
         "text_tfidf": TEXT_TFIDF_ORACLE,
+        "text_bm25_topk": TEXT_BM25_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
@@ -9942,6 +10088,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,
         "op_incremental_rollup": OP_ROLLUP_ORACLE,
+        "op_compaction_plan": OP_COMPACTION_PLAN_ORACLE,
         "ts_ewma": TS_EWMA_ORACLE,
         "ts_holt_linear": TS_HOLT_ORACLE,
         "stream_holt_linear": TS_HOLT_ORACLE,
