@@ -9658,6 +9658,306 @@ JOIN deg dv ON dv.node = v
 """
 
 
+# --------------------------------------------------------------------------
+# Round-7 batch 2 (earmarked for the r8 gate window alongside the
+# r02-last-green tail): retrieval fusion, mixture design, corpus novelty,
+# graph assortativity.
+
+
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of a lexical and a dense retriever —
+    the standard hybrid-retrieval combiner. Lexical: query-term
+    occurrence count per document (postings pruned off the explode).
+    Dense: exact cosine against one stored query vector (attached via a
+    1-row broadcast, never collected). Each retriever's top-20 comes
+    from TakeOrdered — the only unpartitioned windows run over the <=20
+    surviving rows — and the fused score 1/(60+ra) + 1/(60+rb) is a sum
+    of two exact integer-denominator divisions, so both engines agree
+    bit-for-bit with no rounding."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+    from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    lex = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("lex_score"))
+        .orderBy(F.desc("lex_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    wa = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    lex_top = lex.select("doc_id", F.row_number().over(wa).alias("ra"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * F.col("qn"))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(20)
+    )
+    wb = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense_top = dense.select("doc_id", F.row_number().over(wb).alias("rb"))
+    fused = (
+        lex_top.join(dense_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.col("ra") + 60), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("rb") + 60), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(wf))
+
+
+RAG_RRF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), lex AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS lex_score
+  FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1
+  ORDER BY lex_score DESC, doc_id LIMIT 20
+), lex_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS INT)
+           AS ra
+  FROM lex
+), q AS (
+  SELECT embedding AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS qn
+  FROM embeddings WHERE vec_id = 0
+), dense AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])) * q.qn) AS cos
+  FROM embeddings e CROSS JOIN q
+  ORDER BY cos DESC, doc_id LIMIT 20
+), dense_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rb
+  FROM dense
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / (ra + 60), 0.0) + coalesce(1.0 / (rb + 60), 0.0)
+           AS rrf
+  FROM lex_top l FULL JOIN dense_top d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+MIXTURE_ALPHA = 0.7
+
+
+def curation_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture design (the multilingual /
+    multi-source sampling trick): raw share p_i = n_i / N is flattened to
+    p_i^alpha (alpha = 0.7), so rare sources are upsampled relative to
+    their natural frequency. Weights are reported relative to the LARGEST
+    flattened weight — max is order-insensitive, so the result is
+    engine-deterministic, where normalizing by the SUM of pow() doubles
+    would hang the hash on float addition order. Two skinny aggregates;
+    map-only otherwise."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("__N"),
+        F.max(
+            F.pow(F.col("n_docs").cast("double"), MIXTURE_ALPHA)
+        ).alias("__wmax_num"),
+    )
+    # p^a / max(p^a) == n^a / max(n^a): the N^a factor cancels, keeping
+    # pow() on exact integers-as-doubles in both engines
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__N"), 8).alias("raw_share"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), MIXTURE_ALPHA)
+                / F.col("__wmax_num"),
+                8,
+            ).alias("rel_weight"),
+        )
+    )
+
+
+CURATION_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS n,
+         max(pow(CAST(n_docs AS DOUBLE), 0.7)) AS wmax_num
+  FROM per)
+SELECT source, n_docs,
+       round(n_docs / n, 8) AS raw_share,
+       round(pow(CAST(n_docs AS DOUBLE), 0.7) / wmax_num, 8) AS rel_weight
+FROM per, tot
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty curve: per document, the fraction of its
+    DISTINCT 8-grams never seen in any earlier document (doc_id order) —
+    the dataset-ordering diagnostic behind curriculum/dedup decisions.
+    First occurrence is a min aggregate per gram (narrow keys), joined
+    back onto the distinct (doc, gram) rows; no window over the corpus."""
+    from cassandra_fs_pp_spark.functions.curation import ngram_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = ngram_rows(docs, "doc_id", "text", 8).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+TEXT_NOVELTY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8),
+first AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM grams g JOIN first f USING (gram)
+GROUP BY 1
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    directed edges) on the same co-purchase graph as
+    ``graph_jaccard_similarity`` — do high-degree nodes attach to other
+    hubs? All five moment sums stay EXACT integers (degrees are counts);
+    the single division + sqrt at the end is IEEE-identical in both
+    engines. One self-join builds edges, one agg per endpoint attaches
+    degrees — no iteration, no corpus-wide window."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 46)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "a", "node"
+    )
+    edges = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("dy")), "b")
+    )
+    agg = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    r = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+    )
+    return agg.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+GRAPH_ASSORT_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+    AND x.l_quantity >= 46 AND y.l_quantity >= 46),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+edges AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM sym JOIN deg du ON du.node = sym.a
+           JOIN deg dv ON dv.node = sym.b),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM edges)
+SELECT m AS n_directed_edges,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+         AS assortativity
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-7 rotation targets the
@@ -9725,6 +10025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------- window cut: entries below are driver-green in
         # earlier rounds (see CORRECTNESS_r0*.json) or rows-only with
         # differential pytests ----------
+        # new in r7 batch 2 — locally oracle-green, queued for the r8
+        # window alongside the r02-last-green tail
+        "rag_rrf_fusion": rag_rrf_fusion,
+        "curation_mixture_temperature": curation_mixture_temperature,
+        "text_ngram_novelty": text_ngram_novelty,
+        "graph_degree_assortativity": graph_degree_assortativity,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -9994,6 +10300,10 @@ def oracle_sql() -> dict[str, str]:
         "a_funnel": A_FUNNEL_ORACLE,
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,
+        "rag_rrf_fusion": RAG_RRF_ORACLE,
+        "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
+        "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
+        "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,

@@ -81,12 +81,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Optional subset (scale probes at large N time only the queries under
-    # investigation): comma-separated names in $SPARK_GRAFT_BENCH_QUERIES.
+    # Optional explicit list (scale probes time only the queries under
+    # investigation, which may include non-headline registry queries):
+    # comma-separated names in $SPARK_GRAFT_BENCH_QUERIES.
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:
-        keep = {q.strip() for q in only.split(",")}
-        names = [n for n in names if n in keep]
+        names = [q.strip() for q in only.split(",") if q.strip() in qs]
 
     # Warm pass (untimed): run every query once so JIT/codegen compilation
     # and parquet footer caches don't land on whichever query happens to

@@ -321,13 +321,16 @@ def lsh_topk(
     # test asserts this). md5 over the stringified array is the group
     # key: byte-identical arrays MUST collide, distinct arrays collide
     # with probability 2^-128 (the standard content-address gamble).
+    # Pinning the checkpoint ALREADY HashPartitioned by __g means the
+    # group aggregate AND the member-expansion window both inherit the
+    # clustering — neither adds an exchange.
     reps = (
-        vectors.repartition(n_parts)
-        .select(
+        vectors.select(
             F.col(id_col),
             F.col(vec_col),
             F.md5(F.col(vec_col).cast("string")).alias("__g"),
         )
+        .repartition(n_parts, "__g")
         .localCheckpoint()
     )
     # One row per DISTINCT vector (deterministic representative: the

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from bench import HEADLINE
 from cassandra_fs_pp_spark.session import get_spark
 from cassandra_fs_pp_spark.sources.tables import TABLES, load_table
 
@@ -136,10 +137,14 @@ def main() -> None:
         dirs[n] = out_dir
     spark.stop()
 
-    base = run_bench(BASE)
+    # deep targets outside the bench HEADLINE still need 1x and first-N
+    # denominators, so the base and first-N passes time HEADLINE + extras
+    extra = [q for q in (deep or []) if q not in HEADLINE]
+    full = HEADLINE + extra if extra else None
+    base = run_bench(BASE, queries=full)
     bigs: dict[int, dict] = {}
     for i, n in enumerate(ns):
-        qsub = deep if (deep and i > 0) else None
+        qsub = deep if (deep and i > 0) else full
         bigs[n] = run_bench(dirs[n], queries=qsub)
         print(f"{n}x suite: {bigs[n]['value']}s")
 
