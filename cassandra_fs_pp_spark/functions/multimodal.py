@@ -269,13 +269,169 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first variable-width codes 9->12
+    bits, ClearCode 256 / EOI 257, and the TIFF "early change" — the code
+    width bumps when the table reaches 2^n - 1, one entry EARLIER than
+    vanilla LZW."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, buf, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # Clear
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """From-spec baseline TIFF decode (TIFF 6.0): both byte orders,
+    strip-organized 8-bit grayscale/RGB/RGBA, Compression 1 (none),
+    5 (LZW, with Predictor 2 horizontal differencing) and 32773
+    (PackBits). Tiled, 16-bit, and palette TIFFs raise
+    NotImplementedError (-> optional Pillow fallback)."""
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+
+    def u16(off: int) -> int:
+        return struct.unpack_from(bo + "H", payload, off)[0]
+
+    def u32(off: int) -> int:
+        return struct.unpack_from(bo + "I", payload, off)[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:  # RATIONAL etc. — not needed for baseline strips
+            continue
+        off = e + 8 if size * cnt <= 4 else u32(e + 8)
+        rd = {1: lambda o: payload[o], 3: u16, 4: u32}[typ]
+        tags[tag] = [rd(off + j * size) for j in range(cnt)]
+
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    comp = tags.get(259, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    offsets, counts = tags[273], tags[279]
+    predictor = tags.get(317, [1])[0]
+
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = bytes(payload[off : off + cnt])
+        if comp == 1:
+            raw += strip
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip)
+        elif comp == 32773:
+            rows = min(rows_per_strip, h - len(raw) // (w * spp))
+            raw += _packbits_decode(strip, rows * w * spp)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    img = np.frombuffer(bytes(raw[: h * w * spp]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+    return img[:, :, 0] if spp == 1 else img
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Minimal from-spec TIFF encode (little-endian, uncompressed, one
+    strip) of an (h, w[, c]) uint8 array — the interchange twin of
+    :func:`encode_png` for TIFF-speaking tools."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    data = img.tobytes()
+    # header(8) + IFD(2 + 10*12 + 4) + BitsPerSample array + data
+    ifd_off = 8
+    n = 10
+    bps_off = ifd_off + 2 + n * 12 + 4
+    data_off = bps_off + 2 * c
+    photometric = 1 if c == 1 else 2
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        (
+            entry(258, 3, c, bps_off)
+            if c > 2
+            else entry(258, 3, c, 8 | (8 << 16) if c == 2 else 8)
+        ),
+        entry(259, 3, 1, 1),
+        entry(262, 3, 1, photometric),
+        entry(273, 4, 1, data_off),
+        entry(277, 3, 1, c),
+        entry(278, 4, 1, h),
+        entry(279, 4, 1, len(data)),
+        entry(284, 3, 1, 1),  # chunky planar config
+    ]
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    bps_arr = struct.pack(f"<{c}H", *([8] * c))
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bps_arr + data
+
+
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Decode a REAL image payload: PNG and baseline JPEG via the
-    built-in from-spec pure-python decoders (no imaging library needed);
-    FIMG via the fake codec; any other format (WebP, TIFF, progressive
-    JPEG, ...) via optional Pillow when present."""
+    """Decode a REAL image payload: PNG, baseline JPEG and baseline TIFF
+    via the built-in from-spec pure-python decoders (no imaging library
+    needed); FIMG via the fake codec; any other format (WebP, progressive
+    JPEG, tiled/16-bit TIFF, ...) via optional Pillow when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return decode_tiff(payload)
+        except NotImplementedError:
+            pass  # tiled / 16-bit / exotic compression -> Pillow below
     if payload[:4] == IMG_MAGIC:
         return decode_image_pixels(payload)
     if payload[:2] == b"\xff\xd8":

@@ -344,3 +344,183 @@ def test_phash_planted_near_dups_and_reference(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(phash64(p), phash64(perturb_image(p))) <= 7
     assert ham(phash64(p), phash64(encode_noise_image(43))) > 10
+
+
+# --------------------------------------------------------------------------- #
+# From-spec TIFF codec
+# --------------------------------------------------------------------------- #
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Reference TIFF-LZW compressor (test-only): MSB-first variable
+    width with the TIFF early change, Clear up front, EOI at the end."""
+    out_bits: list[tuple[int, int]] = []
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        out_bits.append((code, width))
+
+    emit(256)  # Clear
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            # early change: width bumps when the NEXT code to assign
+            # would not fit, one entry earlier than vanilla LZW
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    buf = nbits = 0
+    out = bytearray()
+    for code, cw in out_bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _build_tiff(
+    img: np.ndarray,
+    *,
+    endian: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Test-only TIFF builder with compression/predictor/endian knobs."""
+    import struct
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    px = img
+    if predictor == 2:
+        px = np.diff(
+            img.astype(np.int16),
+            axis=1,
+            prepend=np.zeros((h, 1, c), np.int16),
+        ).astype(np.uint8)
+    data = px.tobytes()
+    if compression == 5:
+        data = _tiff_lzw_encode(data)
+    elif compression == 32773:
+        # trivial PackBits: all-literal runs of <=128 bytes
+        raw = px.tobytes()
+        chunks = [raw[i : i + 128] for i in range(0, len(raw), 128)]
+        data = b"".join(bytes([len(ch) - 1]) + ch for ch in chunks)
+    n = 11 if predictor == 2 else 10
+    ifd_off = 8
+    bps_off = ifd_off + 2 + n * 12 + 4
+    data_off = bps_off + 2 * c
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        # inline values are LEFT-justified in the 4-byte field, so a
+        # count-1 SHORT must occupy the first two bytes in either order
+        if typ == 3 and cnt == 1:
+            return struct.pack(endian + "HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(endian + "HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, c, bps_off if c > 2 else 8),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, 1 if c == 1 else 2),
+        entry(273, 4, 1, data_off),
+        entry(277, 3, 1, c),
+        entry(278, 4, 1, h),
+        entry(279, 4, 1, len(data)),
+        entry(284, 3, 1, 1),
+    ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))
+    entries.sort(key=lambda e: e[:2])  # IFD entries must be tag-ordered
+    ifd = (
+        struct.pack(endian + "H", n)
+        + b"".join(entries)
+        + struct.pack(endian + "I", 0)
+    )
+    bps_arr = struct.pack(endian + f"{c}H", *([8] * c))
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    return magic + struct.pack(endian + "I", ifd_off) + ifd + bps_arr + data
+
+
+def _ramp(h, w, c):
+    rng = np.random.RandomState(11)
+    return rng.randint(0, 256, (h, w, c) if c else (h, w)).astype(np.uint8)
+
+
+def test_tiff_roundtrip_own_encoder():
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        img = _ramp(*shape) if len(shape) == 3 else _ramp(shape[0], shape[1], 0)
+        payload = encode_tiff(img)
+        out = decode_tiff(payload)
+        np.testing.assert_array_equal(out, img)
+        # and through the dispatcher
+        np.testing.assert_array_equal(decode_real_image(payload), img)
+
+
+def test_tiff_decode_compressions_and_endian():
+    from cassandra_fs_pp_spark.functions.multimodal import decode_tiff
+
+    img = _ramp(9, 5, 3)
+    for comp in (1, 5, 32773):
+        for endian in ("<", ">"):
+            payload = _build_tiff(img, endian=endian, compression=comp)
+            np.testing.assert_array_equal(
+                decode_tiff(payload), img, err_msg=f"comp={comp} {endian}"
+            )
+    # LZW + horizontal-differencing predictor (the libtiff default combo)
+    payload = _build_tiff(img, compression=5, predictor=2)
+    np.testing.assert_array_equal(decode_tiff(payload), img)
+
+
+def test_tiff_unsupported_raises():
+    from cassandra_fs_pp_spark.functions.multimodal import decode_tiff
+
+    img = _ramp(4, 4, 1)
+    payload = bytearray(_build_tiff(img))
+    # flip Compression (tag 259) to Deflate (8): entry value offset —
+    # find the tag in the IFD and patch its value field
+    import struct
+
+    n = struct.unpack_from("<H", payload, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", payload, e)[0] == 259:
+            struct.pack_into("<I", payload, e + 8, 8)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(payload))
+
+
+def test_tiff_pillow_crosscheck():
+    """Where Pillow exists, it must open our from-spec TIFF byte-exactly
+    (skips cleanly in this container)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from cassandra_fs_pp_spark.functions.multimodal import encode_tiff
+
+    img = _ramp(6, 8, 3)
+    out = np.asarray(Image.open(io.BytesIO(encode_tiff(img))))
+    np.testing.assert_array_equal(out, img)
