@@ -336,19 +336,14 @@ def lsh_topk(
     # One row per DISTINCT vector (deterministic representative: the
     # min-id member — all members are byte-identical anyway). Norms and
     # the tables*bits*dim bucket eval run on distinct vectors only, and
-    # the result is pinned: four consumers (two join sides, the score
-    # attach, the self-pair filter) would otherwise each re-run the
-    # grouping shuffle.
+    # the result is pinned: the consumers (two bucket-join sides, two
+    # score attaches) would otherwise each re-run the grouping shuffle.
     gbase = (
         reps.groupBy("__g")
-        .agg(
-            F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col),
-            F.count(F.lit(1)).alias("__gsz"),
-        )
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col))
         .select(
             "__g",
             F.col(vec_col),
-            "__gsz",
             l2_norm(F.col(vec_col)).alias("__n"),
             F.expr(f"array({tb_sql})").alias("__tbs"),
         )
@@ -362,28 +357,27 @@ def lsh_topk(
     # tiny-byte exchanges and serialize the per-bucket compute) and comes
     # BEFORE dropDuplicates so HashPartitioning(__ga) satisfies the
     # dedup's clustering without another exchange. Duplicate cliques
-    # appear here as ONE self-pair per group (gsz > 1), not g^2 rows.
+    # appear here as ONE self-pair per group, not g^2 rows.
     gb = gbase.select("__g", F.explode("__tbs").alias("__tb")).select(
         "__g",
         F.col("__tb.t").alias("__table"),
         F.col("__tb.b").alias("__bucket"),
     )
+    # Self-pairs (G, G) ride the SAME bucket join — a group always shares
+    # its own buckets, so (G, G) survives dedup like any pair and the
+    # member-level query_id != neighbor_id filter handles singletons; no
+    # separate union branch, no group-size column.
     a, b = gb.alias("a"), gb.alias("b")
-    cross_pairs = (
+    gpairs = (
         a.join(
             b.hint("shuffle_hash"),
-            (F.col("a.__g") != F.col("b.__g"))
-            & (F.col("a.__table") == F.col("b.__table"))
+            (F.col("a.__table") == F.col("b.__table"))
             & (F.col("a.__bucket") == F.col("b.__bucket")),
         )
         .select(F.col("a.__g").alias("__ga"), F.col("b.__g").alias("__gb"))
         .repartition(n_parts, "__ga")
         .dropDuplicates(["__ga", "__gb"])
     )
-    self_pairs = gbase.filter(F.col("__gsz") > 1).select(
-        F.col("__g").alias("__ga"), F.col("__g").alias("__gb")
-    )
-    gpairs = cross_pairs.unionByName(self_pairs)
     # Stage 2 — score ONCE per group pair (the fold runs on distinct-level
     # pairs, and vectors never attach to the member-level stream at all).
     # BROADCAST the hash->(vec, norm) map while it fits an executor (the
