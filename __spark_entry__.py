@@ -6767,12 +6767,15 @@ FROM r WHERE sample_rank <= 10
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (8 power iterations, d=0.85) over the directed part->
-    supplier co-purchase graph — the iterative-join primitive next to
-    connected components. Rows-only check (float iteration has no
-    practical SQL oracle); the unit suite verifies against a dense numpy
-    power iteration on small graphs."""
-    from cassandra_fs_pp_spark.operators.graph import pagerank
+    """PageRank (8 power iterations, d=0.85 as the rational 17/20) over
+    the directed part->supplier co-purchase graph — the iterative-join
+    primitive next to connected components, in EXACT fixed-point integer
+    arithmetic (``operators/graph.pagerank_exact``): integer sums are
+    order-insensitive and ``div`` is engine-identical, so the formerly
+    rows-only float iteration is now FULLY oracle-checkable against an
+    unrolled 8-step SQL replay (r7; the float ``pagerank`` operator
+    remains for API parity, pinned by its numpy differential test)."""
+    from cassandra_fs_pp_spark.operators.graph import pagerank_exact
 
     li = _t(spark, sf_dir, "lineitem")
     edges = (
@@ -6783,8 +6786,54 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=8)
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    ranks = pagerank_exact(edges, iterations=8)
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp").cast("double") / F.lit(1e12), 8).alias(
+            "rank"
+        ),
+    )
+
+
+def _pagerank_sql(iterations: int = 8, scale: int = 10**12) -> str:
+    """Unrolled fixed-iteration integer PageRank replay (recursive CTEs
+    cannot reference the working table twice, so the fixed count is
+    simply unrolled — one plain CTE per round)."""
+    base_num = 3 * scale
+    head = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS s, 1000000 + l_suppkey AS t
+  FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.08),
+nodes AS (SELECT s AS node FROM e UNION SELECT t AS node FROM e),
+odeg AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM nodes, nn)""".format(scale=scale)
+    steps = "".join(
+        """,
+r{k} AS (
+  SELECT n2.node,
+         CAST({base_num} // (20 * nn.n)
+              + (17 * coalesce(c.sv, 0)) // 20 AS BIGINT) AS r
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.t AS node, CAST(sum(p.r // o.od) AS BIGINT) AS sv
+    FROM r{prev} p JOIN e ON e.s = p.node JOIN odeg o ON o.s = p.node
+    GROUP BY 1) c ON c.node = n2.node)""".format(
+            k=k, prev=k - 1, base_num=base_num
+        )
+        for k in range(1, iterations + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+SELECT node, r AS rank_fp,
+       round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
+FROM r{iterations}
+"""
+    )
 
 
 def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10026,7 +10075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earlier rounds (see CORRECTNESS_r0*.json) or rows-only with
         # differential pytests ----------
         # new in r7 batch 2 — locally oracle-green, queued for the r8
-        # window alongside the r02-last-green tail
+        # window alongside the r02-last-green tail (as is graph_pagerank,
+        # whose engine changed to exact fixed-point in late r7)
         "rag_rrf_fusion": rag_rrf_fusion,
         "curation_mixture_temperature": curation_mixture_temperature,
         "text_ngram_novelty": text_ngram_novelty,
@@ -10394,6 +10444,7 @@ def oracle_sql() -> dict[str, str]:
         "a_mann_kendall": A_MANN_KENDALL_ORACLE,
         "w_ewma_irregular": W_EWMA_IRR_ORACLE,
         "graph_jaccard_similarity": GRAPH_JACCARD_ORACLE,
+        "graph_pagerank": _pagerank_sql(),
         "a_heavy_hitters_mg": HEAVY_HITTERS_ORACLE,
         "rag_chunk_topk": _rag_chunk_sql(),
         "emb_gram_matrix": EMB_GRAM_ORACLE,

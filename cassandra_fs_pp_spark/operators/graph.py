@@ -163,6 +163,77 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 8,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """PageRank in EXACT fixed-point integer arithmetic — the
+    cross-engine-verifiable sibling of :func:`pagerank`.
+
+    Ranks are scaled to ``scale`` (1e12) and every step is integer-only:
+    each node ships ``rank_fp div outdeg`` along its out-edges and the
+    new rank is ``base + (17 * sum(contribs)) div 20`` with
+    ``base = (3 * scale) div (20 * N)``. Integer sums are
+    order-insensitive and integer division is identical in every engine,
+    so a fixed-iteration SQL replay reproduces the result BIT-FOR-BIT —
+    unlike the float version, whose aggregation-order-dependent sums
+    have no practical oracle. The per-step truncation deliberately
+    discards < outdeg ulps of 1e-12-scale mass per node (bounded,
+    deterministic); dangling-node mass is not redistributed, matching
+    :func:`pagerank`.
+
+    Same plan shape as :func:`pagerank`: one edge-key join + one agg per
+    round, lineage truncated per round with localCheckpoint.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "s").localCheckpoint()
+    base = (scale * (damping_den - damping_num)) // (damping_den * n_total)
+    ranks = nodes.withColumn(
+        "rank_fp", F.lit(scale // n_total).cast("long")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                F.expr("rank_fp div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(contrib, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle census of the undirected simple graph: one row
     ``(n_nodes, n_edges, n_wedges, n_triangles)``. All-integer — exact

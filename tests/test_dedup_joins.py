@@ -236,6 +236,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got[0] == pytest.approx((1 - d) / n)
 
 
+def test_pagerank_exact_tracks_float_and_partition_invariant(spark):
+    """Fixed-point integer PageRank must (a) agree with the float
+    iteration to well under the 1e-12 truncation granularity times the
+    iteration count, and (b) return IDENTICAL integers at 1 and 8
+    partitions — the order-insensitivity that earns it a full oracle."""
+    from cassandra_fs_pp_spark.operators.graph import pagerank, pagerank_exact
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 1), (1, 3), (4, 3), (0, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fp1 = {
+        r.node: r.rank_fp
+        for r in pagerank_exact(df.coalesce(1), iterations=8).collect()
+    }
+    fp8 = {
+        r.node: r.rank_fp
+        for r in pagerank_exact(df.repartition(8), iterations=8).collect()
+    }
+    assert fp1 == fp8
+    fl = {r.node: r.rank for r in pagerank(df, iterations=8).collect()}
+    for node, v in fp1.items():
+        # per-step truncation discards < outdeg ulps of 1e-12 mass
+        assert abs(v / 1e12 - fl[node]) < 1e-9, node
+
+
 def test_global_row_number_matches_single_partition_window(spark):
     import random
 
