@@ -421,10 +421,11 @@ def encode_tiff(img: np.ndarray) -> bytes:
 
 
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Decode a REAL image payload: PNG, baseline JPEG and baseline TIFF
-    via the built-in from-spec pure-python decoders (no imaging library
-    needed); FIMG via the fake codec; any other format (WebP, progressive
-    JPEG, tiled/16-bit TIFF, ...) via optional Pillow when present."""
+    """Decode a REAL image payload: PNG, baseline + progressive JPEG and
+    baseline TIFF via the built-in from-spec pure-python decoders (no
+    imaging library needed); FIMG via the fake codec; any other format
+    (WebP, 12-bit/CMYK JPEG, tiled/16-bit TIFF, ...) via optional Pillow
+    when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -440,7 +441,7 @@ def decode_real_image(payload: bytes) -> np.ndarray:
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            pass  # progressive / 12-bit etc. -> Pillow fallback below
+            pass  # 12-bit / CMYK / arithmetic -> Pillow fallback below
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - optional dep

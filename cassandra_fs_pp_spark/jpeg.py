@@ -267,12 +267,16 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) or (h, w, 3) uint8 array.
+    """Baseline OR progressive JPEG bytes → (h, w) or (h, w, 3) uint8.
 
-    Corrupt or truncated input raises ``ValueError`` (one exception type
-    for the pipeline to catch); genuinely unsupported-but-valid variants
-    (progressive, 12-bit, CMYK) raise ``NotImplementedError`` so the
-    caller can route to an optional fuller decoder."""
+    Progressive (SOF2) streams accumulate coefficients across scans —
+    DC first/refine, AC spectral-selection bands with EOB runs, and AC
+    successive-approximation refinement (T.81 Annex G) — and reconstruct
+    at EOI. Corrupt or truncated input raises ``ValueError`` (one
+    exception type for the pipeline to catch); genuinely
+    unsupported-but-valid variants (12-bit, CMYK, arithmetic-coded,
+    hierarchical) raise ``NotImplementedError`` so the caller can route
+    to an optional fuller decoder."""
     try:
         return _decode_jpeg(payload)
     except (struct.error, IndexError, KeyError, ZeroDivisionError,
@@ -289,6 +293,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per comp: (bh, bw, 64) zigzag
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -296,6 +302,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct_from_coefs(frame, coefs, qt)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -330,7 +338,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
             pos += seglen
             continue
-        if marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ext) sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -338,6 +346,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{nc}-component JPEG (CMYK/Adobe) unsupported"
                 )
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
@@ -345,7 +354,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
             pos += seglen
             continue
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
         if marker == 0xDA:  # SOS
             if frame is None:
@@ -356,12 +365,189 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, t = seg[1 + 2 * si], seg[2 + 2 * si]
                 ci = next(i for i, c in enumerate(frame[2]) if c[0] == cs)
                 scan.append((ci, t >> 4, t & 0xF))
-            pos += seglen
-            return _decode_scan(
-                payload, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval
+            if not progressive:
+                pos += seglen
+                return _decode_scan(
+                    payload, pos, frame, scan, qt, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                _, _, cs_ = frame
+                hmax = max(c[1] for c in cs_)
+                vmax = max(c[2] for c in cs_)
+                mcux = -(-frame[1] // (8 * hmax))
+                mcuy = -(-frame[0] // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for _, hs, vs, _ in cs_
+                ]
+            pos = _decode_progressive_scan(
+                payload, pos + seglen, frame, scan,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                dc_tabs, ac_tabs, restart_interval, coefs,
             )
+            continue
         pos += seglen  # APPn / COM / others: skip
+    if progressive and coefs is not None:  # stream without explicit EOI
+        return _reconstruct_from_coefs(frame, coefs, qt)
     raise ValueError("no scan found")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, band, dc_tabs, ac_tabs, restart_interval, coefs
+) -> int:
+    """One progressive scan (T.81 Annex G): updates ``coefs`` in place,
+    returns the stream position of the next marker. Four scan kinds: DC
+    first / DC refine (may be interleaved), AC first / AC refine (always
+    single-component, over the spectral band [ss, se])."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    r = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eob = [0]  # EOB run survives across blocks within a scan
+
+    def check_restart(n_unit: int) -> None:
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            r.align()
+            if r.at_rst():
+                r.skip_rst()
+            pred[:] = [0] * len(comps)
+            eob[0] = 0
+
+    def dc_unit(ci: int, tdc: int, c: np.ndarray) -> None:
+        if ah == 0:
+            s = r.huff(dc_tabs[tdc])
+            diff = _extend(r.bits(s), s) if s else 0
+            pred[ci] += diff
+            c[0] = pred[ci] << al
+        else:
+            c[0] |= r.bit() << al
+
+    if len(scan) > 1:  # interleaved: MCU order (DC scans only, per spec)
+        if ss != 0:
+            raise ValueError("interleaved AC scan is not legal JPEG")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart(n_mcu)
+                for ci, tdc, _tac in scan:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_unit(ci, tdc, coefs[ci][my * vs + by, mx * hs + bx])
+                n_mcu += 1
+    else:  # non-interleaved: the component's own block order
+        ci, tdc, tac = scan[0]
+        _, hs, vs, _ = comps[ci]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        comp_w = -(-(w * hs) // hmax)  # ceil(w * hs / hmax)
+        comp_h = -(-(h * vs) // vmax)
+        bw_c = -(-comp_w // 8)
+        bh_c = -(-comp_h // 8)
+        n_blk = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                check_restart(n_blk)
+                c = coefs[ci][by, bx]
+                if ss == 0:
+                    dc_unit(ci, tdc, c)
+                elif ah == 0:
+                    _ac_first(r, ac_tabs[tac], c, ss, se, al, eob)
+                else:
+                    _ac_refine(r, ac_tabs[tac], c, ss, se, al, eob)
+                n_blk += 1
+    r.align()
+    return r.pos
+
+
+def _ac_first(r, act, c, ss, se, al, eob) -> None:
+    """AC spectral-selection first pass (G.1.2.2): EOB runs span whole
+    blocks; new coefficients land at magnitude << al."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.huff(act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run < 15:
+                eob[0] = (1 << run) - 1
+                if run:
+                    eob[0] += r.bits(run)
+                return
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of band")
+        c[k] = _extend(r.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine(r, act, c, ss, se, al, eob) -> None:
+    """AC successive-approximation refinement (G.1.2.3): correction bits
+    for already-nonzero coefficients, +-1<<al insertions for new ones,
+    EOB runs carrying correction bits to the end of the band."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = r.huff(act)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run < 15:
+                    eob[0] = 1 << run
+                    if run:
+                        eob[0] += r.bits(run)
+                    break  # fall through to EOB correction sweep
+                # run == 15 (ZRL): advance over 16 zero-history coefs
+            else:
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if c[k] != 0:
+                    if r.bit() and (c[k] & p1) == 0:
+                        c[k] += p1 if c[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                c[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if c[k] != 0 and r.bit() and (c[k] & p1) == 0:
+                c[k] += p1 if c[k] >= 0 else m1
+            k += 1
+        eob[0] -= 1
+
+
+def _reconstruct_from_coefs(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block and hand off to the
+    shared upsample/color tail."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for (cid, hs, vs, tq), cf in zip(comps, coefs):
+        bh, bw_, _ = cf.shape
+        blocks = cf[:, :, UNZIGZAG].reshape(bh, bw_, 8, 8).astype(np.float64)
+        blocks *= qt[tq][None, None]
+        pix = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        planes.append(plane)
+    return _planes_to_image(planes, h, w, comps, hmax, vmax)
 
 
 def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval):
@@ -394,7 +580,12 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             n_mcu += 1
-    # resample to full size and color-convert
+    return _planes_to_image(planes, h, w, comps, hmax, vmax)
+
+
+def _planes_to_image(planes, h, w, comps, hmax, vmax) -> np.ndarray:
+    """Shared decoder tail: upsample subsampled planes to full size,
+    crop the MCU padding, level-shift, and color-convert."""
     out = []
     for (cid, hs, vs, tq), pl in zip(comps, planes):
         if hs != hmax or vs != vmax:
