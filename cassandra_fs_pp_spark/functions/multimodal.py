@@ -421,11 +421,11 @@ def encode_tiff(img: np.ndarray) -> bytes:
 
 
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Decode a REAL image payload: PNG, baseline + progressive JPEG and
-    baseline TIFF via the built-in from-spec pure-python decoders (no
-    imaging library needed); FIMG via the fake codec; any other format
-    (WebP, 12-bit/CMYK JPEG, tiled/16-bit TIFF, ...) via optional Pillow
-    when present."""
+    """Decode a REAL image payload: PNG, baseline + progressive JPEG,
+    baseline TIFF and lossless WebP (VP8L) via the built-in from-spec
+    pure-python decoders (no imaging library needed); FIMG via the fake
+    codec; anything else (lossy/animated WebP, 12-bit/CMYK JPEG,
+    tiled/16-bit TIFF, ...) via optional Pillow when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -435,6 +435,13 @@ def decode_real_image(payload: bytes) -> np.ndarray:
             pass  # tiled / 16-bit / exotic compression -> Pillow below
     if payload[:4] == IMG_MAGIC:
         return decode_image_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..webp import decode_webp
+
+        try:
+            return decode_webp(payload)
+        except NotImplementedError:
+            pass  # lossy VP8 / animation -> Pillow fallback below
     if payload[:2] == b"\xff\xd8":
         from ..jpeg import decode_jpeg
 

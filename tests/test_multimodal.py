@@ -140,9 +140,12 @@ def test_real_decode_dispatch():
     except ImportError:
         has_pil = False
     if not has_pil:
-        # genuinely unsupported format (WebP magic) -> NotImplementedError
+        # genuinely unsupported format (LOSSY WebP chunk with a complete
+        # header; lossless VP8L decodes built-in) -> NotImplementedError
         with pytest.raises(NotImplementedError):
-            decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+            decode_real_image(
+                b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+            )
 
 
 def test_real_jpeg_decode_via_pillow():
