@@ -628,12 +628,76 @@ def video_frame_sample(
     return df.mapInPandas(frames, schema=schema)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """From-spec RIFF/WAVE PCM decode -> ((n_samples, n_channels) int16
+    array, sample_rate). 8-bit (unsigned, rescaled to int16) and 16-bit
+    integer PCM; float/ADPCM formats raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bps = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1:
+        raise NotImplementedError(f"WAVE format {audio_format} (non-PCM)")
+    if bps == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif bps == 8:
+        s = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    else:
+        raise NotImplementedError(f"{bps}-bit WAVE unsupported")
+    return s.reshape(-1, ch), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples,) or (n_samples, n_channels) int16 -> 16-bit PCM WAVE
+    bytes — the interchange twin of :func:`decode_wav`."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_real_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real-audio twin of :func:`decode_real_image`: WAVE via the
+    built-in from-spec PCM decoder, FAUD via the fake codec. Returns
+    ((n_samples, n_channels) int16, sample_rate)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:4] == AUD_MAGIC:
+        n, sr = struct.unpack_from("<IH", payload, 4)
+        s = np.frombuffer(payload, dtype="<i2", offset=10, count=n)
+        return s[:, None], sr
+    raise ValueError(f"unknown audio magic {payload[:4]!r}")
+
+
 def audio_stats(
     df: DataFrame,
     id_col: str,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Decode fake audio -> (id, n_samples, sample_rate, mean_amp, rms)."""
+    """Decode audio (fake FAUD or real WAVE, via
+    :func:`decode_real_audio`) -> (id, n_samples, sample_rate, mean_amp,
+    rms) over all channels."""
     schema = StructType(
         [
             df.schema[id_col],
@@ -648,13 +712,13 @@ def audio_stats(
         for pdf in batches:
             rows = []
             for k, p in zip(pdf[id_col], pdf[payload_col]):
-                meta = decode_meta(p)
-                s = np.frombuffer(p, dtype="<i2", offset=10).astype(np.float64)
+                samples, rate = decode_real_audio(bytes(p))
+                s = samples.astype(np.float64).reshape(-1)
                 rows.append(
                     (
                         k,
-                        meta["n_samples"],
-                        meta["sample_rate"],
+                        int(samples.shape[0]),
+                        int(rate),
                         float(s.mean()),
                         float(np.sqrt((s * s).mean())),
                     )

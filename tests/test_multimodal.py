@@ -527,3 +527,70 @@ def test_tiff_pillow_crosscheck():
     img = _ramp(6, 8, 3)
     out = np.asarray(Image.open(io.BytesIO(encode_tiff(img))))
     np.testing.assert_array_equal(out, img)
+
+
+# --------------------------------------------------------------------------- #
+# From-spec WAV (RIFF PCM) codec
+# --------------------------------------------------------------------------- #
+
+
+def test_wav_roundtrip_mono_stereo():
+    import struct as _struct
+
+    from cassandra_fs_pp_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-30000, 30000, 480).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (480, 1)
+    np.testing.assert_array_equal(s[:, 0], mono)
+
+    stereo = rng.randint(-30000, 30000, (240, 2)).astype(np.int16)
+    s, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(s, stereo)
+
+    # extra chunk before data (LIST metadata) must be skipped
+    payload = bytearray(encode_wav(mono, 8000))
+    ins = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    at = payload.index(b"data")
+    payload[at:at] = ins
+    _struct.pack_into("<I", payload, 4, len(payload) - 8)
+    s, rate = decode_wav(bytes(payload))
+    np.testing.assert_array_equal(s[:, 0], mono)
+
+    # 8-bit PCM: patch fmt to 8-bit and halve data
+    with pytest.raises(NotImplementedError):
+        # float format (3) is honestly gated
+        bad = bytearray(encode_wav(mono, 8000))
+        fmt_at = bad.index(b"fmt ") + 8
+        _struct.pack_into("<H", bad, fmt_at, 3)
+        decode_wav(bytes(bad))
+
+
+def test_audio_stats_accepts_wav_and_fake(spark):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        audio_stats,
+        encode_fake_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(6)
+    wav = encode_wav(rng.randint(-100, 100, 320).astype(np.int16), 22050)
+    fake = encode_fake_audio(3, 200, 16000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [wav, fake]}),
+        StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    rows = {r.doc_id: r for r in audio_stats(df, "doc_id").collect()}
+    assert rows[1].n_samples == 320 and rows[1].sample_rate == 22050
+    assert rows[2].n_samples == 200 and rows[2].sample_rate == 16000
+    # fake path must match the closed-form fake-codec expectation
+    s = (((3 * 7 + np.arange(200) * 3) % 512) - 256).astype(np.float64)
+    assert rows[2].mean_amp == pytest.approx(s.mean())
+    assert rows[2].rms == pytest.approx(np.sqrt((s * s).mean()))
