@@ -9526,6 +9526,53 @@ def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann robust location estimator per user: the median of
+    all Walsh averages (pairwise means, i <= j) of the DAILY series —
+    the location companion to ``a_theil_sen``'s slope and
+    ``a_mann_kendall``'s trend test (same O(n) raw reduction, then
+    O(days^2) pairs on the tiny daily aggregate). Pair sums stay EXACT
+    integer cents-x2, so the median interpolation is .5-granular and
+    bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    a = daily.select(
+        "user_id", F.col("day_ts").alias("ta"), F.col("yc").alias("ya")
+    )
+    b = daily.select(
+        "user_id", F.col("day_ts").alias("tb"), F.col("yc").alias("yb")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ta") <= F.col("tb"))
+        .select(
+            "user_id",
+            (F.col("ya") + F.col("yb")).cast("double").alias("w2"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("w2") / F.lit(200.0), 6).alias("hl_estimate"),
+        )
+    )
+
+
+A_HODGES_LEHMANN_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(CAST(a.yc + b.yc AS DOUBLE)) / 200.0, 6)
+         AS hl_estimate
+FROM daily a JOIN daily b
+  ON a.user_id = b.user_id AND a.day_ts <= b.day_ts
+GROUP BY 1
+"""
+
+
 A_MANN_KENDALL_ORACLE = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day_ts,
@@ -10081,6 +10128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_temperature": curation_mixture_temperature,
         "text_ngram_novelty": text_ngram_novelty,
         "graph_degree_assortativity": graph_degree_assortativity,
+        "a_hodges_lehmann": a_hodges_lehmann,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -10354,6 +10402,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
+        "a_hodges_lehmann": A_HODGES_LEHMANN_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
