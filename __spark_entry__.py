@@ -4390,6 +4390,113 @@ P5_ORACLE = "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
 # --------------------------------------------------------------------------
 
 
+PERIODOGRAM_PERIODS = (6, 12, 24, 168)
+PERIODOGRAM_SCALE = 1 << 20
+
+
+def _periodogram_rows() -> list[tuple[int, int, int, int]]:
+    """(period, phase, cos_int, sin_int): integer-rounded basis values —
+    cos(2*pi*t/p) depends only on t mod p, so each period needs just p
+    table entries, and the DFT power becomes pure integer arithmetic."""
+    import math
+
+    rows = []
+    for p in PERIODOGRAM_PERIODS:
+        for ph in range(p):
+            ang = 2.0 * math.pi * ph / p
+            rows.append(
+                (
+                    p,
+                    ph,
+                    round(math.cos(ang) * PERIODOGRAM_SCALE),
+                    round(math.sin(ang) * PERIODOGRAM_SCALE),
+                )
+            )
+    return rows
+
+
+def ts_periodogram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer periodogram at fixed candidate periods (6/12/24/168 h) —
+    the fully-oracled spectral sibling of ``ts_dominant_period``'s
+    rows-only FFT. cos/sin are PRECOMPUTED integer tables keyed on
+    ``hour mod period`` (p entries per period, broadcast), so the DFT
+    components C = sum(x * cos_int) and S = sum(x * sin_int) are exact
+    order-insensitive integer sums over integer cents; the reported
+    power truncates |C|, |S| by 2^20 first (nonnegative, so truncation
+    is engine-identical) to stay in BIGINT. Rank per user by (power
+    desc, period asc)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("user_id") < 20)
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xc"))
+    tbl = spark.createDataFrame(
+        _periodogram_rows(), "p int, ph int, c long, s long"
+    )
+    t = (F.unix_timestamp("hts") / 3600).cast("long")
+    j = (
+        hourly.withColumn("__t", t)
+        .join(F.broadcast(tbl), (F.col("__t") % F.col("p")) == F.col("ph"))
+        .groupBy("user_id", "p")
+        .agg(
+            F.sum(F.col("xc") * F.col("c")).alias("cc"),
+            F.sum(F.col("xc") * F.col("s")).alias("ss"),
+        )
+    )
+    pw = j.withColumn(
+        "power_t",
+        (
+            F.expr(f"(abs(cc) div {PERIODOGRAM_SCALE})")
+            * F.expr(f"(abs(cc) div {PERIODOGRAM_SCALE})")
+            + F.expr(f"(abs(ss) div {PERIODOGRAM_SCALE})")
+            * F.expr(f"(abs(ss) div {PERIODOGRAM_SCALE})")
+        ).cast("long"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("power_t"), F.asc("p")
+    )
+    return pw.select(
+        "user_id",
+        F.col("p").alias("period_h"),
+        "cc",
+        "ss",
+        "power_t",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def _periodogram_sql() -> str:
+    vals = ",\n  ".join(
+        f"({p}, {ph}, {c}, {s})" for p, ph, c, s in _periodogram_rows()
+    )
+    return f"""
+WITH tbl(p, ph, c, s) AS (VALUES
+  {vals}),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL AND user_id < 20 GROUP BY 1, 2),
+j AS (
+  SELECT user_id, p,
+         CAST(sum(xc * c) AS BIGINT) AS cc,
+         CAST(sum(xc * s) AS BIGINT) AS ss
+  FROM hourly JOIN tbl
+    ON CAST(floor(epoch(hts) / 3600) AS BIGINT) % p = ph
+  GROUP BY 1, 2),
+pw AS (
+  SELECT user_id, p, cc, ss,
+         CAST((abs(cc) // {PERIODOGRAM_SCALE}) * (abs(cc) // {PERIODOGRAM_SCALE})
+              + (abs(ss) // {PERIODOGRAM_SCALE}) * (abs(ss) // {PERIODOGRAM_SCALE})
+           AS BIGINT) AS power_t
+  FROM j)
+SELECT user_id, p AS period_h, cc, ss, power_t,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY power_t DESC, p) AS INT) AS rank
+FROM pw
+"""
+
+
 def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user dominant cycle via grouped-map FFT (applyInPandas) — numpy
     spectral math has no SQL form, so rows-only check (schema + count);
@@ -10129,6 +10236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": text_ngram_novelty,
         "graph_degree_assortativity": graph_degree_assortativity,
         "a_hodges_lehmann": a_hodges_lehmann,
+        "ts_periodogram_int": ts_periodogram_int,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -10403,6 +10511,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
         "a_hodges_lehmann": A_HODGES_LEHMANN_ORACLE,
+        "ts_periodogram_int": _periodogram_sql(),
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
