@@ -4435,9 +4435,26 @@ def ts_periodogram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         _periodogram_rows(), "p int, ph int, c long, s long"
     )
     t = (F.unix_timestamp("hts") / 3600).cast("long")
+    # explode each row into its 4 (period, phase) keys so the basis
+    # attach is an EQUI broadcast-hash join (a raw `t % p = ph` condition
+    # references both sides and would plan as a nested loop)
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    (t % F.lit(p)).cast("int").alias("ph"),
+                )
+                for p in PERIODOGRAM_PERIODS
+            ]
+        )
+    ).alias("k")
     j = (
-        hourly.withColumn("__t", t)
-        .join(F.broadcast(tbl), (F.col("__t") % F.col("p")) == F.col("ph"))
+        hourly.select("user_id", "xc", keys)
+        .select(
+            "user_id", "xc", F.col("k.p").alias("p"), F.col("k.ph").alias("ph")
+        )
+        .join(F.broadcast(tbl), ["p", "ph"])
         .groupBy("user_id", "p")
         .agg(
             F.sum(F.col("xc") * F.col("c")).alias("cc"),

@@ -242,3 +242,34 @@ def test_kcore_result_partition_invariant(spark):
     r1 = {(r["node"], r["core_degree"]) for r in k_core(df1, k=4).collect()}
     r8 = {(r["node"], r["core_degree"]) for r in k_core(df8, k=4).collect()}
     assert r1 == r8 and r1
+
+
+def test_compaction_plan_offsets_only_window(spark):
+    """op_compaction_plan routes the manifest prefix sum through
+    global_running_sum: the only Window orders the #partitions-row
+    offset table by __pid — manifest-sized data never crosses a
+    single-partition WindowExec."""
+    plan = _formatted_plan(entrymod.queries()["op_compaction_plan"](spark, SF))
+    assert _n(plan, "Window") == 1, plan
+    m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
+    assert m and "__pid" in m.group(1), plan
+
+
+def test_bm25_and_rrf_windows_are_post_limit(spark):
+    """text_bm25_topk / rag_rrf_fusion: every unpartitioned window must
+    sit ABOVE a GlobalLimit (it ranks the <=20 surviving rows, not the
+    corpus) — the global top-k itself is TakeOrdered."""
+    for q in ("text_bm25_topk", "rag_rrf_fusion"):
+        plan = _formatted_plan(entrymod.queries()[q](spark, SF))
+        n_windows = _n(plan, "Window")
+        n_limits = _n(plan, "TakeOrderedAndProject") + _n(plan, "GlobalLimit")
+        assert n_limits >= n_windows >= 1, (q, plan)
+
+
+def test_periodogram_no_global_window(spark):
+    """ts_periodogram_int: the ranking window partitions by user_id
+    (4 candidate periods per user), and the basis table joins broadcast."""
+    plan = _formatted_plan(entrymod.queries()["ts_periodogram_int"](spark, SF))
+    m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
+    assert m and "user_id" in m.group(1), plan
+    assert _n(plan, "BroadcastHashJoin") >= 1, plan
