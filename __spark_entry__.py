@@ -7852,6 +7852,142 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(e)
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph:
+    cc(v) = 2*T(v) / (deg(v) * (deg(v) - 1)) with T(v) = triangles
+    through v. Triangles enumerate once in canonical a<b<c orientation
+    (two equi-joins on the deduped edge list) and fan out to their three
+    corners; degrees come from one narrow aggregate. All counts exact
+    integers; one final double division."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 46)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ab = e0.select(F.col("a"), F.col("b"))
+    bc = e0.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e0.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    dd = F.col("deg").cast("double")
+    return (
+        deg.join(tn, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (dd * (dd - 1.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+GRAPH_CLUSTERING_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+    AND x.l_quantity >= 46 AND y.l_quantity >= 46),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY 1),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM e0 x JOIN e0 y ON y.a = x.b
+  JOIN e0 z ON z.a = x.a AND z.b = y.b),
+tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1)
+SELECT d.node, d.deg, coalesce(tc.n_triangles, 0) AS n_triangles,
+       round(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE)
+             / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)
+         AS clustering_coeff
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def w_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline error: predict each hour by the
+    SAME hour yesterday (t - 24 h, time-matched equi self-join — a row
+    lag would silently misalign across gaps) and report per-user MAE
+    over the matched hours. Absolute differences stay exact integer
+    cents; one final division."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xc"))
+    prev = hourly.select(
+        "user_id",
+        (F.col("hts") + F.expr("INTERVAL 24 HOURS")).alias("hts"),
+        F.col("xc").alias("xc_prev"),
+    )
+    return (
+        hourly.join(prev, ["user_id", "hts"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.abs(F.col("xc") - F.col("xc_prev"))).alias("abs_err_cents"),
+            F.round(
+                F.sum(F.abs(F.col("xc") - F.col("xc_prev"))).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0),
+                6,
+            ).alias("mae"),
+        )
+    )
+
+
+W_SEASONAL_NAIVE_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT h.user_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(abs(h.xc - p.xc)) AS BIGINT) AS abs_err_cents,
+       round(CAST(sum(abs(h.xc - p.xc)) AS DOUBLE) / count(*) / 100.0, 6)
+         AS mae
+FROM hourly h JOIN hourly p
+  ON p.user_id = h.user_id AND p.hts + INTERVAL 24 HOUR = h.hts
+GROUP BY 1
+"""
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the same co-purchase graph as graph_triangle_count
     (operators/graph.py ``k_core`` — distributed peeling to the unique
@@ -10254,6 +10390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_assortativity": graph_degree_assortativity,
         "a_hodges_lehmann": a_hodges_lehmann,
         "ts_periodogram_int": ts_periodogram_int,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "w_seasonal_naive_error": w_seasonal_naive_error,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -10529,6 +10667,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
         "a_hodges_lehmann": A_HODGES_LEHMANN_ORACLE,
         "ts_periodogram_int": _periodogram_sql(),
+        "graph_clustering_coeff": GRAPH_CLUSTERING_ORACLE,
+        "w_seasonal_naive_error": W_SEASONAL_NAIVE_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,

@@ -594,3 +594,51 @@ def test_audio_stats_accepts_wav_and_fake(spark):
     s = (((3 * 7 + np.arange(200) * 3) % 512) - 256).astype(np.float64)
     assert rows[2].mean_amp == pytest.approx(s.mean())
     assert rows[2].rms == pytest.approx(np.sqrt((s * s).mean()))
+
+
+def test_tiff_wav_roundtrip_property():
+    """Property: ANY uint8 image shape round-trips through the from-spec
+    TIFF codec, and any int16 signal through the WAV codec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_tiff,
+        decode_wav,
+        encode_tiff,
+        encode_wav,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 13),
+        w=st.integers(1, 13),
+        c=st.sampled_from([0, 1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def tiff_prop(h, w, c, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w) if c == 0 else (h, w, c)).astype(
+            np.uint8
+        )
+        out = decode_tiff(encode_tiff(img))
+        # single-sample TIFFs decode to the 2-D grayscale convention
+        want = img[:, :, 0] if (img.ndim == 3 and img.shape[2] == 1) else img
+        np.testing.assert_array_equal(out, want)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_prop(n, ch, rate, seed):
+        rng = np.random.RandomState(seed)
+        sig = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        out, r = decode_wav(encode_wav(sig, rate))
+        assert r == rate
+        np.testing.assert_array_equal(out, sig)
+
+    tiff_prop()
+    wav_prop()

@@ -401,3 +401,33 @@ def test_pillow_crosscheck():
     payload = _vp8l_container(8, 5, w)
     theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGBA"))
     np.testing.assert_array_equal(theirs, img)
+
+
+def test_vp8l_literal_roundtrip_property():
+    """Property: ANY small RGBA image round-trips through the test
+    encoder's literal path (simple or flat codes chosen per channel) and
+    the decoder."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w_px=st.integers(1, 9),
+        nvals=st.sampled_from([1, 2, 256]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w_px, nvals, seed):
+        rng = np.random.RandomState(seed)
+        if nvals == 256:
+            img = rng.randint(0, 256, (h, w_px, 4)).astype(np.uint8)
+        else:
+            vals = rng.choice(256, size=nvals, replace=False)
+            img = rng.choice(vals, size=(h, w_px, 4)).astype(np.uint8)
+        w = _W()
+        w.b(0, 1)
+        _emit_argb_literals(w, _rgba_to_argb_list(img))
+        out = decode_webp(_vp8l_container(w_px, h, w))
+        np.testing.assert_array_equal(out, img)
+
+    prop()
