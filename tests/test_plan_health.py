@@ -273,3 +273,27 @@ def test_periodogram_no_global_window(spark):
     m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
     assert m and "user_id" in m.group(1), plan
     assert _n(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_registry_window_discipline():
+    """The driver's correctness gate samples the FIRST 50 registry
+    entries. Pin the r7 rotation contract: every query whose code
+    changed this round and every new-this-round query sits inside the
+    window, the window is exactly the intended size, and every window
+    entry carries a full SQL oracle (the gate's hash check needs one)."""
+    qs = list(entrymod.queries())
+    assert len(qs) == len(set(qs))
+    window = qs[:50]
+    oracles = entrymod.oracle_sql()
+    for q in (
+        "ann_lsh_topk",
+        "a_mann_kendall",
+        "a_ks_test",
+        "ts_holt_linear",
+        "curation_pack_sequences",
+        "text_bm25_topk",
+        "op_compaction_plan",
+    ):
+        assert q in window, f"{q} must be driver-confirmed this round"
+    missing = [q for q in window if q not in oracles]
+    assert not missing, f"window entries without full oracles: {missing}"
