@@ -4163,6 +4163,89 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram conditional entropy H(w2|w1) — the
+    compressibility / repetitiveness quality signal (low entropy =
+    template-like text). Every per-bigram term
+    -c(w1,w2)/N * ln(c(w1,w2)/c(w1)) is computed from exact integer
+    counts (IEEE-identical in both engines), then ROUNDED to integer
+    nano-nats BEFORE summing — the sum is an order-insensitive integer,
+    sidestepping the float-accumulation-order hazard a plain
+    sum-of-doubles has across engines."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    nxt = toks.select(
+        F.col("doc_id").alias("d2"),
+        (F.col("pos") - 1).alias("p2"),
+        F.col("tok").alias("tok_b"),
+    )
+    bi = (
+        toks.join(
+            nxt, (toks["doc_id"] == F.col("d2")) & (toks["pos"] == F.col("p2"))
+        )
+        .groupBy("doc_id", "tok", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bi.groupBy("doc_id", "tok").agg(F.sum("c12").alias("c1"))
+    n_bi = bi.groupBy("doc_id").agg(F.sum("c12").alias("n_bi"))
+    term = (
+        -(F.col("c12").cast("double") / F.col("n_bi").cast("double"))
+        * F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    )
+    return (
+        bi.join(c1, ["doc_id", "tok"])
+        .join(n_bi, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_bi").alias("n_bigrams"),
+            F.sum(F.round(term * 1e9).cast("long")).alias("h_nano"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "h_nano",
+            F.round(F.col("h_nano") / F.lit(1e9), 6).alias("h_cond_nats"),
+        )
+    )
+
+
+TEXT_BIGRAM_ENTROPY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS tok, t[i + 1] AS tok_b,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2, 3),
+c1 AS (
+  SELECT doc_id, tok, CAST(sum(c12) AS BIGINT) AS c1
+  FROM bi GROUP BY 1, 2),
+nb AS (
+  SELECT doc_id, CAST(sum(c12) AS BIGINT) AS n_bi FROM bi GROUP BY 1)
+SELECT bi.doc_id,
+       CAST(max(nb.n_bi) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(round(
+         -(CAST(bi.c12 AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+         * ln(CAST(bi.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * 1e9)
+           AS BIGINT)) AS BIGINT) AS h_nano,
+       round(CAST(sum(CAST(round(
+         -(CAST(bi.c12 AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+         * ln(CAST(bi.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * 1e9)
+           AS BIGINT)) AS BIGINT) / 1e9, 6) AS h_cond_nats
+FROM bi
+JOIN c1 ON c1.doc_id = bi.doc_id AND c1.tok = bi.tok
+JOIN nb ON nb.doc_id = bi.doc_id
+GROUP BY 1
+"""
+
+
 def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: pointwise mutual information of adjacent token
     pairs (top-15 by pair count). Unigram/bigram counts are map-side
@@ -10392,6 +10475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_periodogram_int": ts_periodogram_int,
         "graph_clustering_coeff": graph_clustering_coeff,
         "w_seasonal_naive_error": w_seasonal_naive_error,
+        "text_bigram_entropy": text_bigram_entropy,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -10669,6 +10753,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_periodogram_int": _periodogram_sql(),
         "graph_clustering_coeff": GRAPH_CLUSTERING_ORACLE,
         "w_seasonal_naive_error": W_SEASONAL_NAIVE_ORACLE,
+        "text_bigram_entropy": TEXT_BIGRAM_ENTROPY_ORACLE,
         "dedup_url_canonical": DEDUP_URL_ORACLE,
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
