@@ -358,6 +358,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError("only 8-bit TIFF samples supported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
+    # Honest-gate variants this reader does not interpret: palette-color
+    # (PhotometricInterpretation=3 / ColorMap present) would return raw
+    # palette indices posing as gray, WhiteIsZero (0) would decode
+    # inverted, and planar (PlanarConfiguration=2) would channel-scramble.
+    # Raise so decode_real_image routes them to the optional Pillow path.
+    if tags.get(262, [1])[0] not in (1, 2) or 320 in tags:
+        raise NotImplementedError(
+            "only BlackIsZero/RGB TIFF photometric supported"
+        )
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2) unsupported")
     comp = tags.get(259, [1])[0]
     rows_per_strip = tags.get(278, [h])[0]
     offsets, counts = tags[273], tags[279]
@@ -389,12 +400,15 @@ def encode_tiff(img: np.ndarray) -> bytes:
         img = img[:, :, None]
     h, w, c = img.shape
     data = img.tobytes()
-    # header(8) + IFD(2 + 10*12 + 4) + BitsPerSample array + data
+    # TIFF 6.0 §18: gray+alpha is photometric 1 + ExtraSamples, RGBA is
+    # photometric 2 + ExtraSamples; without tag 338 the extra channel is
+    # nonconforming and strict readers may reject or misread it.
+    photometric = 1 if c <= 2 else 2
+    has_alpha = c in (2, 4)
+    n = 10 + (1 if has_alpha else 0)
     ifd_off = 8
-    n = 10
     bps_off = ifd_off + 2 + n * 12 + 4
     data_off = bps_off + 2 * c
-    photometric = 1 if c == 1 else 2
 
     def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
         return struct.pack("<HHII", tag, typ, cnt, val)
@@ -415,6 +429,9 @@ def encode_tiff(img: np.ndarray) -> bytes:
         entry(279, 4, 1, len(data)),
         entry(284, 3, 1, 1),  # chunky planar config
     ]
+    if has_alpha:
+        entries.append(entry(338, 3, 1, 2))  # unassociated alpha
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
     ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
     bps_arr = struct.pack(f"<{c}H", *([8] * c))
     return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bps_arr + data

@@ -118,13 +118,18 @@ def _read_prefix_code(r: _LsbReader, alphabet_size: int) -> _PrefixCode:
             sym0 = r.bits(8)
         else:
             sym0 = r.bit()
-        lengths = [0] * alphabet_size
         if num_symbols == 2:
+            # VP8L assigns code 0 to the FIRST TRANSMITTED symbol, not the
+            # canonically smaller one — build the table in transmission
+            # order instead of routing through the canonical constructor
+            # (a legal stream may transmit the larger symbol first).
             sym1 = r.bits(8)
-            lengths[sym0] = 1
-            lengths[sym1] = 1
-        else:
-            lengths[sym0] = 1
+            code = _PrefixCode.__new__(_PrefixCode)
+            code.single = None
+            code.table = {(1, 0): sym0, (1, 1): sym1}
+            return code
+        lengths = [0] * alphabet_size
+        lengths[sym0] = 1
         # a 1-symbol code consumes 0 bits per read (handled by `single`)
         return _PrefixCode(lengths)
     # normal code: code lengths for the code-length code first

@@ -642,3 +642,82 @@ def test_tiff_wav_roundtrip_property():
 
     tiff_prop()
     wav_prop()
+
+
+def _patch_tiff_tag(payload: bytes, tag: int, value: int) -> bytes:
+    """Patch an inline IFD entry's value field in a little-endian TIFF."""
+    import struct
+
+    buf = bytearray(payload)
+    n = struct.unpack_from("<H", buf, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", buf, e)[0] == tag:
+            typ = struct.unpack_from("<H", buf, e + 2)[0]
+            if typ == 3:
+                struct.pack_into("<H", buf, e + 8, value)
+            else:
+                struct.pack_into("<I", buf, e + 8, value)
+    return bytes(buf)
+
+
+def test_tiff_photometric_and_planar_gates():
+    """Palette / WhiteIsZero / planar TIFFs must raise (honest-gate) so
+    decode_real_image routes them to the Pillow fallback instead of
+    returning misdecoded pixels as a 'success'."""
+    from cassandra_fs_pp_spark.functions.multimodal import decode_tiff
+
+    img = _ramp(4, 4, 1)
+    base = _build_tiff(img)
+    # WhiteIsZero (photometric 0) would decode inverted
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_patch_tiff_tag(base, 262, 0))
+    # Palette-color (photometric 3) would return raw indices as gray
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_patch_tiff_tag(base, 262, 3))
+    # Planar RGB (PlanarConfiguration 2) would channel-scramble
+    rgb = _build_tiff(_ramp(4, 4, 3))
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_patch_tiff_tag(rgb, 284, 2))
+    # sanity: the unpatched payloads still decode
+    np.testing.assert_array_equal(decode_tiff(base), img[:, :, 0])
+
+
+def test_tiff_encode_alpha_conformance():
+    """encode_tiff must mark gray+alpha as photometric 1 and emit
+    ExtraSamples (tag 338) for 2- and 4-channel input (TIFF 6.0 §18)."""
+    import struct
+
+    from cassandra_fs_pp_spark.functions.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    def read_tags(payload: bytes) -> dict[int, int]:
+        n = struct.unpack_from("<H", payload, 8)[0]
+        out = {}
+        for i in range(n):
+            e = 10 + 12 * i
+            tag = struct.unpack_from("<H", payload, e)[0]
+            typ = struct.unpack_from("<H", payload, e + 2)[0]
+            out[tag] = struct.unpack_from(
+                "<H" if typ == 3 else "<I", payload, e + 8
+            )[0]
+        return out
+
+    ga = _ramp(5, 3, 2)
+    tags = read_tags(encode_tiff(ga))
+    assert tags[262] == 1 and tags[338] == 2
+    np.testing.assert_array_equal(decode_tiff(encode_tiff(ga)), ga)
+
+    rgba = _ramp(3, 5, 4)
+    tags = read_tags(encode_tiff(rgba))
+    assert tags[262] == 2 and tags[338] == 2
+    np.testing.assert_array_equal(decode_tiff(encode_tiff(rgba)), rgba)
+    # IFD entries must stay sorted by tag (TIFF 6.0 requirement)
+    payload = encode_tiff(rgba)
+    n = struct.unpack_from("<H", payload, 8)[0]
+    tag_ids = [
+        struct.unpack_from("<H", payload, 10 + 12 * i)[0] for i in range(n)
+    ]
+    assert tag_ids == sorted(tag_ids)

@@ -431,3 +431,24 @@ def test_vp8l_literal_roundtrip_property():
         np.testing.assert_array_equal(out, img)
 
     prop()
+
+
+def test_simple_code_transmission_order():
+    """VP8L simple 2-symbol codes assign code 0 to the FIRST TRANSMITTED
+    symbol even when it is numerically larger (spec ordering, not
+    canonical-by-value — libwebp happens to emit ascending, so only a
+    hand-built stream exercises this)."""
+    from cassandra_fs_pp_spark.webp import _LsbReader, _read_prefix_code
+
+    w = _W()
+    w.b(1, 1)  # simple code
+    w.b(1, 1)  # two symbols
+    w.b(1, 1)  # first symbol uses 8 bits
+    w.b(200, 8)  # transmitted first -> must get code 0
+    w.b(10, 8)  # transmitted second -> code 1
+    w.b(0, 1)  # one coded symbol: bit 0 -> 200
+    w.b(1, 1)  # next coded symbol: bit 1 -> 10
+    r = _LsbReader(w.payload())
+    code = _read_prefix_code(r, 256)
+    assert code.read(r) == 200
+    assert code.read(r) == 10
