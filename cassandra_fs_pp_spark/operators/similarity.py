@@ -303,18 +303,17 @@ def lsh_topk(
         dim = len(vectors.select(vec_col).first()[0])
     # Small corpora arrive as one parquet file -> one partition; spread the
     # bucket-assignment compute (at real scale the scan is already split).
+    # Adaptive width: at ~256 rows/partition the per-stage scheduler cost
+    # (this shape runs ~8 small stages) dominates tiny corpora, so clamp
+    # task count to the footer-stats row estimate; a real corpus keeps the
+    # session's full parallelism.
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    if corpus_rows is not None:
+        n_parts = max(4, min(n_parts, corpus_rows // 256))
     # All tables' bucket ids in ONE F.expr string: the Column-builder form
     # costs tables*bits*dim F.lit py4j round-trips per plan build (~4 s at
     # 4x6x64) — that flat driver-side latency, not cluster compute, was the
     # whole headline-bench outlier (BENCH_r02 7.9 s vs the 4.0 s probe).
-    tb_sql = ", ".join(
-        "named_struct('t', {t}, 'b', {b})".format(
-            t=t,
-            b=lsh_bucket_sql(vec_col, hyperplane_lsh_perms(bits, dim, seed + t)),
-        )
-        for t in range(tables)
-    )
     # Pass 0 — content grouping. ONE corpus scan feeds the whole query:
     # (id, vector, group hash) is pinned with localCheckpoint, and every
     # later stage derives from the pin (zero re-scans; the plan-health
@@ -338,17 +337,73 @@ def lsh_topk(
     # the tables*bits*dim bucket eval run on distinct vectors only, and
     # the result is pinned: the consumers (two bucket-join sides, two
     # score attaches) would otherwise each re-run the grouping shuffle.
-    gbase = (
-        reps.groupBy("__g")
-        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col))
-        .select(
-            "__g",
-            F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("__n"),
-            F.expr(f"array({tb_sql})").alias("__tbs"),
-        )
-        .localCheckpoint()
+    #
+    # Bucket/norm eval is an Arrow-batched mapInPandas, NOT the zip_with/
+    # aggregate SQL form: Catalyst does not codegen lambda (higher-order)
+    # functions, so the fold runs interpreted — measured ~0.55 s for
+    # 2000 rows x 2048 terms vs ~5 ms vectorized. The numpy loop runs
+    # over DIMENSION INDEX in ascending order (`acc += X[:,i] * P[:,i]`),
+    # which reproduces the left-to-right fold's IEEE operation sequence
+    # per element exactly — bit-identical buckets and norms, so the
+    # DuckDB oracle (sequential list fold) is untouched.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    planes_flat = np.array(
+        [
+            p
+            for t in range(tables)
+            for p in hyperplane_lsh_perms(bits, dim, seed + t)
+        ],
+        dtype=np.float64,
+    )  # (tables*bits, dim)
+    bit_weights = 1 << np.arange(bits, dtype=np.int64)
+
+    agg_df = reps.groupBy("__g").agg(
+        F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col)
+    )
+    assign_schema = StructType(
+        list(agg_df.schema.fields)
+        + [
+            StructField("__n", DoubleType()),
+            StructField("__bt", ArrayType(LongType())),
+        ]
+    )
+
+    def _assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros((n, planes_flat.shape[0]))
+            nrm = np.zeros(n)
+            for i in range(dim):
+                xi = x_mat[:, i]
+                acc += xi[:, None] * planes_flat[None, :, i]
+                nrm += xi * xi
+            buckets = (
+                (acc >= 0.0).reshape(n, tables, bits) * bit_weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "__g": pdf["__g"].values,
+                    vec_col: pdf[vec_col].values,
+                    "__n": np.sqrt(nrm),
+                    "__bt": list(buckets),
+                }
+            )
+
+    gbase = agg_df.mapInPandas(_assign, schema=assign_schema).localCheckpoint()
     # Stage 1 — GROUP-level candidate generation stays narrow: the bucket
     # self-join, repartition, and pair dedup move only (hash, hash) pairs,
     # never vectors. Both join sides are the same checkpoint-backed plan,
@@ -358,10 +413,8 @@ def lsh_topk(
     # BEFORE dropDuplicates so HashPartitioning(__ga) satisfies the
     # dedup's clustering without another exchange. Duplicate cliques
     # appear here as ONE self-pair per group, not g^2 rows.
-    gb = gbase.select("__g", F.explode("__tbs").alias("__tb")).select(
-        "__g",
-        F.col("__tb.t").alias("__table"),
-        F.col("__tb.b").alias("__bucket"),
+    gb = gbase.select(
+        "__g", F.posexplode("__bt").alias("__table", "__bucket")
     )
     # Self-pairs (G, G) ride the SAME bucket join — a group always shares
     # its own buckets, so (G, G) survives dedup like any pair and the
@@ -391,35 +444,59 @@ def lsh_topk(
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_vmap else df.hint("shuffle_hash")
 
+    # Both lookups broadcast the IDENTICAL (g, vec, norm) projection and
+    # rename after the join — identical subplans let ReuseExchange ship
+    # ONE broadcast build for the two joins instead of two.
+    nside = _side(vmap)
+    qside = _side(vmap)
     scored_g = (
-        gpairs.join(
-            _side(
-                vmap.select(
-                    F.col("__g").alias("__gb"),
-                    F.col(vec_col).alias("nv"),
-                    F.col("__n").alias("nn"),
-                )
-            ),
-            "__gb",
-        )
-        .join(
-            _side(
-                vmap.select(
-                    F.col("__g").alias("__ga"),
-                    F.col(vec_col).alias("qv"),
-                    F.col("__n").alias("qn"),
-                )
-            ),
-            "__ga",
-        )
+        gpairs.join(nside, gpairs["__gb"] == nside["__g"])
         .select(
             "__ga",
             "__gb",
-            (
-                dot(F.col("qv"), F.col("nv"))
-                / (F.col("qn") * F.col("nn"))
-            ).alias("cos_raw"),
+            F.col(vec_col).alias("nv"),
+            F.col("__n").alias("nn"),
         )
+        .join(qside, F.col("__ga") == qside["__g"])
+        .select(
+            "__ga",
+            "__gb",
+            F.col(vec_col).alias("qv"),
+            "nv",
+            F.col("__n").alias("qn"),
+            "nn",
+        )
+    )
+
+    # Cosine rerank, same Arrow-vectorized sequential-fold trick as the
+    # bucket eval above: `acc += Q[:,i] * N[:,i]` ascending i is the
+    # interpreted zip_with/aggregate fold's exact IEEE sequence, then the
+    # identical mul-then-div. Bit-identical scores, no lambda eval cost.
+    def _score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            q_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            n_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["nv"]]
+            )
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc += q_mat[:, i] * n_mat[:, i]
+            yield pd.DataFrame(
+                {
+                    "__ga": pdf["__ga"].values,
+                    "__gb": pdf["__gb"].values,
+                    "cos_raw": acc
+                    / (pdf["qn"].to_numpy() * pdf["nn"].to_numpy()),
+                }
+            )
+
+    scored_g = scored_g.mapInPandas(
+        _score, schema="__ga string, __gb string, cos_raw double"
     )
     # Stage 3 — tie-aware fan-out back to members. Query side: every
     # member of __ga. Neighbor side: only the k+1 smallest ids of __gb
