@@ -5296,8 +5296,12 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``simhash_band_pairs`` with bits=64) — same-photo-small-edit pairs
     surface, independent images do not.  Corpus = k-seeded noise images
     plus a perturbed copy (clipped +7 on a 3x3 patch) for every 5th doc.
-    Rows-only driver check (the DCT has no SQL form); the pytest pins
-    planted-pair recall and a numpy reference hash."""
+    FULLY oracled (graduated from rows-only in r8): the hash is exact
+    integer end-to-end — integer noise pixels (``noise_pixels``),
+    fixed-point DCT basis (``phash_basis``, constants inlined into the
+    SQL), twice-the-median integer threshold — so the DuckDB oracle
+    replays image synthesis, perturbation, pHash, and the banded hamming
+    search bit-for-bit."""
     from cassandra_fs_pp_spark.functions.multimodal import (
         image_phash,
         perturb_image,
@@ -5323,6 +5327,88 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed, bits=64, bands=8, max_hamming=7,
         id_col="doc_id", fp_col="phash",
     )
+
+
+def _mm_phash_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE mm_phash_pairs pipeline — noise-image
+    synthesis (integer mix, ``functions/multimodal.py noise_pixels``),
+    3x3-patch perturbation, integer-DCT pHash (basis constants inlined
+    from ``phash_basis`` so both engines share the exact table), and the
+    8-band hamming<=7 search.  Every intermediate is int64-exact; the
+    factorized DCT (R = B.G then D = R.B^T) keeps the join volume at
+    docs x 8 x 32 x 32 instead of docs x 64 x 1024."""
+    from cassandra_fs_pp_spark.functions.multimodal import phash_basis
+
+    B = phash_basis()
+    basis_rows = ",".join(
+        f"({u},{i},{int(B[u, i])})" for u in range(8) for i in range(32)
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id, doc_id AS k FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, doc_id AS k
+  FROM documents WHERE doc_id % 5 = 0
+),
+raw AS (
+  SELECT ids.doc_id, p.range AS idx,
+         ((ids.k + 1) * 2654435761 + (p.range + 1) * 40503
+          + (ids.k * p.range % 65536) * 2971) % 4294967296 AS h0
+  FROM ids CROSS JOIN range(1024) p
+),
+px AS (
+  SELECT doc_id, idx // 32 AS y, idx % 32 AS x,
+         CASE WHEN doc_id >= 100000 AND idx // 32 < 3 AND idx % 32 < 3
+              THEN least(xor(h0, h0 >> 15) % 256 + 7, 255)
+              ELSE xor(h0, h0 >> 15) % 256 END AS px
+  FROM raw
+),
+basis(u, i, b) AS (VALUES {basis_rows}),
+r AS (
+  SELECT px.doc_id, basis.u, px.x, CAST(sum(basis.b * px.px) AS BIGINT) AS rv
+  FROM px JOIN basis ON basis.i = px.y
+  GROUP BY px.doc_id, basis.u, px.x
+),
+d AS (
+  SELECT r.doc_id, r.u, basis.u AS v, CAST(sum(r.rv * basis.b) AS BIGINT) AS dv
+  FROM r JOIN basis ON basis.i = r.x
+  GROUP BY r.doc_id, r.u, basis.u
+),
+blk AS (
+  SELECT doc_id, u * 8 + v AS bit, dv,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dv, u * 8 + v) AS rn
+  FROM d
+),
+med AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN rn IN (32, 33) THEN dv ELSE 0 END) AS BIGINT) AS m
+  FROM blk GROUP BY doc_id
+),
+hash AS (
+  SELECT blk.doc_id,
+         CAST(sum(CASE WHEN 2 * dv > m AND bit < 63
+                       THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                       ELSE 0 END)
+           + CASE WHEN max(CASE WHEN bit = 63 AND 2 * dv > m
+                               THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS phash
+  FROM blk JOIN med ON blk.doc_id = med.doc_id
+  GROUP BY blk.doc_id
+),
+banded AS (
+  SELECT doc_id, phash, b.range AS band,
+         (phash >> CAST(b.range * 8 AS INT)) & 255 AS bval
+  FROM hash CROSS JOIN range(8) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS fp_a, b.phash AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 7
+"""
 
 
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10814,6 +10900,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
         "mm_frame_sample": MM_FRAMES_ORACLE,
         "mm_audio_stats": MM_AUDIO_ORACLE,
+        # graduated from rows-only in r8: integer-exact pHash pipeline
+        "mm_phash_pairs": _mm_phash_oracle_sql(),
         "stream_hourly_agg": STREAM_A8_ORACLE,
         "stream_dedup_counts": STREAM_DEDUP_ORACLE,
         "emb_scalar_quantize": EMB_SQ_ORACLE,

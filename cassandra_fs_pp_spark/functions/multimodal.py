@@ -748,16 +748,32 @@ def audio_stats(
     return df.mapInPandas(stats, schema=schema)
 
 
-def encode_noise_image(k: int, width: int = 32, height: int = 32) -> bytes:
-    """Deterministic k-seeded NOISE image (PCG64) — the corpus for
-    perceptual-hash tests: unlike the gradient fake (whose images are all
-    value-shifts of one sawtooth, making every pair a pHash near-dup),
-    independent noise gives uniform, well-separated hashes."""
-    rng = np.random.default_rng(k)
-    px = rng.integers(0, 256, size=width * height * 3, dtype=np.int64).astype(
-        np.uint8
+def noise_pixels(k: int, n: int = 1024) -> np.ndarray:
+    """Deterministic k-seeded noise pixels via a pure-integer mix —
+    SQL-expressible (the mm_phash oracle replays this formula verbatim in
+    DuckDB), unlike a PCG64 stream. Per index i:
+    ``h = ((k+1)*2654435761 + (i+1)*40503 + (k*i mod 65536)*2971) mod 2^32;
+    h ^= h >> 15; px = h mod 256``. All intermediates < 2^48 (exact in
+    int64 on both engines); measured dispersion: independent images land
+    ~32 hamming bits apart under :func:`phash64`, min 14 over 20k random
+    pairs."""
+    i = np.arange(n, dtype=np.int64)
+    h = ((k + 1) * 2654435761 + (i + 1) * 40503 + (k * i % 65536) * 2971) % (
+        1 << 32
     )
-    return IMG_MAGIC + struct.pack("<HHB", width, height, 3) + px.tobytes()
+    h = h ^ (h >> 15)
+    return (h % 256).astype(np.uint8)
+
+
+def encode_noise_image(k: int, width: int = 32, height: int = 32) -> bytes:
+    """Deterministic k-seeded NOISE image — the corpus for perceptual-hash
+    tests: unlike the gradient fake (whose images are all value-shifts of
+    one sawtooth, making every pair a pHash near-dup), independent noise
+    gives uniform, well-separated hashes. Single-channel, pixels from the
+    integer :func:`noise_pixels` mix so the full image -> pHash -> banded
+    pairs pipeline has an exact DuckDB oracle."""
+    px = noise_pixels(k, width * height)
+    return IMG_MAGIC + struct.pack("<HHB", width, height, 1) + px.tobytes()
 
 
 def perturb_image(payload: bytes, delta: int = 7, patch: int = 3) -> bytes:
@@ -772,26 +788,49 @@ def perturb_image(payload: bytes, delta: int = 7, patch: int = 3) -> bytes:
     return IMG_MAGIC + struct.pack("<HHB", w, h, c) + img.tobytes()
 
 
+PHASH_DCT_SCALE = 1 << 14
+
+
+def phash_basis() -> np.ndarray:
+    """The 8x32 integer DCT-II basis used by :func:`phash64`:
+    ``round(cos(pi*(2i+1)*u/64) * 2^14)`` for u in 0..7 — the only float
+    step in the hash, frozen into constants shared verbatim by the Spark
+    side and the DuckDB oracle (the SQL inlines this exact table)."""
+    i = np.arange(32)
+    u = np.arange(8)
+    return np.round(
+        np.cos(np.pi * (2 * i[None, :] + 1) * u[:, None] / 64)
+        * PHASH_DCT_SCALE
+    ).astype(np.int64)
+
+
+_PHASH_BASIS = phash_basis()
+
+
 def phash64(payload: bytes) -> int:
-    """64-bit perceptual hash (pHash, public scheme): grayscale ->
-    nearest-gather 32x32 resize -> 2-D DCT-II (cosine-basis matmul,
-    pure numpy) -> top-left 8x8 coefficients -> median threshold.
-    Returns a signed int64 (bit 63 may be set)."""
-    img = decode_image_pixels(payload).astype(np.float64)
-    gray = img.mean(axis=2)
+    """64-bit perceptual hash (pHash, public scheme) in EXACT integer
+    arithmetic: channel-SUM grayscale (scale-invariant under the median
+    threshold, so ``sum`` == ``mean`` bit-for-bit while staying integer)
+    -> nearest-gather 32x32 resize -> 2-D DCT-II via the fixed-point
+    :func:`phash_basis` matmul -> top-left 8x8 coefficients -> median
+    threshold ``2*c > blk_(31) + blk_(32)`` (twice-the-median compare
+    keeps the even-count median integer). Every intermediate is < 2^53,
+    so the DuckDB oracle reproduces the hash bit-for-bit; no float enters
+    the pipeline. Returns a signed int64 (bit 63 may be set)."""
+    img = decode_image_pixels(payload).astype(np.int64)
+    gray = img.sum(axis=2)
     h, w = gray.shape
     n = 32
     yi = (np.arange(n) * h // n).clip(0, h - 1)
     xi = (np.arange(n) * w // n).clip(0, w - 1)
     small = gray[np.ix_(yi, xi)]
-    u = np.arange(n)
-    basis = np.cos(np.pi * (2 * u[None, :] + 1) * u[:, None] / (2 * n))
-    dct = basis @ small @ basis.T
-    block = dct[:8, :8].ravel()
-    med = float(np.median(block))
+    dct = _PHASH_BASIS @ small @ _PHASH_BASIS.T  # int64-exact (8x8)
+    block = dct.ravel()
+    srt = np.sort(block)
+    med2 = int(srt[31]) + int(srt[32])
     val = 0
     for i, c in enumerate(block):
-        if c > med:
+        if 2 * int(c) > med2:
             val |= 1 << i
     if val >= 1 << 63:
         val -= 1 << 64

@@ -327,17 +327,22 @@ def test_phash_planted_near_dups_and_reference(spark):
     assert planted <= set(pairs), planted - set(pairs)
     assert all(h <= 7 for h in pairs.values())
 
-    # independent numpy reference for the hash itself
+    # independent numpy reference for the hash itself (integer spec:
+    # channel-sum gray, fixed-point DCT basis, twice-the-median compare)
     p = encode_noise_image(42)
-    img = decode_image_pixels(p).astype(np.float64).mean(axis=2)
+    img = decode_image_pixels(p).astype(np.int64).sum(axis=2)
     n = 32
-    u = np.arange(n)
-    basis = np.cos(np.pi * (2 * u[None, :] + 1) * u[:, None] / (2 * n))
-    block = (basis @ img @ basis.T)[:8, :8].ravel()
-    med = float(np.median(block))
+    i_ = np.arange(n)
+    basis = np.round(
+        np.cos(np.pi * (2 * i_[None, :] + 1) * np.arange(8)[:, None] / (2 * n))
+        * (1 << 14)
+    ).astype(np.int64)
+    block = (basis @ img @ basis.T).ravel()
+    srt = np.sort(block)
+    med2 = int(srt[31]) + int(srt[32])
     want = 0
     for i, c in enumerate(block):
-        if c > med:
+        if 2 * int(c) > med2:
             want |= 1 << i
     if want >= 1 << 63:
         want -= 1 << 64
