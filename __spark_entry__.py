@@ -8375,16 +8375,110 @@ SELECT doc_id, chunk_id, dot, score FROM r WHERE rk <= {RAG_TOPK}
 
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal-axis projection of the embedding corpus
-    (operators/similarity.py ``pca_project``: exact integer Gram ->
-    driver-side d x d eigh [bounded d^2 collect] -> Arrow-batched
-    projection; the corpus never shuffles).  Rows-only driver check (no
-    SQL eigensolver); the pytest replays the whole computation in numpy
-    and asserts near-exact equality plus variance ordering."""
-    from cassandra_fs_pp_spark.operators.similarity import pca_project
+    (operators/similarity.py ``pca_power_project``: exact integer Gram ->
+    driver-side d x d fixed-point power iteration [bounded d^2 collect]
+    -> Arrow-batched projection; the corpus never shuffles).  FULLY
+    oracled (graduated from rows-only in r8): every iteration step is
+    int64 arithmetic with truncating division, so the DuckDB oracle
+    unrolls the same 64 power steps per axis and reproduces both the
+    integer projections and the data-unit doubles bit-for-bit.  The
+    LAPACK-eigh variant remains available as ``pca_project``; the
+    spectral-gap pytest pins the power axes to eigh at cos >= 0.9999
+    where a gap exists."""
+    from cassandra_fs_pp_spark.operators.similarity import pca_power_project
 
-    return pca_project(
-        _t(spark, sf_dir, "embeddings"), dim=EMB_DIM, k=2
+    return pca_power_project(
+        _t(spark, sf_dir, "embeddings"), dim=EMB_DIM
     )
+
+
+def _emb_pca_oracle_sql() -> str:
+    """DuckDB replay of ``pca_power_project``: exact integer Gram, the
+    64-step fixed-point power iteration per axis unrolled as MATERIALIZED
+    CTEs (materialization is load-bearing — inlined, each step's double
+    reference would expand 2^64 ways), exact deflation for axis 2, sign
+    pin, integer projection, and the correctly-rounded sqrt/divide to
+    data units.  DuckDB's ``//`` is truncating division — exactly the
+    spec's ``tdiv``."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        GRAM_SCALE,
+        PCA_POWER_B,
+        PCA_POWER_ITERS,
+    )
+
+    B, T, dim, scale = PCA_POWER_B, PCA_POWER_ITERS, EMB_DIM, GRAM_SCALE
+    parts = [
+        f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+g0 AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+gd AS (SELECT max(abs(g)) // 1048575 + 1 AS gdiv FROM g0),
+gs AS MATERIALIZED (SELECT i, j, g // gdiv AS g FROM g0, gd),
+va0 AS MATERIALIZED (SELECT range AS i, CAST({B} AS BIGINT) AS v
+                     FROM range({dim}))"""
+    ]
+    for t in range(1, T + 1):
+        parts.append(
+            f""",
+wa{t} AS MATERIALIZED (
+  SELECT gs.i AS i, CAST(sum(gs.g * x.v) AS BIGINT) AS w
+  FROM gs JOIN va{t - 1} x ON gs.j = x.i GROUP BY 1),
+ma{t} AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m FROM wa{t}),
+va{t} AS MATERIALIZED (SELECT i, (w * {B}) // m AS v FROM wa{t}, ma{t})"""
+        )
+    parts.append(
+        f""",
+n1 AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS n FROM va{T}),
+vb0 AS MATERIALIZED (
+  SELECT range AS i,
+         CAST(CASE WHEN range % 2 = 0 THEN {B} ELSE -{B} END AS BIGINT) AS v
+  FROM range({dim}))"""
+    )
+    for t in range(1, T + 1):
+        parts.append(
+            f""",
+wb{t} AS MATERIALIZED (
+  SELECT gs.i AS i, CAST(sum(gs.g * x.v) AS BIGINT) AS w
+  FROM gs JOIN vb{t - 1} x ON gs.j = x.i GROUP BY 1),
+wr{t} AS MATERIALIZED (SELECT i, w // 1024 AS wr FROM wb{t}),
+pp{t} AS MATERIALIZED (
+  SELECT CAST(sum(r.wr * u.v) AS BIGINT) AS p
+  FROM wr{t} r JOIN va{T} u ON u.i = r.i),
+w2{t} AS MATERIALIZED (
+  SELECT r.i, n1.n * r.wr - pp{t}.p * u.v AS w2
+  FROM wr{t} r JOIN va{T} u ON u.i = r.i, pp{t}, n1),
+mb{t} AS MATERIALIZED (SELECT greatest(max(abs(w2)), 1) AS m FROM w2{t}),
+qb{t} AS MATERIALIZED (SELECT m // 274877906944 + 1 AS q, m FROM mb{t}),
+vb{t} AS MATERIALIZED (
+  SELECT i, ((w2 // q) * {B}) // greatest(m // q, 1) AS v
+  FROM w2{t}, qb{t})"""
+        )
+    parts.append(
+        f""",
+sa AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+       FROM va{T} ORDER BY abs(v) DESC, i ASC LIMIT 1),
+sb AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+       FROM vb{T} ORDER BY abs(v) DESC, i ASC LIMIT 1),
+na AS (SELECT CAST(sum(v * v) AS BIGINT) AS n FROM va{T}),
+nb AS (SELECT CAST(sum(v * v) AS BIGINT) AS n FROM vb{T}),
+proj AS (
+  SELECT ex.vec_id,
+         CAST(sa.s * sum(ex.q * a.v) AS BIGINT) AS pc1_fp,
+         CAST(sb.s * sum(ex.q * b.v) AS BIGINT) AS pc2_fp
+  FROM ex JOIN va{T} a ON a.i = ex.pos JOIN vb{T} b ON b.i = ex.pos, sa, sb
+  GROUP BY ex.vec_id, sa.s, sb.s)
+SELECT vec_id, pc1_fp, pc2_fp,
+       CAST(pc1_fp AS DOUBLE) / ({scale}.0 * sqrt(CAST(na.n AS DOUBLE)))
+         AS pc1,
+       CAST(pc2_fp AS DOUBLE) / ({scale}.0 * sqrt(CAST(nb.n AS DOUBLE)))
+         AS pc2
+FROM proj, na, nb"""
+    )
+    return "".join(parts)
 
 
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10862,9 +10956,10 @@ def oracle_sql() -> dict[str, str]:
         "a_chi_square": A_CHI2_ORACLE,
         "a_winsorized_stats": A_WINSOR_ORACLE,
         "a_histogram_equidepth": A_EQUIDEPTH_ORACLE,
-        # ann_ivf_topk: approximate — intentionally no oracle (rows-only)
         "ann_lsh_topk": _lsh_topk_sql(),
         "emb_near_dups": EMB_NEAR_DUPS_ORACLE,
+        # graduated from rows-only in r8: fixed-point power-iteration PCA
+        "emb_pca_project": _emb_pca_oracle_sql(),
         "emb_label_centroids": EMB_CENTROIDS_ORACLE,
         "emb_label_inertia": EMB_INERTIA_ORACLE,
         "text_token_topk": TOKEN_TOPK_ORACLE,

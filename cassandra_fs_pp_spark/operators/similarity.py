@@ -1219,3 +1219,117 @@ def pca_project(
             yield pd.DataFrame(out)
 
     return vectors.select(id_col, vec_col).mapInPandas(proj, out_schema)
+
+
+PCA_POWER_B = 1 << 12  # fixed-point vector scale (|v_i| <= 4096)
+PCA_POWER_ITERS = 64
+
+
+def pca_power_project(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    scale: int = GRAM_SCALE,
+    iters: int = PCA_POWER_ITERS,
+) -> DataFrame:
+    """Top-2 principal-axis projection via ENGINE-EXACT fixed-point power
+    iteration — the hash-oracled sibling of :func:`pca_project`.
+
+    Same scale shape (integer Gram partials -> bounded d^2 driver
+    collect -> Arrow-batched projection; the corpus never shuffles), but
+    the eigensolver is replaced by a deterministic integer power
+    iteration whose every step is specified in int64 arithmetic with
+    truncating division (``tdiv(a,b) = sign(a) * (|a| // b)`` — DuckDB's
+    native ``//``), so a SQL oracle replays the whole computation
+    bit-for-bit (the same fixed-point move that graduated
+    ``graph_pagerank``; see ``operators/graph.py:166``).
+
+    Spec: ``Gs = tdiv(G, max|G| // (2^20 - 1) + 1)`` (int64/float-exact
+    headroom); axis 1 from ``v = ones * 2^12``, iterating
+    ``v <- tdiv(Gs v * 2^12, max|Gs v|)``; axis 2 from the alternating
+    ``+-2^12`` start, each step deflating exactly:
+    ``w2 = (v1.v1) * tdiv(w, 2^10) - (tdiv(w, 2^10).v1) * v1`` then the
+    two-stage renormalization ``q = m // 2^38 + 1`` (overflow guard),
+    ``v <- tdiv(tdiv(w2, q) * 2^12, max(m // q, 1))``. Sign pinned by
+    the largest-|component| (smallest index on ties) being positive.
+
+    Convergence: error after T steps is O((lambda_2/lambda_1)^T) — exact
+    PCA wherever a spectral gap exists (the regime where PCA is
+    meaningful). On near-degenerate spectra (the synthetic test corpus:
+    lambda_1/lambda_2 ~ 1.017) the returned axes are a deterministic,
+    mutually-orthogonal heavy-direction pair rather than the exact
+    eigenbasis; the spectral-gap pytest pins cos >= 0.9999 against
+    LAPACK eigh where a gap exists.
+
+    Returns ``(id, pc1_fp, pc2_fp, pc1, pc2)``: the exact integer dot
+    products ``Q . v`` plus data-unit doubles ``fp / (scale * ||v||)``
+    (one correctly-rounded IEEE sqrt + divide — deterministic across
+    engines)."""
+    import numpy as np
+    import pandas as pd
+
+    def tdiv(a: np.ndarray, b: int) -> np.ndarray:
+        a = np.asarray(a, dtype=np.int64)
+        return np.sign(a) * (np.abs(a) // b)
+
+    B = PCA_POWER_B
+    g = gram_matrix(vectors, vec_col=vec_col, dim=dim, scale=scale).collect()
+    G = np.zeros((dim, dim), dtype=np.int64)
+    for r in g:
+        G[r["i"], r["j"]] = r["gram_sum"]
+        G[r["j"], r["i"]] = r["gram_sum"]
+    gdiv = int(np.abs(G).max()) // ((1 << 20) - 1) + 1
+    Gs = tdiv(G, gdiv)
+
+    v = np.full(dim, B, dtype=np.int64)
+    for _ in range(iters):
+        w = Gs @ v
+        m = max(int(np.abs(w).max()), 1)
+        v = tdiv(w * B, m)
+    va = v
+    n1 = int((va * va).sum())
+
+    v = np.where(np.arange(dim) % 2 == 0, B, -B).astype(np.int64)
+    for _ in range(iters):
+        w = Gs @ v
+        wr = tdiv(w, 1 << 10)
+        p = int((wr * va).sum())
+        w2 = n1 * wr - p * va
+        m = max(int(np.abs(w2).max()), 1)
+        q = m // (1 << 38) + 1
+        v = tdiv(tdiv(w2, q) * B, max(m // q, 1))
+    vb = v
+
+    def signfix(vec: np.ndarray) -> np.ndarray:
+        order = np.lexsort((np.arange(dim), -np.abs(vec)))
+        return -vec if vec[order[0]] < 0 else vec
+
+    va, vb = signfix(va), signfix(vb)
+    den_a = float(scale) * float(np.sqrt(float((va * va).sum())))
+    den_b = float(scale) * float(np.sqrt(float((vb * vb).sum())))
+
+    out_schema = (
+        f"{id_col} long, pc1_fp long, pc2_fp long, pc1 double, pc2 double"
+    )
+
+    def proj(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            f1 = Q @ va
+            f2 = Q @ vb
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pc1_fp": f1,
+                    "pc2_fp": f2,
+                    "pc1": f1.astype(np.float64) / den_a,
+                    "pc2": f2.astype(np.float64) / den_b,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(proj, out_schema)

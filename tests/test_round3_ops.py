@@ -588,3 +588,96 @@ def test_pca_project_matches_numpy(spark):
     g1 = np.var([v[0] for v in got.values()])
     g2 = np.var([v[1] for v in got.values()])
     assert g1 >= g2
+
+
+def _power_replay(Q, dim=64, B=1 << 12, iters=64):
+    """Pure-numpy replay of the pca_power_project fixed-point spec."""
+    import numpy as np
+
+    def tdiv(a, b):
+        a = np.asarray(a, dtype=np.int64)
+        return np.sign(a) * (np.abs(a) // b)
+
+    G = Q.T @ Q
+    gdiv = int(np.abs(G).max()) // ((1 << 20) - 1) + 1
+    Gs = tdiv(G, gdiv)
+    v = np.full(dim, B, dtype=np.int64)
+    for _ in range(iters):
+        w = Gs @ v
+        v = tdiv(w * B, max(int(np.abs(w).max()), 1))
+    va = v
+    n1 = int((va * va).sum())
+    v = np.where(np.arange(dim) % 2 == 0, B, -B).astype(np.int64)
+    for _ in range(iters):
+        w = Gs @ v
+        wr = tdiv(w, 1 << 10)
+        p = int((wr * va).sum())
+        w2 = n1 * wr - p * va
+        m = max(int(np.abs(w2).max()), 1)
+        q = m // (1 << 38) + 1
+        v = tdiv(tdiv(w2, q) * B, max(m // q, 1))
+    vb = v
+
+    def signfix(vec):
+        order = np.lexsort((np.arange(dim), -np.abs(vec)))
+        return -vec if vec[order[0]] < 0 else vec
+
+    return signfix(va), signfix(vb)
+
+
+def test_pca_power_project_exact_replay_and_gap_convergence(spark):
+    """pca_power_project's integer projections equal the numpy replay of
+    the fixed-point spec EXACTLY (the property the DuckDB oracle relies
+    on); the two axes are near-orthogonal; and on a corpus with a real
+    spectral gap the power axes match LAPACK eigh to cos >= 0.9999."""
+    import numpy as np
+
+    from cassandra_fs_pp_spark.operators.similarity import (
+        GRAM_SCALE,
+        pca_power_project,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * GRAM_SCALE).astype(np.int64)
+    va, vb = _power_replay(Q)
+
+    got = {
+        r["vec_id"]: (r["pc1_fp"], r["pc2_fp"], r["pc1"], r["pc2"])
+        for r in pca_power_project(emb, dim=64).collect()
+    }
+    f1, f2 = Q @ va, Q @ vb
+    den_a = GRAM_SCALE * np.sqrt(float((va * va).sum()))
+    den_b = GRAM_SCALE * np.sqrt(float((vb * vb).sum()))
+    for r, i in enumerate(ids):
+        assert got[i][0] == f1[r] and got[i][1] == f2[r], i
+        assert got[i][2] == f1[r] / den_a and got[i][3] == f2[r] / den_b, i
+
+    # axes near-orthogonal (exact deflation + fixed-point rounding)
+    orth = abs(float(np.dot(va, vb))) / (
+        np.linalg.norm(va) * np.linalg.norm(vb)
+    )
+    assert orth < 1e-3
+
+    # spectral-gap corpus: strong planted axes -> power == eigh
+    rng = np.random.default_rng(11)
+    ax1 = rng.normal(size=64)
+    ax1 /= np.linalg.norm(ax1)
+    ax2 = rng.normal(size=64)
+    ax2 -= ax2.dot(ax1) * ax1
+    ax2 /= np.linalg.norm(ax2)
+    Xg = (
+        rng.normal(size=(400, 1)) * ax1 * 5.0
+        + rng.normal(size=(400, 1)) * ax2 * 2.0
+        + rng.normal(size=(400, 64)) * 0.1
+    )
+    Qg = np.floor(Xg * GRAM_SCALE).astype(np.int64)
+    va_g, vb_g = _power_replay(Qg)
+    vals, vecs = np.linalg.eigh((Qg.T @ Qg).astype(np.float64))
+    c1 = abs(np.dot(va_g, vecs[:, -1])) / np.linalg.norm(va_g)
+    c2 = abs(np.dot(vb_g, vecs[:, -2])) / np.linalg.norm(vb_g)
+    assert c1 >= 0.9999 and c2 >= 0.9999, (c1, c2)
