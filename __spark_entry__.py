@@ -6611,6 +6611,54 @@ FROM g GROUP BY event_type, burst
 """
 
 
+def p_debounce_burst_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-keyed burst-collapse: the SCALE.md valve for
+    ``p_debounce_burst`` made first-class.  The enum-keyed form
+    parallelizes at |event_type| tasks (fine on bounded per-key domains,
+    documented in SCALE.md); keying by (user_id, event_type) — the shape
+    a 100 TB fleet actually has — spreads the same window over the full
+    hash space, so wall time stays ~flat as users grow.  Identical
+    operator (``debounce_keep_first`` takes ``keys=``), identical
+    semantics per series."""
+    from cassandra_fs_pp_spark.operators.dedup import debounce_keep_first
+
+    ev = _t(spark, sf_dir, "events")
+    kept = debounce_keep_first(
+        ev,
+        keys=["user_id", "event_type"],
+        ts="ts",
+        gap_s=1800,
+        tiebreak=["event_id"],
+    )
+    return kept.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("kept_event_id"),
+        F.col("ts").alias("kept_ts"),
+        "burst_n",
+    )
+
+
+P_DEBOUNCE_KEYED_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS burst
+  FROM o
+)
+SELECT user_id, event_type,
+       min(event_id ORDER BY ts, event_id) AS kept_event_id,
+       min(ts) AS kept_ts, CAST(count(*) AS BIGINT) AS burst_n
+FROM g GROUP BY user_id, event_type, burst
+"""
+
+
 def a_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-function time-weighted mean of value per user — the exact
     aggregate for irregularly-sampled series (vs grid resampling)."""
@@ -9330,16 +9378,38 @@ def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     float formula per row — the w_rolling_slope discipline extended to
     3rd/4th moments, because engine var/covar window aggregates drift
     across round(.,6) ties (r4 gotcha).  Full windows only."""
+    return _rolling_skewkurt(
+        spark, sf_dir, keys=["event_type"], rows=24, suffix="24"
+    )
+
+
+def w_rolling_skewkurt_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-keyed trailing skew/kurtosis: the SCALE.md valve for
+    ``w_rolling_skewkurt`` made first-class — same exact-integer power
+    sums, but the window partitions by (user_id, event_type), the key
+    shape a real fleet has, so parallelism tracks |users| and the
+    per-key n log n sort cost stays bounded as the corpus grows.
+    12-row window (per-(user,type) series are shorter than the fleet
+    aggregate; same formulas, same integer discipline)."""
+    return _rolling_skewkurt(
+        spark, sf_dir, keys=["user_id", "event_type"], rows=12, suffix="w"
+    )
+
+
+def _rolling_skewkurt(
+    spark: SparkSession, sf_dir: str, *, keys: list[str], rows: int,
+    suffix: str,
+) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     d = F.round(F.col("value") * 10).cast("long")
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("ts", "event_id")
-        .rowsBetween(-23, Window.currentRow)
+        .rowsBetween(-(rows - 1), Window.currentRow)
     )
-    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wn = Window.partitionBy(*keys).orderBy("ts", "event_id")
     base = ev.select(
-        "event_type",
+        *keys,
         "ts",
         "event_id",
         d.alias("__d"),
@@ -9352,7 +9422,7 @@ def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__d") * F.col("__d") * F.col("__d") * F.col("__d")
     ).over(w)
     stats = base.select(
-        "event_type",
+        *keys,
         "ts",
         "event_id",
         s1.alias("__s1"),
@@ -9360,8 +9430,8 @@ def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         s3.alias("__s3"),
         s4.alias("__s4"),
         "__rn",
-    ).filter(F.col("__rn") >= 24)
-    n = F.lit(24.0)
+    ).filter(F.col("__rn") >= rows)
+    n = F.lit(float(rows))
     m1 = F.col("__s1").cast("double") / n
     m2 = F.col("__s2").cast("double") / n - m1 * m1
     m3c = (
@@ -9376,12 +9446,14 @@ def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(3.0) * m1 * m1 * m1 * m1
     )
     return stats.select(
-        "event_type",
+        *keys,
         "ts",
         "event_id",
-        F.when(m2 > 0, F.round(m3c / (m2 * F.sqrt(m2)), 6)).alias("skew_24"),
+        F.when(m2 > 0, F.round(m3c / (m2 * F.sqrt(m2)), 6)).alias(
+            f"skew_{suffix}"
+        ),
         F.when(m2 > 0, F.round(m4c / (m2 * m2) - F.lit(3.0), 6)).alias(
-            "exkurt_24"
+            f"exkurt_{suffix}"
         ),
     )
 
@@ -9416,6 +9488,41 @@ SELECT event_type, ts, event_id,
          round((e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
                 - 3.0 * m1 * m1 * m1 * m1)
                / ((e2 - m1 * m1) * (e2 - m1 * m1)) - 3.0, 6) END AS exkurt_24
+FROM m
+"""
+
+
+W_SKEWKURT_KEYED_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 10) AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT user_id, event_type, ts, event_id, rn,
+         CAST(sum(d) OVER w AS BIGINT) AS s1,
+         CAST(sum(d * d) OVER w AS BIGINT) AS s2,
+         CAST(sum(d * d * d) OVER w AS BIGINT) AS s3,
+         CAST(sum(d * d * d * d) OVER w AS BIGINT) AS s4
+  FROM b
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(s1 AS DOUBLE) / 12.0 AS m1,
+         CAST(s2 AS DOUBLE) / 12.0 AS e2,
+         CAST(s3 AS DOUBLE) / 12.0 AS e3,
+         CAST(s4 AS DOUBLE) / 12.0 AS e4
+  FROM s WHERE rn >= 12)
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN e2 - m1 * m1 > 0 THEN
+         round((e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1)
+               / ((e2 - m1 * m1) * sqrt(e2 - m1 * m1)), 6) END AS skew_w,
+       CASE WHEN e2 - m1 * m1 > 0 THEN
+         round((e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
+                - 3.0 * m1 * m1 * m1 * m1)
+               / ((e2 - m1 * m1) * (e2 - m1 * m1)) - 3.0, 6) END AS exkurt_w
 FROM m
 """
 
@@ -10670,6 +10777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_drawdown": w_drawdown,
         "a_entropy_transitions": a_entropy_transitions,
         "w_rolling_skewkurt": w_rolling_skewkurt,
+        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
         "a_mann_whitney": a_mann_whitney,
         "a_runs_test": a_runs_test,
         "a_kmv_distinct": a_kmv_distinct,
@@ -10777,6 +10885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_corr": w_rolling_corr,
         "w_step_detect": w_step_detect,
         "p_debounce_burst": p_debounce_burst,
+        "p_debounce_burst_keyed": p_debounce_burst_keyed,
         "dq_referential_audit": dq_referential_audit,
         "dq_null_profile": dq_null_profile,
         "f_json_parse": f_json_parse,
@@ -10941,6 +11050,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_familiarity": TEXT_LM_FAMILIARITY_ORACLE,
         "curation_domain_mix": CURATION_DOMAIN_MIX_ORACLE,
         "p_debounce_burst": P_DEBOUNCE_ORACLE,
+        "p_debounce_burst_keyed": P_DEBOUNCE_KEYED_ORACLE,
         "a_time_weighted_avg": A_TWA_ORACLE,
         "a_histogram": A_HISTOGRAM_ORACLE,
         "a_concurrency": A_CONCURRENCY_ORACLE,
@@ -11017,6 +11127,7 @@ def oracle_sql() -> dict[str, str]:
         "w_drawdown": W_DRAWDOWN_ORACLE,
         "a_entropy_transitions": A_ENTROPY_TRANS_ORACLE,
         "w_rolling_skewkurt": W_SKEWKURT_ORACLE,
+        "w_rolling_skewkurt_keyed": W_SKEWKURT_KEYED_ORACLE,
         "a_mann_whitney": A_MANN_WHITNEY_ORACLE,
         "a_runs_test": A_RUNS_ORACLE,
         "a_kmv_distinct": A_KMV_ORACLE,

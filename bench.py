@@ -51,6 +51,8 @@ HEADLINE = [
     "curation_pipeline",
     "emb_label_inertia",
     "p_debounce_burst",
+    "p_debounce_burst_keyed",
+    "w_rolling_skewkurt_keyed",
     "a_time_weighted_avg",
     "fleet_udg_filter",
     "fleet_tdr_depth",

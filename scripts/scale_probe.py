@@ -38,6 +38,8 @@ DEFAULT_DEEP = [
     "ann_lsh_topk",
     "curation_decontaminate",
     "p_debounce_burst",
+    "p_debounce_burst_keyed",
+    "w_rolling_skewkurt_keyed",
     "j_interval_overlap",
     "geo_grid_join",
     "fuzzy_match_join",
@@ -207,7 +209,10 @@ def main() -> None:
         "5-way parallelism, not a missing partitioning. That is the true",
         "100 TB shape for low-cardinality enum keys; the valve is keying",
         "the debounce by a real series key (site/sensor/user), which the",
-        "operator takes as a parameter.",
+        "operator takes as a parameter. The valve is itself benched:",
+        "`p_debounce_burst_keyed` / `w_rolling_skewkurt_keyed` run the",
+        "same operators keyed by (user_id, event_type) — their ratios in",
+        "the tables above are the direct enum-vs-fleet-key comparison.",
     ]
     doc = "\n".join(lines) + "\n"
     with open("SCALE.md", "w") as f:
