@@ -8027,6 +8027,74 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(pts, radius=300)
 
 
+# Deterministic fleet regions on the 100 km tangent plane (integer-meter
+# vertices, shared verbatim by the Spark literal tables and the oracle SQL).
+# Region 2 is deliberately CONCAVE (L-shape) to exercise the even-odd rule.
+GEO_REGIONS: list[tuple[int, list[tuple[int, int]]]] = [
+    (1, [(10000, 10000), (30000, 12000), (18000, 32000)]),
+    (2, [(40000, 40000), (70000, 40000), (70000, 50000),
+         (50000, 50000), (50000, 70000), (40000, 70000)]),
+    (3, [(75000, 10000), (92000, 15000), (95000, 30000),
+         (80000, 38000), (70000, 25000)]),
+    (4, [(60000, 80000), (70000, 80000), (70000, 90000), (60000, 90000)]),
+]
+
+
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-region tagging (geofencing): events hashed to the same
+    deterministic tangent plane as ``geo_grid_join``, joined against four
+    literal fleet regions (one concave) via the broadcast cell-coverage +
+    division-free integer ray-cast of ``operators/geo.py
+    point_in_polygon_join``. The point stream is never shuffled except
+    the partial-aggregated parity count; the oracle replays the identical
+    integer crossing test without the (exactness-preserving) bbox-cell
+    prune."""
+    from cassandra_fs_pp_spark.operators.geo import point_in_polygon_join
+
+    ev = _t(spark, sf_dir, "events")
+    md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % 100000)
+        .alias("x"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
+        .alias("y"),
+    )
+    return point_in_polygon_join(pts, GEO_REGIONS)
+
+
+def _geo_pip_oracle_sql() -> str:
+    edge_rows = []
+    for rid, verts in GEO_REGIONS:
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % len(verts)]
+            edge_rows.append(f"({rid},{x1},{y1},{x2},{y2})")
+    edges = ",".join(edge_rows)
+    return f"""
+WITH p AS (
+  SELECT event_id AS id,
+         ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100000 AS x,
+         ('0x' || substr(md5('g' || CAST(event_id AS VARCHAR)), 16, 15))::BIGINT
+           % 100000 AS y
+  FROM events),
+e(region_id, x1, y1, x2, y2) AS (VALUES {edges}),
+hits AS (
+  SELECT p.id, e.region_id,
+         sum(CASE WHEN ((y1 <= y) != (y2 <= y))
+                   AND (CASE WHEN y2 - y1 > 0
+                             THEN (x1 - x) * (y2 - y1)
+                                  + (x2 - x1) * (y - y1) > 0
+                             ELSE (x1 - x) * (y2 - y1)
+                                  + (x2 - x1) * (y - y1) < 0 END)
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM p CROSS JOIN e
+  GROUP BY p.id, e.region_id)
+SELECT id, region_id FROM hits WHERE crossings % 2 = 1
+"""
+
+
 GEO_GRID_ORACLE = """
 WITH p AS (
   SELECT event_id AS id,
@@ -10450,6 +10518,124 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(wf))
 
 
+def rag_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse hybrid retrieval with SCORE normalization — the other
+    standard combiner beside rank-based RRF (``rag_rrf_fusion``): each
+    retriever's top-20 scores are min-max normalized over that top-k
+    (degenerate all-equal lists normalize to 1.0), then fused as
+    ``0.5 * lex + 0.5 * dense``. Exactness: the lexical score is an
+    integer count; the cosine is the same left-to-right fold the green
+    RRF oracle already matches bit-for-bit; min/max/division/blend are
+    single correctly-rounded IEEE ops on identical inputs — so the fused
+    doubles hash-match with no rounding. The min/max scalars attach via
+    1-row broadcast crossJoin (never collected)."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+    from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    lex = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * F.col("qn"))
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+    def norm(top: DataFrame, out: str) -> DataFrame:
+        mm = top.agg(
+            F.min("s").alias("__lo"), F.max("s").alias("__hi")
+        )
+        return top.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                (F.col("s") - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(out),
+        )
+
+    fused = (
+        norm(lex, "nlex")
+        .join(norm(dense, "ndense"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("nlex"), F.lit(0.0)) * 0.5
+                + F.coalesce(F.col("ndense"), F.lit(0.0)) * 0.5
+            ).alias("hybrid"),
+        )
+        .orderBy(F.desc("hybrid"), F.asc("doc_id"))
+        .limit(10)
+    )
+    wf = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(wf))
+
+
+RAG_HYBRID_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), lex AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS s
+  FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1
+  ORDER BY s DESC, doc_id LIMIT 20
+), lexn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END AS nlex
+  FROM lex
+), q AS (
+  SELECT embedding AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS qn
+  FROM embeddings WHERE vec_id = 0
+), dense AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])) * q.qn) AS s
+  FROM embeddings e CROSS JOIN q
+  ORDER BY s DESC, doc_id LIMIT 20
+), densen AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END AS ndense
+  FROM dense
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(nlex, 0.0) * 0.5 + coalesce(ndense, 0.0) * 0.5 AS hybrid
+  FROM lexn l FULL JOIN densen d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, hybrid,
+       CAST(row_number() OVER (ORDER BY hybrid DESC, doc_id) AS INT) AS rank
+FROM fused ORDER BY hybrid DESC, doc_id LIMIT 10
+"""
+
+
 RAG_RRF_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -10755,6 +10941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window alongside the r02-last-green tail (as is graph_pagerank,
         # whose engine changed to exact fixed-point in late r7)
         "rag_rrf_fusion": rag_rrf_fusion,
+        "rag_hybrid_minmax": rag_hybrid_minmax,
         "curation_mixture_temperature": curation_mixture_temperature,
         "text_ngram_novelty": text_ngram_novelty,
         "graph_degree_assortativity": graph_degree_assortativity,
@@ -10817,6 +11004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum_alerts": ts_cusum_alerts,
         "fuzzy_match_join": fuzzy_match_join,
         "geo_grid_join": geo_grid_join,
+        "geo_point_in_polygon": geo_point_in_polygon,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
         "rag_chunk_topk": rag_chunk_topk,
         "op_incremental_rollup": op_incremental_rollup,
@@ -11035,6 +11223,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,
         "rag_rrf_fusion": RAG_RRF_ORACLE,
+        "rag_hybrid_minmax": RAG_HYBRID_ORACLE,
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
@@ -11121,6 +11310,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_cusum_alerts": TS_CUSUM_ORACLE,
         "fuzzy_match_join": FUZZY_MATCH_ORACLE,
         "geo_grid_join": GEO_GRID_ORACLE,
+        "geo_point_in_polygon": _geo_pip_oracle_sql(),
         "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
         "graph_kcore": GRAPH_KCORE_ORACLE,
         "w_ohlc": W_OHLC_ORACLE,
