@@ -148,6 +148,60 @@ def test_grid_radius_join_equals_naive_pairs(spark):
     assert got == want
 
 
+def test_point_in_polygon_join_concave_and_prune_exact(spark):
+    """Hand-picked points around the concave L-region decide correctly
+    (the notch is OUTSIDE); random points match a pure-python even-odd
+    reference run WITHOUT the bbox-cell prune (prune exactness)."""
+    from cassandra_fs_pp_spark.operators.geo import point_in_polygon_join
+
+    regions = [
+        (1, [(100, 100), (300, 120), (180, 320)]),
+        # concave L: the (500..700, 500..700) notch is outside
+        (2, [(400, 400), (700, 400), (700, 500),
+             (500, 500), (500, 700), (400, 700)]),
+    ]
+    hand = [
+        (0, 150, 150),   # inside triangle
+        (1, 290, 300),   # outside triangle (near vertex)
+        (2, 450, 450),   # inside L (lower-left arm)
+        (3, 650, 450),   # inside L (lower-right arm)
+        (4, 450, 650),   # inside L (upper arm)
+        (5, 650, 650),   # in the NOTCH -> outside
+        (6, 399, 450),   # just left of L -> outside
+    ]
+    rng = random.Random(23)
+    pts = hand + [
+        (10 + i, rng.randrange(0, 800), rng.randrange(0, 800))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {
+        (r["id"], r["region_id"])
+        for r in point_in_polygon_join(df, regions, cell=200).collect()
+    }
+    assert (0, 1) in got and (2, 2) in got and (3, 2) in got and (4, 2) in got
+    assert not any(i == k for k, _ in got for i in (1, 5, 6) if k == i)
+
+    def inside(px, py, verts):
+        n, cross = len(verts), 0
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                num = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
+                if (num > 0) if (y2 - y1 > 0) else (num < 0):
+                    cross += 1
+        return cross % 2 == 1
+
+    want = {
+        (i, rid)
+        for (i, px, py) in pts
+        for rid, verts in regions
+        if inside(px, py, verts)
+    }
+    assert got == want
+
+
 def test_triangle_stats_equals_bruteforce(spark):
     rng = random.Random(19)
     n = 40
