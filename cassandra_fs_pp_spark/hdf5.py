@@ -1,0 +1,544 @@
+"""Minimal from-spec HDF5 reader for the netCDF4 classic-model subset.
+
+The reference's ``to_netcdf`` (``bin/fs_process_l2.py:198-204``) writes
+NETCDF4 — an HDF5 container — whenever the netCDF4 library is present;
+the engine's own canonical interchange stays classic NetCDF-3
+(``netcdf3.py``), but a user handing the engine a real reference ``.nc``
+must not hit a wall. This module implements exactly the subset that
+encoding produces, from the public HDF5 File Format Specification
+(v1.10, https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html):
+
+* superblock v0 (libhdf5 default) and v2/v3 (``libver='latest'``)
+* symbol-table groups (B-tree v1 + local heap + SNOD) and v2 object
+  headers with link messages
+* object header v1/v2 with continuations
+* dataspace v1/v2 (incl. unlimited maxdims — the record dimension),
+  datatypes: fixed-point, IEEE float, fixed string, vlen string/sequence,
+  object reference
+* data layout v3: compact, contiguous, and chunked via the v1 chunk
+  B-tree (NO filter pipeline — the reference sets ``zlib=False``)
+* attributes v1/v2/v3, vlen payloads via global heap collections (GCOL)
+* the netCDF4 data model on top: dimension-scale datasets define dims
+  (``CLASS=DIMENSION_SCALE``), data variables bind dims through
+  ``DIMENSION_LIST`` object references
+
+Anything outside the subset (filter pipelines, layout v4, fractal-heap
+groups, compound/enum types) raises ``NotImplementedError`` naming the
+feature — the honest-gate convention shared with the image codecs; the
+``sources/netcdf.py`` caller routes those to the optional netCDF4/h5py
+libraries when installed.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+@dataclass
+class H5Dataset:
+    name: str
+    shape: tuple[int, ...]
+    maxshape: tuple[int, ...]
+    dtype: "_DType"
+    attrs: dict[str, object]
+    layout: tuple  # ("contiguous", addr, size) | ("chunked", btree, chunk)
+                   # | ("compact", bytes)
+    header_addr: int = 0
+
+    def is_dim_scale(self) -> bool:
+        c = self.attrs.get("CLASS")
+        return c == "DIMENSION_SCALE"
+
+
+@dataclass
+class _DType:
+    cls: int
+    size: int
+    signed: bool = True
+    base: "_DType | None" = None  # vlen base
+    vlen_string: bool = False
+
+    def numpy(self) -> np.dtype:
+        if self.cls == 0:
+            return np.dtype(f"<{'i' if self.signed else 'u'}{self.size}")
+        if self.cls == 1:
+            return np.dtype(f"<f{self.size}")
+        if self.cls == 3:
+            return np.dtype(f"S{self.size}")
+        raise NotImplementedError(f"HDF5 datatype class {self.cls} as array")
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        # the spec allows the superblock at byte 0 or any doubling of 512
+        base = 0
+        while buf[base : base + 8] != SIGNATURE:
+            base = 512 if base == 0 else base * 2
+            if base + 8 > len(buf):
+                raise ValueError("not an HDF5 file")
+        if base != 0:
+            raise NotImplementedError(
+                f"HDF5 superblock at userblock offset {base}"
+            )
+        ver = buf[8]
+        if ver == 0:
+            # offsets/lengths sizes at 13/14; root symbol-table entry at 24
+            self.offsz = buf[13]
+            self.lensz = buf[14]
+            if (self.offsz, self.lensz) != (8, 8):
+                raise NotImplementedError(
+                    f"HDF5 offset/length sizes {self.offsz}/{self.lensz}"
+                )
+            # 24: base O, freespace O, eof O, driver O, then root entry
+            root_entry = 24 + 4 * self.offsz
+            self.root = struct.unpack_from("<Q", buf, root_entry + 8)[0]
+        elif ver in (2, 3):
+            self.offsz, self.lensz = buf[9], buf[10]
+            if (self.offsz, self.lensz) != (8, 8):
+                raise NotImplementedError(
+                    f"HDF5 offset/length sizes {self.offsz}/{self.lensz}"
+                )
+            self.root = struct.unpack_from("<Q", buf, 12 + 3 * 8)[0]
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {ver}")
+
+    # ---------------------------------------------------------- low level
+    def u(self, fmt: str, pos: int):
+        return struct.unpack_from("<" + fmt, self.buf, pos)
+
+    # ------------------------------------------------------ object header
+    def object_header(self, addr: int) -> list[tuple[int, bytes]]:
+        """-> [(msg_type, body bytes)] with continuations resolved."""
+        buf = self.buf
+        if buf[addr : addr + 4] == b"OHDR":
+            return self._object_header_v2(addr)
+        version, _, nmsgs = struct.unpack_from("<BBH", buf, addr)
+        if version != 1:
+            raise NotImplementedError(f"object header version {version}")
+        hdr_size = struct.unpack_from("<I", buf, addr + 8)[0]
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(addr + 16, hdr_size)]
+        while blocks and len(msgs) < nmsgs:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(msgs) < nmsgs:
+                mtype, msize, _flags = struct.unpack_from("<HHB", buf, pos)
+                body = bytes(buf[pos + 8 : pos + 8 + msize])
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == 0x0010:  # continuation
+                    o, ln = struct.unpack_from("<QQ", body)
+                    blocks.append((o, ln))
+                else:
+                    msgs.append((mtype, body))
+        return msgs
+
+    def _object_header_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        buf = self.buf
+        pos = addr + 4
+        _ver, flags = buf[pos], buf[pos + 1]
+        pos += 2
+        if flags & 0x20:
+            pos += 16  # times
+        if flags & 0x10:
+            pos += 4  # compact/dense bounds
+        csize_bytes = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(buf[pos : pos + csize_bytes], "little")
+        pos += csize_bytes
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(pos, chunk0)]
+        while blocks:
+            p, ln = blocks.pop(0)
+            end = p + ln - 4  # trailing checksum
+            while p + 4 <= end:
+                mtype = buf[p]
+                msize = struct.unpack_from("<H", buf, p + 1)[0]
+                mflags = buf[p + 3]
+                p += 4
+                if flags & 0x04:
+                    p += 2  # creation order
+                body = bytes(buf[p : p + msize])
+                p += msize
+                if mtype == 0x10:
+                    o, ln2 = struct.unpack_from("<QQ", body)
+                    blocks.append((o + 4, ln2 - 4))  # skip OCHK magic
+                elif mtype != 0:
+                    msgs.append((mtype, body))
+                del mflags
+        return msgs
+
+    # ------------------------------------------------------------- groups
+    def group_links(self, addr: int) -> dict[str, int]:
+        """group object header -> {link name: child object header addr}."""
+        links: dict[str, int] = {}
+        for mtype, body in self.object_header(addr):
+            if mtype == 0x0011:  # symbol table
+                btree, heap = struct.unpack_from("<QQ", body)
+                self._walk_group_btree(btree, heap, links)
+            elif mtype == 0x0006:  # link message (v2 groups)
+                name, target = self._parse_link_msg(body)
+                if target is not None:
+                    links[name] = target
+            elif mtype == 0x0002:  # link info — dense storage unsupported
+                fheap = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))[0]
+                if fheap != UNDEF:
+                    raise NotImplementedError("dense (fractal-heap) group links")
+        return links
+
+    def _parse_link_msg(self, body: bytes) -> tuple[str, int | None]:
+        ver, flags = body[0], body[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        lsz = 1 << (flags & 0x3)
+        nlen = int.from_bytes(body[pos : pos + lsz], "little")
+        pos += lsz
+        name = body[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        if ltype != 0:
+            return name, None  # soft/external links: ignore
+        del ver
+        return name, struct.unpack_from("<Q", body, pos)[0]
+
+    def _walk_group_btree(self, btree: int, heap: int, out: dict[str, int]):
+        buf = self.buf
+        if buf[btree : btree + 4] != b"TREE":
+            raise ValueError("bad group B-tree signature")
+        _ntype, level, nent = struct.unpack_from("<BBH", buf, btree + 4)
+        pos = btree + 8 + 2 * self.offsz  # skip siblings
+        children = []
+        pos += self.lensz  # key 0
+        for _ in range(nent):
+            children.append(struct.unpack_from("<Q", buf, pos)[0])
+            pos += self.offsz + self.lensz  # child + next key
+        for child in children:
+            if level > 0:
+                self._walk_group_btree(child, heap, out)
+            else:
+                self._read_snod(child, heap, out)
+
+    def _read_snod(self, addr: int, heap: int, out: dict[str, int]):
+        buf = self.buf
+        if buf[addr : addr + 4] != b"SNOD":
+            raise ValueError("bad symbol node signature")
+        nsym = struct.unpack_from("<H", buf, addr + 6)[0]
+        pos = addr + 8
+        heap_data = self._local_heap_data(heap)
+        for _ in range(nsym):
+            name_off, oh_addr = struct.unpack_from("<QQ", buf, pos)
+            end = self.buf.index(b"\x00", heap_data + name_off)
+            name = buf[heap_data + name_off : end].decode("utf-8")
+            out[name] = oh_addr
+            pos += 2 * self.offsz + 4 + 4 + 16
+        return out
+
+    def _local_heap_data(self, addr: int) -> int:
+        if self.buf[addr : addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        return struct.unpack_from(
+            "<Q", self.buf, addr + 8 + 2 * self.lensz
+        )[0]
+
+    # ------------------------------------------------------------ messages
+    def parse_dataspace(self, body: bytes) -> tuple[tuple[int, ...], tuple[int, ...]]:
+        ver = body[0]
+        rank = body[1]
+        flags = body[2]
+        pos = 8 if ver == 1 else 4
+        dims = tuple(
+            struct.unpack_from("<Q", body, pos + 8 * i)[0] for i in range(rank)
+        )
+        pos += 8 * rank
+        if flags & 1:
+            maxdims = tuple(
+                struct.unpack_from("<Q", body, pos + 8 * i)[0]
+                for i in range(rank)
+            )
+        else:
+            maxdims = dims
+        return dims, maxdims
+
+    def parse_datatype(self, body: bytes) -> tuple[_DType, int]:
+        cls_ver = body[0]
+        cls = cls_ver & 0x0F
+        bits0 = body[1]
+        size = struct.unpack_from("<I", body, 4)[0]
+        pos = 8
+        if cls == 0:  # fixed-point
+            pos += 4  # bit offset + precision
+            return _DType(0, size, signed=bool(bits0 & 0x08)), pos
+        if cls == 1:  # float (assume IEEE LE f4/f8)
+            pos += 12
+            return _DType(1, size), pos
+        if cls == 3:  # string
+            return _DType(3, size), pos
+        if cls == 7:  # reference
+            return _DType(7, size), pos
+        if cls == 9:  # vlen
+            vtype = bits0 & 0x0F
+            base, used = self.parse_datatype(body[pos:])
+            return (
+                _DType(9, size, base=base, vlen_string=(vtype == 1)),
+                pos + used,
+            )
+        raise NotImplementedError(f"HDF5 datatype class {cls}")
+
+    def parse_attribute(self, body: bytes) -> tuple[str, object]:
+        ver = body[0]
+        if ver == 1:
+            name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+            pos = 8
+
+            def pad(n: int) -> int:
+                return (n + 7) & ~7
+
+            name = body[pos : pos + name_sz].split(b"\x00")[0].decode()
+            pos += pad(name_sz)
+            dtype, _ = self.parse_datatype(body[pos : pos + dt_sz])
+            pos += pad(dt_sz)
+            dims, _ = self.parse_dataspace(body[pos : pos + ds_sz])
+            pos += pad(ds_sz)
+        elif ver in (2, 3):
+            name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+            pos = 8 + (1 if ver == 3 else 0)
+            name = body[pos : pos + name_sz].split(b"\x00")[0].decode()
+            pos += name_sz
+            dtype, _ = self.parse_datatype(body[pos : pos + dt_sz])
+            pos += dt_sz
+            dims, _ = self.parse_dataspace(body[pos : pos + ds_sz])
+            pos += ds_sz
+        else:
+            raise NotImplementedError(f"attribute message version {ver}")
+        n = 1
+        for d in dims:
+            n *= d
+        value = self.decode_values(dtype, body[pos:], n)
+        if not dims and isinstance(value, list):
+            value = value[0]
+        elif len(dims) == 1 and dims[0] == 1 and isinstance(value, list):
+            value = value[0]
+        return name, value
+
+    def decode_values(self, dtype: _DType, raw: bytes, n: int):
+        if dtype.cls in (0, 1):
+            arr = np.frombuffer(raw, dtype=dtype.numpy(), count=n)
+            return [x.item() for x in arr]
+        if dtype.cls == 3:
+            return [
+                raw[i * dtype.size : (i + 1) * dtype.size]
+                .split(b"\x00")[0]
+                .decode("utf-8", "replace")
+                for i in range(n)
+            ]
+        if dtype.cls == 7:
+            return [
+                struct.unpack_from("<Q", raw, i * dtype.size)[0]
+                for i in range(n)
+            ]
+        if dtype.cls == 9:
+            out = []
+            for i in range(n):
+                ln, gaddr, gidx = struct.unpack_from("<IQI", raw, i * 16)
+                data = self.gheap_object(gaddr, gidx)
+                if dtype.vlen_string:
+                    out.append(data.decode("utf-8", "replace"))
+                else:
+                    out.append(self.decode_values(dtype.base, data, ln))
+            return out
+        raise NotImplementedError(f"attribute datatype class {dtype.cls}")
+
+    def gheap_object(self, addr: int, want_idx: int) -> bytes:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
+        total = struct.unpack_from("<Q", buf, addr + 8)[0]
+        pos = addr + 16
+        end = addr + total
+        while pos + 16 <= end:
+            idx, _refc = struct.unpack_from("<HH", buf, pos)
+            osize = struct.unpack_from("<Q", buf, pos + 8)[0]
+            if idx == 0:
+                break
+            if idx == want_idx:
+                return bytes(buf[pos + 16 : pos + 16 + osize])
+            pos += 16 + ((osize + 7) & ~7)
+        raise ValueError(f"global heap object {want_idx} not found")
+
+    # ------------------------------------------------------------ datasets
+    def dataset(self, name: str, addr: int) -> H5Dataset:
+        shape: tuple[int, ...] = ()
+        maxshape: tuple[int, ...] = ()
+        dtype: _DType | None = None
+        attrs: dict[str, object] = {}
+        layout: tuple | None = None
+        for mtype, body in self.object_header(addr):
+            if mtype == 0x0001:
+                shape, maxshape = self.parse_dataspace(body)
+            elif mtype == 0x0003:
+                dtype, _ = self.parse_datatype(body)
+            elif mtype == 0x0008:
+                layout = self._parse_layout(body)
+            elif mtype == 0x000B:
+                nfilters = body[1]
+                if nfilters:
+                    raise NotImplementedError(
+                        "filtered (compressed) HDF5 dataset — the engine "
+                        "reads the reference's zlib=False encoding; install "
+                        "netCDF4/h5py for compressed files"
+                    )
+            elif mtype == 0x000C:
+                k, v = self.parse_attribute(body)
+                attrs[k] = v
+        if dtype is None or layout is None:
+            raise ValueError(f"dataset {name!r}: missing datatype/layout")
+        return H5Dataset(name, shape, maxshape, dtype, attrs, layout, addr)
+
+    def _parse_layout(self, body: bytes) -> tuple:
+        ver = body[0]
+        if ver != 3:
+            raise NotImplementedError(f"data layout version {ver}")
+        cls = body[1]
+        if cls == 0:  # compact
+            sz = struct.unpack_from("<H", body, 2)[0]
+            return ("compact", body[4 : 4 + sz])
+        if cls == 1:  # contiguous
+            a, s = struct.unpack_from("<QQ", body, 2)
+            return ("contiguous", a, s)
+        if cls == 2:  # chunked
+            rank = body[2]
+            btree = struct.unpack_from("<Q", body, 3)[0]
+            dims = struct.unpack_from(f"<{rank}I", body, 11)
+            return ("chunked", btree, dims[:-1])  # last = element size
+        raise NotImplementedError(f"data layout class {cls}")
+
+    def read_data(self, ds: H5Dataset) -> np.ndarray:
+        npd = ds.dtype.numpy()
+        n = 1
+        for d in ds.shape:
+            n *= d
+        if ds.layout[0] == "compact":
+            arr = np.frombuffer(ds.layout[1], dtype=npd, count=n)
+            return arr.reshape(ds.shape).copy()
+        if ds.layout[0] == "contiguous":
+            addr, size = ds.layout[1], ds.layout[2]
+            if addr == UNDEF:  # never written: all fill
+                return np.zeros(ds.shape, dtype=npd)
+            raw = self.buf[addr : addr + size]
+            return (
+                np.frombuffer(raw, dtype=npd, count=n).reshape(ds.shape).copy()
+            )
+        _, btree, chunk = ds.layout
+        out = np.zeros(ds.shape, dtype=npd)
+        if btree != UNDEF:
+            self._read_chunk_btree(btree, np.asarray(chunk), out, npd)
+        return out
+
+    def _read_chunk_btree(self, addr, chunk, out, npd):
+        buf = self.buf
+        if buf[addr : addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        ntype, level, nent = struct.unpack_from("<BBH", buf, addr + 4)
+        if ntype != 1:
+            raise ValueError("expected chunk B-tree node type 1")
+        rank = len(chunk)
+        key_sz = 8 + 8 * (rank + 1)
+        pos = addr + 8 + 2 * self.offsz
+        for _ in range(nent):
+            size, _fmask = struct.unpack_from("<II", buf, pos)
+            offs = struct.unpack_from(f"<{rank + 1}Q", buf, pos + 8)
+            child = struct.unpack_from("<Q", buf, pos + key_sz)[0]
+            pos += key_sz + self.offsz
+            if level > 0:
+                self._read_chunk_btree(child, chunk, out, npd)
+                continue
+            start = np.asarray(offs[:rank], dtype=np.int64)
+            cdata = np.frombuffer(
+                buf[child : child + size], dtype=npd
+            ).reshape(tuple(chunk))
+            sl = tuple(
+                slice(int(s), int(min(s + c, e)))
+                for s, c, e in zip(start, chunk, out.shape)
+            )
+            csl = tuple(
+                slice(0, int(min(s + c, e) - s))
+                for s, c, e in zip(start, chunk, out.shape)
+            )
+            out[sl] = cdata[csl]
+
+
+@dataclass
+class H5Variable:
+    name: str
+    dims: tuple[str, ...]
+    attrs: dict[str, object]
+    data: np.ndarray = field(repr=False, default=None)
+
+
+def read_netcdf4(path: str):
+    """NetCDF4 (HDF5) ``.nc`` -> (dims, gattrs, variables) in the same
+    shape ``netcdf3.read_netcdf3`` returns: ``dims`` maps name -> size
+    (None for the unlimited/record dim), variables carry (name, dims,
+    attrs, numpy data)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    r = _Reader(buf)
+    root_msgs = r.object_header(r.root)
+    gattrs: dict[str, object] = {}
+    for mtype, body in root_msgs:
+        if mtype == 0x000C:
+            k, v = r.parse_attribute(body)
+            gattrs[k] = v
+    links = r.group_links(r.root)
+
+    datasets: dict[str, H5Dataset] = {}
+    addr_to_name: dict[int, str] = {}
+    for name, addr in links.items():
+        ds = r.dataset(name, addr)
+        datasets[name] = ds
+        addr_to_name[addr] = name
+
+    dims: dict[str, int | None] = {}
+    for name, ds in datasets.items():
+        if ds.is_dim_scale():
+            unlimited = bool(ds.maxshape) and ds.maxshape[0] == UNDEF
+            dims[name] = None if unlimited else (ds.shape[0] if ds.shape else 0)
+
+    variables: list[H5Variable] = []
+    for name, ds in datasets.items():
+        attrs = {
+            k: v
+            for k, v in ds.attrs.items()
+            if k
+            not in ("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+                    "_Netcdf4Dimid", "_Netcdf4Coordinates")
+        }
+        if ds.is_dim_scale():
+            nc_name = ds.attrs.get("NAME", "")
+            if isinstance(nc_name, str) and nc_name.startswith(
+                "This is a netCDF dimension but not a netCDF variable"
+            ):
+                continue  # pure dimension, no data variable
+            vdims: tuple[str, ...] = (name,)
+        else:
+            dl = ds.attrs.get("DIMENSION_LIST")
+            if dl is None:
+                vdims = ()
+            else:
+                vdims = tuple(
+                    addr_to_name[refs[0] if isinstance(refs, list) else refs]
+                    for refs in dl
+                )
+        variables.append(H5Variable(name, vdims, attrs, r.read_data(ds)))
+    return dims, gattrs, variables

@@ -1,7 +1,9 @@
 """S11 — NetCDF scan (reference ``bin/plot_L2.py:40`` ``xr.open_dataset``).
 
-Reads a classic NetCDF-3 file written by :func:`sinks.to_netcdf` (or any
-tool emitting CDF-1/2) into a time-indexed wide DataFrame, applying the
+Reads a ``.nc`` file — classic NetCDF-3 written by :func:`sinks.to_netcdf`
+(or any tool emitting CDF-1/2), or NETCDF4/HDF5 as the reference's
+``to_netcdf`` writes when the netCDF4 library is present (from-spec
+subset reader in ``hdf5.py``) — into a time-indexed wide DataFrame, applying the
 CF unpacking convention on the way in: ``float = int32 * scale_factor``
 with ``_FillValue`` -> null (``bin/fs_process_l2.py:196-200`` encoding,
 inverted). Driver-side materialization — an L2 site product is a reduced
@@ -19,13 +21,65 @@ from pyspark.sql import DataFrame, SparkSession
 from cassandra_fs_pp_spark.netcdf3 import read_netcdf3
 
 
+def _read_any(path: str):
+    """Magic-sniffing front end: classic CDF-1/2 routes to the NetCDF-3
+    reader, the HDF5 signature to the from-spec NetCDF-4 subset reader
+    (``hdf5.py`` — covers the reference's ``fs_process_l2.py:198-204``
+    zlib=False encoding). Subset-exceeding HDF5 features (filters,
+    layout v4...) fall back to the optional netCDF4 library when
+    installed, else re-raise the honest NotImplementedError."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF":
+        return read_netcdf3(path)
+    from cassandra_fs_pp_spark.hdf5 import SIGNATURE, read_netcdf4
+
+    if magic == SIGNATURE:
+        try:
+            return read_netcdf4(path)
+        except NotImplementedError as gate:
+            try:
+                import netCDF4  # noqa: F401 — optional dependency
+            except ImportError:
+                raise gate from None
+            return _read_via_netcdf4_lib(path)
+    raise ValueError(f"{path}: neither classic NetCDF nor HDF5 signature")
+
+
+def _read_via_netcdf4_lib(path: str):
+    """Optional-dependency escape hatch for HDF5 features outside the
+    from-spec subset (compressed variables, v4 layouts...)."""
+    import netCDF4
+
+    from cassandra_fs_pp_spark.hdf5 import H5Variable
+
+    ds = netCDF4.Dataset(path, "r")
+    try:
+        dims = {
+            name: (None if d.isunlimited() else d.size)
+            for name, d in ds.dimensions.items()
+        }
+        gattrs = {k: ds.getncattr(k) for k in ds.ncattrs()}
+        variables = []
+        for name, v in ds.variables.items():
+            v.set_auto_maskandscale(False)
+            attrs = {k: v.getncattr(k) for k in v.ncattrs()}
+            variables.append(
+                H5Variable(name, tuple(v.dimensions), attrs, np.asarray(v[:]))
+            )
+        return dims, gattrs, variables
+    finally:
+        ds.close()
+
+
 def load_netcdf(
     spark: SparkSession,
     path: str,
     *,
     time_col: str = "time",
 ) -> DataFrame:
-    """Classic ``.nc`` -> DataFrame ``(time timestamp, <var> double ...)``.
+    """``.nc`` (classic or NETCDF4/HDF5) -> DataFrame
+    ``(time timestamp, <var> double ...)``.
 
     1-D variables over the record (time) dimension become columns;
     packed int variables with ``scale_factor``/``_FillValue`` attrs are
@@ -34,7 +88,7 @@ def load_netcdf(
     CF ``units`` epoch (``seconds|days since <epoch>``) and returned
     under ``time_col``.
     """
-    dims, _gattrs, variables = read_netcdf3(path)
+    dims, _gattrs, variables = _read_any(path)
     record_dim = next((n for n, s in dims.items() if s is None), None)
     if record_dim is None:
         raise ValueError(f"{path}: no record (time) dimension")
@@ -98,7 +152,7 @@ def load_netcdf_long(
     ``sensor_name`` char matrix when present, else the 0-based index."""
     import datetime as _dt2
 
-    dims, _gattrs, variables = read_netcdf3(path)
+    dims, _gattrs, variables = _read_any(path)
     record_dim = next((n for n, s in dims.items() if s is None), None)
     v = {x.name: x for x in variables}
     if var_name not in v:

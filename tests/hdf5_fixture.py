@@ -1,0 +1,445 @@
+"""Test-local minimal NetCDF4 (HDF5) writer — produces the byte layout
+libhdf5/netCDF4 emit for the reference's ``to_netcdf`` encoding
+(``bin/fs_process_l2.py:198-204``: int32 / scale_factor / _FillValue,
+zlib=False, unlimited time), so ``cassandra_fs_pp_spark/hdf5.py`` can be
+tested against real on-disk structures without the netCDF4 library.
+Same convention as the test-local PNG/JPEG encoders: the writer lives in
+tests/, the engine ships only the reader.
+
+Subset written: superblock v0, symbol-table root group (B-tree v1 + local
+heap + SNOD), object headers v1, dataspace v1 (incl. unlimited maxdims),
+datatypes int32/int64/float64/fixed-string/vlen-string/vlen-of-object-
+refs, contiguous + chunked (chunk B-tree v1) layouts, attributes v1 with
+vlen payloads in a global heap, netCDF4 dimension scales +
+DIMENSION_LIST.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+class _Blob:
+    """Byte builder with relative address-patch slots."""
+
+    def __init__(self):
+        self.b = bytearray()
+        self.rel: list[tuple[int, str]] = []
+
+    def emit(self, data: bytes) -> "_Blob":
+        self.b += data
+        return self
+
+    def slot(self, key: str) -> "_Blob":
+        self.rel.append((len(self.b), key))
+        self.b += b"\x00" * 8
+        return self
+
+    def splice(self, other: "_Blob") -> "_Blob":
+        base = len(self.b)
+        self.b += other.b
+        self.rel += [(base + o, k) for o, k in other.rel]
+        return self
+
+    def pad8(self) -> "_Blob":
+        self.b += b"\x00" * (-len(self.b) % 8)
+        return self
+
+
+class _File:
+    def __init__(self):
+        self.blob = _Blob()
+        self.addrs: dict[str, int] = {}
+
+    def place(self, key: str | None, blob: _Blob) -> int:
+        pos = len(self.blob.b)
+        if key:
+            self.addrs[key] = pos
+        self.blob.splice(blob)
+        return pos
+
+    def finish(self) -> bytes:
+        for off, key in self.blob.rel:
+            struct.pack_into("<Q", self.blob.b, off, self.addrs[key])
+        return bytes(self.blob.b)
+
+
+# ------------------------------------------------------------- datatypes
+def _dt_int(size: int) -> bytes:
+    return struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, size, 0, size * 8)
+
+
+def _dt_float64() -> bytes:
+    return struct.pack(
+        "<BBBBIHHBBBBI", 0x11, 0x20, 0x3F, 0, 8, 0, 64, 52, 11, 0, 52, 1023
+    )
+
+
+def _dt_string(n: int) -> bytes:
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, n)
+
+
+def _dt_ref() -> bytes:
+    return struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)
+
+
+def _dt_vlen(string: bool) -> bytes:
+    base = _dt_string(1) if string else _dt_ref()
+    return struct.pack("<BBBBI", 0x19, 0x01 if string else 0x00, 0, 0, 16) + base
+
+
+def _dataspace(dims, maxdims=None) -> bytes:
+    flags = 1 if maxdims is not None else 0
+    out = struct.pack("<BBB5x", 1, len(dims), flags)
+    out += b"".join(struct.pack("<Q", d) for d in dims)
+    if maxdims is not None:
+        out += b"".join(struct.pack("<Q", d) for d in maxdims)
+    return out
+
+
+# ----------------------------------------------------- messages / headers
+def _msg(mtype: int, body: _Blob | bytes) -> _Blob:
+    if isinstance(body, bytes):
+        bb = _Blob().emit(body)
+    else:
+        bb = body
+    bb.pad8()
+    out = _Blob().emit(struct.pack("<HHB3x", mtype, len(bb.b), 0))
+    return out.splice(bb)
+
+
+def _attr(name: str, dtype: bytes, dataspace: bytes, data: _Blob | bytes) -> _Blob:
+    if isinstance(data, bytes):
+        data = _Blob().emit(data)
+    nameb = name.encode() + b"\x00"
+    out = _Blob().emit(
+        struct.pack("<BBHHH", 1, 0, len(nameb), len(dtype), len(dataspace))
+    )
+    out.emit(_pad8(nameb)).emit(_pad8(dtype)).emit(_pad8(dataspace))
+    return out.splice(data)
+
+
+def _vlen_payload(length: int, gheap_key: str, gidx: int) -> _Blob:
+    return (
+        _Blob()
+        .emit(struct.pack("<I", length))
+        .slot(gheap_key)
+        .emit(struct.pack("<I", gidx))
+    )
+
+
+def _object_header(msgs: list[_Blob]) -> _Blob:
+    body = _Blob()
+    for m in msgs:
+        body.splice(m)
+    out = _Blob().emit(
+        struct.pack("<BBHII4x", 1, 0, len(msgs), 1, len(body.b))
+    )
+    return out.splice(body)
+
+
+def _layout_contiguous(data_key: str, size: int) -> _Blob:
+    return (
+        _Blob()
+        .emit(struct.pack("<BB", 3, 1))
+        .slot(data_key)
+        .emit(struct.pack("<Q", size))
+    )
+
+
+def _layout_chunked(btree_key: str, chunk_dims: tuple[int, ...],
+                    elem: int) -> _Blob:
+    out = _Blob().emit(struct.pack("<BBB", 3, 2, len(chunk_dims) + 1))
+    out.slot(btree_key)
+    for d in chunk_dims:
+        out.emit(struct.pack("<I", d))
+    return out.emit(struct.pack("<I", elem))
+
+
+def _chunk_btree(chunks: list[tuple[tuple[int, ...], str, int]],
+                 shape: tuple[int, ...]) -> _Blob:
+    """chunks: [(start offsets, data key, nbytes)]."""
+    rank = len(shape)
+    out = _Blob().emit(struct.pack("<4sBBH", b"TREE", 1, 0, len(chunks)))
+    out.emit(struct.pack("<QQ", UNDEF, UNDEF))
+    for start, key, nbytes in chunks:
+        out.emit(struct.pack("<II", nbytes, 0))
+        for s in start:
+            out.emit(struct.pack("<Q", s))
+        out.emit(struct.pack("<Q", 0))  # elem-size key component
+        out.slot(key)
+    out.emit(struct.pack("<II", 0, 0))
+    for s in shape:
+        out.emit(struct.pack("<Q", s))
+    out.emit(struct.pack("<Q", 0))
+    return out
+
+
+def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
+    """Write the reference-flavor fixture; returns ground-truth arrays."""
+    rng = np.random.default_rng(5)
+    time_vals = np.arange(n_time, dtype=np.int64) * 3600
+    t_air = np.round(
+        np.round(rng.normal(-5, 8, n_time), 3) * 1000
+    ).astype(np.int32)
+    t_air[5] = -9999  # fill
+    batt = (12000 + rng.integers(0, 500, n_time)).astype(np.int32)
+    depth = np.round(rng.normal(2.0, 0.5, (n_time, n_sensor)), 6)
+    half = n_time // 2
+
+    f = _File()
+
+    # --- superblock v0
+    sb = _Blob()
+    sb.emit(b"\x89HDF\r\n\x1a\n")
+    sb.emit(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.emit(struct.pack("<HHI", 4, 16, 0))
+    sb.emit(struct.pack("<QQ", 0, UNDEF))
+    eof_off = len(sb.b)
+    sb.emit(struct.pack("<Q", 0))
+    sb.emit(struct.pack("<Q", UNDEF))
+    sb.emit(struct.pack("<Q", 0))  # root link name offset
+    sb.slot("oh:root")
+    sb.emit(struct.pack("<II16x", 0, 0))
+    f.place(None, sb)
+
+    # --- raw data blocks
+    f.place("data:time", _Blob().emit(time_vals.astype("<i8").tobytes()))
+    f.place("data:t_air", _Blob().emit(t_air.astype("<i4").tobytes()))
+    f.place("data:batt", _Blob().emit(batt.astype("<i4").tobytes()))
+    f.place("data:depth0", _Blob().emit(depth[:half].astype("<f8").tobytes()))
+    f.place("data:depth1", _Blob().emit(depth[half:].astype("<f8").tobytes()))
+
+    # --- chunk B-trees
+    f.place(
+        "btree:time",
+        _chunk_btree([((0,), "data:time", n_time * 8)], (n_time,)),
+    )
+    f.place(
+        "btree:depth",
+        _chunk_btree(
+            [
+                ((0, 0), "data:depth0", half * n_sensor * 8),
+                ((half, 0), "data:depth1", (n_time - half) * n_sensor * 8),
+            ],
+            (n_time, n_sensor),
+        ),
+    )
+
+    # --- global heap (vlen strings + object refs)
+    gobjs: list[tuple[bytes, str | None]] = [
+        (b"seconds since 2024-01-01 00:00:00", None),  # 1
+        (b"degree_Celsius", None),                      # 2
+        (b"\x00" * 8, "oh:time"),                       # 3: ref -> time
+        (b"\x00" * 8, "oh:sensor"),                     # 4: ref -> sensor
+    ]
+    gh = _Blob()
+    payload = _Blob()
+    for i, (data, patch_key) in enumerate(gobjs, start=1):
+        payload.emit(struct.pack("<HHIQ", i, 1, 0, len(data)))
+        if patch_key:
+            payload.slot(patch_key)
+            payload.pad8()
+        else:
+            payload.emit(_pad8(data))
+    total = 16 + len(payload.b) + 16
+    gh.emit(b"GCOL" + struct.pack("<B3xQ", 1, total))
+    gh.splice(payload)
+    gh.emit(struct.pack("<HHIQ", 0, 0, 0, 16))
+    f.place("gheap", gh)
+    G_UNITS_T, G_UNITS_AIR, G_REF_TIME, G_REF_SENSOR = 1, 2, 3, 4
+
+    def dim_list(gidxs: list[int]) -> _Blob:
+        data = _Blob()
+        for gi in gidxs:
+            data.splice(_vlen_payload(1, "gheap", gi))
+        return _msg(
+            0x000C,
+            _attr(
+                "DIMENSION_LIST",
+                _dt_vlen(string=False),
+                _dataspace((len(gidxs),)),
+                data,
+            ),
+        )
+
+    def fixed_str_attr(name: str, val: str) -> _Blob:
+        raw = val.encode() + b"\x00"
+        return _msg(
+            0x000C, _attr(name, _dt_string(len(raw)), _dataspace(()), raw)
+        )
+
+    # --- time: int64 coordinate, unlimited, chunked
+    f.place(
+        "oh:time",
+        _object_header(
+            [
+                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+                _msg(0x0003, _dt_int(8)),
+                _msg(0x0008, _layout_chunked("btree:time", (n_time,), 8)),
+                fixed_str_attr("CLASS", "DIMENSION_SCALE"),
+                fixed_str_attr("NAME", "time"),
+                _msg(
+                    0x000C,
+                    _attr(
+                        "units",
+                        _dt_vlen(string=True),
+                        _dataspace(()),
+                        _vlen_payload(
+                            len(gobjs[0][0]), "gheap", G_UNITS_T
+                        ),
+                    ),
+                ),
+            ]
+        ),
+    )
+
+    # --- sensor: pure dimension (no variable), data never allocated
+    sensor_layout = (
+        _Blob()
+        .emit(struct.pack("<BB", 3, 1))
+        .emit(struct.pack("<QQ", UNDEF, n_sensor * 8))
+    )
+    f.place(
+        "oh:sensor",
+        _object_header(
+            [
+                _msg(0x0001, _dataspace((n_sensor,))),
+                _msg(0x0003, _dt_float64()),
+                _msg(0x0008, sensor_layout),
+                fixed_str_attr("CLASS", "DIMENSION_SCALE"),
+                fixed_str_attr(
+                    "NAME",
+                    "This is a netCDF dimension but not a netCDF variable."
+                    f" {n_sensor}",
+                ),
+            ]
+        ),
+    )
+
+    # --- t_air: packed int32, contiguous
+    f.place(
+        "oh:t_air",
+        _object_header(
+            [
+                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+                _msg(0x0003, _dt_int(4)),
+                _msg(0x0008, _layout_contiguous("data:t_air", n_time * 4)),
+                _msg(
+                    0x000C,
+                    _attr(
+                        "scale_factor",
+                        _dt_float64(),
+                        _dataspace(()),
+                        struct.pack("<d", 0.001),
+                    ),
+                ),
+                _msg(
+                    0x000C,
+                    _attr(
+                        "_FillValue",
+                        _dt_int(4),
+                        _dataspace((1,)),
+                        struct.pack("<i", -9999),
+                    ),
+                ),
+                _msg(
+                    0x000C,
+                    _attr(
+                        "units",
+                        _dt_vlen(string=True),
+                        _dataspace(()),
+                        _vlen_payload(
+                            len(gobjs[1][0]), "gheap", G_UNITS_AIR
+                        ),
+                    ),
+                ),
+                dim_list([G_REF_TIME]),
+            ]
+        ),
+    )
+
+    # --- batt: plain int32, contiguous
+    f.place(
+        "oh:batt",
+        _object_header(
+            [
+                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+                _msg(0x0003, _dt_int(4)),
+                _msg(0x0008, _layout_contiguous("data:batt", n_time * 4)),
+                dim_list([G_REF_TIME]),
+            ]
+        ),
+    )
+
+    # --- depth: float64 (time, sensor), two chunks
+    f.place(
+        "oh:depth",
+        _object_header(
+            [
+                _msg(
+                    0x0001,
+                    _dataspace((n_time, n_sensor), (UNDEF, n_sensor)),
+                ),
+                _msg(0x0003, _dt_float64()),
+                _msg(
+                    0x0008,
+                    _layout_chunked("btree:depth", (half, n_sensor), 8),
+                ),
+                dim_list([G_REF_TIME, G_REF_SENSOR]),
+            ]
+        ),
+    )
+
+    # --- root group plumbing
+    names = sorted(["time", "sensor", "t_air", "batt", "depth"])
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        heap_data += n.encode() + b"\x00"
+        heap_data += b"\x00" * (-len(heap_data) % 8)
+    f.place("heap:data", _Blob().emit(bytes(heap_data)))
+
+    heap = _Blob().emit(b"HEAP" + struct.pack("<B3x", 0))
+    heap.emit(struct.pack("<QQ", len(heap_data), 1))
+    heap.slot("heap:data")
+    f.place("heap", heap)
+
+    snod = _Blob().emit(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
+    for n in names:
+        snod.emit(struct.pack("<Q", name_off[n]))
+        snod.slot(f"oh:{n}")
+        snod.emit(struct.pack("<II16x", 0, 0))
+    f.place("snod", snod)
+
+    bt = _Blob().emit(struct.pack("<4sBBH", b"TREE", 0, 0, 1))
+    bt.emit(struct.pack("<QQ", UNDEF, UNDEF))
+    bt.emit(struct.pack("<Q", 0))
+    bt.slot("snod")
+    bt.emit(struct.pack("<Q", name_off[names[-1]]))
+    f.place("btree:root", bt)
+
+    stbody = _Blob().slot("btree:root").slot("heap")
+    f.place("oh:root", _object_header([_msg(0x0011, stbody)]))
+
+    out = bytearray(f.finish())
+    struct.pack_into("<Q", out, eof_off, len(out))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return {
+        "time": time_vals,
+        "t_air": t_air,
+        "batt": batt,
+        "depth": depth,
+        "n_time": n_time,
+        "n_sensor": n_sensor,
+    }
