@@ -10872,15 +10872,74 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-7 rotation targets the
-    # STALE TAIL: (a) all 43 queries whose last driver-green was round 1
-    # (the oldest evidence in CORRECTNESS_r01-r06), (b) the three queries
-    # whose code changed in round 6 but sat outside r6's (unrotated)
-    # window, (c) queries changed this round (LSH duplicate-collapse,
-    # Mann-Kendall NULL-z convention), (d) queries NEW this round.  The
-    # r02-last-green tail (42 queries) is the planned r8 window.
+    # prefix window (50 entries) of this dict.  Round-8 rotation (VERDICT r7
+    # item 1): (a) the 10 late-r7 queries never driver-checked, including
+    # graph_pagerank's new exact fixed-point oracle; (b) everything whose
+    # code or oracle changed in r8 (the two rows-only graduations
+    # mm_phash_pairs / emb_pca_project, the lazy-checkpoint ann_lsh_topk,
+    # the refactored w_rolling_skewkurt) plus the four NEW r8 queries;
+    # (c) 32 of the 41-query r02-last-green tail (registry order).  The
+    # 9 r02 queries that did not fit (text_token_topk, text_repetition,
+    # text_bigram_pmi, curation_stratified_sample, curation_quality_filter,
+    # curation_source_budget, curation_weighted_sample, mm_image_meta,
+    # mm_image_stats) lead the planned r9 window together with the
+    # 48-query r03 tail.
     return {
-        # --- (a) last driver-green in round 1 — oldest evidence ---
+        # --- (a) late-r7, never driver-checked ---
+        "rag_rrf_fusion": rag_rrf_fusion,
+        "curation_mixture_temperature": curation_mixture_temperature,
+        "text_ngram_novelty": text_ngram_novelty,
+        "graph_degree_assortativity": graph_degree_assortativity,
+        "graph_pagerank": graph_pagerank,
+        "a_hodges_lehmann": a_hodges_lehmann,
+        "ts_periodogram_int": ts_periodogram_int,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "w_seasonal_naive_error": w_seasonal_naive_error,
+        "text_bigram_entropy": text_bigram_entropy,
+        # --- (b) r8 code/oracle changes + new queries ---
+        "mm_phash_pairs": mm_phash_pairs,
+        "emb_pca_project": emb_pca_project,
+        "ann_lsh_topk": ann_lsh_topk,
+        "w_rolling_skewkurt": w_rolling_skewkurt,
+        "p_debounce_burst_keyed": p_debounce_burst_keyed,
+        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
+        "geo_point_in_polygon": geo_point_in_polygon,
+        "rag_hybrid_minmax": rag_hybrid_minmax,
+        # --- (c) r02-last-green tail (32 of 41) ---
+        "fleet_udg_filter": fleet_udg_filter,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "mm_png_roundtrip": mm_png_roundtrip,
+        "tpch_q12_latemode": tpch_q12_latemode,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q16_partsupp": tpch_q16_partsupp,
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "j4_asof_forward": j4_asof_forward,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a9_head_mean": a9_head_mean,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
+        "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
+        "fleet_tdr_depth": fleet_tdr_depth,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_banded": dedup_simhash_banded,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "text_pii_redact": text_pii_redact,
+        "text_split_assign": text_split_assign,
+        # --- beyond the 50-entry window (driver-green in r2-r7; ---
+        # --- full local oracle sweep re-verifies at HEAD) ---
         "a1_median_slice": a1_median_slice,
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
@@ -10924,32 +10983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_ratchet_depth": w8_ratchet_depth,
         "w9_piecewise_offset": w9_piecewise_offset,
         "w_ranking": w_ranking,
-        # --- (b) code changed in r6, never driver-confirmed ---
         "a_ks_test": a_ks_test,
         "ts_holt_linear": ts_holt_linear,
         "curation_pack_sequences": curation_pack_sequences,
-        # --- (c) code changed in r7 ---
-        "ann_lsh_topk": ann_lsh_topk,
         "a_mann_kendall": a_mann_kendall,
-        # --- (d) new in r7 ---
         "text_bm25_topk": text_bm25_topk,
         "op_compaction_plan": op_compaction_plan,
-        # ---------- window cut: entries below are driver-green in
-        # earlier rounds (see CORRECTNESS_r0*.json) or rows-only with
-        # differential pytests ----------
-        # new in r7 batch 2 — locally oracle-green, queued for the r8
-        # window alongside the r02-last-green tail (as is graph_pagerank,
-        # whose engine changed to exact fixed-point in late r7)
-        "rag_rrf_fusion": rag_rrf_fusion,
-        "rag_hybrid_minmax": rag_hybrid_minmax,
-        "curation_mixture_temperature": curation_mixture_temperature,
-        "text_ngram_novelty": text_ngram_novelty,
-        "graph_degree_assortativity": graph_degree_assortativity,
-        "a_hodges_lehmann": a_hodges_lehmann,
-        "ts_periodogram_int": ts_periodogram_int,
-        "graph_clustering_coeff": graph_clustering_coeff,
-        "w_seasonal_naive_error": w_seasonal_naive_error,
-        "text_bigram_entropy": text_bigram_entropy,
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -10963,8 +11002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_ohlc": w_ohlc,
         "w_drawdown": w_drawdown,
         "a_entropy_transitions": a_entropy_transitions,
-        "w_rolling_skewkurt": w_rolling_skewkurt,
-        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
         "a_mann_whitney": a_mann_whitney,
         "a_runs_test": a_runs_test,
         "a_kmv_distinct": a_kmv_distinct,
@@ -10999,12 +11036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hampel_outliers": w_hampel_outliers,
         "j4_asof_backward": j4_asof_backward,
         "j_asof_nearest": j_asof_nearest,
-        "fleet_udg_filter": fleet_udg_filter,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
         "fuzzy_match_join": fuzzy_match_join,
         "geo_grid_join": geo_grid_join,
-        "geo_point_in_polygon": geo_point_in_polygon,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
         "rag_chunk_topk": rag_chunk_topk,
         "op_incremental_rollup": op_incremental_rollup,
@@ -11020,23 +11055,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_interval_overlap": j_interval_overlap,
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
-        "graph_pagerank": graph_pagerank,
         "ts_dominant_period": ts_dominant_period,
         "f_collections": f_collections,
         "j_bloom_semi": j_bloom_semi,
         "dq_benford": dq_benford,
         "a_approx_quantiles": a_approx_quantiles,
-        "mm_phash_pairs": mm_phash_pairs,
         "f_bitwise_suite": f_bitwise_suite,
         "a_theil_sen": a_theil_sen,
-        "emb_pca_project": emb_pca_project,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
         "emb_kmeans_assign": emb_kmeans_assign,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "a_gini": a_gini,
         "dedup_spans": dedup_spans,
-        "mm_png_roundtrip": mm_png_roundtrip,
         "a8_sliding_window": a8_sliding_window,
         "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
@@ -11073,7 +11103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_corr": w_rolling_corr,
         "w_step_detect": w_step_detect,
         "p_debounce_burst": p_debounce_burst,
-        "p_debounce_burst_keyed": p_debounce_burst_keyed,
         "dq_referential_audit": dq_referential_audit,
         "dq_null_profile": dq_null_profile,
         "f_json_parse": f_json_parse,
@@ -11083,35 +11112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": agg_grouping_sets,
         "tpch_q16_supplier_count": tpch_q16_supplier_count,
         "tpch_q21_shape": tpch_q21_shape,
-        "tpch_q12_latemode": tpch_q12_latemode,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q16_partsupp": tpch_q16_partsupp,
-        "w2_centered_median": w2_centered_median,
-        "w3_count_window_median": w3_count_window_median,
-        "w4_trailing_mean_minp": w4_trailing_mean_minp,
-        "w7_ts_delta": w7_ts_delta,
-        "w10_first_after": w10_first_after,
-        "j3_outer_align": j3_outer_align,
-        "j6_dim_attach": j6_dim_attach,
-        "j4_asof_forward": j4_asof_forward,
-        "a4_distinct_counts": a4_distinct_counts,
-        "a9_head_mean": a9_head_mean,
-        "r1_melt": r1_melt,
-        "p5_regex_projection": p5_regex_projection,
-        "stream_dedup_counts": stream_dedup_counts,
-        "stream_session_agg": stream_session_agg,
-        "fleet_tdr_depth": fleet_tdr_depth,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_banded": dedup_simhash_banded,
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "text_winnow_fingerprints": text_winnow_fingerprints,
-        "text_stats": text_stats,
-        "text_lang_id": text_lang_id,
-        "text_pii_redact": text_pii_redact,
-        "text_split_assign": text_split_assign,
         "text_token_topk": text_token_topk,
         "text_repetition": text_repetition,
         "text_bigram_pmi": text_bigram_pmi,

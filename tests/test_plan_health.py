@@ -277,22 +277,38 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r7 rotation contract: every query whose code
-    changed this round and every new-this-round query sits inside the
-    window, the window is exactly the intended size, and every window
-    entry carries a full SQL oracle (the gate's hash check needs one)."""
+    entries. Pin the r8 rotation contract: the 10 late-r7 queries that
+    have never been driver-checked, every query whose code or oracle
+    changed this round (the two rows-only graduations, the
+    lazy-checkpoint LSH, the refactored skew/kurt), and every
+    new-this-round query sit inside the window; the window is exactly
+    the intended size; and every window entry carries a full SQL oracle
+    (the gate's hash check needs one)."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
     for q in (
+        # late-r7, never driver-checked
+        "rag_rrf_fusion",
+        "curation_mixture_temperature",
+        "text_ngram_novelty",
+        "graph_degree_assortativity",
+        "graph_pagerank",
+        "a_hodges_lehmann",
+        "ts_periodogram_int",
+        "graph_clustering_coeff",
+        "w_seasonal_naive_error",
+        "text_bigram_entropy",
+        # r8 code/oracle changes + new queries
+        "mm_phash_pairs",
+        "emb_pca_project",
         "ann_lsh_topk",
-        "a_mann_kendall",
-        "a_ks_test",
-        "ts_holt_linear",
-        "curation_pack_sequences",
-        "text_bm25_topk",
-        "op_compaction_plan",
+        "w_rolling_skewkurt",
+        "p_debounce_burst_keyed",
+        "w_rolling_skewkurt_keyed",
+        "geo_point_in_polygon",
+        "rag_hybrid_minmax",
     ):
         assert q in window, f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
