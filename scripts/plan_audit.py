@@ -54,7 +54,9 @@ EXTRA = ["w5_resample_ffill", "a_sessionize", "dedup_exact_docs", "mm_image_stat
          "rag_rrf_fusion", "curation_mixture_temperature",
          "text_ngram_novelty", "graph_degree_assortativity",
          "graph_pagerank", "a_hodges_lehmann", "ts_periodogram_int",
-         "graph_clustering_coeff", "w_seasonal_naive_error"]
+         "graph_clustering_coeff", "w_seasonal_naive_error",
+         # r8-new queries (keyed valve variants join via bench HEADLINE)
+         "geo_point_in_polygon", "rag_hybrid_minmax", "text_bigram_entropy"]
 
 
 def audit(spark, name, fn) -> str:
