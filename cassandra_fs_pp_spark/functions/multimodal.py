@@ -167,10 +167,10 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-python PNG decode (8-bit gray/RGB/gray+alpha/RGBA,
-    non-interlaced) from the public PNG spec — stdlib zlib + numpy, no
-    imaging library. Returns (h, w, channels) uint8 (channels axis kept
-    even for grayscale).  Corrupt/truncated input raises ValueError —
-    one exception type for pipelines to catch."""
+    sequential OR Adam7-interlaced) from the public PNG spec — stdlib
+    zlib + numpy, no imaging library. Returns (h, w, channels) uint8
+    (channels axis kept even for grayscale).  Corrupt/truncated input
+    raises ValueError — one exception type for pipelines to catch."""
     import zlib
 
     try:
@@ -194,7 +194,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+            if depth != 8 or color not in _PNG_CHANNELS or interlace > 1:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} interlace={interlace}"
                 )
@@ -207,13 +207,43 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG without IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = w * c
+    if not interlace:
+        out = _png_unfilter(raw, 0, h, w * c, c)[0]
+        return out.reshape(h, w, c)
+    # Adam7 (interlace=1): seven independently-filtered sub-images,
+    # scattered onto the full grid by the fixed (x0, dx, y0, dy) lattice.
+    full = np.zeros((h, w, c), dtype=np.uint8)
+    pos2 = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, pos2 = _png_unfilter(raw, pos2, ph, pw * c, c)
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+    return full
+
+
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    raw: bytes, offset: int, h: int, stride: int, c: int
+) -> tuple[np.ndarray, int]:
+    """Undo per-row PNG filtering for one (sub-)image of ``h`` rows of
+    ``stride`` bytes starting at ``offset``; returns (rows, next offset)."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        f = raw[y * (stride + 1)]
+        f = raw[offset + y * (stride + 1)]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw,
+            dtype=np.uint8,
+            count=stride,
+            offset=offset + y * (stride + 1) + 1,
         ).copy()
         if f == 0:
             cur = line
@@ -238,7 +268,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(h, w, c)
+    return out, offset + h * (stride + 1)
 
 
 def encode_png(img: np.ndarray) -> bytes:
@@ -300,7 +330,15 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) == (1 << width) - 1 and width < 12:
+            # TIFF early change, decoder side: the decoder's table lags
+            # the encoder's by one entry (it appends the PREVIOUS word's
+            # entry on each read), so the encoder's "bump when the next
+            # assigned code is 2^w - 1" lands here at len == 2^w - 2.
+            # The old == 2^w - 1 check was one code late — unexercised
+            # until a >510-entry stream (found by the 768-byte tile
+            # fixtures; the earlier strip fixtures never grew the table
+            # past the 9-bit boundary).
+            if len(table) == (1 << width) - 2 and width < 12:
                 width += 1
     return bytes(out)
 
@@ -323,11 +361,12 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """From-spec baseline TIFF decode (TIFF 6.0): both byte orders,
-    strip-organized 8-bit grayscale/RGB/RGBA, Compression 1 (none),
-    5 (LZW, with Predictor 2 horizontal differencing) and 32773
-    (PackBits). Tiled, 16-bit, and palette TIFFs raise
-    NotImplementedError (-> optional Pillow fallback)."""
+    """From-spec TIFF decode (TIFF 6.0): both byte orders, strip- AND
+    tile-organized (§15) 8- or 16-bit grayscale/RGB/RGBA, Compression 1
+    (none), 5 (LZW, with Predictor 2 horizontal differencing — restarting
+    per tile row in tiled files) and 32773 (PackBits). Palette-color,
+    WhiteIsZero, and planar TIFFs raise NotImplementedError (-> optional
+    Pillow fallback). 16-bit output comes back as native-order uint16."""
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -354,10 +393,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w, h = tags[256][0], tags[257][0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
-    if any(b != 8 for b in bps):
-        raise NotImplementedError("only 8-bit TIFF samples supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
+    if any(b != bps[0] for b in bps) or bps[0] not in (8, 16):
+        raise NotImplementedError(
+            f"TIFF BitsPerSample {bps} unsupported (8/16-bit only)"
+        )
+    dt = np.dtype(np.uint8) if bps[0] == 8 else np.dtype(bo + "u2")
+    item = dt.itemsize
     # Honest-gate variants this reader does not interpret: palette-color
     # (PhotometricInterpretation=3 / ColorMap present) would return raw
     # palette indices posing as gray, WhiteIsZero (0) would decode
@@ -370,25 +411,45 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF (PlanarConfiguration=2) unsupported")
     comp = tags.get(259, [1])[0]
-    rows_per_strip = tags.get(278, [h])[0]
-    offsets, counts = tags[273], tags[279]
     predictor = tags.get(317, [1])[0]
 
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = bytes(payload[off : off + cnt])
+    def unblock(blob: bytes, n_px: int) -> bytes:
         if comp == 1:
-            raw += strip
-        elif comp == 5:
-            raw += _tiff_lzw_decode(strip)
-        elif comp == 32773:
-            rows = min(rows_per_strip, h - len(raw) // (w * spp))
-            raw += _packbits_decode(strip, rows * w * spp)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp} unsupported")
-    img = np.frombuffer(bytes(raw[: h * w * spp]), np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+            return blob[: n_px * item]
+        if comp == 5:
+            return _tiff_lzw_decode(blob)[: n_px * item]
+        if comp == 32773:
+            return _packbits_decode(blob, n_px * item)
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+
+    if 322 in tags:  # tile-organized (TIFF 6.0 §15)
+        tw, tl = tags[322][0], tags[323][0]
+        out = np.zeros((h, w, spp), dtype=dt)
+        ntx = (w + tw - 1) // tw
+        for idx, (off, cnt) in enumerate(zip(tags[324], tags[325])):
+            ty, tx = divmod(idx, ntx)
+            blob = unblock(bytes(payload[off : off + cnt]), tl * tw * spp)
+            tile = np.frombuffer(blob, dt, count=tl * tw * spp).reshape(
+                tl, tw, spp
+            )
+            if predictor == 2:  # differencing restarts per tile row
+                tile = np.cumsum(tile.astype(np.uint64), axis=1).astype(dt)
+            ys, xs = ty * tl, tx * tw
+            hh, ww = min(tl, h - ys), min(tw, w - xs)
+            out[ys : ys + hh, xs : xs + ww] = tile[:hh, :ww]
+        img = out
+    else:  # strip-organized
+        rows_per_strip = tags.get(278, [h])[0]
+        raw = bytearray()
+        for off, cnt in zip(tags[273], tags[279]):
+            rows = min(rows_per_strip, h - len(raw) // (w * spp * item))
+            raw += unblock(bytes(payload[off : off + cnt]), rows * w * spp)
+        img = np.frombuffer(bytes(raw[: h * w * spp * item]), dt).reshape(
+            h, w, spp
+        )
+        if predictor == 2:
+            img = np.cumsum(img.astype(np.uint64), axis=1).astype(dt)
+    img = img.astype(img.dtype.newbyteorder("="), copy=False)
     return img[:, :, 0] if spp == 1 else img
 
 
@@ -438,18 +499,19 @@ def encode_tiff(img: np.ndarray) -> bytes:
 
 
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Decode a REAL image payload: PNG, baseline + progressive JPEG,
-    baseline TIFF and lossless WebP (VP8L) via the built-in from-spec
-    pure-python decoders (no imaging library needed); FIMG via the fake
-    codec; anything else (lossy/animated WebP, 12-bit/CMYK JPEG,
-    tiled/16-bit TIFF, ...) via optional Pillow when present."""
+    """Decode a REAL image payload: PNG (sequential or Adam7), baseline +
+    progressive JPEG, strip/tiled 8/16-bit TIFF and lossless WebP (VP8L)
+    via the built-in from-spec pure-python decoders (no imaging library
+    needed); FIMG via the fake codec; anything else (lossy/animated WebP,
+    12-bit/CMYK JPEG, palette/planar TIFF, ...) via optional Pillow when
+    present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         try:
             return decode_tiff(payload)
         except NotImplementedError:
-            pass  # tiled / 16-bit / exotic compression -> Pillow below
+            pass  # palette / planar / exotic compression -> Pillow below
     if payload[:4] == IMG_MAGIC:
         return decode_image_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":

@@ -378,12 +378,17 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
             w = wc
         else:
             emit(table[w])
-            table[wc] = next_code
-            next_code += 1
-            # early change: width bumps when the NEXT code to assign
-            # would not fit, one entry earlier than vanilla LZW
-            if next_code == (1 << width) - 1 and width < 12:
-                width += 1
+            if next_code >= 4094:  # 12-bit table full (early change):
+                emit(256)          # restart with a mid-stream Clear
+                table = {bytes([i]): i for i in range(256)}
+                width, next_code = 9, 258
+            else:
+                table[wc] = next_code
+                next_code += 1
+                # early change: width bumps when the NEXT code to assign
+                # would not fit, one entry earlier than vanilla LZW
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
             w = bytes([byte])
     if w:
         emit(table[w])
@@ -726,3 +731,166 @@ def test_tiff_encode_alpha_conformance():
         struct.unpack_from("<H", payload, 10 + 12 * i)[0] for i in range(n)
     ]
     assert tag_ids == sorted(tag_ids)
+
+
+def _build_tiff_tiled(
+    img: np.ndarray,
+    *,
+    tw: int,
+    tl: int,
+    compression: int = 1,
+    predictor: int = 1,
+    bps: int = 8,
+) -> bytes:
+    """Test-only TILED TIFF builder (TIFF 6.0 §15), 8- or 16-bit LE."""
+    import struct
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ntx, nty = (w + tw - 1) // tw, (h + tl - 1) // tl
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = np.zeros((tl, tw, c), dtype=img.dtype)
+            ys, xs = ty * tl, tx * tw
+            hh, ww = min(tl, h - ys), min(tw, w - xs)
+            t[:hh, :ww] = img[ys : ys + hh, xs : xs + ww]
+            if predictor == 2:
+                t = np.diff(
+                    t.astype(np.int32),
+                    axis=1,
+                    prepend=np.zeros((tl, 1, c), np.int32),
+                ).astype(img.dtype)
+            blob = t.astype("<u2" if bps == 16 else np.uint8).tobytes()
+            if compression == 5:
+                blob = _tiff_lzw_encode(blob)
+            tiles.append(blob)
+
+    n = 12 if predictor == 2 else 11
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + n * 12 + 4
+    bps_arr = struct.pack(f"<{c}H", *([bps] * c))
+    off_arr_pos = arrays_off + len(bps_arr)
+    cnt_arr_pos = off_arr_pos + 4 * len(tiles)
+    data_pos = cnt_arr_pos + 4 * len(tiles)
+    offsets, counts, pos = [], [], data_pos
+    for t in tiles:
+        offsets.append(pos)
+        counts.append(len(t))
+        pos += len(t)
+
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, c, arrays_off if c > 2 else (bps | (bps << 16) if c == 2 else bps)),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, 1 if c == 1 else 2),
+        entry(277, 3, 1, c),
+        entry(322, 4, 1, tw),
+        entry(323, 4, 1, tl),
+        entry(324, 4, len(tiles), off_arr_pos if len(tiles) > 1 else offsets[0]),
+        entry(325, 4, len(tiles), cnt_arr_pos if len(tiles) > 1 else counts[0]),
+        entry(284, 3, 1, 1),
+    ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bps_arr
+    out += b"".join(struct.pack("<I", o) for o in offsets)
+    out += b"".join(struct.pack("<I", cn) for cn in counts)
+    return out + b"".join(tiles)
+
+
+def test_decode_tiff_tiled_and_16bit():
+    """Tiled TIFFs (incl. partial edge tiles, LZW + per-tile predictor)
+    and 16-bit strip TIFFs decode exactly; predictor differencing
+    restarts at every tile row."""
+    from cassandra_fs_pp_spark.functions.multimodal import decode_tiff
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    # tiled, uncompressed, partial edge tiles
+    got = decode_tiff(_build_tiff_tiled(img, tw=16, tl=16))
+    assert np.array_equal(got, img)
+    # tiled + LZW + predictor 2 (libtiff's tiled default combo)
+    got = decode_tiff(
+        _build_tiff_tiled(img, tw=16, tl=16, compression=5, predictor=2)
+    )
+    assert np.array_equal(got, img)
+    # 16-bit tiled grayscale
+    img16 = rng.randint(0, 65536, (21, 30), dtype=np.uint16)
+    got = decode_tiff(_build_tiff_tiled(img16, tw=8, tl=8, bps=16))
+    assert got.dtype == np.uint16 and np.array_equal(got, img16)
+
+
+def _encode_png_adam7(img: np.ndarray) -> bytes:
+    """Test-only Adam7-interlaced PNG encoder (filter 0 rows)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    passes = [
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, dx, y0, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced PNGs (all sizes incl. degenerate passes) decode
+    to the same pixels as the sequential encoding."""
+    from cassandra_fs_pp_spark.functions.multimodal import decode_png
+
+    rng = np.random.RandomState(41)
+    for h, w, c in [(1, 1, 1), (3, 3, 3), (8, 8, 4), (5, 7, 2), (13, 4, 3)]:
+        img = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+        got = decode_png(_encode_png_adam7(img))
+        assert got.shape == (h, w, c)
+        assert np.array_equal(got, img), (h, w, c)
+
+
+def test_tiff_lzw_width_boundaries_and_midstream_clear():
+    """TIFF-LZW early change across every width bump (9->10->11->12) and
+    the 12-bit table-full mid-stream Clear — the 511-boundary desync that
+    shipped until r8 was invisible to fixtures whose tables never grew
+    past 510 entries."""
+    from cassandra_fs_pp_spark.functions.multimodal import _tiff_lzw_decode
+
+    rng = np.random.RandomState(99)
+    for n in (300, 768, 2000, 8000, 40000):
+        blob = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(blob)) == blob, n
+        rep = bytes(np.repeat(rng.randint(0, 8, n // 4, dtype=np.uint8), 4))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(rep)) == rep, ("rep", n)
