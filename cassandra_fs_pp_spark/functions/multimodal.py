@@ -362,11 +362,15 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """From-spec TIFF decode (TIFF 6.0): both byte orders, strip- AND
-    tile-organized (§15) 8- or 16-bit grayscale/RGB/RGBA, Compression 1
-    (none), 5 (LZW, with Predictor 2 horizontal differencing — restarting
-    per tile row in tiled files) and 32773 (PackBits). Palette-color,
-    WhiteIsZero, and planar TIFFs raise NotImplementedError (-> optional
-    Pillow fallback). 16-bit output comes back as native-order uint16."""
+    tile-organized (§15) 8- or 16-bit, Compression 1 (none), 5 (LZW, with
+    Predictor 2 horizontal differencing — restarting per tile row in
+    tiled files) and 32773 (PackBits); photometrics BlackIsZero, RGB,
+    WhiteIsZero (inverted on decode), and palette-color (expanded through
+    the 16-bit ColorMap to RGB); PlanarConfiguration 2 reassembles its
+    per-channel strip planes (strip organization only). Anything outside
+    (tiled planar, exotic compressions/photometrics) raises
+    NotImplementedError -> optional Pillow fallback. 16-bit output comes
+    back as native-order uint16."""
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -399,17 +403,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     dt = np.dtype(np.uint8) if bps[0] == 8 else np.dtype(bo + "u2")
     item = dt.itemsize
-    # Honest-gate variants this reader does not interpret: palette-color
-    # (PhotometricInterpretation=3 / ColorMap present) would return raw
-    # palette indices posing as gray, WhiteIsZero (0) would decode
-    # inverted, and planar (PlanarConfiguration=2) would channel-scramble.
-    # Raise so decode_real_image routes them to the optional Pillow path.
-    if tags.get(262, [1])[0] not in (1, 2) or 320 in tags:
+    photometric = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(
-            "only BlackIsZero/RGB TIFF photometric supported"
+            f"TIFF photometric {photometric} unsupported"
         )
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar TIFF (PlanarConfiguration=2) unsupported")
+    if photometric == 3 and (320 not in tags or spp != 1):
+        raise NotImplementedError("palette TIFF without a valid ColorMap")
+    if planar not in (1, 2) or (planar == 2 and 322 in tags):
+        raise NotImplementedError(
+            "planar TIFF supported for strip organization only"
+        )
     comp = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
 
@@ -440,16 +445,45 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         img = out
     else:  # strip-organized
         rows_per_strip = tags.get(278, [h])[0]
-        raw = bytearray()
-        for off, cnt in zip(tags[273], tags[279]):
-            rows = min(rows_per_strip, h - len(raw) // (w * spp * item))
-            raw += unblock(bytes(payload[off : off + cnt]), rows * w * spp)
-        img = np.frombuffer(bytes(raw[: h * w * spp * item]), dt).reshape(
-            h, w, spp
+        offsets, counts = tags[273], tags[279]
+        # PlanarConfiguration=2 (TIFF 6.0 §official): the strip list is
+        # plane-major — all of channel 0's strips, then channel 1's, ...
+        spc = spp if planar == 1 else 1  # samples per strip row
+        planes = 1 if planar == 1 else spp
+        per_plane = len(offsets) // planes
+        plane_arrays = []
+        for p in range(planes):
+            raw = bytearray()
+            for off, cnt in zip(
+                offsets[p * per_plane : (p + 1) * per_plane],
+                counts[p * per_plane : (p + 1) * per_plane],
+            ):
+                rows = min(rows_per_strip, h - len(raw) // (w * spc * item))
+                raw += unblock(bytes(payload[off : off + cnt]), rows * w * spc)
+            plane_arrays.append(
+                np.frombuffer(bytes(raw[: h * w * spc * item]), dt).reshape(
+                    h, w, spc
+                )
+            )
+        img = (
+            plane_arrays[0]
+            if planes == 1
+            else np.concatenate(plane_arrays, axis=2)
         )
         if predictor == 2:
             img = np.cumsum(img.astype(np.uint64), axis=1).astype(dt)
     img = img.astype(img.dtype.newbyteorder("="), copy=False)
+    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero convention
+        img = ((1 << bps[0]) - 1 - img.astype(np.int64)).astype(dt)
+    elif photometric == 3:  # palette indices -> RGB via the 16-bit ColorMap
+        cmap = np.asarray(tags[320], dtype=np.uint32)
+        n = 1 << bps[0]
+        idx = img[:, :, 0].astype(np.int64)
+        img = np.stack(
+            [(cmap[plane * n + idx] >> 8).astype(np.uint8) for plane in range(3)],
+            axis=2,
+        )
+        return img
     return img[:, :, 0] if spp == 1 else img
 
 

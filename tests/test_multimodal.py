@@ -671,26 +671,134 @@ def _patch_tiff_tag(payload: bytes, tag: int, value: int) -> bytes:
     return bytes(buf)
 
 
-def test_tiff_photometric_and_planar_gates():
-    """Palette / WhiteIsZero / planar TIFFs must raise (honest-gate) so
-    decode_real_image routes them to the Pillow fallback instead of
-    returning misdecoded pixels as a 'success'."""
+def test_tiff_photometric_and_planar_decode():
+    """WhiteIsZero inverts, palette-color expands through the 16-bit
+    ColorMap, and planar RGB reassembles its per-channel strip planes —
+    all three graduated from honest-gates to real decodes in r8."""
+    import struct
+
     from cassandra_fs_pp_spark.functions.multimodal import decode_tiff
 
     img = _ramp(4, 4, 1)
     base = _build_tiff(img)
-    # WhiteIsZero (photometric 0) would decode inverted
-    with pytest.raises(NotImplementedError):
-        decode_tiff(_patch_tiff_tag(base, 262, 0))
-    # Palette-color (photometric 3) would return raw indices as gray
-    with pytest.raises(NotImplementedError):
-        decode_tiff(_patch_tiff_tag(base, 262, 3))
-    # Planar RGB (PlanarConfiguration 2) would channel-scramble
-    rgb = _build_tiff(_ramp(4, 4, 3))
-    with pytest.raises(NotImplementedError):
-        decode_tiff(_patch_tiff_tag(rgb, 284, 2))
+    # WhiteIsZero (photometric 0) inverts to the BlackIsZero convention
+    np.testing.assert_array_equal(
+        decode_tiff(_patch_tiff_tag(base, 262, 0)), 255 - img[:, :, 0]
+    )
+    # Palette-color (photometric 3): indices through a ColorMap
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    pal = _build_tiff(idx)
+    pal = _patch_tiff_tag(pal, 262, 3)
+    cmap = np.zeros(3 * 256, dtype=np.uint16)
+    cmap[:256] = np.arange(256) * 257          # R ramp
+    cmap[256:512] = 65535 - np.arange(256) * 257  # G inverse ramp
+    cmap[512 + 5] = 12345                      # B spot value for index 5
+    pal += cmap.astype("<u2").tobytes()
+    # append a ColorMap IFD entry is intrusive; instead rebuild with tag:
+    pal = _build_tiff_with_colormap(idx, cmap)
+    got = decode_tiff(pal)
+    assert got.shape == (4, 4, 3)
+    np.testing.assert_array_equal(got[:, :, 0], (idx.astype(np.uint32) * 257) >> 8)
+    assert got[1, 1, 2] == (12345 >> 8)  # index 5 -> blue spot
+    # Planar RGB (PlanarConfiguration 2): channel strips reassemble
+    rgb = _ramp(4, 4, 3)
+    planar = _build_tiff_planar(rgb)
+    np.testing.assert_array_equal(decode_tiff(planar), rgb)
     # sanity: the unpatched payloads still decode
     np.testing.assert_array_equal(decode_tiff(base), img[:, :, 0])
+    # tiled planar stays honest-gated
+    with pytest.raises(NotImplementedError):
+        decode_tiff(
+            _patch_tiff_tag(
+                _build_tiff_tiled(rgb, tw=4, tl=4), 284, 2
+            )
+        )
+
+
+def _build_tiff_with_colormap(idx: np.ndarray, cmap: np.ndarray) -> bytes:
+    """Test-only palette TIFF builder (photometric 3 + ColorMap)."""
+    import struct
+
+    h, w = idx.shape
+    data = idx.tobytes()
+    n = 11
+    ifd_off = 8
+    cmap_off = ifd_off + 2 + n * 12 + 4
+    data_off = cmap_off + 2 * len(cmap)
+
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, 1, 8),
+        entry(259, 3, 1, 1),
+        entry(262, 3, 1, 3),
+        entry(273, 4, 1, data_off),
+        entry(277, 3, 1, 1),
+        entry(278, 4, 1, h),
+        entry(279, 4, 1, len(data)),
+        entry(284, 3, 1, 1),
+        entry(320, 3, len(cmap), cmap_off),
+    ]
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    return (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + ifd
+        + cmap.astype("<u2").tobytes()
+        + data
+    )
+
+
+def _build_tiff_planar(img: np.ndarray) -> bytes:
+    """Test-only planar (PlanarConfiguration=2) RGB TIFF builder: one
+    strip per channel plane."""
+    import struct
+
+    h, w, c = img.shape
+    planes = [img[:, :, ch].tobytes() for ch in range(c)]
+    n = 11
+    ifd_off = 8
+    bps_off = ifd_off + 2 + n * 12 + 4
+    off_arr = bps_off + 2 * c
+    cnt_arr = off_arr + 4 * c
+    data_pos = cnt_arr + 4 * c
+    offsets, counts, pos = [], [], data_pos
+    for p in planes:
+        offsets.append(pos)
+        counts.append(len(p))
+        pos += len(p)
+
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(258, 3, c, bps_off),
+        entry(259, 3, 1, 1),
+        entry(262, 3, 1, 2),
+        entry(273, 4, c, off_arr),
+        entry(277, 3, 1, c),
+        entry(278, 4, 1, h),
+        entry(279, 4, c, cnt_arr),
+        entry(284, 3, 1, 2),
+        entry(317, 3, 1, 1),
+    ]
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + ifd
+    out += struct.pack(f"<{c}H", *([8] * c))
+    out += b"".join(struct.pack("<I", o) for o in offsets)
+    out += b"".join(struct.pack("<I", cn) for cn in counts)
+    return out + b"".join(planes)
 
 
 def test_tiff_encode_alpha_conformance():
