@@ -534,11 +534,11 @@ def encode_tiff(img: np.ndarray) -> bytes:
 
 def decode_real_image(payload: bytes) -> np.ndarray:
     """Decode a REAL image payload: PNG (sequential or Adam7), baseline +
-    progressive JPEG, strip/tiled 8/16-bit TIFF and lossless WebP (VP8L)
-    via the built-in from-spec pure-python decoders (no imaging library
-    needed); FIMG via the fake codec; anything else (lossy/animated WebP,
-    12-bit/CMYK JPEG, palette/planar TIFF, ...) via optional Pillow when
-    present."""
+    progressive + 12-bit JPEG, strip/tiled 8/16-bit (incl. palette,
+    WhiteIsZero, planar) TIFF and lossless WebP (VP8L) via the built-in
+    from-spec pure-python decoders (no imaging library needed); FIMG via
+    the fake codec; anything else (lossy/animated WebP, CMYK/arithmetic
+    JPEG, tiled-planar TIFF, ...) via optional Pillow when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):

@@ -274,7 +274,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     successive-approximation refinement (T.81 Annex G) — and reconstruct
     at EOI. Corrupt or truncated input raises ``ValueError`` (one
     exception type for the pipeline to catch); genuinely
-    unsupported-but-valid variants (12-bit, CMYK, arithmetic-coded,
+    unsupported-but-valid variants (CMYK, arithmetic-coded,
     hierarchical) raise ``NotImplementedError`` so the caller can route
     to an optional fuller decoder."""
     try:
@@ -340,7 +340,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -351,7 +351,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             pos += seglen
             continue
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -374,7 +374,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if coefs is None:
-                _, _, cs_ = frame
+                cs_ = frame[2]
                 hmax = max(c[1] for c in cs_)
                 vmax = max(c[2] for c in cs_)
                 mcux = -(-frame[1] // (8 * hmax))
@@ -402,7 +402,7 @@ def _decode_progressive_scan(
     returns the stream position of the next marker. Four scan kinds: DC
     first / DC refine (may be interleaved), AC first / AC refine (always
     single-component, over the spectral band [ss, se])."""
-    h, w, comps = frame
+    h, w, comps = frame[0], frame[1], frame[2]
     ss, se, ah, al = band
     r = _BitReader(data, pos)
     pred = [0] * len(comps)
@@ -536,7 +536,7 @@ def _ac_refine(r, act, c, ss, se, al, eob) -> None:
 def _reconstruct_from_coefs(frame, coefs, qt) -> np.ndarray:
     """Dequantize + IDCT every accumulated block and hand off to the
     shared upsample/color tail."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
@@ -547,11 +547,11 @@ def _reconstruct_from_coefs(frame, coefs, qt) -> np.ndarray:
         pix = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         planes.append(plane)
-    return _planes_to_image(planes, h, w, comps, hmax, vmax)
+    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec)
 
 
 def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval):
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -580,25 +580,29 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             n_mcu += 1
-    return _planes_to_image(planes, h, w, comps, hmax, vmax)
+    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec)
 
 
-def _planes_to_image(planes, h, w, comps, hmax, vmax) -> np.ndarray:
+def _planes_to_image(planes, h, w, comps, hmax, vmax, prec=8) -> np.ndarray:
     """Shared decoder tail: upsample subsampled planes to full size,
-    crop the MCU padding, level-shift, and color-convert."""
+    crop the MCU padding, level-shift (2^(P-1) per T.81), and
+    color-convert. 12-bit frames come back as uint16 in 0..4095."""
+    shift = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     out = []
     for (cid, hs, vs, tq), pl in zip(comps, planes):
         if hs != hmax or vs != vmax:
             pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(pl[:h, :w])
     if len(out) == 1:
-        return np.clip(np.rint(out[0] + 128), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0] + 128, out[1], out[2]
+        return np.clip(np.rint(out[0] + shift), 0, maxval).astype(dtype)
+    y, cb, cr = out[0] + shift, out[1], out[2]
     r_ = y + 1.402 * cr
     g_ = y - 0.344136 * cb - 0.714136 * cr
     b_ = y + 1.772 * cb
     rgb = np.stack([r_, g_, b_], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, maxval).astype(dtype)
 
 
 def _decode_block(r: _BitReader, dct, act, pred: list, ci: int) -> np.ndarray:
@@ -640,8 +644,13 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
 def _encode_plane_block(bw, block, q, dc_codes, ac_codes, pred, ci) -> None:
     coef = _C @ block @ _C.T
     zz = np.rint(coef / q).astype(np.int32).reshape(-1)[ZIGZAG]
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
+    # Annex K table ranges: AC size <= 10, DC category <= 11. 8-bit
+    # coefficients never leave them; 12-bit ones can in pathological
+    # blocks — clamp (quantization-grade loss, stream stays valid) and
+    # keep the predictor in sync with what the decoder reconstructs.
+    np.clip(zz[1:], -1023, 1023, out=zz[1:])
+    diff = min(max(int(zz[0]) - pred[ci], -2047), 2047)
+    pred[ci] += diff
     s, low = _magnitude(diff) if diff else (0, 0)
     code, ln = dc_codes[s]
     bw.write(code, ln)
@@ -684,14 +693,30 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """(h, w) or (h, w, 3) uint8 → baseline JPEG bytes.
+    """(h, w) or (h, w, 3) uint8 → baseline JPEG bytes; with
+    ``precision=12``, uint16 input in 0..4095 → extended-sequential
+    (SOF1) 12-bit JPEG per T.81 §4.11.
+
+    12-bit framing: level shift 2^11, quantization tables scaled x16
+    (16-bit DQT, Pq=1) so quantized coefficients stay inside the Annex K
+    Huffman categories (AC clamped to |v| <= 1023 / size 10, DC diffs to
+    |d| <= 2047 / category 11 — the clamp is quantization-grade loss in
+    pathological blocks, never an invalid stream).
 
     ``subsample``: '444' (no chroma subsampling) or '420'.
     ``restart_interval``: emit RSTn every N MCUs (0 = none) — resync
     points that let a parallel reader split the entropy stream."""
-    if img.dtype != np.uint8:
+    if precision not in (8, 12):
+        raise NotImplementedError(f"{precision}-bit JPEG encode unsupported")
+    if precision == 8 and img.dtype != np.uint8:
         raise TypeError("uint8 input required")
+    if precision == 12:
+        if img.dtype != np.uint16:
+            raise TypeError("uint16 input required for 12-bit encode")
+        if img.max(initial=0) > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
     if img.ndim not in (2, 3):
         raise ValueError(f"expected (h, w) or (h, w, c) input, got ndim={img.ndim}")
     if img.ndim == 3 and img.shape[2] == 1:
@@ -704,9 +729,12 @@ def encode_jpeg(
     h, w = img.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
+    shift = float(1 << (precision - 1))
+    if precision == 12:
+        ql, qc = ql * 16, qc * 16
 
     if gray:
-        planes = [img.astype(np.float64) - 128.0]
+        planes = [img.astype(np.float64) - shift]
         samp = [(1, 1)]
         qsel = [0]
     else:
@@ -725,24 +753,29 @@ def encode_jpeg(
             samp = [(1, 1), (1, 1), (1, 1)]
         else:
             raise ValueError("subsample must be '444' or '420'")
-        planes = [y - 128.0, cb, cr]
+        planes = [y - shift, cb, cr]
         qsel = [0, 1, 1]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
-    # DQT
+    # DQT (Pq=1 / 16-bit values for the x16-scaled 12-bit tables)
     for tq, q in ((0, ql),) + (((1, qc),) if not gray else ()):
-        body = bytes([tq]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
+        zz = q.reshape(-1)[ZIGZAG]
+        if precision == 12:
+            body = bytes([0x10 | tq]) + zz.astype(">u2").tobytes()
+        else:
+            body = bytes([tq]) + bytes(zz.astype(np.uint8))
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
+    # SOF0 (baseline) / SOF1 (extended sequential, required for 12-bit)
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, qsel[ci])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     # DHT (Annex K tables)
     hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:

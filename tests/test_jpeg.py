@@ -455,3 +455,31 @@ def test_progressive_pillow_crosscheck():
     ours = decode_jpeg(payload)
     theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """precision=12: SOF1 extended-sequential stream with 16-bit DQT,
+    uint16 in/out, quantization-grade reconstruction; input validation
+    and 8-bit behavior unchanged."""
+    rng = np.random.RandomState(77)
+    flat = np.full((16, 16), 3000, dtype=np.uint16)
+    payload = encode_jpeg(flat, quality=90, precision=12)
+    assert b"\xff\xc1" in payload and b"\xff\xc0" not in payload  # SOF1
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert abs(out.astype(int) - 3000).max() <= 4
+
+    grad = np.linspace(0, 4095, 24 * 32).reshape(24, 32).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(grad, quality=95, precision=12))
+    assert abs(out.astype(int) - grad.astype(int)).max() <= 16
+
+    rgb = rng.randint(0, 4096, (17, 23, 3)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(rgb, quality=95, precision=12))
+    assert out.shape == (17, 23, 3) and out.dtype == np.uint16
+
+    with pytest.raises(TypeError):
+        encode_jpeg(flat.astype(np.uint8), precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+    with pytest.raises(NotImplementedError):
+        encode_jpeg(flat, precision=10)
