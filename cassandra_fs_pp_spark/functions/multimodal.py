@@ -537,7 +537,7 @@ def decode_real_image(payload: bytes) -> np.ndarray:
     progressive + 12-bit JPEG, strip/tiled 8/16-bit (incl. palette,
     WhiteIsZero, planar) TIFF and lossless WebP (VP8L) via the built-in
     from-spec pure-python decoders (no imaging library needed); FIMG via
-    the fake codec; anything else (lossy/animated WebP, CMYK/arithmetic
+    the fake codec; anything else (lossy/animated WebP, arithmetic
     JPEG, tiled-planar TIFF, ...) via optional Pillow when present."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)

@@ -274,7 +274,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     successive-approximation refinement (T.81 Annex G) — and reconstruct
     at EOI. Corrupt or truncated input raises ``ValueError`` (one
     exception type for the pipeline to catch); genuinely
-    unsupported-but-valid variants (CMYK, arithmetic-coded,
+    unsupported-but-valid variants (arithmetic-coded,
     hierarchical) raise ``NotImplementedError`` so the caller can route
     to an optional fuller decoder."""
     try:
@@ -292,8 +292,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     restart_interval = 0
-    frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    frame = None  # (h, w, comps, prec) ; comps = [(cid, hs, vs, tq)]
     progressive = False
+    adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     coefs: list[np.ndarray] | None = None  # per comp: (bh, bw, 64) zigzag
 
     while pos < len(payload):
@@ -303,7 +304,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and coefs is not None:
-                return _reconstruct_from_coefs(frame, coefs, qt)
+                return _reconstruct_from_coefs(frame, coefs, qt, adobe_transform)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -342,10 +343,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
-            if nc not in (1, 3):
-                raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK/Adobe) unsupported"
-                )
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(f"{nc}-component JPEG unsupported")
             progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
@@ -369,7 +368,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 pos += seglen
                 return _decode_scan(
                     payload, pos, frame, scan, qt, dc_tabs, ac_tabs,
-                    restart_interval,
+                    restart_interval, adobe_transform,
                 )
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
@@ -389,9 +388,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 dc_tabs, ac_tabs, restart_interval, coefs,
             )
             continue
+        if marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color hint
+            adobe_transform = seg[11] if len(seg) > 11 else 0
         pos += seglen  # APPn / COM / others: skip
     if progressive and coefs is not None:  # stream without explicit EOI
-        return _reconstruct_from_coefs(frame, coefs, qt)
+        return _reconstruct_from_coefs(frame, coefs, qt, adobe_transform)
     raise ValueError("no scan found")
 
 
@@ -533,7 +534,7 @@ def _ac_refine(r, act, c, ss, se, al, eob) -> None:
         eob[0] -= 1
 
 
-def _reconstruct_from_coefs(frame, coefs, qt) -> np.ndarray:
+def _reconstruct_from_coefs(frame, coefs, qt, adobe_transform=None) -> np.ndarray:
     """Dequantize + IDCT every accumulated block and hand off to the
     shared upsample/color tail."""
     h, w, comps, prec = frame
@@ -547,10 +548,11 @@ def _reconstruct_from_coefs(frame, coefs, qt) -> np.ndarray:
         pix = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         planes.append(plane)
-    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec)
+    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec, adobe_transform)
 
 
-def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval):
+def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval,
+                 adobe_transform=None):
     h, w, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -580,13 +582,19 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             n_mcu += 1
-    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec)
+    return _planes_to_image(planes, h, w, comps, hmax, vmax, prec, adobe_transform)
 
 
-def _planes_to_image(planes, h, w, comps, hmax, vmax, prec=8) -> np.ndarray:
+def _planes_to_image(planes, h, w, comps, hmax, vmax, prec=8,
+                     adobe_transform=None) -> np.ndarray:
     """Shared decoder tail: upsample subsampled planes to full size,
     crop the MCU padding, level-shift (2^(P-1) per T.81), and
-    color-convert. 12-bit frames come back as uint16 in 0..4095."""
+    color-convert. 12-bit frames come back as uint16 in 0..4095.
+    4-component (Adobe CMYK/YCCK) frames return the four stored
+    component planes as (h, w, 4) — YCCK's first three are converted
+    back through the YCbCr inverse per the Adobe APP14 transform=2
+    convention; ink inversion is left to the caller (Adobe writers
+    disagree, and pixels-as-stored is the honest contract)."""
     shift = 1 << (prec - 1)
     maxval = (1 << prec) - 1
     dtype = np.uint8 if prec == 8 else np.uint16
@@ -597,6 +605,17 @@ def _planes_to_image(planes, h, w, comps, hmax, vmax, prec=8) -> np.ndarray:
         out.append(pl[:h, :w])
     if len(out) == 1:
         return np.clip(np.rint(out[0] + shift), 0, maxval).astype(dtype)
+    if len(out) == 4:
+        if adobe_transform == 2:  # YCCK: invert YCbCr on the first three
+            y, cb, cr = out[0] + shift, out[1], out[2]
+            c0 = y + 1.402 * cr
+            c1 = y - 0.344136 * cb - 0.714136 * cr
+            c2 = y + 1.772 * cb
+            chans = [c0, c1, c2, out[3] + shift]
+        else:  # transform 0 / absent: four independent components
+            chans = [p + shift for p in out]
+        four = np.stack(chans, axis=-1)
+        return np.clip(np.rint(four), 0, maxval).astype(dtype)
     y, cb, cr = out[0] + shift, out[1], out[2]
     r_ = y + 1.402 * cr
     g_ = y - 0.344136 * cb - 0.714136 * cr
@@ -694,6 +713,7 @@ def encode_jpeg(
     subsample: str = "444",
     restart_interval: int = 0,
     precision: int = 8,
+    cmyk: bool = False,
 ) -> bytes:
     """(h, w) or (h, w, 3) uint8 → baseline JPEG bytes; with
     ``precision=12``, uint16 input in 0..4095 → extended-sequential
@@ -721,11 +741,14 @@ def encode_jpeg(
         raise ValueError(f"expected (h, w) or (h, w, c) input, got ndim={img.ndim}")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
-    elif img.ndim == 3 and img.shape[2] == 4:
+    elif img.ndim == 3 and img.shape[2] == 4 and not cmyk:
         img = img[:, :, :3]  # drop alpha (JPEG has no transparency)
-    elif img.ndim == 3 and img.shape[2] != 3:
+    elif img.ndim == 3 and img.shape[2] not in (3, 4):
         raise ValueError(f"unsupported channel count {img.shape[2]}")
+    if cmyk and (img.ndim != 3 or img.shape[2] != 4):
+        raise ValueError("cmyk=True requires (h, w, 4) input")
     gray = img.ndim == 2
+    four = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
@@ -737,6 +760,12 @@ def encode_jpeg(
         planes = [img.astype(np.float64) - shift]
         samp = [(1, 1)]
         qsel = [0]
+    elif four:
+        # Adobe CMYK (APP14 transform 0): four independent components,
+        # no chroma model -> luma quant for all, 4:4:4 only
+        planes = [img[:, :, i].astype(np.float64) - shift for i in range(4)]
+        samp = [(1, 1)] * 4
+        qsel = [0] * 4
     else:
         rgb = img.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
@@ -757,11 +786,17 @@ def encode_jpeg(
         qsel = [0, 1, 1]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if four:
+        # Adobe APP14 (transform 0 = CMYK stored as-is); JFIF does not
+        # define 4-component streams
+        app14 = b"Adobe" + struct.pack(">BBHHB", 0x65, 0, 0, 0, 0)
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
+    else:
+        # JFIF APP0
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
     # DQT (Pq=1 / 16-bit values for the x16-scaled 12-bit tables)
-    for tq, q in ((0, ql),) + (((1, qc),) if not gray else ()):
+    for tq, q in ((0, ql),) + (((1, qc),) if not (gray or four) else ()):
         zz = q.reshape(-1)[ZIGZAG]
         if precision == 12:
             body = bytes([0x10 | tq]) + zz.astype(">u2").tobytes()
@@ -769,7 +804,7 @@ def encode_jpeg(
             body = bytes([tq]) + bytes(zz.astype(np.uint8))
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
     # SOF0 (baseline) / SOF1 (extended sequential, required for 12-bit)
-    ncomp = 1 if gray else 3
+    ncomp = 1 if gray else (4 if four else 3)
     sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = samp[ci]
@@ -778,7 +813,7 @@ def encode_jpeg(
     out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     # DHT (Annex K tables)
     hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if not gray:
+    if not (gray or four):
         hts += [
             (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
             (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
@@ -791,7 +826,7 @@ def encode_jpeg(
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([ci + 1, 0x00 if (ci == 0 or four) else 0x11])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
@@ -832,8 +867,8 @@ def encode_jpeg(
             for ci in range(ncomp):
                 hs, vs = samp[ci]
                 q = ql if qsel[ci] == 0 else qc
-                dcc = dc_l if ci == 0 else dc_c
-                acc = ac_l if ci == 0 else ac_c
+                dcc = dc_l if (ci == 0 or four) else dc_c
+                acc = ac_l if (ci == 0 or four) else ac_c
                 for by in range(vs):
                     for bx in range(hs):
                         y0 = (my * vs + by) * 8

@@ -483,3 +483,41 @@ def test_12bit_extended_sequential_roundtrip():
         encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
     with pytest.raises(NotImplementedError):
         encode_jpeg(flat, precision=10)
+
+
+def test_cmyk_and_ycck_four_component():
+    """Adobe 4-component streams: CMYK (transform 0) round-trips the
+    stored planes; YCCK (transform 2) inverts the YCbCr step on decode."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 24, 4), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95, cmyk=True)
+    assert b"Adobe" in payload and b"JFIF" not in payload
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 24, 4)
+    assert np.sqrt(((out.astype(float) - img) ** 2).mean()) < 6
+
+    flat = np.full((8, 8, 4), 120, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=90, cmyk=True)), flat
+    )
+
+    # YCCK: forward-transform the first three planes, patch APP14
+    # transform byte to 2, decode must invert back to the originals
+    c = img.astype(np.float64)
+    y = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+    cb = -0.168736 * c[..., 0] - 0.331264 * c[..., 1] + 0.5 * c[..., 2]
+    cr = 0.5 * c[..., 0] - 0.418688 * c[..., 1] - 0.081312 * c[..., 2]
+    ycck = np.clip(
+        np.rint(np.stack([y, cb + 128, cr + 128, c[..., 3]], axis=-1)),
+        0, 255,
+    ).astype(np.uint8)
+    payload = encode_jpeg(ycck, quality=97, cmyk=True)
+    i = payload.index(b"Adobe")
+    payload = payload[: i + 11] + b"\x02" + payload[i + 12 :]
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 24, 4)
+    # lossy + rounding through the forward transform: generous bound
+    assert np.sqrt(((out.astype(float) - img) ** 2).mean()) < 8
+
+    with pytest.raises(ValueError):
+        encode_jpeg(img[:, :, :3], cmyk=True)
