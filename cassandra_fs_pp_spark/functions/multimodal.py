@@ -537,8 +537,10 @@ def decode_real_image(payload: bytes) -> np.ndarray:
     progressive + 12-bit JPEG, strip/tiled 8/16-bit (incl. palette,
     WhiteIsZero, planar) TIFF and lossless WebP (VP8L) via the built-in
     from-spec pure-python decoders (no imaging library needed); FIMG via
-    the fake codec; anything else (lossy/animated WebP, arithmetic
-    JPEG, tiled-planar TIFF, ...) via optional Pillow when present."""
+    the fake codec; anything else (lossy WebP, arithmetic
+    JPEG, tiled-planar TIFF, ...) via optional Pillow when present.
+    Animated LOSSLESS WebP composes via webp.decode_webp_frames (first
+    frame here)."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
@@ -554,7 +556,7 @@ def decode_real_image(payload: bytes) -> np.ndarray:
         try:
             return decode_webp(payload)
         except NotImplementedError:
-            pass  # lossy VP8 / animation -> Pillow fallback below
+            pass  # lossy VP8 (incl. lossy animation frames) -> Pillow below
     if payload[:2] == b"\xff\xd8":
         from ..jpeg import decode_jpeg
 

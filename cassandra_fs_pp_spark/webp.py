@@ -6,7 +6,9 @@ DEFLATE-style code-length code), LZ77 backward references with the 2-D
 distance mapping, the color cache, optional entropy-image (meta prefix)
 partitioning, and all four inverse transforms — predictor (14 modes),
 color transform, subtract-green, and color-indexing with sub-byte pixel
-bundling. Lossy `VP8 ` chunks and animations raise
+bundling, plus ANIMATED lossless containers (VP8X/ANIM/ANMF frame
+composition — src-over blending, dispose-to-background). Lossy `VP8 `
+chunks raise
 ``NotImplementedError`` so callers can route to an optional fuller
 decoder (the same honest-gate convention as the TIFF and JPEG codecs).
 
@@ -393,7 +395,10 @@ def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP bytes -> (h, w, 4) uint8 RGBA array (lossless/VP8L only)."""
+    """WebP bytes -> (h, w, 4) uint8 RGBA array. Lossless stills decode
+    directly; ANIMATED lossless files return the first composed frame
+    (see :func:`decode_webp_frames` for the full sequence). Lossy VP8
+    stays gated to the optional Pillow fallback."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
@@ -403,13 +408,96 @@ def decode_webp(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return _decode_vp8l(body)
-        if fourcc in (b"VP8 ", b"ANIM", b"ANMF"):
+        if fourcc == b"ANMF":
+            return decode_webp_frames(payload)[0][1]
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
-                f"WebP chunk {fourcc!r} (lossy/animated) unsupported"
+                "WebP chunk b'VP8 ' (lossy) unsupported"
             )
-        # VP8X/ICCP/EXIF/XMP are metadata: keep scanning for VP8L
+        # VP8X/ANIM/ICCP/EXIF/XMP are metadata: keep scanning
         pos += 8 + size + (size & 1)
     raise ValueError("no image chunk in WebP container")
+
+
+def decode_webp_frames(payload: bytes) -> list[tuple[dict, np.ndarray]]:
+    """Animated WebP (VP8X + ANIM + ANMF, lossless frames) -> the list of
+    COMPOSED canvases ``[(meta, (ch, cw, 4) uint8 RGBA), ...]`` per the
+    container spec's frame pipeline: each ANMF rect is either alpha-
+    blended (src-over) onto or copied over the working canvas at its
+    (2x-scaled) offsets, and disposal-to-background clears the rect to
+    transparent AFTER the frame is snapshotted. ``meta`` carries
+    ``x, y, duration_ms, blend, dispose``. Lossy (VP8) frames raise
+    NotImplementedError -> optional Pillow."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    cw = ch = None
+    pos = 12
+    frames: list[tuple[dict, np.ndarray]] = []
+    canvas: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X canvas")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            blend = not (flags & 0x02)  # bit 1: 1 = do NOT blend
+            dispose = bool(flags & 0x01)  # bit 0: dispose to background
+            sub = body[16:]
+            scc = sub[:4]
+            (ssz,) = struct.unpack_from("<I", sub, 4)
+            if scc == b"ALPH":  # lossy frame prelude
+                raise NotImplementedError(
+                    "animated WebP with lossy (VP8/ALPH) frames unsupported"
+                )
+            if scc != b"VP8L":
+                raise NotImplementedError(
+                    f"animated WebP frame chunk {scc!r} unsupported"
+                )
+            rgba = _decode_vp8l(sub[8 : 8 + ssz])
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame size mismatch")
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if blend:
+                sa = rgba[:, :, 3:4].astype(np.uint32)
+                da = rect[:, :, 3:4].astype(np.uint32)
+                out_a = sa * 255 + da * (255 - sa)  # alpha * 255^2
+                src = rgba[:, :, :3].astype(np.uint32)
+                dst = rect[:, :, :3].astype(np.uint32)
+                num = src * sa * 255 + dst * da * (255 - sa)
+                rgb = np.where(out_a > 0, num // np.maximum(out_a, 1), 0)
+                rect[:, :, :3] = rgb.astype(np.uint8)
+                rect[:, :, 3] = (out_a[:, :, 0] // 255).astype(np.uint8)
+            else:
+                rect[:] = rgba
+            frames.append(
+                (
+                    {
+                        "x": fx,
+                        "y": fy,
+                        "duration_ms": dur,
+                        "blend": blend,
+                        "dispose": dispose,
+                    },
+                    canvas.copy(),
+                )
+            )
+            if dispose:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no ANMF frames in WebP container")
+    return frames
 
 
 def _decode_vp8l(data: bytes) -> np.ndarray:

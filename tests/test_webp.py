@@ -452,3 +452,89 @@ def test_simple_code_transmission_order():
     code = _read_prefix_code(r, 256)
     assert code.read(r) == 200
     assert code.read(r) == 10
+
+
+def _vp8l_chunk(img: np.ndarray) -> bytes:
+    """Bare VP8L chunk (header+payload, no RIFF wrapper) for one frame."""
+    h, w = img.shape[:2]
+    bw = _W()
+    bw.b(0, 1)  # no transforms
+    _emit_argb_literals(bw, _rgba_to_argb_list(img))
+    head = _W()
+    head.b(w - 1, 14)
+    head.b(h - 1, 14)
+    head.b(0, 1)
+    head.b(0, 3)
+    payload = b"\x2f" + _W.payload(
+        type("m", (), {"bits": head.bits + bw.bits})()
+    )
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return chunk
+
+
+def _anim_container(cw, ch, frames):
+    """frames: [(x, y, img, blend, dispose)] -> animated WebP bytes."""
+    body = b""
+    vp8x = struct.pack("<B3x", 0x02)  # animation flag
+    vp8x += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0, 0)  # bg color, infinite loop
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for x, y, img, blend, dispose in frames:
+        h, w = img.shape[:2]
+        sub = _vp8l_chunk(img)
+        flags = (0 if blend else 0x02) | (0x01 if dispose else 0)
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")  # duration ms
+            + bytes([flags])
+        )
+        anmf = head + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_animated_webp_composition():
+    """ANMF frame pipeline: offsets place frames on the canvas, no-blend
+    copies (incl. alpha), src-over blending composites, and dispose-to-
+    background clears the frame rect AFTER the snapshot."""
+    from cassandra_fs_pp_spark.webp import decode_webp, decode_webp_frames
+
+    f1 = np.zeros((4, 4, 4), np.uint8)
+    f1[:, :] = (200, 10, 10, 255)  # opaque red-ish, top-left
+    f2 = np.zeros((2, 2, 4), np.uint8)
+    f2[:, :] = (10, 200, 10, 255)  # opaque green, offset (4, 2), dispose
+    f3 = np.zeros((2, 2, 4), np.uint8)
+    f3[:, :] = (0, 0, 200, 128)    # half-alpha blue, blended over f1
+
+    payload = _anim_container(
+        8, 6,
+        [
+            (0, 0, f1, False, False),
+            (4, 2, f2, False, True),
+            (0, 0, f3, True, False),
+        ],
+    )
+    frames = decode_webp_frames(payload)
+    assert len(frames) == 3
+    c1 = frames[0][1]
+    assert tuple(c1[0, 0]) == (200, 10, 10, 255)
+    assert tuple(c1[5, 7]) == (0, 0, 0, 0)  # untouched canvas
+    c2 = frames[1][1]
+    assert tuple(c2[2, 4]) == (10, 200, 10, 255)
+    assert tuple(c2[0, 0]) == (200, 10, 10, 255)  # frame 1 persists
+    c3 = frames[2][1]
+    assert tuple(c3[2, 4]) == (0, 0, 0, 0)  # f2 rect disposed
+    # src-over of half-alpha blue on opaque red-ish
+    r, g, b, a = c3[0, 0]
+    assert a == 255 and b > 90 and r > 90
+    assert frames[1][0]["dispose"] and not frames[1][0]["blend"]
+    # decode_webp returns the first composed frame
+    np.testing.assert_array_equal(decode_webp(payload), c1)
