@@ -367,8 +367,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     tiled files) and 32773 (PackBits); photometrics BlackIsZero, RGB,
     WhiteIsZero (inverted on decode), and palette-color (expanded through
     the 16-bit ColorMap to RGB); PlanarConfiguration 2 reassembles its
-    per-channel strip planes (strip organization only). Anything outside
-    (tiled planar, exotic compressions/photometrics) raises
+    per-channel planes in both strip and tile organization. Anything
+    outside (exotic compressions/photometrics) raises
     NotImplementedError -> optional Pillow fallback. 16-bit output comes
     back as native-order uint16."""
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -411,10 +411,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     if photometric == 3 and (320 not in tags or spp != 1):
         raise NotImplementedError("palette TIFF without a valid ColorMap")
-    if planar not in (1, 2) or (planar == 2 and 322 in tags):
-        raise NotImplementedError(
-            "planar TIFF supported for strip organization only"
-        )
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF PlanarConfiguration {planar}")
     comp = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
 
@@ -430,18 +428,27 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if 322 in tags:  # tile-organized (TIFF 6.0 §15)
         tw, tl = tags[322][0], tags[323][0]
         out = np.zeros((h, w, spp), dtype=dt)
-        ntx = (w + tw - 1) // tw
+        ntx, nty = (w + tw - 1) // tw, (h + tl - 1) // tl
+        # PlanarConfiguration=2: tile list is plane-major — each channel's
+        # full tile grid before the next channel's; per-tile pixels carry
+        # one sample
+        tsp = spp if planar == 1 else 1  # samples per tile pixel
+        tpp = ntx * nty  # tiles per plane
         for idx, (off, cnt) in enumerate(zip(tags[324], tags[325])):
-            ty, tx = divmod(idx, ntx)
-            blob = unblock(bytes(payload[off : off + cnt]), tl * tw * spp)
-            tile = np.frombuffer(blob, dt, count=tl * tw * spp).reshape(
-                tl, tw, spp
+            plane, tidx = divmod(idx, tpp) if planar == 2 else (None, idx)
+            ty, tx = divmod(tidx, ntx)
+            blob = unblock(bytes(payload[off : off + cnt]), tl * tw * tsp)
+            tile = np.frombuffer(blob, dt, count=tl * tw * tsp).reshape(
+                tl, tw, tsp
             )
             if predictor == 2:  # differencing restarts per tile row
                 tile = np.cumsum(tile.astype(np.uint64), axis=1).astype(dt)
             ys, xs = ty * tl, tx * tw
             hh, ww = min(tl, h - ys), min(tw, w - xs)
-            out[ys : ys + hh, xs : xs + ww] = tile[:hh, :ww]
+            if planar == 2:
+                out[ys : ys + hh, xs : xs + ww, plane] = tile[:hh, :ww, 0]
+            else:
+                out[ys : ys + hh, xs : xs + ww] = tile[:hh, :ww]
         img = out
     else:  # strip-organized
         rows_per_strip = tags.get(278, [h])[0]
@@ -538,7 +545,7 @@ def decode_real_image(payload: bytes) -> np.ndarray:
     WhiteIsZero, planar) TIFF and lossless WebP (VP8L) via the built-in
     from-spec pure-python decoders (no imaging library needed); FIMG via
     the fake codec; anything else (lossy WebP, arithmetic
-    JPEG, tiled-planar TIFF, ...) via optional Pillow when present.
+    JPEG, JPEG-in-TIFF, ...) via optional Pillow when present.
     Animated LOSSLESS WebP composes via webp.decode_webp_frames (first
     frame here)."""
     if payload[:8] == PNG_SIG:

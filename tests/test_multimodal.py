@@ -706,13 +706,20 @@ def test_tiff_photometric_and_planar_decode():
     np.testing.assert_array_equal(decode_tiff(planar), rgb)
     # sanity: the unpatched payloads still decode
     np.testing.assert_array_equal(decode_tiff(base), img[:, :, 0])
-    # tiled planar stays honest-gated
-    with pytest.raises(NotImplementedError):
+    # tiled planar: plane-major per-channel tile grids reassemble
+    np.testing.assert_array_equal(
+        decode_tiff(_build_tiff_tiled(rgb, tw=4, tl=4, planar=2)), rgb
+    )
+    rng2 = np.random.RandomState(53)
+    big = rng2.randint(0, 256, (11, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
         decode_tiff(
-            _patch_tiff_tag(
-                _build_tiff_tiled(rgb, tw=4, tl=4), 284, 2
+            _build_tiff_tiled(
+                big, tw=8, tl=8, planar=2, compression=5, predictor=2
             )
-        )
+        ),
+        big,
+    )
 
 
 def _build_tiff_with_colormap(idx: np.ndarray, cmap: np.ndarray) -> bytes:
@@ -849,8 +856,10 @@ def _build_tiff_tiled(
     compression: int = 1,
     predictor: int = 1,
     bps: int = 8,
+    planar: int = 1,
 ) -> bytes:
-    """Test-only TILED TIFF builder (TIFF 6.0 §15), 8- or 16-bit LE."""
+    """Test-only TILED TIFF builder (TIFF 6.0 §15), 8- or 16-bit LE;
+    ``planar=2`` emits plane-major per-channel tile grids."""
     import struct
 
     if img.ndim == 2:
@@ -858,22 +867,27 @@ def _build_tiff_tiled(
     h, w, c = img.shape
     ntx, nty = (w + tw - 1) // tw, (h + tl - 1) // tl
     tiles = []
-    for ty in range(nty):
-        for tx in range(ntx):
-            t = np.zeros((tl, tw, c), dtype=img.dtype)
-            ys, xs = ty * tl, tx * tw
-            hh, ww = min(tl, h - ys), min(tw, w - xs)
-            t[:hh, :ww] = img[ys : ys + hh, xs : xs + ww]
-            if predictor == 2:
-                t = np.diff(
-                    t.astype(np.int32),
-                    axis=1,
-                    prepend=np.zeros((tl, 1, c), np.int32),
-                ).astype(img.dtype)
-            blob = t.astype("<u2" if bps == 16 else np.uint8).tobytes()
-            if compression == 5:
-                blob = _tiff_lzw_encode(blob)
-            tiles.append(blob)
+    plane_views = (
+        [img] if planar == 1 else [img[:, :, i : i + 1] for i in range(c)]
+    )
+    for pv in plane_views:
+        pc = pv.shape[2]
+        for ty in range(nty):
+            for tx in range(ntx):
+                t = np.zeros((tl, tw, pc), dtype=img.dtype)
+                ys, xs = ty * tl, tx * tw
+                hh, ww = min(tl, h - ys), min(tw, w - xs)
+                t[:hh, :ww] = pv[ys : ys + hh, xs : xs + ww]
+                if predictor == 2:
+                    t = np.diff(
+                        t.astype(np.int32),
+                        axis=1,
+                        prepend=np.zeros((tl, 1, pc), np.int32),
+                    ).astype(img.dtype)
+                blob = t.astype("<u2" if bps == 16 else np.uint8).tobytes()
+                if compression == 5:
+                    blob = _tiff_lzw_encode(blob)
+                tiles.append(blob)
 
     n = 12 if predictor == 2 else 11
     ifd_off = 8
@@ -904,7 +918,7 @@ def _build_tiff_tiled(
         entry(323, 4, 1, tl),
         entry(324, 4, len(tiles), off_arr_pos if len(tiles) > 1 else offsets[0]),
         entry(325, 4, len(tiles), cnt_arr_pos if len(tiles) > 1 else counts[0]),
-        entry(284, 3, 1, 1),
+        entry(284, 3, 1, planar),
     ]
     if predictor == 2:
         entries.append(entry(317, 3, 1, 2))
