@@ -5484,6 +5484,39 @@ GROUP BY event_type
 """
 
 
+def stream_debounce_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit-first-of-burst debounce as a custom stateful streaming
+    operator (streaming/filestream.py ``debounce_admit_stateful``) — the
+    realtime twin of ``p_debounce_burst_keyed``: one long of state per
+    (user_id, event_type), first event of each >30-min-gap burst emitted
+    immediately, the rest suppressed. availableNow drain == the batch
+    gaps-and-islands first-rows, which is exactly the oracle."""
+    from cassandra_fs_pp_spark.streaming import (
+        debounce_admit_stateful,
+        run_available_now,
+        stream_table,
+    )
+
+    tune(spark)
+    stream = stream_table(spark, sf_dir, "events")
+    admitted = debounce_admit_stateful(
+        stream, keys=["user_id", "event_type"], gap_s=1800
+    )
+    return run_available_now(admitted)
+
+
+STREAM_DEBOUNCE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT user_id, event_type, event_id AS admitted_event_id, ts
+FROM o WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+"""
+
+
 def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine kNN, scale formulation: broadcast the (small) query
     matrix, one BLAS matmul per Arrow batch of the distributed corpus,
@@ -10879,7 +10912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mm_phash_pairs / emb_pca_project, the lazy-checkpoint ann_lsh_topk,
     # the refactored w_rolling_skewkurt) plus the four NEW r8 queries;
     # (c) 32 of the 41-query r02-last-green tail (registry order).  The
-    # 9 r02 queries that did not fit (text_token_topk, text_repetition,
+    # 10 r02 queries that did not fit (text_split_assign, text_token_topk, text_repetition,
     # text_bigram_pmi, curation_stratified_sample, curation_quality_filter,
     # curation_source_budget, curation_weighted_sample, mm_image_meta,
     # mm_image_stats) lead the planned r9 window together with the
@@ -10905,7 +10938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
         "geo_point_in_polygon": geo_point_in_polygon,
         "rag_hybrid_minmax": rag_hybrid_minmax,
-        # --- (c) r02-last-green tail (32 of 41) ---
+        "stream_debounce_admit": stream_debounce_admit,
+        # --- (c) r02-last-green tail (31 of 41) ---
         "fleet_udg_filter": fleet_udg_filter,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "mm_png_roundtrip": mm_png_roundtrip,
@@ -10937,9 +10971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "text_pii_redact": text_pii_redact,
-        "text_split_assign": text_split_assign,
         # --- beyond the 50-entry window (driver-green in r2-r7; ---
         # --- full local oracle sweep re-verifies at HEAD) ---
+        "text_split_assign": text_split_assign,
         "a1_median_slice": a1_median_slice,
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
@@ -11298,6 +11332,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash_pairs": _mm_phash_oracle_sql(),
         "stream_hourly_agg": STREAM_A8_ORACLE,
         "stream_dedup_counts": STREAM_DEDUP_ORACLE,
+        "stream_debounce_admit": STREAM_DEBOUNCE_ORACLE,
         "emb_scalar_quantize": EMB_SQ_ORACLE,
         "ann_adc_topk": ANN_ADC_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,

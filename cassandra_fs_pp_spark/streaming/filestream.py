@@ -316,6 +316,76 @@ def cusum_stateful(
     )
 
 
+def debounce_admit_stateful(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int,
+) -> DataFrame:
+    """Streaming admit-first-of-burst debounce — the realtime twin of the
+    batch ``operators/dedup.debounce_keep_first``: the FIRST event of
+    every burst (gap > ``gap_s`` since the previous event of the same
+    key opens a new burst) is emitted immediately; the rest of the burst
+    is suppressed. This is the alerting/debounce contract: the kept
+    event of a burst is knowable at its first row, so append mode needs
+    no burst finalization (``burst_n`` stays a batch-side aggregate —
+    counting absorbed events is only final once the burst closes).
+
+    State per key is one long (last-seen event time in epoch
+    microseconds). Micro-batches are sorted on (ts, id) before the fold;
+    requires per-key in-order arrival ACROSS batches (file order), the
+    same contract as ``ratchet_stateful`` / ``cusum_stateful``."""
+    from pyspark.sql.types import LongType
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("admitted_event_id", df.schema[id_col].dataType),
+            StructField(ts_col, df.schema[ts_col].dataType),
+        ]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+    gap_us = int(gap_s) * 1_000_000
+
+    def step(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in batches:
+            pdf = pdf.sort_values([ts_col, id_col])
+            # pin the unit before the int view: Arrow may hand the pandas
+            # column over as datetime64[ns] or [us] depending on version
+            us = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            admit = []
+            for t in us:
+                admit.append(last is None or t - last > gap_us)
+                last = int(t)
+            kept = pdf[pd.Series(admit, index=pdf.index)]
+            out = {
+                k: [key[i]] * len(kept) for i, k in enumerate(keys)
+            }
+            out["admitted_event_id"] = kept[id_col].to_list()
+            out[ts_col] = kept[ts_col].to_list()
+            yield pd.DataFrame(out)
+        if last is not None:
+            state.update((last,))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

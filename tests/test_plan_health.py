@@ -309,6 +309,7 @@ def test_registry_window_discipline():
         "w_rolling_skewkurt_keyed",
         "geo_point_in_polygon",
         "rag_hybrid_minmax",
+        "stream_debounce_admit",
     ):
         assert q in window, f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]

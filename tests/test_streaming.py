@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cassandra_fs_pp_spark.operators.windows import ratchet_depth
 from cassandra_fs_pp_spark.streaming import (
+    debounce_admit_stateful,
     hourly_agg_stream,
     ratchet_stateful,
     run_available_now,
@@ -574,3 +575,53 @@ def test_stream_holt_matches_batch(spark):
         for r in m.stream_holt_linear(spark, sf).collect()
     }
     assert batch == stream
+
+
+def test_debounce_admit_stateful_state_across_microbatches(spark, tmp_path):
+    """Admit-first-of-burst: the last-seen timestamp carries across
+    micro-batches, so a burst STRADDLING a file boundary admits exactly
+    one event; drain == the batch gaps-and-islands first rows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        t = base
+        for burst in range(6):
+            # burst of 5 events 5 min apart, then a 2 h gap
+            for i in range(5):
+                rows.append((eid, user, "click", t))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=2)
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    # split INSIDE bursts: first file ends mid-burst for both users
+    frames = [df.iloc[: len(df) // 2 - 2], df.iloc[len(df) // 2 - 2 :]]
+    d = _write_stream_files(spark, tmp_path, frames)
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        (r["user_id"], r["event_type"], r["admitted_event_id"])
+        for r in run_available_now(
+            debounce_admit_stateful(
+                stream, keys=["user_id", "event_type"], gap_s=1800
+            )
+        ).collect()
+    }
+    # batch truth: first event of each burst
+    want = set()
+    full = pd.concat(frames).sort_values(["user_id", "event_type", "ts", "event_id"])
+    for (u, et), g in full.groupby(["user_id", "event_type"]):
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() > 1800:
+                want.add((u, et, r["event_id"]))
+            prev = r["ts"]
+    assert got == want
+    assert len(got) == 12  # 6 bursts x 2 users, exactly one admit each
