@@ -14,6 +14,14 @@ this is beyond-parity capability for multimodal training-data columns).
 Flat 8×8-aligned grayscale frames with even sample values round-trip
 EXACTLY (the DC coefficient 8·(v−128) is a multiple of the DC quantum
 16), which is what the correctness-gate query relies on.
+
+Why arithmetic coding stays gated: T.81's QM-coder depends on the
+113-row Qe state-transition table (Table D.3). In this container there
+is no third-party arithmetic-JPEG artifact or decoder to validate a
+transcription against, and a from-spec encoder+decoder PAIR sharing one
+mistranscribed table would round-trip green while misreading every real
+file — a self-consistent wrong codec is worse than an honest gate. The
+deliberately-out-of-scope variants route to optional Pillow instead.
 """
 
 from __future__ import annotations
