@@ -314,3 +314,35 @@ def test_registry_window_discipline():
         assert q in window, f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
+
+
+def test_point_in_polygon_broadcast_only(spark):
+    """geo_point_in_polygon: the point stream joins only BROADCAST sides
+    (cell coverage + edges); the sole exchange is the partial-aggregated
+    parity count — no SMJ, no cartesian, one parquet scan."""
+    df = entrymod.queries()["geo_point_in_polygon"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Scan parquet") == 1, plan
+    assert _n(plan, "BroadcastHashJoin") == 2, plan
+    assert _n(plan, "SortMergeJoin") == 0
+    assert _n(plan, "CartesianProduct") == 0
+    assert _n(plan, "Exchange") <= 2, plan  # parity agg (+AQE final)
+
+
+def test_debounce_keyed_single_shuffle(spark):
+    """The fleet-keyed debounce keeps the enum form's 1-exchange shape —
+    the partitioning valve changes keys, not plan structure."""
+    df = entrymod.queries()["p_debounce_burst_keyed"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "Exchange") == 1, plan
+    assert _n(plan, "Scan parquet") == 1
+
+
+def test_rag_hybrid_nested_loops_are_scalar_attaches_only(spark):
+    """rag_hybrid_minmax: every BroadcastNestedLoopJoin is a 1-row
+    scalar attach (query vector + per-retriever min/max); the retriever
+    top-20s join full-outer over <=20-row sides."""
+    df = entrymod.queries()["rag_hybrid_minmax"](spark, SF)
+    plan = _formatted_plan(df)
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 4, plan
