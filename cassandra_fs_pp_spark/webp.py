@@ -11,6 +11,12 @@ composition — src-over blending, dispose-to-background). Lossy `VP8 `
 chunks raise
 ``NotImplementedError`` so callers can route to an optional fuller
 decoder (the same honest-gate convention as the TIFF and JPEG codecs).
+Lossy VP8 stays gated for the same reason arithmetic JPEG does
+(``jpeg.py`` module docstring): RFC 6386's decoder is defined by large
+default-probability tables (the 4x8x3x11 coefficient table and kin);
+with no third-party VP8 artifact in this container to validate a
+transcription against, a from-memory encoder+decoder pair would
+round-trip green while misreading every real file.
 
 The reference repo has no image pipeline at all; this is beyond-parity
 capability for the multimodal column operators
