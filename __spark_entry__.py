@@ -10917,7 +10917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code or oracle changed in r8 (the two rows-only graduations
     # mm_phash_pairs / emb_pca_project, the lazy-checkpoint ann_lsh_topk,
     # the refactored w_rolling_skewkurt) plus the four NEW r8 queries;
-    # (c) 32 of the 41-query r02-last-green tail (registry order).  The
+    # the new streaming debounce twin; (c) 31 of the 41-query
+    # r02-last-green tail (registry order).  The
     # 10 r02 queries that did not fit (text_split_assign, text_token_topk, text_repetition,
     # text_bigram_pmi, curation_stratified_sample, curation_quality_filter,
     # curation_source_budget, curation_weighted_sample, mm_image_meta,
