@@ -554,7 +554,7 @@ def decode_real_image(payload: bytes) -> np.ndarray:
         try:
             return decode_tiff(payload)
         except NotImplementedError:
-            pass  # palette / planar / exotic compression -> Pillow below
+            pass  # JPEG-in-TIFF / exotic compression or photometric -> Pillow below
     if payload[:4] == IMG_MAGIC:
         return decode_image_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":

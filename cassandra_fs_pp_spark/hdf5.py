@@ -16,15 +16,20 @@ encoding produces, from the public HDF5 File Format Specification
   datatypes: fixed-point, IEEE float, fixed string, vlen string/sequence,
   object reference
 * data layout v3: compact, contiguous, and chunked via the v1 chunk
-  B-tree (NO filter pipeline — the reference sets ``zlib=False``)
+  B-tree; filter pipelines v1/v2 with deflate (stdlib ``zlib``),
+  shuffle, and fletcher32 (verified) — the standard netCDF4
+  ``zlib=True`` stack, beyond the reference's own ``zlib=False``
+* fill-value messages (0x0004/0x0005) honored for unallocated
+  contiguous data and missing chunks (netCDF4's defaults are non-zero)
 * attributes v1/v2/v3, vlen payloads via global heap collections (GCOL)
 * the netCDF4 data model on top: dimension-scale datasets define dims
   (``CLASS=DIMENSION_SCALE``), data variables bind dims through
   ``DIMENSION_LIST`` object references
 
-Anything outside the subset (filter pipelines, layout v4, fractal-heap
-groups, compound/enum types) raises ``NotImplementedError`` naming the
-feature — the honest-gate convention shared with the image codecs; the
+Anything outside the subset (non-deflate filters such as szip, layout
+v4, fractal-heap groups, dense fractal-heap attribute storage,
+compound/enum types) raises ``NotImplementedError`` naming the feature
+— the honest-gate convention shared with the image codecs; the
 ``sources/netcdf.py`` caller routes those to the optional netCDF4/h5py
 libraries when installed.
 """
@@ -32,6 +37,7 @@ libraries when installed.
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -50,6 +56,8 @@ class H5Dataset:
     layout: tuple  # ("contiguous", addr, size) | ("chunked", btree, chunk)
                    # | ("compact", bytes)
     header_addr: int = 0
+    filters: tuple = ()  # ((filter_id, flags, client_data), ...) write order
+    fill: bytes | None = None  # raw fill-value bytes (message 0x0004/0x0005)
 
     def is_dim_scale(self) -> bool:
         c = self.attrs.get("CLASS")
@@ -152,10 +160,14 @@ class _Reader:
         chunk0 = int.from_bytes(buf[pos : pos + csize_bytes], "little")
         pos += csize_bytes
         msgs: list[tuple[int, bytes]] = []
+        # "size of chunk 0" counts the message region only — the trailing
+        # 4-byte checksum is header overhead outside it (libhdf5
+        # H5O_SIZEOF_HDR); continuation lengths DO include the OCHK magic
+        # and their checksum, so pre-trim both when queueing the block.
         blocks = [(pos, chunk0)]
         while blocks:
             p, ln = blocks.pop(0)
-            end = p + ln - 4  # trailing checksum
+            end = p + ln
             while p + 4 <= end:
                 mtype = buf[p]
                 msize = struct.unpack_from("<H", buf, p + 1)[0]
@@ -167,7 +179,7 @@ class _Reader:
                 p += msize
                 if mtype == 0x10:
                     o, ln2 = struct.unpack_from("<QQ", body)
-                    blocks.append((o + 4, ln2 - 4))  # skip OCHK magic
+                    blocks.append((o + 4, ln2 - 8))  # strip OCHK + checksum
                 elif mtype != 0:
                     msgs.append((mtype, body))
                 del mflags
@@ -376,6 +388,105 @@ class _Reader:
             pos += 16 + ((osize + 7) & ~7)
         raise ValueError(f"global heap object {want_idx} not found")
 
+    # ------------------------------------------------------------ filters
+    _FILTER_NAMES = {1: "deflate", 2: "shuffle", 3: "fletcher32"}
+
+    def parse_filter_pipeline(self, body: bytes) -> tuple:
+        """Filter Pipeline message (0x000B) v1/v2 ->
+        ((filter_id, flags, client_data), ...) in write (application)
+        order. Deflate/shuffle/fletcher32 are decodable from spec with
+        the stdlib; anything else is an honest gate."""
+        ver = body[0]
+        nfilters = body[1]
+        if ver == 1:
+            pos = 8
+        elif ver == 2:
+            pos = 2
+        else:
+            raise NotImplementedError(f"filter pipeline version {ver}")
+        filters = []
+        for _ in range(nfilters):
+            fid = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+            if ver == 1 or fid >= 256:
+                name_len = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+            else:
+                name_len = 0
+            fflags, ncd = struct.unpack_from("<HH", body, pos)
+            pos += 4 + name_len
+            cd = struct.unpack_from(f"<{ncd}I", body, pos)
+            pos += 4 * ncd
+            if ver == 1 and ncd % 2:
+                pos += 4  # v1 pads client data to an even count
+            if fid not in self._FILTER_NAMES:
+                raise NotImplementedError(
+                    f"HDF5 filter id {fid} — only deflate/shuffle/"
+                    "fletcher32 decode from spec; install netCDF4/h5py "
+                    "for other filters"
+                )
+            filters.append((fid, fflags, cd))
+        return tuple(filters)
+
+    def _defilter_chunk(
+        self, raw: bytes, filters: tuple, mask: int, elem_size: int
+    ) -> bytes:
+        """Undo the pipeline in reverse write order; ``mask`` bit i set
+        means filter i was skipped for this chunk."""
+        for i in range(len(filters) - 1, -1, -1):
+            if mask & (1 << i):
+                continue
+            fid, _flags, cd = filters[i]
+            if fid == 3:  # fletcher32: verify + strip trailing checksum
+                payload, stored = raw[:-4], struct.unpack("<I", raw[-4:])[0]
+                if _fletcher32(payload) != stored:
+                    raise ValueError("HDF5 chunk fletcher32 checksum mismatch")
+                raw = payload
+            elif fid == 1:  # deflate
+                raw = zlib.decompress(raw)
+            elif fid == 2:  # shuffle: byte planes -> interleaved elements
+                esz = int(cd[0]) if cd else elem_size
+                if esz > 1 and len(raw) % esz == 0:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    raw = arr.reshape(esz, len(raw) // esz).T.tobytes()
+        return raw
+
+    def parse_fill_value(self, mtype: int, body: bytes) -> bytes | None:
+        """Fill Value (0x0005 v1-v3) / Fill Value (old) (0x0004) ->
+        raw fill bytes, or None when undefined/zero-size."""
+        if mtype == 0x0004:
+            sz = struct.unpack_from("<I", body, 0)[0]
+            return bytes(body[4 : 4 + sz]) or None
+        ver = body[0]
+        if ver in (1, 2):
+            defined = body[3]
+            if ver == 2 and not defined:
+                return None
+            sz = struct.unpack_from("<I", body, 4)[0]
+            return bytes(body[8 : 8 + sz]) or None
+        if ver == 3:
+            flags = body[1]
+            if not flags & 0x20:  # fill value not defined
+                return None
+            sz = struct.unpack_from("<I", body, 2)[0]
+            return bytes(body[6 : 6 + sz]) or None
+        raise NotImplementedError(f"fill value message version {ver}")
+
+    @staticmethod
+    def check_dense_attrs(mtype: int, body: bytes) -> None:
+        """Attribute Info message (0x0015): a defined fractal-heap
+        address means attributes live in dense storage this reader
+        cannot walk — gate honestly instead of silently dropping
+        scale_factor/_FillValue/DIMENSION_LIST."""
+        if mtype != 0x0015:
+            return
+        pos = 2 + (2 if body[1] & 0x01 else 0)
+        fheap = struct.unpack_from("<Q", body, pos)[0]
+        if fheap != UNDEF:
+            raise NotImplementedError(
+                "dense (fractal-heap) attribute storage"
+            )
+
     # ------------------------------------------------------------ datasets
     def dataset(self, name: str, addr: int) -> H5Dataset:
         shape: tuple[int, ...] = ()
@@ -383,6 +494,8 @@ class _Reader:
         dtype: _DType | None = None
         attrs: dict[str, object] = {}
         layout: tuple | None = None
+        filters: tuple = ()
+        fill: bytes | None = None
         for mtype, body in self.object_header(addr):
             if mtype == 0x0001:
                 shape, maxshape = self.parse_dataspace(body)
@@ -391,19 +504,20 @@ class _Reader:
             elif mtype == 0x0008:
                 layout = self._parse_layout(body)
             elif mtype == 0x000B:
-                nfilters = body[1]
-                if nfilters:
-                    raise NotImplementedError(
-                        "filtered (compressed) HDF5 dataset — the engine "
-                        "reads the reference's zlib=False encoding; install "
-                        "netCDF4/h5py for compressed files"
-                    )
+                filters = self.parse_filter_pipeline(body)
+            elif mtype in (0x0004, 0x0005):
+                fill = self.parse_fill_value(mtype, body) or fill
             elif mtype == 0x000C:
                 k, v = self.parse_attribute(body)
                 attrs[k] = v
+            else:
+                self.check_dense_attrs(mtype, body)
         if dtype is None or layout is None:
             raise ValueError(f"dataset {name!r}: missing datatype/layout")
-        return H5Dataset(name, shape, maxshape, dtype, attrs, layout, addr)
+        return H5Dataset(
+            name, shape, maxshape, dtype, attrs, layout, addr,
+            filters=filters, fill=fill,
+        )
 
     def _parse_layout(self, body: bytes) -> tuple:
         ver = body[0]
@@ -423,6 +537,16 @@ class _Reader:
             return ("chunked", btree, dims[:-1])  # last = element size
         raise NotImplementedError(f"data layout class {cls}")
 
+    def _alloc(self, ds: H5Dataset, npd: np.dtype) -> np.ndarray:
+        """Output array pre-filled with the dataset's fill value —
+        unallocated contiguous data and never-written chunks must read
+        as the stored fill (netCDF4 defaults are non-zero, e.g.
+        -2147483647 for int32), not as zeros."""
+        if ds.fill is not None and len(ds.fill) == npd.itemsize:
+            fv = np.frombuffer(ds.fill, dtype=npd, count=1)[0]
+            return np.full(ds.shape, fv, dtype=npd)
+        return np.zeros(ds.shape, dtype=npd)
+
     def read_data(self, ds: H5Dataset) -> np.ndarray:
         npd = ds.dtype.numpy()
         n = 1
@@ -434,18 +558,18 @@ class _Reader:
         if ds.layout[0] == "contiguous":
             addr, size = ds.layout[1], ds.layout[2]
             if addr == UNDEF:  # never written: all fill
-                return np.zeros(ds.shape, dtype=npd)
+                return self._alloc(ds, npd)
             raw = self.buf[addr : addr + size]
             return (
                 np.frombuffer(raw, dtype=npd, count=n).reshape(ds.shape).copy()
             )
         _, btree, chunk = ds.layout
-        out = np.zeros(ds.shape, dtype=npd)
+        out = self._alloc(ds, npd)
         if btree != UNDEF:
-            self._read_chunk_btree(btree, np.asarray(chunk), out, npd)
+            self._read_chunk_btree(btree, np.asarray(chunk), out, npd, ds.filters)
         return out
 
-    def _read_chunk_btree(self, addr, chunk, out, npd):
+    def _read_chunk_btree(self, addr, chunk, out, npd, filters=()):
         buf = self.buf
         if buf[addr : addr + 4] != b"TREE":
             raise ValueError("bad chunk B-tree signature")
@@ -456,17 +580,18 @@ class _Reader:
         key_sz = 8 + 8 * (rank + 1)
         pos = addr + 8 + 2 * self.offsz
         for _ in range(nent):
-            size, _fmask = struct.unpack_from("<II", buf, pos)
+            size, fmask = struct.unpack_from("<II", buf, pos)
             offs = struct.unpack_from(f"<{rank + 1}Q", buf, pos + 8)
             child = struct.unpack_from("<Q", buf, pos + key_sz)[0]
             pos += key_sz + self.offsz
             if level > 0:
-                self._read_chunk_btree(child, chunk, out, npd)
+                self._read_chunk_btree(child, chunk, out, npd, filters)
                 continue
+            raw = bytes(buf[child : child + size])
+            if filters:
+                raw = self._defilter_chunk(raw, filters, fmask, npd.itemsize)
             start = np.asarray(offs[:rank], dtype=np.int64)
-            cdata = np.frombuffer(
-                buf[child : child + size], dtype=npd
-            ).reshape(tuple(chunk))
+            cdata = np.frombuffer(raw, dtype=npd).reshape(tuple(chunk))
             sl = tuple(
                 slice(int(s), int(min(s + c, e)))
                 for s, c, e in zip(start, chunk, out.shape)
@@ -476,6 +601,33 @@ class _Reader:
                 for s, c, e in zip(start, chunk, out.shape)
             )
             out[sl] = cdata[csl]
+
+
+def _fletcher32(data: bytes) -> int:
+    """HDF5's H5_checksum_fletcher32 (H5checksum.c): big-endian 16-bit
+    word sums with deferred mod-65535 reduction; odd trailing byte is
+    high-padded."""
+    sum1 = sum2 = 0
+    n_pairs = len(data) // 2
+    words = np.frombuffer(data[: 2 * n_pairs], dtype=">u2").astype(np.uint64)
+    # block size 360 keeps the 32-bit sums from overflowing in C; with
+    # python/np.uint64 arithmetic one reduction per block is still the
+    # exact same result, so mirror the blocking for bit-fidelity.
+    for i in range(0, n_pairs, 360):
+        blk = words[i : i + 360]
+        csum = np.cumsum(blk)
+        sum2 = int(sum2) + len(blk) * int(sum1) + int(csum.sum())
+        sum1 = int(sum1) + int(csum[-1]) if len(blk) else int(sum1)
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
 
 
 @dataclass
@@ -500,6 +652,8 @@ def read_netcdf4(path: str):
         if mtype == 0x000C:
             k, v = r.parse_attribute(body)
             gattrs[k] = v
+        else:
+            r.check_dense_attrs(mtype, body)
     links = r.group_links(r.root)
 
     datasets: dict[str, H5Dataset] = {}

@@ -25,25 +25,31 @@ def _read_any(path: str):
     """Magic-sniffing front end: classic CDF-1/2 routes to the NetCDF-3
     reader, the HDF5 signature to the from-spec NetCDF-4 subset reader
     (``hdf5.py`` — covers the reference's ``fs_process_l2.py:198-204``
-    zlib=False encoding). Subset-exceeding HDF5 features (filters,
-    layout v4...) fall back to the optional netCDF4 library when
-    installed, else re-raise the honest NotImplementedError."""
+    zlib=False encoding plus the standard deflate/shuffle/fletcher32
+    pipeline). Subset-exceeding HDF5 features (non-deflate filters,
+    layout v4, userblocks...) fall back to the optional netCDF4 library
+    when installed, else re-raise the honest NotImplementedError. The
+    HDF5 sniff is delegated to the reader itself so a superblock behind
+    a userblock (offset 512/1024/...) routes to the gate, not to the
+    generic "not NetCDF" error."""
     with open(path, "rb") as f:
-        magic = f.read(8)
-    if magic[:3] == b"CDF":
+        magic = f.read(3)
+    if magic == b"CDF":
         return read_netcdf3(path)
-    from cassandra_fs_pp_spark.hdf5 import SIGNATURE, read_netcdf4
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
 
-    if magic == SIGNATURE:
+    try:
+        return read_netcdf4(path)
+    except NotImplementedError as gate:
         try:
-            return read_netcdf4(path)
-        except NotImplementedError as gate:
-            try:
-                import netCDF4  # noqa: F401 — optional dependency
-            except ImportError:
-                raise gate from None
-            return _read_via_netcdf4_lib(path)
-    raise ValueError(f"{path}: neither classic NetCDF nor HDF5 signature")
+            import netCDF4  # noqa: F401 — optional dependency
+        except ImportError:
+            raise gate from None
+        return _read_via_netcdf4_lib(path)
+    except ValueError:
+        raise ValueError(
+            f"{path}: neither classic NetCDF nor HDF5 signature"
+        ) from None
 
 
 def _read_via_netcdf4_lib(path: str):

@@ -1,22 +1,30 @@
 """Test-local minimal NetCDF4 (HDF5) writer — produces the byte layout
 libhdf5/netCDF4 emit for the reference's ``to_netcdf`` encoding
 (``bin/fs_process_l2.py:198-204``: int32 / scale_factor / _FillValue,
-zlib=False, unlimited time), so ``cassandra_fs_pp_spark/hdf5.py`` can be
+unlimited time), so ``cassandra_fs_pp_spark/hdf5.py`` can be
 tested against real on-disk structures without the netCDF4 library.
 Same convention as the test-local PNG/JPEG encoders: the writer lives in
 tests/, the engine ships only the reader.
 
-Subset written: superblock v0, symbol-table root group (B-tree v1 + local
-heap + SNOD), object headers v1, dataspace v1 (incl. unlimited maxdims),
-datatypes int32/int64/float64/fixed-string/vlen-string/vlen-of-object-
-refs, contiguous + chunked (chunk B-tree v1) layouts, attributes v1 with
-vlen payloads in a global heap, netCDF4 dimension scales +
-DIMENSION_LIST.
+Subset written: superblock v0 (``fmt="v0"``) or v3 + OHDR v2 object
+headers with link-message groups and a header continuation block
+(``fmt="v2"``, libver='latest' flavor), dataspace v1 (incl. unlimited
+maxdims), datatypes int32/int64/float64/fixed-string/vlen-string/
+vlen-of-object-refs, contiguous + chunked (chunk B-tree v1) layouts,
+attributes v1 (v0 headers) / v3 (v2 headers) with vlen payloads in a
+global heap, netCDF4 dimension scales + DIMENSION_LIST, and with
+``compress=True`` the standard netCDF4 filter stack: a v1 filter
+pipeline (deflate) on the coordinate, a v2 pipeline
+(shuffle+deflate+fletcher32) on the 2-D variable, a defined fill value
+message with a deliberately missing chunk, and an independent naive
+fletcher32 (straight H5checksum.c translation) cross-validating the
+engine's vectorized one.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -25,6 +33,41 @@ UNDEF = 0xFFFFFFFFFFFFFFFF
 
 def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
+
+
+def fletcher32_naive(data: bytes) -> int:
+    """Independent reference implementation of HDF5's
+    H5_checksum_fletcher32 (big-endian 16-bit words, 360-word blocks,
+    deferred one-fold reductions) for cross-validating the engine's
+    vectorized version."""
+    sum1 = sum2 = 0
+    n = len(data)
+    i = 0
+    remaining = n // 2
+    while remaining:
+        tlen = min(360, remaining)
+        remaining -= tlen
+        for _ in range(tlen):
+            sum1 += (data[i] << 8) | data[i + 1]
+            sum2 += sum1
+            i += 2
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if n % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
+
+
+def _shuffle_bytes(raw: bytes, elem: int) -> bytes:
+    """HDF5 shuffle filter forward pass: gather byte plane j of every
+    element contiguously."""
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(len(raw) // elem, elem)
+    return arr.T.tobytes()
 
 
 class _Blob:
@@ -105,7 +148,7 @@ def _dataspace(dims, maxdims=None) -> bytes:
     return out
 
 
-# ----------------------------------------------------- messages / headers
+# ----------------------------------------------------- v0 message framing
 def _msg(mtype: int, body: _Blob | bytes) -> _Blob:
     if isinstance(body, bytes):
         bb = _Blob().emit(body)
@@ -127,15 +170,6 @@ def _attr(name: str, dtype: bytes, dataspace: bytes, data: _Blob | bytes) -> _Bl
     return out.splice(data)
 
 
-def _vlen_payload(length: int, gheap_key: str, gidx: int) -> _Blob:
-    return (
-        _Blob()
-        .emit(struct.pack("<I", length))
-        .slot(gheap_key)
-        .emit(struct.pack("<I", gidx))
-    )
-
-
 def _object_header(msgs: list[_Blob]) -> _Blob:
     body = _Blob()
     for m in msgs:
@@ -146,6 +180,42 @@ def _object_header(msgs: list[_Blob]) -> _Blob:
     return out.splice(body)
 
 
+# ----------------------------------------------------- v2 message framing
+def _msg2(mtype: int, body: _Blob | bytes) -> _Blob:
+    if isinstance(body, bytes):
+        body = _Blob().emit(body)
+    out = _Blob().emit(struct.pack("<BHB", mtype, len(body.b), 0))
+    return out.splice(body)
+
+
+def _attr3(name: str, dtype: bytes, dataspace: bytes, data: _Blob | bytes) -> _Blob:
+    if isinstance(data, bytes):
+        data = _Blob().emit(data)
+    nameb = name.encode() + b"\x00"
+    out = _Blob().emit(
+        struct.pack(
+            "<BBHHHB", 3, 0, len(nameb), len(dtype), len(dataspace), 0
+        )
+    )
+    out.emit(nameb).emit(dtype).emit(dataspace)
+    return out.splice(data)
+
+
+def _object_header_v2(msgs: list[_Blob]) -> _Blob:
+    """OHDR v2: flags=0x02 (4-byte chunk-0 size, no times/bounds);
+    chunk-0 size counts the message region only — the trailing 4-byte
+    checksum (unverified by the reader; zeros) is outside it, so the
+    last message ends exactly at the chunk-0 boundary."""
+    body = _Blob()
+    for m in msgs:
+        body.splice(m)
+    out = _Blob().emit(b"OHDR").emit(struct.pack("<BB", 2, 0x02))
+    out.emit(struct.pack("<I", len(body.b)))
+    out.splice(body)
+    return out.emit(b"\x00\x00\x00\x00")
+
+
+# ------------------------------------------------------- layout / filters
 def _layout_contiguous(data_key: str, size: int) -> _Blob:
     return (
         _Blob()
@@ -164,10 +234,34 @@ def _layout_chunked(btree_key: str, chunk_dims: tuple[int, ...],
     return out.emit(struct.pack("<I", elem))
 
 
+def _filter_pipeline_v1(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
+    """[(filter_id, client_data)] -> v1 message body (8-byte preamble,
+    zero-length names, odd client-data counts padded)."""
+    out = struct.pack("<BB2x4x", 1, len(filters))
+    for fid, cd in filters:
+        out += struct.pack("<HHHH", fid, 0, 1, len(cd))
+        out += b"".join(struct.pack("<I", c) for c in cd)
+        if len(cd) % 2:
+            out += b"\x00\x00\x00\x00"
+    return out
+
+
+def _filter_pipeline_v2(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
+    out = struct.pack("<BB", 2, len(filters))
+    for fid, cd in filters:
+        out += struct.pack("<HHH", fid, 1, len(cd))
+        out += b"".join(struct.pack("<I", c) for c in cd)
+    return out
+
+
+def _fill_value_v3(raw: bytes) -> bytes:
+    # flags: alloc time=2 (late), write time=0, defined (0x20)
+    return struct.pack("<BBI", 3, 0x22, len(raw)) + raw
+
+
 def _chunk_btree(chunks: list[tuple[tuple[int, ...], str, int]],
                  shape: tuple[int, ...]) -> _Blob:
-    """chunks: [(start offsets, data key, nbytes)]."""
-    rank = len(shape)
+    """chunks: [(start offsets, data key, stored nbytes)]."""
     out = _Blob().emit(struct.pack("<4sBBH", b"TREE", 1, 0, len(chunks)))
     out.emit(struct.pack("<QQ", UNDEF, UNDEF))
     for start, key, nbytes in chunks:
@@ -183,8 +277,34 @@ def _chunk_btree(chunks: list[tuple[tuple[int, ...], str, int]],
     return out
 
 
-def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
-    """Write the reference-flavor fixture; returns ground-truth arrays."""
+def write_netcdf4(
+    path: str,
+    n_time: int = 48,
+    n_sensor: int = 3,
+    *,
+    compress: bool = False,
+    fmt: str = "v0",
+    dense_attrs: bool = False,
+) -> dict:
+    """Write the reference-flavor fixture; returns ground-truth arrays.
+
+    ``compress=True``: time gets a v1 deflate pipeline; depth gets a v2
+    shuffle+deflate+fletcher32 pipeline, a fill-value message (-1.0),
+    and its second chunk is left unwritten (truth reflects the fill).
+    ``fmt="v2"``: superblock v3 + OHDR v2 headers + link-message root
+    group with a header-continuation block (libver='latest' flavor).
+    ``dense_attrs=True``: t_air additionally carries an Attribute Info
+    message pointing at a (nonexistent) fractal heap — real h5py
+    'latest' files with >8 attributes look like this; the reader must
+    gate, not silently drop attributes.
+    """
+    if fmt not in ("v0", "v2"):
+        raise ValueError(fmt)
+    v2 = fmt == "v2"
+    msg = _msg2 if v2 else _msg
+    attr = _attr3 if v2 else _attr
+    header = _object_header_v2 if v2 else _object_header
+
     rng = np.random.default_rng(5)
     time_vals = np.arange(n_time, dtype=np.int64) * 3600
     t_air = np.round(
@@ -194,45 +314,65 @@ def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
     batt = (12000 + rng.integers(0, 500, n_time)).astype(np.int32)
     depth = np.round(rng.normal(2.0, 0.5, (n_time, n_sensor)), 6)
     half = n_time // 2
+    depth_fill = -1.0
+    if compress:
+        depth[half:] = depth_fill  # second chunk never written -> fill
 
     f = _File()
 
-    # --- superblock v0
+    # --- superblock
     sb = _Blob()
     sb.emit(b"\x89HDF\r\n\x1a\n")
-    sb.emit(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
-    sb.emit(struct.pack("<HHI", 4, 16, 0))
-    sb.emit(struct.pack("<QQ", 0, UNDEF))
-    eof_off = len(sb.b)
-    sb.emit(struct.pack("<Q", 0))
-    sb.emit(struct.pack("<Q", UNDEF))
-    sb.emit(struct.pack("<Q", 0))  # root link name offset
-    sb.slot("oh:root")
-    sb.emit(struct.pack("<II16x", 0, 0))
+    if v2:
+        sb.emit(struct.pack("<BBBB", 3, 8, 8, 0))
+        sb.emit(struct.pack("<QQ", 0, UNDEF))  # base, ext
+        eof_off = len(sb.b)
+        sb.emit(struct.pack("<Q", 0))
+        sb.slot("oh:root")
+        sb.emit(b"\x00\x00\x00\x00")  # checksum (unverified)
+    else:
+        sb.emit(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+        sb.emit(struct.pack("<HHI", 4, 16, 0))
+        sb.emit(struct.pack("<QQ", 0, UNDEF))
+        eof_off = len(sb.b)
+        sb.emit(struct.pack("<Q", 0))
+        sb.emit(struct.pack("<Q", UNDEF))
+        sb.emit(struct.pack("<Q", 0))  # root link name offset
+        sb.slot("oh:root")
+        sb.emit(struct.pack("<II16x", 0, 0))
     f.place(None, sb)
 
-    # --- raw data blocks
-    f.place("data:time", _Blob().emit(time_vals.astype("<i8").tobytes()))
+    # --- raw data blocks (time/depth chunks pass the filter stack)
+    time_raw = time_vals.astype("<i8").tobytes()
+    if compress:
+        time_stored = zlib.compress(time_raw, 6)
+    else:
+        time_stored = time_raw
+    f.place("data:time", _Blob().emit(time_stored))
     f.place("data:t_air", _Blob().emit(t_air.astype("<i4").tobytes()))
     f.place("data:batt", _Blob().emit(batt.astype("<i4").tobytes()))
-    f.place("data:depth0", _Blob().emit(depth[:half].astype("<f8").tobytes()))
-    f.place("data:depth1", _Blob().emit(depth[half:].astype("<f8").tobytes()))
+
+    depth0_raw = depth[:half].astype("<f8").tobytes()
+    depth1_raw = depth[half:].astype("<f8").tobytes()
+    if compress:
+        d0 = zlib.compress(_shuffle_bytes(depth0_raw, 8), 6)
+        depth0_stored = d0 + struct.pack("<I", fletcher32_naive(d0))
+        depth_chunks = [((0, 0), "data:depth0", len(depth0_stored))]
+        f.place("data:depth0", _Blob().emit(depth0_stored))
+    else:
+        depth_chunks = [
+            ((0, 0), "data:depth0", len(depth0_raw)),
+            ((half, 0), "data:depth1", len(depth1_raw)),
+        ]
+        f.place("data:depth0", _Blob().emit(depth0_raw))
+        f.place("data:depth1", _Blob().emit(depth1_raw))
 
     # --- chunk B-trees
     f.place(
         "btree:time",
-        _chunk_btree([((0,), "data:time", n_time * 8)], (n_time,)),
+        _chunk_btree([((0,), "data:time", len(time_stored))], (n_time,)),
     )
-    f.place(
-        "btree:depth",
-        _chunk_btree(
-            [
-                ((0, 0), "data:depth0", half * n_sensor * 8),
-                ((half, 0), "data:depth1", (n_time - half) * n_sensor * 8),
-            ],
-            (n_time, n_sensor),
-        ),
-    )
+    f.place("btree:depth", _chunk_btree(depth_chunks, (n_time, n_sensor)))
 
     # --- global heap (vlen strings + object refs)
     gobjs: list[tuple[bytes, str | None]] = [
@@ -257,13 +397,21 @@ def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
     f.place("gheap", gh)
     G_UNITS_T, G_UNITS_AIR, G_REF_TIME, G_REF_SENSOR = 1, 2, 3, 4
 
+    def _vlen_payload(length: int, gidx: int) -> _Blob:
+        return (
+            _Blob()
+            .emit(struct.pack("<I", length))
+            .slot("gheap")
+            .emit(struct.pack("<I", gidx))
+        )
+
     def dim_list(gidxs: list[int]) -> _Blob:
         data = _Blob()
         for gi in gidxs:
-            data.splice(_vlen_payload(1, "gheap", gi))
-        return _msg(
+            data.splice(_vlen_payload(1, gi))
+        return msg(
             0x000C,
-            _attr(
+            attr(
                 "DIMENSION_LIST",
                 _dt_vlen(string=False),
                 _dataspace((len(gidxs),)),
@@ -273,34 +421,32 @@ def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
 
     def fixed_str_attr(name: str, val: str) -> _Blob:
         raw = val.encode() + b"\x00"
-        return _msg(
-            0x000C, _attr(name, _dt_string(len(raw)), _dataspace(()), raw)
+        return msg(
+            0x000C, attr(name, _dt_string(len(raw)), _dataspace(()), raw)
         )
 
     # --- time: int64 coordinate, unlimited, chunked
-    f.place(
-        "oh:time",
-        _object_header(
-            [
-                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
-                _msg(0x0003, _dt_int(8)),
-                _msg(0x0008, _layout_chunked("btree:time", (n_time,), 8)),
-                fixed_str_attr("CLASS", "DIMENSION_SCALE"),
-                fixed_str_attr("NAME", "time"),
-                _msg(
-                    0x000C,
-                    _attr(
-                        "units",
-                        _dt_vlen(string=True),
-                        _dataspace(()),
-                        _vlen_payload(
-                            len(gobjs[0][0]), "gheap", G_UNITS_T
-                        ),
-                    ),
-                ),
-            ]
+    time_msgs = [
+        msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+        msg(0x0003, _dt_int(8)),
+        msg(0x0008, _layout_chunked("btree:time", (n_time,), 8)),
+    ]
+    if compress:
+        time_msgs.append(msg(0x000B, _filter_pipeline_v1([(1, (6,))])))
+    time_msgs += [
+        fixed_str_attr("CLASS", "DIMENSION_SCALE"),
+        fixed_str_attr("NAME", "time"),
+        msg(
+            0x000C,
+            attr(
+                "units",
+                _dt_vlen(string=True),
+                _dataspace(()),
+                _vlen_payload(len(gobjs[0][0]), G_UNITS_T),
+            ),
         ),
-    )
+    ]
+    f.place("oh:time", header(time_msgs))
 
     # --- sensor: pure dimension (no variable), data never allocated
     sensor_layout = (
@@ -310,11 +456,11 @@ def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
     )
     f.place(
         "oh:sensor",
-        _object_header(
+        header(
             [
-                _msg(0x0001, _dataspace((n_sensor,))),
-                _msg(0x0003, _dt_float64()),
-                _msg(0x0008, sensor_layout),
+                msg(0x0001, _dataspace((n_sensor,))),
+                msg(0x0003, _dt_float64()),
+                msg(0x0008, sensor_layout),
                 fixed_str_attr("CLASS", "DIMENSION_SCALE"),
                 fixed_str_attr(
                     "NAME",
@@ -326,110 +472,145 @@ def write_netcdf4(path: str, n_time: int = 48, n_sensor: int = 3) -> dict:
     )
 
     # --- t_air: packed int32, contiguous
-    f.place(
-        "oh:t_air",
-        _object_header(
-            [
-                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
-                _msg(0x0003, _dt_int(4)),
-                _msg(0x0008, _layout_contiguous("data:t_air", n_time * 4)),
-                _msg(
-                    0x000C,
-                    _attr(
-                        "scale_factor",
-                        _dt_float64(),
-                        _dataspace(()),
-                        struct.pack("<d", 0.001),
-                    ),
-                ),
-                _msg(
-                    0x000C,
-                    _attr(
-                        "_FillValue",
-                        _dt_int(4),
-                        _dataspace((1,)),
-                        struct.pack("<i", -9999),
-                    ),
-                ),
-                _msg(
-                    0x000C,
-                    _attr(
-                        "units",
-                        _dt_vlen(string=True),
-                        _dataspace(()),
-                        _vlen_payload(
-                            len(gobjs[1][0]), "gheap", G_UNITS_AIR
-                        ),
-                    ),
-                ),
-                dim_list([G_REF_TIME]),
-            ]
+    t_air_msgs = [
+        msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+        msg(0x0003, _dt_int(4)),
+        msg(0x0008, _layout_contiguous("data:t_air", n_time * 4)),
+    ]
+    if dense_attrs:
+        # Attribute Info with a defined fractal-heap address: the
+        # attributes live in dense storage the reader cannot walk.
+        t_air_msgs.append(
+            msg(0x0015, struct.pack("<BBQQ", 0, 0, 0x1234, UNDEF))
+        )
+    t_air_msgs += [
+        msg(
+            0x000C,
+            attr(
+                "scale_factor",
+                _dt_float64(),
+                _dataspace(()),
+                struct.pack("<d", 0.001),
+            ),
         ),
-    )
+        msg(
+            0x000C,
+            attr(
+                "_FillValue",
+                _dt_int(4),
+                _dataspace((1,)),
+                struct.pack("<i", -9999),
+            ),
+        ),
+        msg(
+            0x000C,
+            attr(
+                "units",
+                _dt_vlen(string=True),
+                _dataspace(()),
+                _vlen_payload(len(gobjs[1][0]), G_UNITS_AIR),
+            ),
+        ),
+        dim_list([G_REF_TIME]),
+    ]
+    f.place("oh:t_air", header(t_air_msgs))
 
     # --- batt: plain int32, contiguous
     f.place(
         "oh:batt",
-        _object_header(
+        header(
             [
-                _msg(0x0001, _dataspace((n_time,), (UNDEF,))),
-                _msg(0x0003, _dt_int(4)),
-                _msg(0x0008, _layout_contiguous("data:batt", n_time * 4)),
+                msg(0x0001, _dataspace((n_time,), (UNDEF,))),
+                msg(0x0003, _dt_int(4)),
+                msg(0x0008, _layout_contiguous("data:batt", n_time * 4)),
                 dim_list([G_REF_TIME]),
             ]
         ),
     )
 
-    # --- depth: float64 (time, sensor), two chunks
-    f.place(
-        "oh:depth",
-        _object_header(
-            [
-                _msg(
-                    0x0001,
-                    _dataspace((n_time, n_sensor), (UNDEF, n_sensor)),
-                ),
-                _msg(0x0003, _dt_float64()),
-                _msg(
-                    0x0008,
-                    _layout_chunked("btree:depth", (half, n_sensor), 8),
-                ),
-                dim_list([G_REF_TIME, G_REF_SENSOR]),
-            ]
+    # --- depth: float64 (time, sensor), chunked
+    depth_msgs = [
+        msg(
+            0x0001,
+            _dataspace((n_time, n_sensor), (UNDEF, n_sensor)),
         ),
-    )
+        msg(0x0003, _dt_float64()),
+        msg(
+            0x0008,
+            _layout_chunked("btree:depth", (half, n_sensor), 8),
+        ),
+    ]
+    if compress:
+        depth_msgs.append(
+            msg(
+                0x000B,
+                _filter_pipeline_v2([(2, (8,)), (1, (6,)), (3, ())]),
+            )
+        )
+        depth_msgs.append(
+            msg(0x0005, _fill_value_v3(struct.pack("<d", depth_fill)))
+        )
+    depth_msgs.append(dim_list([G_REF_TIME, G_REF_SENSOR]))
+    f.place("oh:depth", header(depth_msgs))
 
     # --- root group plumbing
     names = sorted(["time", "sensor", "t_air", "batt", "depth"])
-    heap_data = bytearray(b"\x00" * 8)
-    name_off = {}
-    for n in names:
-        name_off[n] = len(heap_data)
-        heap_data += n.encode() + b"\x00"
-        heap_data += b"\x00" * (-len(heap_data) % 8)
-    f.place("heap:data", _Blob().emit(bytes(heap_data)))
+    if v2:
+        # link-message group; last two links spill into an OCHK
+        # continuation block to exercise the v2 continuation path
+        def link_msg(n: str) -> _Blob:
+            body = _Blob().emit(struct.pack("<BBB", 1, 0, len(n)))
+            body.emit(n.encode()).slot(f"oh:{n}")
+            return _msg2(0x0006, body)
 
-    heap = _Blob().emit(b"HEAP" + struct.pack("<B3x", 0))
-    heap.emit(struct.pack("<QQ", len(heap_data), 1))
-    heap.slot("heap:data")
-    f.place("heap", heap)
+        cont_msgs = _Blob()
+        for n in names[3:]:
+            cont_msgs.splice(link_msg(n))
+        ochk = _Blob().emit(b"OCHK")
+        ochk.splice(cont_msgs)
+        ochk.emit(b"\x00\x00\x00\x00")  # checksum (unverified)
+        f.place("ochk:root", ochk)
 
-    snod = _Blob().emit(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
-    for n in names:
-        snod.emit(struct.pack("<Q", name_off[n]))
-        snod.slot(f"oh:{n}")
-        snod.emit(struct.pack("<II16x", 0, 0))
-    f.place("snod", snod)
+        root_msgs = [
+            _msg2(0x0002, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
+        ]
+        for n in names[:3]:
+            root_msgs.append(link_msg(n))
+        cont_body = _Blob().slot("ochk:root").emit(
+            struct.pack("<Q", len(ochk.b))
+        )
+        root_msgs.append(_msg2(0x10, cont_body))
+        f.place("oh:root", _object_header_v2(root_msgs))
+    else:
+        heap_data = bytearray(b"\x00" * 8)
+        name_off = {}
+        for n in names:
+            name_off[n] = len(heap_data)
+            heap_data += n.encode() + b"\x00"
+            heap_data += b"\x00" * (-len(heap_data) % 8)
+        f.place("heap:data", _Blob().emit(bytes(heap_data)))
 
-    bt = _Blob().emit(struct.pack("<4sBBH", b"TREE", 0, 0, 1))
-    bt.emit(struct.pack("<QQ", UNDEF, UNDEF))
-    bt.emit(struct.pack("<Q", 0))
-    bt.slot("snod")
-    bt.emit(struct.pack("<Q", name_off[names[-1]]))
-    f.place("btree:root", bt)
+        heap = _Blob().emit(b"HEAP" + struct.pack("<B3x", 0))
+        heap.emit(struct.pack("<QQ", len(heap_data), 1))
+        heap.slot("heap:data")
+        f.place("heap", heap)
 
-    stbody = _Blob().slot("btree:root").slot("heap")
-    f.place("oh:root", _object_header([_msg(0x0011, stbody)]))
+        snod = _Blob().emit(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
+        for n in names:
+            snod.emit(struct.pack("<Q", name_off[n]))
+            snod.slot(f"oh:{n}")
+            snod.emit(struct.pack("<II16x", 0, 0))
+        f.place("snod", snod)
+
+        bt = _Blob().emit(struct.pack("<4sBBH", b"TREE", 0, 0, 1))
+        bt.emit(struct.pack("<QQ", UNDEF, UNDEF))
+        bt.emit(struct.pack("<Q", 0))
+        bt.slot("snod")
+        bt.emit(struct.pack("<Q", name_off[names[-1]]))
+        f.place("btree:root", bt)
+
+        stbody = _Blob().slot("btree:root").slot("heap")
+        f.place("oh:root", _object_header([_msg(0x0011, stbody)]))
 
     out = bytearray(f.finish())
     struct.pack_into("<Q", out, eof_off, len(out))

@@ -453,3 +453,141 @@ def test_netcdf4_honest_gates(tmp_path):
     with pytest.raises(NotImplementedError, match="superblock version"):
         _read_any(p9)
     del _struct
+
+
+def test_netcdf4_deflate_pipeline_roundtrip(tmp_path):
+    """r9: filter pipelines decode from spec with the stdlib — v1
+    deflate on the coordinate, v2 shuffle+deflate+fletcher32 (verified)
+    on the 2-D variable; a defined fill-value message fills the
+    deliberately-unwritten second chunk; result is bit-equal to the
+    uncompressed twin's truth arrays."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    path = str(tmp_path / "nc4_deflate.nc")
+    truth = write_netcdf4(path, compress=True)
+    dims, _gattrs, variables = read_netcdf4(path)
+    v = {x.name: x for x in variables}
+    assert dims == {"time": None, "sensor": truth["n_sensor"]}
+    assert np.array_equal(v["time"].data, truth["time"])  # v1 deflate
+    assert np.array_equal(v["t_air"].data, truth["t_air"])
+    # v2 shuffle+deflate+fletcher32 chunk 0; missing chunk 1 <- fill
+    assert np.array_equal(v["depth"].data, truth["depth"])
+    half = truth["n_time"] // 2
+    assert (truth["depth"][half:] == -1.0).all()  # fill actually exercised
+
+
+def test_netcdf4_deflate_load_matches_uncompressed_twin(spark, tmp_path):
+    """load_netcdf on the deflate-chunked file equals load_netcdf on the
+    uncompressed twin row-for-row (shared columns; depth is chunked so
+    only the 1-D vars flow through load_netcdf)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf
+
+    plain = str(tmp_path / "plain.nc")
+    packed = str(tmp_path / "deflate.nc")
+    write_netcdf4(plain)
+    write_netcdf4(packed, compress=True)
+    a = sorted(load_netcdf(spark, plain).collect(), key=lambda r: r["time"])
+    b = sorted(load_netcdf(spark, packed).collect(), key=lambda r: r["time"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_netcdf4_v2_headers_superblock_v3_roundtrip(tmp_path):
+    """r9: libver='latest' flavor — superblock v3, OHDR v2 headers whose
+    last message ends exactly at the chunk-0 boundary, link-message root
+    group with an OCHK continuation, attribute v3 messages — parses to
+    the same truth as the v0 layout; compress composes orthogonally."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    for compress in (False, True):
+        path = str(tmp_path / f"nc4_v2_{compress}.nc")
+        truth = write_netcdf4(path, compress=compress, fmt="v2")
+        dims, _gattrs, variables = read_netcdf4(path)
+        v = {x.name: x for x in variables}
+        assert dims == {"time": None, "sensor": truth["n_sensor"]}
+        assert "sensor" not in v
+        assert np.array_equal(v["time"].data, truth["time"])
+        assert np.array_equal(v["t_air"].data, truth["t_air"])
+        assert np.array_equal(v["batt"].data, truth["batt"])  # via OCHK link
+        assert np.array_equal(v["depth"].data, truth["depth"])
+        assert v["t_air"].attrs["units"] == "degree_Celsius"  # attr v3
+        assert v["t_air"].attrs["scale_factor"] == 0.001
+        assert v["t_air"].dims == ("time",)
+        assert v["depth"].dims == ("time", "sensor")
+
+
+def test_netcdf4_dense_attribute_gate(tmp_path):
+    """An Attribute Info message with a defined fractal-heap address
+    (dense attribute storage, h5py 'latest' files with many attrs) must
+    gate honestly — otherwise scale_factor/_FillValue silently vanish
+    and unpacking is silently wrong."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    path = str(tmp_path / "dense.nc")
+    write_netcdf4(path, fmt="v2", dense_attrs=True)
+    with pytest.raises(NotImplementedError, match="dense.*attribute"):
+        read_netcdf4(path)
+
+
+def test_netcdf4_fletcher32_checksum():
+    """Engine's vectorized fletcher32 == naive H5checksum.c translation
+    on assorted lengths (even/odd, multi-block), and a corrupted chunk
+    checksum raises instead of returning garbage."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import fletcher32_naive, write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import _fletcher32, read_netcdf4
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 2, 3, 7, 719, 720, 721, 1440, 5000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _fletcher32(data) == fletcher32_naive(data), n
+
+    # corrupt one byte inside the depth chunk payload -> mismatch
+    import struct as _s
+
+    path = "/tmp/_flet.nc"
+    write_netcdf4(path, compress=True)
+    buf = bytearray(open(path, "rb").read())
+    idx = buf.find(b"GCOL") - 40  # somewhere inside stored chunk bytes
+    del idx
+    # locate the depth chunk by recompressing the known payload
+    import zlib as _z
+
+    truth = write_netcdf4(path, compress=True)
+    half = truth["n_time"] // 2
+    raw = truth["depth"][:half].astype("<f8").tobytes()
+    shuffled = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(len(raw) // 8, 8)
+        .T.tobytes()
+    )
+    comp = _z.compress(shuffled, 6)
+    pos = bytes(buf).find(comp)
+    assert pos > 0
+    buf[pos + 5] ^= 0xFF
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises((ValueError, _z.error)):
+        read_netcdf4(path)
+    del _s
