@@ -4477,14 +4477,16 @@ PERIODOGRAM_PERIODS = (6, 12, 24, 168)
 PERIODOGRAM_SCALE = 1 << 20
 
 
-def _periodogram_rows() -> list[tuple[int, int, int, int]]:
+def _periodogram_rows(
+    periods: tuple[int, ...] = PERIODOGRAM_PERIODS,
+) -> list[tuple[int, int, int, int]]:
     """(period, phase, cos_int, sin_int): integer-rounded basis values —
     cos(2*pi*t/p) depends only on t mod p, so each period needs just p
     table entries, and the DFT power becomes pure integer arithmetic."""
     import math
 
     rows = []
-    for p in PERIODOGRAM_PERIODS:
+    for p in periods:
         for ph in range(p):
             ang = 2.0 * math.pi * ph / p
             rows.append(
@@ -4597,17 +4599,128 @@ FROM pw
 """
 
 
-def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user dominant cycle via grouped-map FFT (applyInPandas) — numpy
-    spectral math has no SQL form, so rows-only check (schema + count);
-    the op itself is validated against planted sinusoids in tests."""
-    from cassandra_fs_pp_spark.operators.spectral import dominant_period
+DOMINANT_PERIODS = (2, 3, 4, 6, 8, 12, 24, 48, 84, 168)
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dominant cycle: exact integer-DFT argmax over the
+    standard sub-weekly harmonic grid (2..168 h) — graduated in r9 from
+    the rows-only grouped-map FFT to a full hash oracle using
+    ``ts_periodogram_int``'s fixed-point machinery.  The hourly
+    integer-cent series is centered by its exact per-user truncated-
+    division mean (Spark ``div`` == DuckDB ``//``, both toward zero) so
+    the DC component doesn't swamp short periods; C/S are
+    order-insensitive integer sums against the broadcast cos/sin table;
+    the argmax tie-breaks deterministically on (power desc, period
+    asc).  The arbitrary-frequency FFT operator remains available as
+    ``operators/spectral.py::dominant_period`` with its
+    planted-sinusoid tests."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("user_id") < 10)
+    )
     hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("ts")
-    ).agg(F.sum("value").alias("value"))
-    return dominant_period(hourly, ["user_id"])
+        "user_id", F.date_trunc("hour", "ts").alias("hts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xc"))
+    wu = Window.partitionBy("user_id")
+    cent = (
+        hourly.withColumn("xc_tot", F.sum("xc").over(wu))
+        .withColumn("n_hours", F.count(F.lit(1)).over(wu))
+        .select(
+            "user_id",
+            "hts",
+            (F.col("xc") - F.expr("xc_tot div n_hours")).alias("xz"),
+            "n_hours",
+        )
+    )
+    tbl = spark.createDataFrame(
+        _periodogram_rows(DOMINANT_PERIODS), "p int, ph int, c long, s long"
+    )
+    t = (F.unix_timestamp("hts") / 3600).cast("long")
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    (t % F.lit(p)).cast("int").alias("ph"),
+                )
+                for p in DOMINANT_PERIODS
+            ]
+        )
+    ).alias("k")
+    j = (
+        cent.select("user_id", "xz", "n_hours", keys)
+        .select(
+            "user_id", "xz", "n_hours",
+            F.col("k.p").alias("p"), F.col("k.ph").alias("ph"),
+        )
+        .join(F.broadcast(tbl), ["p", "ph"])
+        .groupBy("user_id", "p")
+        .agg(
+            F.sum(F.col("xz") * F.col("c")).alias("cc"),
+            F.sum(F.col("xz") * F.col("s")).alias("ss"),
+            F.max("n_hours").alias("n_hours"),
+        )
+    )
+    pw = j.withColumn(
+        "power_t",
+        (
+            F.expr(f"(abs(cc) div {PERIODOGRAM_SCALE})")
+            * F.expr(f"(abs(cc) div {PERIODOGRAM_SCALE})")
+            + F.expr(f"(abs(ss) div {PERIODOGRAM_SCALE})")
+            * F.expr(f"(abs(ss) div {PERIODOGRAM_SCALE})")
+        ).cast("long"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("power_t"), F.asc("p"))
+    return (
+        pw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("p").alias("dominant_period_h"),
+            "power_t",
+            "n_hours",
+        )
+    )
+
+
+def _ts_dominant_sql() -> str:
+    vals = ",\n  ".join(
+        f"({p}, {ph}, {c}, {s})"
+        for p, ph, c, s in _periodogram_rows(DOMINANT_PERIODS)
+    )
+    return f"""
+WITH tbl(p, ph, c, s) AS (VALUES
+  {vals}),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL AND user_id < 10 GROUP BY 1, 2),
+cent AS (
+  SELECT user_id, hts,
+         xc - (CAST(sum(xc) OVER (PARTITION BY user_id) AS BIGINT)
+               // CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT))
+           AS xz,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_hours
+  FROM hourly),
+j AS (
+  SELECT user_id, p,
+         CAST(sum(xz * c) AS BIGINT) AS cc,
+         CAST(sum(xz * s) AS BIGINT) AS ss,
+         max(n_hours) AS n_hours
+  FROM cent JOIN tbl
+    ON CAST(floor(epoch(hts) / 3600) AS BIGINT) % p = ph
+  GROUP BY 1, 2),
+pw AS (
+  SELECT user_id, p, n_hours,
+         CAST((abs(cc) // {PERIODOGRAM_SCALE}) * (abs(cc) // {PERIODOGRAM_SCALE})
+              + (abs(ss) // {PERIODOGRAM_SCALE}) * (abs(ss) // {PERIODOGRAM_SCALE})
+           AS BIGINT) AS power_t
+  FROM j)
+SELECT user_id, CAST(p AS INT) AS dominant_period_h, power_t, n_hours
+FROM pw
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY power_t DESC, p) = 1
+"""
 
 
 def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11094,12 +11207,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
         "ann_ivf_topk": ann_ivf_topk,
         "j_interval_overlap": j_interval_overlap,
+        # rows-only BY NATURE: the output IS an HLL++ estimate; no
+        # cross-engine "correct" value exists short of exact counting
+        # (that's a4_distinct_counts) — bound-vs-exact pytest instead
         "a_approx_distinct": a_approx_distinct,
+        # rows-only BY NATURE: materializes Spark-internal HLL sketch
+        # blobs (the mergeability IS the demo); DuckDB can't parse them
         "a_hll_mergeable": a_hll_mergeable,
         "ts_dominant_period": ts_dominant_period,
         "f_collections": f_collections,
         "j_bloom_semi": j_bloom_semi,
         "dq_benford": dq_benford,
+        # rows-only BY NATURE: GK/KLL quantile summaries are engine-
+        # specific inside the shared rank-error window — banded pytest
         "a_approx_quantiles": a_approx_quantiles,
         "f_bitwise_suite": f_bitwise_suite,
         "a_theil_sen": a_theil_sen,
@@ -11270,6 +11390,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,
         "a_hodges_lehmann": A_HODGES_LEHMANN_ORACLE,
         "ts_periodogram_int": _periodogram_sql(),
+        "ts_dominant_period": _ts_dominant_sql(),
         "graph_clustering_coeff": GRAPH_CLUSTERING_ORACLE,
         "w_seasonal_naive_error": W_SEASONAL_NAIVE_ORACLE,
         "text_bigram_entropy": TEXT_BIGRAM_ENTROPY_ORACLE,
