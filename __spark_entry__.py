@@ -10670,17 +10670,14 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(wf))
 
 
-def rag_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense+sparse hybrid retrieval with SCORE normalization — the other
-    standard combiner beside rank-based RRF (``rag_rrf_fusion``): each
-    retriever's top-20 scores are min-max normalized over that top-k
-    (degenerate all-equal lists normalize to 1.0), then fused as
-    ``0.5 * lex + 0.5 * dense``. Exactness: the lexical score is an
-    integer count; the cosine is the same left-to-right fold the green
-    RRF oracle already matches bit-for-bit; min/max/division/blend are
-    single correctly-rounded IEEE ops on identical inputs — so the fused
-    doubles hash-match with no rounding. The min/max scalars attach via
-    1-row broadcast crossJoin (never collected)."""
+def _hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate builder for the score-normalized hybrid
+    combiners (``rag_hybrid_minmax``, ``rag_mmr_rerank``): each
+    retriever's top-20 scores min-max normalized over that top-k
+    (degenerate all-equal lists normalize to 1.0), fused as
+    ``0.5 * lex + 0.5 * dense`` — returns the un-limited fused frame
+    ``(doc_id, hybrid)``. The min/max scalars attach via 1-row
+    broadcast crossJoin (never collected)."""
     from cassandra_fs_pp_spark.functions.text import whitespace_tokens
     from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
 
@@ -10727,7 +10724,7 @@ def rag_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(out),
         )
 
-    fused = (
+    return (
         norm(lex, "nlex")
         .join(norm(dense, "ndense"), "doc_id", "full_outer")
         .select(
@@ -10737,11 +10734,206 @@ def rag_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce(F.col("ndense"), F.lit(0.0)) * 0.5
             ).alias("hybrid"),
         )
-        .orderBy(F.desc("hybrid"), F.asc("doc_id"))
-        .limit(10)
     )
+
+
+def rag_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse hybrid retrieval with SCORE normalization — the other
+    standard combiner beside rank-based RRF (``rag_rrf_fusion``); see
+    ``_hybrid_fused`` for the normalization/fusion exactness argument:
+    integer lexical counts, the same bit-matching cosine fold as the
+    green RRF oracle, and single correctly-rounded IEEE min/max/divide/
+    blend ops — the fused doubles hash-match with no rounding."""
+    fused = _hybrid_fused(spark, sf_dir).orderBy(
+        F.desc("hybrid"), F.asc("doc_id")
+    ).limit(10)
     wf = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
     return fused.withColumn("rank", F.row_number().over(wf))
+
+
+MMR_K = 10
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3  # diversity weight as its own literal: 1.0 - 0.7 is
+              # 0.30000000000000004 in IEEE — never derive it
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank of the hybrid top-20
+    — completes the standard RAG combiner set (RRF + min-max + MMR).
+    Greedy: pick argmax ``0.7*rel - 0.3*max_sim_to_selected`` (first
+    pick: max-sim term is 0.0), ties to the lower doc_id.  Scale shape:
+    candidate generation is fully distributed; the re-rank itself is
+    per-query bounded work (k<=20 candidates), so the pairwise cosines
+    come from a broadcast self-join of the candidate embeddings (<=380
+    rows, computed with the SAME ``dot`` fold the green hybrid oracle
+    hash-matches) and the greedy loop runs in one Arrow-batched
+    ``applyInPandas`` group per query — never a driver collect.
+    Exactness: the loop only does multiply/subtract/max on
+    already-bit-identical doubles, each a single correctly-rounded IEEE
+    op, so the oracle's 10-step unrolled MATERIALIZED-CTE replay
+    hash-matches."""
+    from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        _hybrid_fused(spark, sf_dir)
+        .orderBy(F.desc("hybrid"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.col("hybrid").alias("rel"))
+    )
+    ce = cand.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    a = ce.select(
+        F.col("doc_id").alias("a"),
+        F.col("rel").alias("rel_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = ce.select(F.col("doc_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "rel_a",
+            "b",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (l2_norm(F.col("ea")) * l2_norm(F.col("eb")))
+            ).alias("s"),
+        )
+        .withColumn("query_id", F.lit(0))
+    )
+
+    lam, mu, k = MMR_LAMBDA, MMR_MU, MMR_K
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": [], "rank": [], "rel": [], "mmr_score": []}
+            )
+        rel = {
+            int(r.a): float(r.rel_a)
+            for r in pdf[["a", "rel_a"]].drop_duplicates().itertuples()
+        }
+        sim = {
+            (int(r.a), int(r.b)): float(r.s) for r in pdf.itertuples()
+        }
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best_d, best_score = None, None
+            for d in remaining:
+                # true max (can be negative) — 0.0 only for the empty set,
+                # mirroring the oracle's step-1 special case
+                ms = (
+                    max(sim[(d, s_)] for s_ in selected)
+                    if selected
+                    else 0.0
+                )
+                score = lam * rel[d] - mu * ms
+                if best_score is None or score > best_score:
+                    best_d, best_score = d, score
+            out.append((best_d, rank, rel[best_d], best_score))
+            selected.append(best_d)
+            remaining.remove(best_d)
+        return pd.DataFrame(
+            out, columns=["doc_id", "rank", "rel", "mmr_score"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            _greedy, "doc_id long, rank int, rel double, mmr_score double"
+        )
+        .orderBy("rank")
+    )
+
+
+def _mmr_sql() -> str:
+    """10-step unrolled greedy MMR replay (MATERIALIZED CTEs so DuckDB
+    doesn't inline the selection chain exponentially)."""
+    head = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), lex AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS s
+  FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1
+  ORDER BY s DESC, doc_id LIMIT 20
+), lexn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END AS nlex
+  FROM lex
+), q AS (
+  SELECT embedding AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS qn
+  FROM embeddings WHERE vec_id = 0
+), dense AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])) * q.qn) AS s
+  FROM embeddings e CROSS JOIN q
+  ORDER BY s DESC, doc_id LIMIT 20
+), densen AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END AS ndense
+  FROM dense
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(nlex, 0.0) * 0.5 + coalesce(ndense, 0.0) * 0.5 AS hybrid
+  FROM lexn l FULL JOIN densen d ON l.doc_id = d.doc_id
+), cand AS MATERIALIZED (
+  SELECT doc_id, hybrid AS rel FROM fused
+  ORDER BY hybrid DESC, doc_id LIMIT 20
+), ce AS MATERIALIZED (
+  SELECT c.doc_id, c.rel, e.embedding
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+), sim AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                    x.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                      y.embedding::DOUBLE[]))) AS s
+  FROM ce x JOIN ce y ON x.doc_id <> y.doc_id
+), sel1 AS MATERIALIZED (
+  SELECT doc_id, 1 AS rank, rel, {lam} * rel - {mu} * 0.0 AS mmr_score
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+)"""
+    lam, mu = repr(MMR_LAMBDA), repr(MMR_MU)
+    parts = [head.replace("{lam}", lam).replace("{mu}", mu)]
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT c.doc_id, {i} AS rank, c.rel,
+         {lam} * c.rel - {mu} * max(s.s) AS mmr_score
+  FROM cand c
+  JOIN sim s ON s.a = c.doc_id
+  JOIN {prev} t ON s.b = t.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY c.doc_id, c.rel
+  ORDER BY mmr_score DESC, c.doc_id LIMIT 1
+), sel{i} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM p{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, CAST(rank AS INT) AS rank, rel, mmr_score
+FROM sel{MMR_K} ORDER BY rank"""
+    )
+    return "".join(parts)
 
 
 RAG_HYBRID_ORACLE = r"""
@@ -11058,6 +11250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
         "geo_point_in_polygon": geo_point_in_polygon,
         "rag_hybrid_minmax": rag_hybrid_minmax,
+        "rag_mmr_rerank": rag_mmr_rerank,
         "stream_debounce_admit": stream_debounce_admit,
         # --- (c) r02-last-green tail (31 of 41) ---
         "fleet_udg_filter": fleet_udg_filter,
@@ -11385,6 +11578,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": TEXT_BM25_ORACLE,
         "rag_rrf_fusion": RAG_RRF_ORACLE,
         "rag_hybrid_minmax": RAG_HYBRID_ORACLE,
+        "rag_mmr_rerank": _mmr_sql(),
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,

@@ -346,3 +346,22 @@ def test_rag_hybrid_nested_loops_are_scalar_attaches_only(spark):
     plan = _formatted_plan(df)
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "BroadcastNestedLoopJoin") <= 4, plan
+
+
+def test_rag_mmr_rerank_greedy_properties(spark):
+    """rag_mmr_rerank: rank-1 is the hybrid argmax with score
+    0.7*rel (empty-set max-sim term is exactly 0.0); selections are
+    distinct members of the hybrid top-20; later picks' scores are
+    0.7*rel minus a real similarity penalty."""
+    out = entrymod.queries()["rag_mmr_rerank"](spark, SF).collect()
+    hyb = entrymod.queries()["rag_hybrid_minmax"](spark, SF).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    top1 = next(r for r in hyb if r["rank"] == 1)
+    first = next(r for r in out if r["rank"] == 1)
+    assert first["doc_id"] == top1["doc_id"]
+    assert first["mmr_score"] == 0.7 * first["rel"]
+    for r in out:
+        if r["rank"] > 1:
+            assert r["mmr_score"] <= 0.7 * r["rel"] + 0.3  # |cos| <= 1
