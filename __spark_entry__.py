@@ -5630,6 +5630,44 @@ FROM o WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
 """
 
 
+def stream_geofence_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence admission over the event stream — the streaming twin of
+    ``geo_point_in_polygon``: events hashed to the shared deterministic
+    tangent plane, tagged by the STATELESS projection ray-cast
+    (``operators/geo.py point_in_polygon_tag`` — literal edge arrays,
+    higher-order aggregate, no join/shuffle/state), so the availableNow
+    drain equals the batch run row-for-row by construction; only events
+    inside some fleet region are admitted downstream."""
+    from cassandra_fs_pp_spark.operators.geo import point_in_polygon_tag
+    from cassandra_fs_pp_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    tune(spark)
+    ev = stream_table(spark, sf_dir, "events")
+    md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))
+    pts = ev.select(
+        F.col("event_id"),
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % 100000)
+        .alias("x"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
+        .alias("y"),
+    )
+    tagged = point_in_polygon_tag(pts, GEO_REGIONS).select(
+        F.col("event_id").alias("admitted_event_id"), "region_id"
+    )
+    return run_available_now(tagged)
+
+
+def _stream_geofence_oracle_sql() -> str:
+    return _geo_pip_oracle_sql().replace(
+        "SELECT id, region_id FROM hits WHERE crossings % 2 = 1",
+        "SELECT id AS admitted_event_id, region_id "
+        "FROM hits WHERE crossings % 2 = 1",
+    )
+
+
 def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine kNN, scale formulation: broadcast the (small) query
     matrix, one BLAS matmul per Arrow batch of the distributed corpus,
@@ -11252,6 +11290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_hybrid_minmax": rag_hybrid_minmax,
         "rag_mmr_rerank": rag_mmr_rerank,
         "stream_debounce_admit": stream_debounce_admit,
+        "stream_geofence_admit": stream_geofence_admit,
         # --- (c) r02-last-green tail (31 of 41) ---
         "fleet_udg_filter": fleet_udg_filter,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -11655,6 +11694,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly_agg": STREAM_A8_ORACLE,
         "stream_dedup_counts": STREAM_DEDUP_ORACLE,
         "stream_debounce_admit": STREAM_DEBOUNCE_ORACLE,
+        "stream_geofence_admit": _stream_geofence_oracle_sql(),
         "emb_scalar_quantize": EMB_SQ_ORACLE,
         "ann_adc_topk": ANN_ADC_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,

@@ -100,6 +100,72 @@ def grid_radius_join(
 CELL_KEY_BASE = 1 << 31
 
 
+def point_in_polygon_tag(
+    df: DataFrame,
+    polygons: list[tuple[int, list[tuple[int, int]]]],
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "region_id",
+) -> DataFrame:
+    """Projection form of :func:`point_in_polygon_join`: the polygon set
+    is inlined as LITERAL edge arrays and the even-odd ray-cast runs as
+    a higher-order ``aggregate`` expression per region — no join, no
+    shuffle, no state, pure whole-stage-codegen map. One output row per
+    (point, containing region); points outside every region drop.
+
+    This is the streaming-native shape: a stateless projection makes
+    the availableNow drain equal the batch run row-for-row by
+    construction, and at 100 TB the tag rides the scan with zero
+    exchanges. Use the join form when the region set is too large to
+    inline as a literal (thousands+); fleet geofences are dozens.
+    Same exact int64 crossing test as the join form (differential
+    pytest pins them equal)."""
+    px, py = F.col(x_col), F.col(y_col)
+
+    def region_hit(rid: int, verts: list[tuple[int, int]]):
+        n = len(verts)
+        edges = F.array(
+            *[
+                F.struct(
+                    F.lit(verts[i][0]).cast("long").alias("x1"),
+                    F.lit(verts[i][1]).cast("long").alias("y1"),
+                    F.lit(verts[(i + 1) % n][0]).cast("long").alias("x2"),
+                    F.lit(verts[(i + 1) % n][1]).cast("long").alias("y2"),
+                )
+                for i in range(n)
+            ]
+        )
+
+        def crossing(acc, e):
+            dy = e["y2"] - e["y1"]
+            num = (e["x1"] - px) * dy + (e["x2"] - e["x1"]) * (
+                py - e["y1"]
+            )
+            straddles = (e["y1"] <= py) != (e["y2"] <= py)
+            crosses = straddles & (
+                F.when(dy > 0, num > 0).otherwise(num < 0)
+            )
+            return acc + crosses.cast("int")
+
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        bbox = (
+            px.between(min(xs), max(xs)) & py.between(min(ys), max(ys))
+        )
+        odd = F.aggregate(edges, F.lit(0), crossing) % 2 == 1
+        return F.struct(
+            F.lit(rid).cast("long").alias("rid"),
+            (bbox & odd).alias("inside"),
+        )
+
+    tags = F.array(*[region_hit(rid, verts) for rid, verts in polygons])
+    hits = F.transform(
+        F.filter(tags, lambda t: t["inside"]), lambda t: t["rid"]
+    )
+    return df.withColumn(out_col, F.explode(hits))
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: list[tuple[int, list[tuple[int, int]]]],

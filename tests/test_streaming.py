@@ -625,3 +625,56 @@ def test_debounce_admit_stateful_state_across_microbatches(spark, tmp_path):
             prev = r["ts"]
     assert got == want
     assert len(got) == 12  # 6 bursts x 2 users, exactly one admit each
+
+
+def test_geofence_tag_projection_matches_join(spark):
+    """point_in_polygon_tag (stateless literal-edge projection) ==
+    point_in_polygon_join (broadcast cell-coverage join) on the same
+    hashed point cloud — the two geofence forms agree exactly."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    from cassandra_fs_pp_spark.operators.geo import (
+        point_in_polygon_join,
+        point_in_polygon_tag,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % 100000)
+        .alias("x"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % 100000)
+        .alias("y"),
+    )
+    via_join = {
+        (r["id"], r["region_id"])
+        for r in point_in_polygon_join(pts, m.GEO_REGIONS).collect()
+    }
+    via_tag = {
+        (r["id"], r["region_id"])
+        for r in point_in_polygon_tag(pts, m.GEO_REGIONS)
+        .select("id", "region_id")
+        .collect()
+    }
+    assert via_tag == via_join
+    assert via_tag  # nonempty at sf0.001
+
+
+def test_stream_geofence_drain_matches_batch(spark):
+    """stream_geofence_admit's availableNow drain == the batch
+    geo_point_in_polygon hit set (stateless projection: exact parity by
+    construction, including multi-file input)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["id"], r["region_id"])
+        for r in m.geo_point_in_polygon(spark, sf).collect()
+    }
+    drained = {
+        (r["admitted_event_id"], r["region_id"])
+        for r in m.stream_geofence_admit(spark, sf).collect()
+    }
+    assert drained == batch
