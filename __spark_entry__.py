@@ -11254,20 +11254,80 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-8 rotation (VERDICT r7
-    # item 1): (a) the 10 late-r7 queries never driver-checked, including
-    # graph_pagerank's new exact fixed-point oracle; (b) everything whose
-    # code or oracle changed in r8 (the two rows-only graduations
-    # mm_phash_pairs / emb_pca_project, the lazy-checkpoint ann_lsh_topk,
-    # the refactored w_rolling_skewkurt) plus the four NEW r8 queries;
-    # the new streaming debounce twin; (c) 31 of the 41-query
-    # r02-last-green tail (registry order).  The
-    # 10 r02 queries that did not fit (text_split_assign, text_token_topk, text_repetition,
-    # text_bigram_pmi, curation_stratified_sample, curation_quality_filter,
-    # curation_source_budget, curation_weighted_sample, mm_image_meta,
-    # mm_image_stats) lead the planned r9 window together with the
-    # 48-query r03 tail.
+    # prefix window (50 entries) of this dict.  Round-9 rotation (VERDICT r8
+    # item 1): (a) the 10 r02-spilled queries lead; (b) everything whose code
+    # or oracle changed in r9 plus the two NEW r9 queries; (c) the first 35
+    # of the 48-query r03-last-green tail.  The remaining 13 r03 queries
+    # (w_first_last, w_rolling_corr, w_step_detect, p_debounce_burst,
+    # dq_referential_audit, dq_null_profile, f_json_parse, f_map_suite,
+    # f_url_suite, agg_cube, agg_grouping_sets, tpch_q16_supplier_count,
+    # tpch_q21_shape) lead the planned r10 window.
     return {
+        # ============ r9 driver window (first 50 entries) ============
+        # --- (a) the 10 r02-spilled queries (VERDICT r8 item 1) ---
+        "text_split_assign": text_split_assign,
+        "text_token_topk": text_token_topk,
+        "text_repetition": text_repetition,
+        "text_bigram_pmi": text_bigram_pmi,
+        "curation_stratified_sample": curation_stratified_sample,
+        "curation_quality_filter": curation_quality_filter,
+        "curation_source_budget": curation_source_budget,
+        "curation_weighted_sample": curation_weighted_sample,
+        "mm_image_meta": mm_image_meta,
+        "mm_image_stats": mm_image_stats,
+        # --- (b) r9 code/oracle changes + new queries:
+        #     ts_dominant_period graduated to a full oracle (exact
+        #     integer-DFT harmonic argmax); ts_periodogram_int shares
+        #     the touched basis builder; rag_hybrid_minmax refactored
+        #     onto the shared _hybrid_fused candidate builder;
+        #     rag_mmr_rerank + stream_geofence_admit are new ---
+        "ts_dominant_period": ts_dominant_period,
+        "ts_periodogram_int": ts_periodogram_int,
+        "rag_hybrid_minmax": rag_hybrid_minmax,
+        "rag_mmr_rerank": rag_mmr_rerank,
+        "stream_geofence_admit": stream_geofence_admit,
+        # --- (c) first 35 of the 48-query r03-last-green tail
+        #     (registry order); the remaining 13 (w_first_last ..
+        #     tpch_q21_shape) lead the planned r10 window, after which
+        #     no query's driver evidence predates r04 ---
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "a_gini": a_gini,
+        "dedup_spans": dedup_spans,
+        "a8_sliding_window": a8_sliding_window,
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "text_hash_features": text_hash_features,
+        "text_lm_familiarity": text_lm_familiarity,
+        "dedup_url_canonical": dedup_url_canonical,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        "stream_fleet_hourly": stream_fleet_hourly,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "op_scd2_intervals": op_scd2_intervals,
+        "j_temporal_scd2": j_temporal_scd2,
+        "j_skew_salted": j_skew_salted,
+        "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "ann_adc_topk": ann_adc_topk,
+        "a_quantiles": a_quantiles,
+        "a_cohort_retention": a_cohort_retention,
+        "a_corr_regr": a_corr_regr,
+        "a_funnel": a_funnel,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
+        # ============ beyond the 50-entry window ============
+        # (driver-green in r2-r8; full local oracle sweep re-verifies
+        # at HEAD)
         # --- (a) late-r7, never driver-checked ---
         "rag_rrf_fusion": rag_rrf_fusion,
         "curation_mixture_temperature": curation_mixture_temperature,
@@ -11275,7 +11335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_assortativity": graph_degree_assortativity,
         "graph_pagerank": graph_pagerank,
         "a_hodges_lehmann": a_hodges_lehmann,
-        "ts_periodogram_int": ts_periodogram_int,
         "graph_clustering_coeff": graph_clustering_coeff,
         "w_seasonal_naive_error": w_seasonal_naive_error,
         "text_bigram_entropy": text_bigram_entropy,
@@ -11287,10 +11346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_debounce_burst_keyed": p_debounce_burst_keyed,
         "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
         "geo_point_in_polygon": geo_point_in_polygon,
-        "rag_hybrid_minmax": rag_hybrid_minmax,
-        "rag_mmr_rerank": rag_mmr_rerank,
         "stream_debounce_admit": stream_debounce_admit,
-        "stream_geofence_admit": stream_geofence_admit,
         # --- (c) r02-last-green tail (31 of 41) ---
         "fleet_udg_filter": fleet_udg_filter,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -11323,9 +11379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "text_pii_redact": text_pii_redact,
-        # --- beyond the 50-entry window (driver-green in r2-r7; ---
-        # --- full local oracle sweep re-verifies at HEAD) ---
-        "text_split_assign": text_split_assign,
         "a1_median_slice": a1_median_slice,
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
@@ -11446,7 +11499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only BY NATURE: materializes Spark-internal HLL sketch
         # blobs (the mergeability IS the demo); DuckDB can't parse them
         "a_hll_mergeable": a_hll_mergeable,
-        "ts_dominant_period": ts_dominant_period,
         "f_collections": f_collections,
         "j_bloom_semi": j_bloom_semi,
         "dq_benford": dq_benford,
@@ -11457,41 +11509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "a_gini": a_gini,
-        "dedup_spans": dedup_spans,
-        "a8_sliding_window": a8_sliding_window,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_label_inertia": emb_label_inertia,
-        "text_hash_features": text_hash_features,
-        "text_lm_familiarity": text_lm_familiarity,
-        "dedup_url_canonical": dedup_url_canonical,
-        "curation_domain_mix": curation_domain_mix,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        "stream_fleet_hourly": stream_fleet_hourly,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "op_scd2_intervals": op_scd2_intervals,
-        "j_temporal_scd2": j_temporal_scd2,
-        "j_skew_salted": j_skew_salted,
-        "a_sessionize": a_sessionize,
-        "a_linreg_trend": a_linreg_trend,
-        "ann_adc_topk": ann_adc_topk,
-        "a_quantiles": a_quantiles,
-        "a_cohort_retention": a_cohort_retention,
-        "a_corr_regr": a_corr_regr,
-        "a_funnel": a_funnel,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_chi_square": a_chi_square,
-        "a_winsorized_stats": a_winsorized_stats,
-        "a_histogram_equidepth": a_histogram_equidepth,
         "w_first_last": w_first_last,
         "w_rolling_corr": w_rolling_corr,
         "w_step_detect": w_step_detect,
@@ -11505,15 +11522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": agg_grouping_sets,
         "tpch_q16_supplier_count": tpch_q16_supplier_count,
         "tpch_q21_shape": tpch_q21_shape,
-        "text_token_topk": text_token_topk,
-        "text_repetition": text_repetition,
-        "text_bigram_pmi": text_bigram_pmi,
-        "curation_stratified_sample": curation_stratified_sample,
-        "curation_quality_filter": curation_quality_filter,
-        "curation_source_budget": curation_source_budget,
-        "curation_weighted_sample": curation_weighted_sample,
-        "mm_image_meta": mm_image_meta,
-        "mm_image_stats": mm_image_stats,
     }
 
 

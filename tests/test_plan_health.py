@@ -289,29 +289,30 @@ def test_registry_window_discipline():
     window = qs[:50]
     oracles = entrymod.oracle_sql()
     for q in (
-        # late-r7, never driver-checked
-        "rag_rrf_fusion",
-        "curation_mixture_temperature",
-        "text_ngram_novelty",
-        "graph_degree_assortativity",
-        "graph_pagerank",
-        "a_hodges_lehmann",
+        # the 10 r02-spilled queries (VERDICT r8 item 1)
+        "text_split_assign",
+        "text_token_topk",
+        "text_repetition",
+        "text_bigram_pmi",
+        "curation_stratified_sample",
+        "curation_quality_filter",
+        "curation_source_budget",
+        "curation_weighted_sample",
+        "mm_image_meta",
+        "mm_image_stats",
+        # r9 code/oracle changes + new queries
+        "ts_dominant_period",
         "ts_periodogram_int",
-        "graph_clustering_coeff",
-        "w_seasonal_naive_error",
-        "text_bigram_entropy",
-        # r8 code/oracle changes + new queries
-        "mm_phash_pairs",
-        "emb_pca_project",
-        "ann_lsh_topk",
-        "w_rolling_skewkurt",
-        "p_debounce_burst_keyed",
-        "w_rolling_skewkurt_keyed",
-        "geo_point_in_polygon",
         "rag_hybrid_minmax",
-        "stream_debounce_admit",
+        "rag_mmr_rerank",
+        "stream_geofence_admit",
     ):
         assert q in window, f"{q} must be driver-confirmed this round"
+    # the first 35 of the r03 tail fill the window (the remaining 13
+    # rotate in at r10); the beyond-window region starts with the
+    # freshly-r8-green block
+    assert window[-1] == "a_histogram_equidepth"
+    assert qs[50] == "rag_rrf_fusion"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
 
