@@ -22,14 +22,18 @@ encoding produces, from the public HDF5 File Format Specification
 * fill-value messages (0x0004/0x0005) honored for unallocated
   contiguous data and missing chunks (netCDF4's defaults are non-zero)
 * attributes v1/v2/v3, vlen payloads via global heap collections (GCOL)
+* dense (``libver='latest'``) attribute and link storage: fractal heap
+  (FRHP/FHDB/FHIB, managed objects, unfiltered) + v2 B-tree name
+  indexes (BTHD/BTLF, depth 0 — thousands of records fit one node)
 * the netCDF4 data model on top: dimension-scale datasets define dims
   (``CLASS=DIMENSION_SCALE``), data variables bind dims through
   ``DIMENSION_LIST`` object references
 
 Anything outside the subset (non-deflate filters such as szip, layout
-v4, fractal-heap groups, dense fractal-heap attribute storage,
-compound/enum types) raises ``NotImplementedError`` naming the feature
-— the honest-gate convention shared with the image codecs; the
+v4, filtered fractal heaps, multi-level dense-index B-trees, nested
+indirect heap blocks, huge/tiny heap object classes, compound/enum
+types) raises ``NotImplementedError`` naming the feature — the
+honest-gate convention shared with the image codecs; the
 ``sources/netcdf.py`` caller routes those to the optional netCDF4/h5py
 libraries when installed.
 """
@@ -185,6 +189,166 @@ class _Reader:
                 del mflags
         return msgs
 
+    # ------------------------------------------------- fractal heap (v1.8+)
+    def _fheap_header(self, addr: int) -> dict:
+        """Fractal Heap header (FRHP) -> the lookup parameters the dense
+        attribute/link indexes need. Filtered heaps and huge/tiny object
+        classes stay honest gates."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        id_len, filt_len = struct.unpack_from("<HH", buf, addr + 5)
+        flags = buf[addr + 9]
+        if filt_len:
+            raise NotImplementedError("filtered fractal heap")
+        p = addr + 110  # past the 8 huge/tiny/free-space statistics fields
+        width, start_sz, max_direct = struct.unpack_from("<HQQ", buf, p)
+        max_heap_bits, _start_rows = struct.unpack_from("<HH", buf, p + 18)
+        root = struct.unpack_from("<Q", buf, p + 22)[0]
+        cur_rows = struct.unpack_from("<H", buf, p + 30)[0]
+        off_bytes = (max_heap_bits + 7) // 8
+        return {
+            "id_len": id_len,
+            "off_bytes": off_bytes,
+            "len_bytes": id_len - 1 - off_bytes,
+            "width": width,
+            "start_sz": start_sz,
+            "max_direct": max_direct,
+            "root": root,
+            "cur_rows": cur_rows,  # 0 -> root is a direct block
+            "block_chk": bool(flags & 0x02),
+        }
+
+    def _fheap_row_size(self, hdr: dict, row: int) -> int:
+        return hdr["start_sz"] * (1 << max(0, row - 1))
+
+    def _fheap_direct_base(self, hdr: dict, addr: int) -> int:
+        """Start of object space inside a direct block (FHDB): heap
+        offsets INCLUDE the block header bytes, so callers add
+        ``off - block_off`` to the block's file address directly; this
+        only validates the signature."""
+        if self.buf[addr : addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+        return addr
+
+    def _fheap_locate(self, hdr: dict, off: int) -> tuple[int, int]:
+        """heap offset -> (direct block file address, block heap offset)."""
+        if hdr["cur_rows"] == 0:  # root is one direct block at offset 0
+            return self._fheap_direct_base(hdr, hdr["root"]), 0
+        buf = self.buf
+        addr = hdr["root"]
+        if buf[addr : addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        p = addr + 4 + 1 + 8 + hdr["off_bytes"]  # sig, ver, hdr addr, off
+        width = hdr["width"]
+        import math
+
+        max_direct_rows = (
+            int(math.log2(hdr["max_direct"]))
+            - int(math.log2(hdr["start_sz"]))
+            + 2
+        )
+        block_start = 0
+        for row in range(hdr["cur_rows"]):
+            if row >= max_direct_rows:
+                raise NotImplementedError(
+                    "nested indirect fractal heap blocks"
+                )
+            rsz = self._fheap_row_size(hdr, row)
+            for col in range(width):
+                if block_start <= off < block_start + rsz:
+                    child = struct.unpack_from(
+                        "<Q", buf, p + (row * width + col) * 8
+                    )[0]
+                    return (
+                        self._fheap_direct_base(hdr, child),
+                        block_start,
+                    )
+                block_start += rsz
+        raise ValueError(f"fractal heap offset {off} beyond heap extent")
+
+    def _fheap_read_id(self, hdr: dict, heap_id: bytes) -> bytes:
+        """Managed heap ID -> object bytes."""
+        idtype = (heap_id[0] >> 4) & 0x3
+        if idtype != 0:
+            raise NotImplementedError(
+                "huge/tiny fractal heap object class"
+            )
+        ob = hdr["off_bytes"]
+        off = int.from_bytes(heap_id[1 : 1 + ob], "little")
+        ln = int.from_bytes(
+            heap_id[1 + ob : 1 + ob + hdr["len_bytes"]], "little"
+        )
+        addr, block_off = self._fheap_locate(hdr, off)
+        start = addr + (off - block_off)
+        return bytes(self.buf[start : start + ln])
+
+    # ---------------------------------------------------------- B-tree v2
+    def _btree2_records(self, addr: int) -> tuple[int, list[bytes]]:
+        """B-tree v2 (BTHD) -> (record type, [raw records]). Depth-0
+        trees (a single leaf — thousands of dense attr/link records fit
+        one default-size node) decode; deeper trees gate honestly."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree signature")
+        rectype = buf[addr + 5]
+        rec_size, depth = struct.unpack_from("<HH", buf, addr + 10)
+        root, root_nrec = struct.unpack_from("<QH", buf, addr + 16)
+        if depth != 0:
+            raise NotImplementedError(
+                "multi-level dense-storage v2 B-tree"
+            )
+        if buf[root : root + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        p = root + 6  # sig, version, type
+        recs = [
+            bytes(buf[p + i * rec_size : p + (i + 1) * rec_size])
+            for i in range(root_nrec)
+        ]
+        return rectype, recs
+
+    def dense_attributes(self, body: bytes) -> dict[str, object] | None:
+        """Attribute Info message (0x0015) -> attributes from dense
+        (fractal-heap) storage, or None when storage is still compact.
+        Record type 8: heap ID (8) + message flags (1) + creation order
+        (4) + name hash (4); the heap object is the attribute message."""
+        flags = body[1]
+        pos = 2 + (2 if flags & 0x01 else 0)
+        fheap, name_bt = struct.unpack_from("<QQ", body, pos)
+        if fheap == UNDEF:
+            return None
+        hdr = self._fheap_header(fheap)
+        rectype, recs = self._btree2_records(name_bt)
+        if rectype != 8:
+            raise ValueError(
+                f"attribute name index has record type {rectype}"
+            )
+        attrs: dict[str, object] = {}
+        for rec in recs:
+            msg = self._fheap_read_id(hdr, rec[: hdr["id_len"]])
+            k, v = self.parse_attribute(msg)
+            attrs[k] = v
+        return attrs
+
+    def _dense_links(self, body: bytes, out: dict[str, int]) -> None:
+        """Link Info message (0x0002) with a defined fractal heap ->
+        walk the name index (record type 5: hash (4) + heap ID (7)) and
+        parse each heap object as a link message."""
+        flags = body[1]
+        pos = 2 + (8 if flags & 0x01 else 0)
+        fheap, name_bt = struct.unpack_from("<QQ", body, pos)
+        if fheap == UNDEF:
+            return
+        hdr = self._fheap_header(fheap)
+        rectype, recs = self._btree2_records(name_bt)
+        if rectype != 5:
+            raise ValueError(f"link name index has record type {rectype}")
+        for rec in recs:
+            msg = self._fheap_read_id(hdr, rec[4 : 4 + hdr["id_len"]])
+            name, target = self._parse_link_msg(msg)
+            if target is not None:
+                out[name] = target
+
     # ------------------------------------------------------------- groups
     def group_links(self, addr: int) -> dict[str, int]:
         """group object header -> {link name: child object header addr}."""
@@ -197,10 +361,8 @@ class _Reader:
                 name, target = self._parse_link_msg(body)
                 if target is not None:
                     links[name] = target
-            elif mtype == 0x0002:  # link info — dense storage unsupported
-                fheap = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))[0]
-                if fheap != UNDEF:
-                    raise NotImplementedError("dense (fractal-heap) group links")
+            elif mtype == 0x0002:  # link info: dense storage walks the
+                self._dense_links(body, links)  # fractal heap + B-tree v2
         return links
 
     def _parse_link_msg(self, body: bytes) -> tuple[str, int | None]:
@@ -472,21 +634,6 @@ class _Reader:
             return bytes(body[6 : 6 + sz]) or None
         raise NotImplementedError(f"fill value message version {ver}")
 
-    @staticmethod
-    def check_dense_attrs(mtype: int, body: bytes) -> None:
-        """Attribute Info message (0x0015): a defined fractal-heap
-        address means attributes live in dense storage this reader
-        cannot walk — gate honestly instead of silently dropping
-        scale_factor/_FillValue/DIMENSION_LIST."""
-        if mtype != 0x0015:
-            return
-        pos = 2 + (2 if body[1] & 0x01 else 0)
-        fheap = struct.unpack_from("<Q", body, pos)[0]
-        if fheap != UNDEF:
-            raise NotImplementedError(
-                "dense (fractal-heap) attribute storage"
-            )
-
     # ------------------------------------------------------------ datasets
     def dataset(self, name: str, addr: int) -> H5Dataset:
         shape: tuple[int, ...] = ()
@@ -510,8 +657,8 @@ class _Reader:
             elif mtype == 0x000C:
                 k, v = self.parse_attribute(body)
                 attrs[k] = v
-            else:
-                self.check_dense_attrs(mtype, body)
+            elif mtype == 0x0015:  # dense (fractal-heap) attributes
+                attrs.update(self.dense_attributes(body) or {})
         if dtype is None or layout is None:
             raise ValueError(f"dataset {name!r}: missing datatype/layout")
         return H5Dataset(
@@ -652,8 +799,8 @@ def read_netcdf4(path: str):
         if mtype == 0x000C:
             k, v = r.parse_attribute(body)
             gattrs[k] = v
-        else:
-            r.check_dense_attrs(mtype, body)
+        elif mtype == 0x0015:  # dense (fractal-heap) attributes
+            gattrs.update(r.dense_attributes(body) or {})
     links = r.group_links(r.root)
 
     datasets: dict[str, H5Dataset] = {}

@@ -259,6 +259,70 @@ def _fill_value_v3(raw: bytes) -> bytes:
     return struct.pack("<BBI", 3, 0x22, len(raw)) + raw
 
 
+# --------------------------------------- dense storage (fractal heap + v2 B-tree)
+def _fractal_heap(
+    f: "_File", prefix: str, objects: list["_Blob"], id_len: int
+) -> list[bytes]:
+    """Managed fractal heap with a single root DIRECT block (cur_rows=0,
+    unfiltered, no block checksums — header flags=0): FRHP header +
+    FHDB holding ``objects`` packed after the 17-byte block header
+    (heap offsets include the header, as libhdf5 lays them out).
+    Returns the managed heap IDs (version/type byte 0, 4-byte offset,
+    ``id_len - 5``-byte length)."""
+    len_bytes = id_len - 1 - 4  # off_bytes=4 (max heap size 32 bits)
+    blk = _Blob().emit(b"FHDB").emit(struct.pack("<B", 0))
+    blk.slot(f"{prefix}:frhp")
+    blk.emit(struct.pack("<I", 0))  # block offset in heap space
+    ids = []
+    for ob in objects:
+        off = len(blk.b)
+        ln = len(ob.b)
+        blk.splice(ob)
+        ids.append(
+            b"\x00" + off.to_bytes(4, "little") + ln.to_bytes(len_bytes, "little")
+        )
+    f.place(f"{prefix}:fhdb", blk)
+
+    hdr = _Blob().emit(b"FRHP").emit(struct.pack("<BHHB", 0, id_len, 0, 0))
+    hdr.emit(struct.pack("<I", 4096))  # max managed object size
+    hdr.emit(
+        struct.pack(
+            "<QQQQQQQQQQQQ",
+            0, UNDEF,            # next huge id, huge-object B-tree
+            0, UNDEF,            # free space, free-space manager
+            len(blk.b), len(blk.b), len(blk.b),  # managed/alloc/iterator
+            len(objects),        # number of managed objects
+            0, 0, 0, 0,          # huge size/count, tiny size/count
+        )
+    )
+    hdr.emit(struct.pack("<HQQHH", 4, 512, 65536, 32, 0))
+    hdr.slot(f"{prefix}:fhdb")  # root block address
+    hdr.emit(struct.pack("<H", 0))  # current rows: root is direct
+    hdr.emit(b"\x00\x00\x00\x00")  # checksum (unverified by reader)
+    f.place(f"{prefix}:frhp", hdr)
+    return ids
+
+
+def _btree2(
+    f: "_File", prefix: str, rectype: int, records: list[bytes], rec_size: int
+) -> None:
+    """Depth-0 v2 B-tree: BTHD header + one BTLF leaf holding all
+    records."""
+    assert all(len(r) == rec_size for r in records)
+    leaf = _Blob().emit(b"BTLF").emit(struct.pack("<BB", 0, rectype))
+    for r in records:
+        leaf.emit(r)
+    leaf.emit(b"\x00" * 4)  # checksum (unverified)
+    f.place(f"{prefix}:btlf", leaf)
+
+    hd = _Blob().emit(b"BTHD")
+    hd.emit(struct.pack("<BBIHHBB", 0, rectype, 2048, rec_size, 0, 100, 40))
+    hd.slot(f"{prefix}:btlf")
+    hd.emit(struct.pack("<HQ", len(records), len(records)))
+    hd.emit(b"\x00" * 4)  # checksum
+    f.place(f"{prefix}:bthd", hd)
+
+
 def _chunk_btree(chunks: list[tuple[tuple[int, ...], str, int]],
                  shape: tuple[int, ...]) -> _Blob:
     """chunks: [(start offsets, data key, stored nbytes)]."""
@@ -293,13 +357,15 @@ def write_netcdf4(
     and its second chunk is left unwritten (truth reflects the fill).
     ``fmt="v2"``: superblock v3 + OHDR v2 headers + link-message root
     group with a header-continuation block (libver='latest' flavor).
-    ``dense_attrs=True``: t_air additionally carries an Attribute Info
-    message pointing at a (nonexistent) fractal heap — real h5py
-    'latest' files with >8 attributes look like this; the reader must
-    gate, not silently drop attributes.
+    ``dense_attrs=True`` (requires fmt="v2"): t_air's attributes move
+    into REAL dense storage (fractal heap + depth-0 type-8 v2 B-tree,
+    the shape h5py 'latest' uses above 8 attributes) and the root
+    group's links into dense link storage (type-5 B-tree, id_len=7).
     """
     if fmt not in ("v0", "v2"):
         raise ValueError(fmt)
+    if dense_attrs and fmt != "v2":
+        raise ValueError("dense_attrs requires fmt='v2'")
     v2 = fmt == "v2"
     msg = _msg2 if v2 else _msg
     attr = _attr3 if v2 else _attr
@@ -405,19 +471,19 @@ def write_netcdf4(
             .emit(struct.pack("<I", gidx))
         )
 
-    def dim_list(gidxs: list[int]) -> _Blob:
+    def dim_list_body(gidxs: list[int]) -> _Blob:
         data = _Blob()
         for gi in gidxs:
             data.splice(_vlen_payload(1, gi))
-        return msg(
-            0x000C,
-            attr(
-                "DIMENSION_LIST",
-                _dt_vlen(string=False),
-                _dataspace((len(gidxs),)),
-                data,
-            ),
+        return attr(
+            "DIMENSION_LIST",
+            _dt_vlen(string=False),
+            _dataspace((len(gidxs),)),
+            data,
         )
+
+    def dim_list(gidxs: list[int]) -> _Blob:
+        return msg(0x000C, dim_list_body(gidxs))
 
     def fixed_str_attr(name: str, val: str) -> _Blob:
         raw = val.encode() + b"\x00"
@@ -477,42 +543,41 @@ def write_netcdf4(
         msg(0x0003, _dt_int(4)),
         msg(0x0008, _layout_contiguous("data:t_air", n_time * 4)),
     ]
-    if dense_attrs:
-        # Attribute Info with a defined fractal-heap address: the
-        # attributes live in dense storage the reader cannot walk.
-        t_air_msgs.append(
-            msg(0x0015, struct.pack("<BBQQ", 0, 0, 0x1234, UNDEF))
-        )
-    t_air_msgs += [
-        msg(
-            0x000C,
-            attr(
-                "scale_factor",
-                _dt_float64(),
-                _dataspace(()),
-                struct.pack("<d", 0.001),
-            ),
+    t_air_attr_bodies = [
+        attr(
+            "scale_factor",
+            _dt_float64(),
+            _dataspace(()),
+            struct.pack("<d", 0.001),
         ),
-        msg(
-            0x000C,
-            attr(
-                "_FillValue",
-                _dt_int(4),
-                _dataspace((1,)),
-                struct.pack("<i", -9999),
-            ),
+        attr(
+            "_FillValue",
+            _dt_int(4),
+            _dataspace((1,)),
+            struct.pack("<i", -9999),
         ),
-        msg(
-            0x000C,
-            attr(
-                "units",
-                _dt_vlen(string=True),
-                _dataspace(()),
-                _vlen_payload(len(gobjs[1][0]), G_UNITS_AIR),
-            ),
+        attr(
+            "units",
+            _dt_vlen(string=True),
+            _dataspace(()),
+            _vlen_payload(len(gobjs[1][0]), G_UNITS_AIR),
         ),
-        dim_list([G_REF_TIME]),
+        dim_list_body([G_REF_TIME]),
     ]
+    if dense_attrs:
+        # real dense storage: attribute messages live in a fractal heap,
+        # indexed by a depth-0 type-8 v2 B-tree (libhdf5 id_len=8)
+        hids = _fractal_heap(f, "tair_attrs", t_air_attr_bodies, id_len=8)
+        recs = [
+            hid + b"\x00" + struct.pack("<I", i) + b"\x00" * 4
+            for i, hid in enumerate(hids)
+        ]
+        _btree2(f, "tair_attrs", 8, recs, 17)
+        ainfo = _Blob().emit(struct.pack("<BB", 0, 0))
+        ainfo.slot("tair_attrs:frhp").slot("tair_attrs:bthd")
+        t_air_msgs.append(msg(0x0015, ainfo))
+    else:
+        t_air_msgs += [msg(0x000C, b) for b in t_air_attr_bodies]
     f.place("oh:t_air", header(t_air_msgs))
 
     # --- batt: plain int32, contiguous
@@ -555,7 +620,24 @@ def write_netcdf4(
 
     # --- root group plumbing
     names = sorted(["time", "sensor", "t_air", "batt", "depth"])
-    if v2:
+    if v2 and dense_attrs:
+        # dense link storage: link messages in a fractal heap indexed
+        # by a type-5 v2 B-tree (hash(4) + heap ID(7), libhdf5 id_len=7)
+        def link_body(n: str) -> _Blob:
+            body = _Blob().emit(struct.pack("<BBB", 1, 0, len(n)))
+            body.emit(n.encode()).slot(f"oh:{n}")
+            return body
+
+        hids = _fractal_heap(
+            f, "root_links", [link_body(n) for n in names], id_len=7
+        )
+        _btree2(
+            f, "root_links", 5, [b"\x00" * 4 + h for h in hids], 11
+        )
+        linfo = _Blob().emit(struct.pack("<BB", 0, 0))
+        linfo.slot("root_links:frhp").slot("root_links:bthd")
+        f.place("oh:root", _object_header_v2([_msg2(0x0002, linfo)]))
+    elif v2:
         # link-message group; last two links spill into an OCHK
         # continuation block to exercise the v2 continuation path
         def link_msg(n: str) -> _Blob:

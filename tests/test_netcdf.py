@@ -530,11 +530,38 @@ def test_netcdf4_v2_headers_superblock_v3_roundtrip(tmp_path):
         assert v["depth"].dims == ("time", "sensor")
 
 
-def test_netcdf4_dense_attribute_gate(tmp_path):
-    """An Attribute Info message with a defined fractal-heap address
-    (dense attribute storage, h5py 'latest' files with many attrs) must
-    gate honestly — otherwise scale_factor/_FillValue silently vanish
-    and unpacking is silently wrong."""
+def test_netcdf4_dense_attribute_and_link_storage(tmp_path):
+    """r9: REAL dense storage decodes — t_air's attributes live in a
+    fractal heap indexed by a type-8 v2 B-tree (the h5py-'latest'
+    >8-attrs shape) and the root group's links in dense link storage
+    (type-5 B-tree, 7-byte heap IDs); truth arrays, dims, unpacking
+    attrs, and DIMENSION_LIST binding all survive the round-trip."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    path = str(tmp_path / "dense.nc")
+    truth = write_netcdf4(path, fmt="v2", dense_attrs=True)
+    dims, _gattrs, variables = read_netcdf4(path)
+    v = {x.name: x for x in variables}
+    assert dims == {"time": None, "sensor": truth["n_sensor"]}
+    assert np.array_equal(v["t_air"].data, truth["t_air"])
+    assert np.array_equal(v["depth"].data, truth["depth"])
+    assert v["t_air"].attrs["scale_factor"] == 0.001  # from the heap
+    assert v["t_air"].attrs["_FillValue"] == -9999
+    assert v["t_air"].attrs["units"] == "degree_Celsius"  # vlen via GCOL
+    assert v["t_air"].dims == ("time",)  # DIMENSION_LIST from the heap
+
+
+def test_netcdf4_dense_storage_honest_gates(tmp_path):
+    """Dense-storage features beyond the subset gate honestly: a
+    multi-level name B-tree and a filtered fractal heap both raise
+    NotImplementedError (routing to the optional netCDF4 library), never
+    silently dropping attributes."""
+    import struct as _s
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -544,8 +571,25 @@ def test_netcdf4_dense_attribute_gate(tmp_path):
 
     path = str(tmp_path / "dense.nc")
     write_netcdf4(path, fmt="v2", dense_attrs=True)
-    with pytest.raises(NotImplementedError, match="dense.*attribute"):
-        read_netcdf4(path)
+    orig = open(path, "rb").read()
+
+    # depth=1 in the attribute-name BTHD -> multi-level gate
+    buf = bytearray(orig)
+    at = buf.find(b"BTHD")  # first BTHD is tair_attrs (placed first)
+    _s.pack_into("<H", buf, at + 12, 1)
+    p1 = str(tmp_path / "deep_btree.nc")
+    open(p1, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError, match="multi-level"):
+        read_netcdf4(p1)
+
+    # nonzero I/O-filter length in the FRHP header -> filtered-heap gate
+    buf = bytearray(orig)
+    at = buf.find(b"FRHP")
+    _s.pack_into("<H", buf, at + 7, 12)
+    p2 = str(tmp_path / "filtered_heap.nc")
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError, match="filtered fractal heap"):
+        read_netcdf4(p2)
 
 
 def test_netcdf4_fletcher32_checksum():
