@@ -19,6 +19,10 @@ encoding produces, from the public HDF5 File Format Specification
   B-tree; filter pipelines v1/v2 with deflate (stdlib ``zlib``),
   shuffle, and fletcher32 (verified) — the standard netCDF4
   ``zlib=True`` stack, beyond the reference's own ``zlib=False``
+* data layout v4 (``libver='latest'``): single-chunk, implicit, and
+  fixed-array (FAHD/FADB, unpaged, plain or filtered entries) chunk
+  indexes; the extensible-array index (what libhdf5 picks for
+  unlimited dims) and the v2-B-tree index gate honestly
 * fill-value messages (0x0004/0x0005) honored for unallocated
   contiguous data and missing chunks (netCDF4's defaults are non-zero)
 * attributes v1/v2/v3, vlen payloads via global heap collections (GCOL)
@@ -668,6 +672,8 @@ class _Reader:
 
     def _parse_layout(self, body: bytes) -> tuple:
         ver = body[0]
+        if ver == 4:
+            return self._parse_layout_v4(body)
         if ver != 3:
             raise NotImplementedError(f"data layout version {ver}")
         cls = body[1]
@@ -683,6 +689,56 @@ class _Reader:
             dims = struct.unpack_from(f"<{rank}I", body, 11)
             return ("chunked", btree, dims[:-1])  # last = element size
         raise NotImplementedError(f"data layout class {cls}")
+
+    def _parse_layout_v4(self, body: bytes) -> tuple:
+        """Data layout v4 (``libver='latest'``): compact/contiguous match
+        v3; chunked carries variable-width dims (incl. the trailing
+        element-size dim, like v3) plus a chunk INDEX: 1=single chunk,
+        2=implicit, 3=fixed array decode here; 4=extensible array (what
+        libhdf5 picks for unlimited dims) and 5=v2 B-tree gate
+        honestly."""
+        cls = body[1]
+        if cls == 0:
+            sz = struct.unpack_from("<H", body, 2)[0]
+            return ("compact", body[4 : 4 + sz])
+        if cls == 1:
+            a, s = struct.unpack_from("<QQ", body, 2)
+            return ("contiguous", a, s)
+        if cls != 2:
+            raise NotImplementedError(f"data layout v4 class {cls}")
+        flags = body[2]
+        ndims = body[3]
+        enc = body[4]
+        pos = 5
+        dims = tuple(
+            int.from_bytes(body[pos + i * enc : pos + (i + 1) * enc], "little")
+            for i in range(ndims)
+        )
+        pos += ndims * enc
+        chunk, elem = dims[:-1], dims[-1]
+        itype = body[pos]
+        pos += 1
+        if itype == 1:  # single chunk
+            if flags & 0x02:  # filtered single chunk
+                fsize = struct.unpack_from("<Q", body, pos)[0]
+                fmask = struct.unpack_from("<I", body, pos + 8)[0]
+                pos += 12
+            else:
+                fsize, fmask = None, 0
+            addr = struct.unpack_from("<Q", body, pos)[0]
+            return ("chunked_single", addr, chunk, elem, fsize, fmask)
+        if itype == 2:  # implicit: dense row-major chunk grid, no index
+            addr = struct.unpack_from("<Q", body, pos)[0]
+            return ("chunked_implicit", addr, chunk, elem)
+        if itype == 3:  # fixed array
+            addr = struct.unpack_from("<Q", body, pos + 1)[0]
+            return ("chunked_farr", addr, chunk, elem)
+        raise NotImplementedError(
+            "chunk index type "
+            + {4: "extensible array", 5: "v2 B-tree"}.get(
+                itype, str(itype)
+            )
+        )
 
     def _alloc(self, ds: H5Dataset, npd: np.dtype) -> np.ndarray:
         """Output array pre-filled with the dataset's fill value —
@@ -710,11 +766,114 @@ class _Reader:
             return (
                 np.frombuffer(raw, dtype=npd, count=n).reshape(ds.shape).copy()
             )
-        _, btree, chunk = ds.layout
+        kind = ds.layout[0]
         out = self._alloc(ds, npd)
-        if btree != UNDEF:
-            self._read_chunk_btree(btree, np.asarray(chunk), out, npd, ds.filters)
-        return out
+        if kind == "chunked":
+            _, btree, chunk = ds.layout
+            if btree != UNDEF:
+                self._read_chunk_btree(
+                    btree, np.asarray(chunk), out, npd, ds.filters
+                )
+            return out
+        if kind == "chunked_single":
+            _, addr, chunk, _elem, fsize, fmask = ds.layout
+            if addr != UNDEF:
+                size = (
+                    fsize
+                    if fsize is not None
+                    else int(np.prod(chunk)) * npd.itemsize
+                )
+                raw = bytes(self.buf[addr : addr + size])
+                if ds.filters and fsize is not None:
+                    raw = self._defilter_chunk(
+                        raw, ds.filters, fmask, npd.itemsize
+                    )
+                self._paste_chunk(out, raw, (0,) * len(chunk), chunk, npd)
+            return out
+        if kind == "chunked_implicit":
+            _, addr, chunk, _elem = ds.layout
+            if addr != UNDEF:
+                csize = int(np.prod(chunk)) * npd.itemsize
+                for i, start in enumerate(self._chunk_grid(ds.shape, chunk)):
+                    raw = bytes(self.buf[addr + i * csize :][:csize])
+                    self._paste_chunk(out, raw, start, chunk, npd)
+            return out
+        if kind == "chunked_farr":
+            _, addr, chunk, _elem = ds.layout
+            if addr != UNDEF:
+                self._read_fixed_array(addr, ds, chunk, out, npd)
+            return out
+        raise NotImplementedError(f"layout kind {kind}")
+
+    @staticmethod
+    def _chunk_grid(shape, chunk):
+        """Row-major chunk-grid start offsets covering ``shape``."""
+        import itertools
+
+        ranges = [
+            range(0, max(s, 1), c) if s else [0]
+            for s, c in zip(shape, chunk)
+        ]
+        return itertools.product(*ranges)
+
+    @staticmethod
+    def _paste_chunk(out, raw, start, chunk, npd):
+        cdata = np.frombuffer(raw, dtype=npd, count=int(np.prod(chunk)))
+        cdata = cdata.reshape(tuple(chunk))
+        sl = tuple(
+            slice(int(s), int(min(s + c, e)))
+            for s, c, e in zip(start, chunk, out.shape)
+        )
+        csl = tuple(
+            slice(0, int(min(s + c, e) - s))
+            for s, c, e in zip(start, chunk, out.shape)
+        )
+        out[sl] = cdata[csl]
+
+    def _read_fixed_array(self, addr, ds, chunk, out, npd):
+        """Fixed Array chunk index (FAHD header + unpaged FADB data
+        block): entries are chunk addresses (client 0, unfiltered) or
+        (address, stored size, filter mask) triples (client 1,
+        filtered), in row-major chunk-grid order."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FAHD":
+            raise ValueError("bad fixed array header signature")
+        client = buf[addr + 5]
+        entry_size = buf[addr + 6]
+        page_bits = buf[addr + 7]
+        nentries = struct.unpack_from("<Q", buf, addr + 8)[0]
+        dblock = struct.unpack_from("<Q", buf, addr + 16)[0]
+        if client not in (0, 1):
+            raise NotImplementedError(f"fixed array client id {client}")
+        if dblock == UNDEF:
+            return
+        if nentries > (1 << page_bits):
+            raise NotImplementedError("paged fixed-array data block")
+        if buf[dblock : dblock + 4] != b"FADB":
+            raise ValueError("bad fixed array data block signature")
+        p = dblock + 6 + 8  # sig, version, client id, header address
+        csize = int(np.prod(chunk)) * npd.itemsize
+        starts = list(self._chunk_grid(ds.shape, chunk))
+        if nentries < len(starts):
+            raise ValueError("fixed array smaller than the chunk grid")
+        for i, start in enumerate(starts):
+            e = p + i * entry_size
+            caddr = struct.unpack_from("<Q", buf, e)[0]
+            if caddr == UNDEF:
+                continue  # never-written chunk stays fill
+            if client == 1:
+                szbytes = entry_size - 12
+                stored = int.from_bytes(
+                    buf[e + 8 : e + 8 + szbytes], "little"
+                )
+                fmask = struct.unpack_from("<I", buf, e + 8 + szbytes)[0]
+                raw = bytes(buf[caddr : caddr + stored])
+                raw = self._defilter_chunk(
+                    raw, ds.filters, fmask, npd.itemsize
+                )
+            else:
+                raw = bytes(buf[caddr : caddr + csize])
+            self._paste_chunk(out, raw, start, chunk, npd)
 
     def _read_chunk_btree(self, addr, chunk, out, npd, filters=()):
         buf = self.buf

@@ -56,7 +56,9 @@ EXTRA = ["w5_resample_ffill", "a_sessionize", "dedup_exact_docs", "mm_image_stat
          "graph_pagerank", "a_hodges_lehmann", "ts_periodogram_int",
          "graph_clustering_coeff", "w_seasonal_naive_error",
          # r8-new queries (keyed valve variants join via bench HEADLINE)
-         "geo_point_in_polygon", "rag_hybrid_minmax", "text_bigram_entropy"]
+         "geo_point_in_polygon", "rag_hybrid_minmax", "text_bigram_entropy",
+         # r9-new / r9-changed queries
+         "rag_mmr_rerank", "ts_dominant_period"]
 
 
 def audit(spark, name, fn) -> str:

@@ -706,3 +706,298 @@ def write_netcdf4(
         "n_time": n_time,
         "n_sensor": n_sensor,
     }
+
+
+# ----------------------------------------------- data layout v4 (latest)
+def _layout_v4_chunked(
+    chunk: tuple[int, ...],
+    elem: int,
+    itype: int,
+    addr_key: str,
+    *,
+    fsize: int | None = None,
+    fmask: int = 0,
+) -> _Blob:
+    """Layout message v4 class 2 with a chunk index: 1=single chunk
+    (optionally filtered), 2=implicit, 3=fixed array. Dims include the
+    trailing element-size dim (like v3), each encoded in 8 bytes."""
+    flags = 0x02 if (itype == 1 and fsize is not None) else 0
+    out = _Blob().emit(
+        struct.pack("<BBBBB", 4, 2, flags, len(chunk) + 1, 8)
+    )
+    for d in (*chunk, elem):
+        out.emit(struct.pack("<Q", d))
+    out.emit(struct.pack("<B", itype))
+    if itype == 1 and fsize is not None:
+        out.emit(struct.pack("<QI", fsize, fmask))
+    if itype == 3:
+        out.emit(struct.pack("<B", 10))  # page bits
+    return out.slot(addr_key)
+
+
+def _fixed_array(
+    f: _File,
+    prefix: str,
+    entries: list[tuple[str | None, bytes]],
+    client: int,
+    entry_size: int,
+) -> None:
+    """FAHD header + unpaged FADB data block. entries: (data key or
+    None for never-written, trailing bytes — empty for client 0,
+    size+mask for client 1)."""
+    db = _Blob().emit(b"FADB").emit(struct.pack("<BB", 0, client))
+    db.slot(f"{prefix}:fahd")
+    for key, extra in entries:
+        if key:
+            db.slot(key)
+        else:
+            db.emit(struct.pack("<Q", UNDEF))
+        db.emit(extra)
+    db.emit(b"\x00" * 4)  # checksum (unverified)
+    f.place(f"{prefix}:fadb", db)
+
+    hd = _Blob().emit(b"FAHD").emit(
+        struct.pack("<BBBB", 0, client, entry_size, 10)
+    )
+    hd.emit(struct.pack("<Q", len(entries)))
+    hd.slot(f"{prefix}:fadb")
+    hd.emit(b"\x00" * 4)
+    f.place(f"{prefix}:fahd", hd)
+
+
+def write_netcdf4_layout_v4(
+    path: str, n_time: int = 48, n_sensor: int = 3, *, compress: bool = False
+) -> dict:
+    """Fixed-dims 'latest' flavor exercising data layout v4: superblock
+    v3 + OHDR v2; time = single-chunk index; batt = implicit index
+    (dense row-major chunk grid, 4 chunks); depth = fixed-array index
+    (2 chunks; with ``compress`` the entries are filtered client-1
+    triples through shuffle+deflate+fletcher32, and the second chunk is
+    never written so the fill-value message shows through); t_air =
+    contiguous v4."""
+    rng = np.random.default_rng(7)
+    time_vals = np.arange(n_time, dtype=np.int64) * 3600
+    t_air = np.round(
+        np.round(rng.normal(-5, 8, n_time), 3) * 1000
+    ).astype(np.int32)
+    batt = (12000 + rng.integers(0, 500, n_time)).astype(np.int32)
+    depth = np.round(rng.normal(2.0, 0.5, (n_time, n_sensor)), 6)
+    half = n_time // 2
+    depth_fill = -2.5
+    if compress:
+        depth[half:] = depth_fill
+
+    f = _File()
+    sb = _Blob().emit(b"\x89HDF\r\n\x1a\n")
+    sb.emit(struct.pack("<BBBB", 3, 8, 8, 0))
+    sb.emit(struct.pack("<QQ", 0, UNDEF))
+    eof_off = len(sb.b)
+    sb.emit(struct.pack("<Q", 0))
+    sb.slot("oh:root")
+    sb.emit(b"\x00\x00\x00\x00")
+    f.place(None, sb)
+
+    # data blocks
+    f.place("data:time", _Blob().emit(time_vals.astype("<i8").tobytes()))
+    f.place("data:t_air", _Blob().emit(t_air.astype("<i4").tobytes()))
+    f.place("data:batt", _Blob().emit(batt.astype("<i4").tobytes()))
+    d0_raw = depth[:half].astype("<f8").tobytes()
+    if compress:
+        d0 = zlib.compress(_shuffle_bytes(d0_raw, 8), 6)
+        d0_stored = d0 + struct.pack("<I", fletcher32_naive(d0))
+        f.place("data:depth0", _Blob().emit(d0_stored))
+        entries = [
+            ("data:depth0", len(d0_stored).to_bytes(8, "little")
+             + struct.pack("<I", 0)),
+            (None, (0).to_bytes(8, "little") + struct.pack("<I", 0)),
+        ]
+        _fixed_array(f, "farr:depth", entries, client=1, entry_size=20)
+    else:
+        f.place("data:depth0", _Blob().emit(d0_raw))
+        f.place(
+            "data:depth1",
+            _Blob().emit(depth[half:].astype("<f8").tobytes()),
+        )
+        _fixed_array(
+            f,
+            "farr:depth",
+            [("data:depth0", b""), ("data:depth1", b"")],
+            client=0,
+            entry_size=8,
+        )
+
+    # global heap: dim-scale object refs for DIMENSION_LIST
+    gh = _Blob()
+    payload = _Blob()
+    for i, key in ((1, "oh:time"), (2, "oh:sensor")):
+        payload.emit(struct.pack("<HHIQ", i, 1, 0, 8))
+        payload.slot(key)
+    total = 16 + len(payload.b) + 16
+    gh.emit(b"GCOL" + struct.pack("<B3xQ", 1, total))
+    gh.splice(payload)
+    gh.emit(struct.pack("<HHIQ", 0, 0, 0, 16))
+    f.place("gheap", gh)
+
+    def vref(gidx: int) -> _Blob:
+        return (
+            _Blob()
+            .emit(struct.pack("<I", 1))
+            .slot("gheap")
+            .emit(struct.pack("<I", gidx))
+        )
+
+    def dim_list(gidxs: list[int]) -> _Blob:
+        data = _Blob()
+        for gi in gidxs:
+            data.splice(vref(gi))
+        return _msg2(
+            0x000C,
+            _attr3(
+                "DIMENSION_LIST",
+                _dt_vlen(string=False),
+                _dataspace((len(gidxs),)),
+                data,
+            ),
+        )
+
+    def sattr(name: str, val: str) -> _Blob:
+        raw = val.encode() + b"\x00"
+        return _msg2(
+            0x000C, _attr3(name, _dt_string(len(raw)), _dataspace(()), raw)
+        )
+
+    # time: single-chunk index (chunk == full extent)
+    f.place(
+        "oh:time",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time,))),
+                _msg2(0x0003, _dt_int(8)),
+                _msg2(
+                    0x0008,
+                    _layout_v4_chunked((n_time,), 8, 1, "data:time"),
+                ),
+                sattr("CLASS", "DIMENSION_SCALE"),
+                sattr("NAME", "time"),
+            ]
+        ),
+    )
+    # sensor: pure dimension, contiguous unallocated
+    sensor_layout = (
+        _Blob()
+        .emit(struct.pack("<BB", 4, 1))
+        .emit(struct.pack("<QQ", UNDEF, n_sensor * 8))
+    )
+    f.place(
+        "oh:sensor",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_sensor,))),
+                _msg2(0x0003, _dt_float64()),
+                _msg2(0x0008, sensor_layout),
+                sattr("CLASS", "DIMENSION_SCALE"),
+                sattr(
+                    "NAME",
+                    "This is a netCDF dimension but not a netCDF variable."
+                    f" {n_sensor}",
+                ),
+            ]
+        ),
+    )
+    # t_air: contiguous v4 + packing attrs
+    f.place(
+        "oh:t_air",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time,))),
+                _msg2(0x0003, _dt_int(4)),
+                _msg2(
+                    0x0008,
+                    _Blob()
+                    .emit(struct.pack("<BB", 4, 1))
+                    .slot("data:t_air")
+                    .emit(struct.pack("<Q", n_time * 4)),
+                ),
+                _msg2(
+                    0x000C,
+                    _attr3(
+                        "scale_factor",
+                        _dt_float64(),
+                        _dataspace(()),
+                        struct.pack("<d", 0.001),
+                    ),
+                ),
+                dim_list([1]),
+            ]
+        ),
+    )
+    # batt: implicit index, 4 dense chunks
+    assert n_time % 4 == 0
+    f.place(
+        "oh:batt",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time,))),
+                _msg2(0x0003, _dt_int(4)),
+                _msg2(
+                    0x0008,
+                    _layout_v4_chunked(
+                        (n_time // 4,), 4, 2, "data:batt"
+                    ),
+                ),
+                dim_list([1]),
+            ]
+        ),
+    )
+    # depth: fixed-array index (+ filters and fill when compressed)
+    depth_msgs = [
+        _msg2(0x0001, _dataspace((n_time, n_sensor))),
+        _msg2(0x0003, _dt_float64()),
+        _msg2(
+            0x0008,
+            _layout_v4_chunked(
+                (half, n_sensor), 8, 3, "farr:depth:fahd"
+            ),
+        ),
+    ]
+    if compress:
+        depth_msgs.append(
+            _msg2(
+                0x000B,
+                _filter_pipeline_v2([(2, (8,)), (1, (6,)), (3, ())]),
+            )
+        )
+        depth_msgs.append(
+            _msg2(0x0005, _fill_value_v3(struct.pack("<d", depth_fill)))
+        )
+    depth_msgs.append(dim_list([1, 2]))
+    f.place("oh:depth", _object_header_v2(depth_msgs))
+
+    # root group: plain link messages
+    names = sorted(["time", "sensor", "t_air", "batt", "depth"])
+
+    def link_msg(n: str) -> _Blob:
+        body = _Blob().emit(struct.pack("<BBB", 1, 0, len(n)))
+        body.emit(n.encode()).slot(f"oh:{n}")
+        return _msg2(0x0006, body)
+
+    f.place(
+        "oh:root",
+        _object_header_v2(
+            [_msg2(0x0002, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF))]
+            + [link_msg(n) for n in names]
+        ),
+    )
+
+    out = bytearray(f.finish())
+    struct.pack_into("<Q", out, eof_off, len(out))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return {
+        "time": time_vals,
+        "t_air": t_air,
+        "batt": batt,
+        "depth": depth,
+        "n_time": n_time,
+        "n_sensor": n_sensor,
+    }

@@ -635,3 +635,50 @@ def test_netcdf4_fletcher32_checksum():
     with pytest.raises((ValueError, _z.error)):
         read_netcdf4(path)
     del _s
+
+
+def test_netcdf4_layout_v4_indexes(tmp_path):
+    """r9: data layout v4 chunk indexes decode — single chunk (time),
+    implicit dense grid (batt, 4 chunks), fixed array (depth, 2 chunks;
+    filtered client-1 entries + missing-chunk fill under compress);
+    extensible-array and v2-B-tree indexes gate honestly."""
+    import struct as _s
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4_layout_v4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    for compress in (False, True):
+        path = str(tmp_path / f"v4_{compress}.nc")
+        truth = write_netcdf4_layout_v4(path, compress=compress)
+        dims, _gattrs, variables = read_netcdf4(path)
+        v = {x.name: x for x in variables}
+        assert dims == {
+            "time": truth["n_time"],
+            "sensor": truth["n_sensor"],
+        }
+        assert np.array_equal(v["time"].data, truth["time"])  # single
+        assert np.array_equal(v["t_air"].data, truth["t_air"])
+        assert np.array_equal(v["batt"].data, truth["batt"])  # implicit
+        assert np.array_equal(v["depth"].data, truth["depth"])  # farr
+        assert v["t_air"].attrs["scale_factor"] == 0.001
+        assert v["depth"].dims == ("time", "sensor")
+        if compress:
+            half = truth["n_time"] // 2
+            assert (truth["depth"][half:] == -2.5).all()  # fill path
+
+    # patch depth's index type 3 -> 4: extensible-array honest gate
+    path = str(tmp_path / "v4_False.nc")
+    buf = bytearray(open(path, "rb").read())
+    # the layout message dims for depth: (24, 3, 8) as 8-byte LE each,
+    # followed by the index-type byte
+    sig = b"".join(_s.pack("<Q", d) for d in (24, 3, 8)) + b"\x03"
+    at = buf.find(sig)
+    assert at > 0
+    buf[at + len(sig) - 1] = 4
+    p = str(tmp_path / "v4_ea.nc")
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError, match="extensible array"):
+        read_netcdf4(p)
