@@ -10819,8 +10819,14 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.col("hybrid").alias("rel"))
     )
-    ce = cand.join(
-        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    # the <=20-row candidate set drives BOTH pair sides: broadcast it
+    # into the embedding attach so the corpus side streams through a
+    # hash join instead of shuffling on doc_id. No lazy pin: the
+    # duplicated subtree collapses via ReusedExchange on its own (a
+    # checkpoint adds a materialization pass for nothing — warm A/B
+    # showed all variants within noise, so plan shape decides).
+    ce = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        F.broadcast(cand), "doc_id"
     )
     a = ce.select(
         F.col("doc_id").alias("a"),
