@@ -379,7 +379,7 @@ def write_netcdf4(
     t_air[5] = -9999  # fill
     batt = (12000 + rng.integers(0, 500, n_time)).astype(np.int32)
     depth = np.round(rng.normal(2.0, 0.5, (n_time, n_sensor)), 6)
-    half = n_time // 2
+    half = (n_time + 1) // 2  # chunk rows; odd n_time -> ragged edge chunk
     depth_fill = -1.0
     if compress:
         depth[half:] = depth_fill  # second chunk never written -> fill
@@ -419,7 +419,11 @@ def write_netcdf4(
     f.place("data:batt", _Blob().emit(batt.astype("<i4").tobytes()))
 
     depth0_raw = depth[:half].astype("<f8").tobytes()
-    depth1_raw = depth[half:].astype("<f8").tobytes()
+    # edge chunks are stored at FULL nominal chunk size (readers clip to
+    # the dataset extent), so pad the ragged tail like libhdf5 does
+    tail = np.zeros((half, n_sensor))
+    tail[: n_time - half] = depth[half:]
+    depth1_raw = tail.astype("<f8").tobytes()
     if compress:
         d0 = zlib.compress(_shuffle_bytes(depth0_raw, 8), 6)
         depth0_stored = d0 + struct.pack("<I", fletcher32_naive(d0))

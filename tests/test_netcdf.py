@@ -682,3 +682,27 @@ def test_netcdf4_layout_v4_indexes(tmp_path):
     open(p, "wb").write(bytes(buf))
     with pytest.raises(NotImplementedError, match="extensible array"):
         read_netcdf4(p)
+
+
+@pytest.mark.parametrize("n_time,n_sensor", [(6, 1), (47, 2), (96, 5)])
+@pytest.mark.parametrize("fmt", ["v0", "v2"])
+def test_netcdf4_shape_matrix(tmp_path, n_time, n_sensor, fmt):
+    """Round-trip across layouts and odd sizes (47 forces a ragged
+    second chunk) for both header formats, compressed and not."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    for compress in (False, True):
+        path = str(tmp_path / f"m_{n_time}_{n_sensor}_{fmt}_{compress}.nc")
+        truth = write_netcdf4(
+            path, n_time, n_sensor, compress=compress, fmt=fmt
+        )
+        _dims, _g, variables = read_netcdf4(path)
+        v = {x.name: x for x in variables}
+        assert np.array_equal(v["time"].data, truth["time"])
+        assert np.array_equal(v["t_air"].data, truth["t_air"])
+        assert np.array_equal(v["depth"].data, truth["depth"])

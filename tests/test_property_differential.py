@@ -355,3 +355,74 @@ def test_interval_overlap_join_matches_naive(spark, data):
         if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]
     )
     assert got == want
+
+
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+)
+@settings(max_examples=60, deadline=None)
+def test_fletcher32_vectorized_matches_naive(data):
+    """hdf5._fletcher32 (numpy-blocked) == the fixture's straight
+    H5checksum.c translation on arbitrary byte strings (even/odd
+    lengths, multi-block folds)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import fletcher32_naive
+
+    from cassandra_fs_pp_spark.hdf5 import _fletcher32
+
+    assert _fletcher32(data) == fletcher32_naive(data)
+
+
+@given(
+    data=st.data(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_geofence_tag_matches_join_on_random_polygons(spark, data):
+    """point_in_polygon_tag == point_in_polygon_join on random point
+    clouds against random (possibly concave, even self-intersecting)
+    polygons: both implement the same even-odd integer ray-cast, so
+    they must agree point-for-point regardless of polygon shape."""
+    from cassandra_fs_pp_spark.operators.geo import (
+        point_in_polygon_join,
+        point_in_polygon_tag,
+    )
+
+    n_regions = data.draw(st.integers(1, 3))
+    polygons = []
+    for rid in range(1, n_regions + 1):
+        nv = data.draw(st.integers(3, 7))
+        verts = [
+            (
+                data.draw(st.integers(0, 2000)),
+                data.draw(st.integers(0, 2000)),
+            )
+            for _ in range(nv)
+        ]
+        polygons.append((rid, verts))
+    pts = [
+        (
+            i,
+            data.draw(st.integers(-100, 2100)),
+            data.draw(st.integers(-100, 2100)),
+        )
+        for i in range(data.draw(st.integers(1, 40)))
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    via_join = {
+        (r["id"], r["region_id"])
+        for r in point_in_polygon_join(df, polygons, cell=500).collect()
+    }
+    via_tag = {
+        (r["id"], r["region_id"])
+        for r in point_in_polygon_tag(df, polygons)
+        .select("id", "region_id")
+        .collect()
+    }
+    assert via_tag == via_join
