@@ -950,7 +950,13 @@ def read_netcdf4(path: str):
     (None for the unlimited/record dim), variables carry (name, dims,
     attrs, numpy data)."""
     with open(path, "rb") as f:
-        buf = f.read()
+        return read_netcdf4_bytes(f.read())
+
+
+def read_netcdf4_bytes(buf: bytes):
+    """Bytes-level entry point (same contract as :func:`read_netcdf4`)
+    — lets executors parse file contents shipped by Spark's binaryFile
+    source without touching a local filesystem path."""
     r = _Reader(buf)
     root_msgs = r.object_header(r.root)
     gattrs: dict[str, object] = {}

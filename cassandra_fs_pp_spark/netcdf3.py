@@ -261,15 +261,22 @@ def read_netcdf3(path: str) -> tuple[dict[str, int | None], dict[str, object], l
     record dimension to ``None`` (its realized length is the first axis
     of any record variable), mirroring :func:`write_netcdf3`'s input.
     """
+    with open(path, "rb") as f:
+        return read_netcdf3_bytes(f.read())
+
+
+def read_netcdf3_bytes(raw: bytes):
+    """Bytes-level entry point (same contract as :func:`read_netcdf3`)
+    — lets executors parse file contents shipped by Spark's binaryFile
+    source without touching a local filesystem path."""
     try:
-        return _read_netcdf3(path)
+        return _read_netcdf3(raw)
     except (struct.error, IndexError, KeyError) as e:
         raise ValueError(f"corrupt NetCDF-3 file: {type(e).__name__}: {e}") from e
 
 
-def _read_netcdf3(path):
-    with open(path, "rb") as f:
-        buf = memoryview(f.read())
+def _read_netcdf3(raw: bytes):
+    buf = memoryview(raw)
     if bytes(buf[:3]) != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a classic NetCDF file")
     version = buf[3]  # 1 = CDF-1 (32-bit begin), 2 = CDF-2 (64-bit begin)

@@ -706,3 +706,58 @@ def test_netcdf4_shape_matrix(tmp_path, n_time, n_sensor, fmt):
         assert np.array_equal(v["time"].data, truth["time"])
         assert np.array_equal(v["t_air"].data, truth["t_air"])
         assert np.array_equal(v["depth"].data, truth["depth"])
+
+
+def test_load_netcdf_fleet_distributed(spark, tmp_path):
+    """r9: distributed .nc ingestion — binaryFile ships bytes to
+    executors where the from-spec readers parse a MIXED directory
+    (classic CDF-1, HDF5 v0, HDF5 v2+deflate) into the long fleet
+    shape with CF unpacking; values match per-file truths exactly."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf_fleet
+
+    d = tmp_path / "fleet"
+    d.mkdir()
+    t4 = write_netcdf4(str(d / "st_a.nc"), n_time=24)
+    t5 = write_netcdf4(str(d / "st_b.nc"), n_time=24, compress=True, fmt="v2")
+    tvals = np.array([0.0, 3600.0, 7200.0], dtype="float64")
+    packed = np.array([1234, -9999, 5678], dtype="int32")
+    write_netcdf3(
+        str(d / "st_c.nc"),
+        {"time": None},
+        [
+            Nc3Variable(
+                "time", ("time",), tvals,
+                {"units": "seconds since 2024-01-01 00:00:00"},
+            ),
+            Nc3Variable(
+                "t107", ("time",), packed,
+                {"scale_factor": 0.001, "_FillValue": -9999},
+            ),
+        ],
+    )
+
+    df = load_netcdf_fleet(spark, str(d / "*.nc"))
+    rows = df.collect()
+    got = {
+        (r["src_file"], r["var"], r["time"]): r["value"] for r in rows
+    }
+    base = dt.datetime(2024, 1, 1)
+    # classic file: packed var unpacks, fill -> null
+    assert got[("st_c.nc", "t107", base)] == pytest.approx(1.234)
+    assert got[("st_c.nc", "t107", base + dt.timedelta(hours=1))] is None
+    # HDF5 v0: t_air at row 0; batt plain int
+    assert got[("st_a.nc", "t_air", base)] == pytest.approx(
+        int(t4["t_air"][0]) * 0.001
+    )
+    assert got[("st_a.nc", "batt", base + dt.timedelta(hours=7))] == float(
+        t4["batt"][7]
+    )
+    # HDF5 v2 + deflate pipeline decoded executor-side
+    assert got[("st_b.nc", "batt", base)] == float(t5["batt"][0])
+    n_files = len({r["src_file"] for r in rows})
+    assert n_files == 3
