@@ -33,13 +33,24 @@ encoding produces, from the public HDF5 File Format Specification
   (``CLASS=DIMENSION_SCALE``), data variables bind dims through
   ``DIMENSION_LIST`` object references
 
-Anything outside the subset (non-deflate filters such as szip, layout
-v4, filtered fractal heaps, multi-level dense-index B-trees, nested
-indirect heap blocks, huge/tiny heap object classes, compound/enum
-types) raises ``NotImplementedError`` naming the feature — the
-honest-gate convention shared with the image codecs; the
-``sources/netcdf.py`` caller routes those to the optional netCDF4/h5py
-libraries when installed.
+Anything outside the subset (non-deflate filters such as szip, the
+extensible-array chunk index, filtered fractal heaps, multi-level
+dense-index B-trees, nested indirect heap blocks, huge/tiny heap
+object classes, compound/enum types) raises ``NotImplementedError``
+naming the feature — the honest-gate convention shared with the image
+codecs; the ``sources/netcdf.py`` caller routes those to the optional
+netCDF4/h5py libraries when installed.
+
+The extensible-array index stays gated DELIBERATELY (same rationale as
+the arithmetic-JPEG/lossy-VP8 gates): its super-block/data-block
+doubling arithmetic is the most transcription-fragile structure in the
+format, and with no libhdf5-written validation artifact in the
+container, a from-memory writer+reader pair sharing one misread of the
+growth rule would round-trip green while misplacing every chunk of a
+real file. The structures implemented here were kept to those whose
+layout is fixed-offset tables (superblock, headers, FRHP/FHDB/FADB,
+depth-0 BTHD/BTLF) where each field is independently checkable against
+the spec text.
 """
 
 from __future__ import annotations
