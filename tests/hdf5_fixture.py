@@ -303,6 +303,62 @@ def _fractal_heap(
     return ids
 
 
+def _fractal_heap_indirect(
+    f: "_File", prefix: str, objects: list["_Blob"], id_len: int
+) -> list[bytes]:
+    """Fractal heap whose root is an INDIRECT block (FHIB): one object
+    per 512-byte row-0/1 direct block (width 4, so up to 8 objects in
+    the two equal-size starting rows), exercising the reader's
+    indirect-block row/column walk. Heap offsets include each block's
+    17-byte header."""
+    width, start = 4, 512
+    assert len(objects) <= 2 * width, "two starting rows only"
+    len_bytes = id_len - 1 - 4
+    ids = []
+    for i, ob in enumerate(objects):
+        assert len(ob.b) + 17 <= start
+        blk = _Blob().emit(b"FHDB").emit(struct.pack("<B", 0))
+        blk.slot(f"{prefix}:frhp")
+        blk.emit(struct.pack("<I", i * start))  # block offset
+        off = i * start + len(blk.b)
+        blk.splice(ob)
+        f.place(f"{prefix}:fhdb{i}", blk)
+        ids.append(
+            b"\x00"
+            + off.to_bytes(4, "little")
+            + len(ob.b).to_bytes(len_bytes, "little")
+        )
+    nrows = 1 if len(objects) <= width else 2
+    fhib = _Blob().emit(b"FHIB").emit(struct.pack("<B", 0))
+    fhib.slot(f"{prefix}:frhp")
+    fhib.emit(struct.pack("<I", 0))
+    for i in range(nrows * width):
+        if i < len(objects):
+            fhib.slot(f"{prefix}:fhdb{i}")
+        else:
+            fhib.emit(struct.pack("<Q", UNDEF))
+    fhib.emit(b"\x00" * 4)
+    f.place(f"{prefix}:fhib", fhib)
+
+    hdr = _Blob().emit(b"FRHP").emit(struct.pack("<BHHB", 0, id_len, 0, 0))
+    hdr.emit(struct.pack("<I", 4096))
+    hdr.emit(
+        struct.pack(
+            "<QQQQQQQQQQQQ",
+            0, UNDEF, 0, UNDEF,
+            nrows * width * start, nrows * width * start,
+            nrows * width * start, len(objects),
+            0, 0, 0, 0,
+        )
+    )
+    hdr.emit(struct.pack("<HQQHH", width, start, 65536, 32, 0))
+    hdr.slot(f"{prefix}:fhib")
+    hdr.emit(struct.pack("<H", nrows))  # current rows: root is indirect
+    hdr.emit(b"\x00\x00\x00\x00")
+    f.place(f"{prefix}:frhp", hdr)
+    return ids
+
+
 def _btree2(
     f: "_File", prefix: str, rectype: int, records: list[bytes], rec_size: int
 ) -> None:
@@ -349,6 +405,7 @@ def write_netcdf4(
     compress: bool = False,
     fmt: str = "v0",
     dense_attrs: bool = False,
+    dense_indirect: bool = False,
 ) -> dict:
     """Write the reference-flavor fixture; returns ground-truth arrays.
 
@@ -570,8 +627,11 @@ def write_netcdf4(
     ]
     if dense_attrs:
         # real dense storage: attribute messages live in a fractal heap,
-        # indexed by a depth-0 type-8 v2 B-tree (libhdf5 id_len=8)
-        hids = _fractal_heap(f, "tair_attrs", t_air_attr_bodies, id_len=8)
+        # indexed by a depth-0 type-8 v2 B-tree (libhdf5 id_len=8);
+        # dense_indirect routes through an FHIB-rooted heap instead of a
+        # root direct block
+        mk_heap = _fractal_heap_indirect if dense_indirect else _fractal_heap
+        hids = mk_heap(f, "tair_attrs", t_air_attr_bodies, id_len=8)
         recs = [
             hid + b"\x00" + struct.pack("<I", i) + b"\x00" * 4
             for i, hid in enumerate(hids)

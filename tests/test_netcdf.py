@@ -761,3 +761,25 @@ def test_load_netcdf_fleet_distributed(spark, tmp_path):
     assert got[("st_b.nc", "batt", base)] == float(t5["batt"][0])
     n_files = len({r["src_file"] for r in rows})
     assert n_files == 3
+
+
+def test_netcdf4_dense_attrs_indirect_heap(tmp_path):
+    """Dense attributes whose fractal heap is rooted at an INDIRECT
+    block (FHIB, one object per row-0/1 direct block) decode through
+    the reader's row/column walk identically to the root-direct form."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    path = str(tmp_path / "dense_ind.nc")
+    truth = write_netcdf4(path, fmt="v2", dense_attrs=True, dense_indirect=True)
+    _dims, _g, variables = read_netcdf4(path)
+    v = {x.name: x for x in variables}
+    assert np.array_equal(v["t_air"].data, truth["t_air"])
+    assert v["t_air"].attrs["scale_factor"] == 0.001
+    assert v["t_air"].attrs["_FillValue"] == -9999
+    assert v["t_air"].attrs["units"] == "degree_Celsius"
+    assert v["t_air"].dims == ("time",)
