@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_fs_pp_spark.netcdf3 import read_netcdf3
 
+# CF epoch-offset units (udunits spellings incl. singular forms)
+_CF_UNIT_SECONDS = {
+    "milliseconds": 0.001, "msecs": 0.001,
+    "seconds": 1.0, "second": 1.0, "secs": 1.0, "sec": 1.0, "s": 1.0,
+    "minutes": 60.0, "minute": 60.0, "mins": 60.0, "min": 60.0,
+    "hours": 3600.0, "hour": 3600.0, "hrs": 3600.0, "hr": 3600.0, "h": 3600.0,
+    "days": 86400.0, "day": 86400.0, "d": 86400.0,
+}
+
 
 def _read_any(path: str):
     """Magic-sniffing front end: classic CDF-1/2 routes to the NetCDF-3
@@ -105,7 +114,7 @@ def load_netcdf(
     units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
     unit, _, epoch = units.partition(" since ")
     base = _dt.datetime.fromisoformat(epoch.strip())
-    per = {"seconds": 1.0, "days": 86400.0, "hours": 3600.0}[unit.strip()]
+    per = _CF_UNIT_SECONDS[unit.strip()]
     tvals = [
         base + _dt.timedelta(seconds=float(x) * per)
         for x in np.asarray(tvar.data, dtype="float64")
@@ -171,7 +180,7 @@ def load_netcdf_long(
     units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
     unit, _, epoch = units.partition(" since ")
     base = _dt2.datetime.fromisoformat(epoch.strip())
-    per = {"seconds": 1.0, "days": 86400.0, "hours": 3600.0}[unit.strip()]
+    per = _CF_UNIT_SECONDS[unit.strip()]
     tvals = [
         base + _dt2.timedelta(seconds=float(x) * per)
         for x in np.asarray(tvar.data, dtype="float64")
@@ -227,7 +236,7 @@ def _record_times(dims, variables) -> tuple[str, list]:
     units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
     unit, _, epoch = units.partition(" since ")
     base = _dt.datetime.fromisoformat(epoch.strip())
-    per = {"seconds": 1.0, "days": 86400.0, "hours": 3600.0}[unit.strip()]
+    per = _CF_UNIT_SECONDS[unit.strip()]
     tvals = [
         base + _dt.timedelta(seconds=float(x) * per)
         for x in np.asarray(tvar.data, dtype="float64")

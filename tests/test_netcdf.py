@@ -783,3 +783,32 @@ def test_netcdf4_dense_attrs_indirect_heap(tmp_path):
     assert v["t_air"].attrs["_FillValue"] == -9999
     assert v["t_air"].attrs["units"] == "degree_Celsius"
     assert v["t_air"].dims == ("time",)
+
+
+def test_load_netcdf_cf_unit_spellings(spark, tmp_path):
+    """CF epoch units beyond 'seconds/days/hours': minutes and
+    milliseconds (and singular spellings) decode to the same instants."""
+    from cassandra_fs_pp_spark.sources.netcdf import load_netcdf
+
+    for units, vals, want_h in [
+        ("minutes since 2024-01-01 00:00:00", [0.0, 60.0, 120.0], [0, 1, 2]),
+        ("milliseconds since 2024-01-01 00:00:00",
+         [0.0, 3.6e6, 7.2e6], [0, 1, 2]),
+        ("hour since 2024-01-01 00:00:00", [0.0, 1.0, 2.0], [0, 1, 2]),
+    ]:
+        path = str(tmp_path / f"u_{units.split()[0]}.nc")
+        write_netcdf3(
+            path,
+            {"time": None},
+            [
+                Nc3Variable("time", ("time",), np.array(vals), {"units": units}),
+                Nc3Variable(
+                    "v", ("time",), np.array([1.0, 2.0, 3.0])
+                ),
+            ],
+        )
+        rows = sorted(load_netcdf(spark, path).collect(), key=lambda r: r["time"])
+        base = dt.datetime(2024, 1, 1)
+        assert [r["time"] for r in rows] == [
+            base + dt.timedelta(hours=h) for h in want_h
+        ], units
