@@ -104,21 +104,10 @@ def load_netcdf(
     under ``time_col``.
     """
     dims, _gattrs, variables = _read_any(path)
-    record_dim = next((n for n, s in dims.items() if s is None), None)
-    if record_dim is None:
-        raise ValueError(f"{path}: no record (time) dimension")
-
-    tvar = next((v for v in variables if v.name == record_dim), None)
-    if tvar is None:
-        raise ValueError(f"{path}: no {record_dim!r} coordinate variable")
-    units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
-    unit, _, epoch = units.partition(" since ")
-    base = _dt.datetime.fromisoformat(epoch.strip())
-    per = _CF_UNIT_SECONDS[unit.strip()]
-    tvals = [
-        base + _dt.timedelta(seconds=float(x) * per)
-        for x in np.asarray(tvar.data, dtype="float64")
-    ]
+    try:
+        record_dim, tvals = _record_times(dims, variables)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
 
     names: list[str] = [time_col]
     columns: list[list] = [tvals]
@@ -165,26 +154,14 @@ def load_netcdf_long(
     value)`` rows, the engine's canonical chain layout (inverse of
     :func:`sinks.to_netcdf_long`). Sensor ids come from the
     ``sensor_name`` char matrix when present, else the 0-based index."""
-    import datetime as _dt2
-
     dims, _gattrs, variables = _read_any(path)
-    record_dim = next((n for n, s in dims.items() if s is None), None)
+    record_dim, tvals = _record_times(dims, variables)
     v = {x.name: x for x in variables}
     if var_name not in v:
         raise ValueError(f"{path}: no variable {var_name!r}")
     var = v[var_name]
     if len(var.dims) != 2 or var.dims[0] != record_dim:
         raise ValueError(f"{path}: {var_name!r} is not (record, sensor)-shaped")
-
-    tvar = v[record_dim]
-    units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
-    unit, _, epoch = units.partition(" since ")
-    base = _dt2.datetime.fromisoformat(epoch.strip())
-    per = _CF_UNIT_SECONDS[unit.strip()]
-    tvals = [
-        base + _dt2.timedelta(seconds=float(x) * per)
-        for x in np.asarray(tvar.data, dtype="float64")
-    ]
 
     n_sensors = var.data.shape[1]
     if "sensor_name" in v:
@@ -226,7 +203,9 @@ def _read_any_bytes(raw: bytes):
 
 
 def _record_times(dims, variables) -> tuple[str, list]:
-    """(record dim name, decoded CF timestamps of its coordinate)."""
+    """(record dim name, decoded CF timestamps of its coordinate).
+    TZ-suffixed epochs ('...since 1970-01-01T00:00:00Z') normalize to
+    naive UTC so values never mix aware/naive across files."""
     record_dim = next((n for n, s in dims.items() if s is None), None)
     if record_dim is None:
         raise ValueError("no record (time) dimension")
@@ -236,6 +215,8 @@ def _record_times(dims, variables) -> tuple[str, list]:
     units = str(tvar.attrs.get("units", "seconds since 1970-01-01 00:00:00"))
     unit, _, epoch = units.partition(" since ")
     base = _dt.datetime.fromisoformat(epoch.strip())
+    if base.tzinfo is not None:
+        base = base.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     per = _CF_UNIT_SECONDS[unit.strip()]
     tvals = [
         base + _dt.timedelta(seconds=float(x) * per)
