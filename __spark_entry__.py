@@ -6445,6 +6445,104 @@ FROM s3
 """
 
 
+ATTRIB_MICROCREDIT = 1_000_000
+
+
+def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics shape beside
+    ``a_funnel``/``a_transition_matrix``: every ``purchase`` conversion
+    credits the same user's view/click/signup touches inside a 7-day
+    lookback.  Per channel: first-touch and last-touch conversion counts
+    plus LINEAR credit — distributed as exact integer micro-credits
+    (``1e6 div n`` per touch, remainder to the last touch, so every
+    conversion's credit sums to exactly 1e6 and the channel totals are
+    order-insensitive integer sums — no float-summation-order hazard).
+    Scale shape: the conversion-touch pairing is an equi-join on
+    user_id (per-user activity bounds the pair volume); the per-
+    conversion ranking windows partition on conv_id."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    wc = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    ranked = j.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n"),
+    )
+    base = F.expr(f"{ATTRIB_MICROCREDIT} div n")
+    rem = F.lit(ATTRIB_MICROCREDIT) - F.col("n") * base
+    return (
+        ranked.select(
+            "channel",
+            (F.col("rn") == 1).cast("long").alias("ft"),
+            (F.col("rn") == F.col("n")).cast("long").alias("lt"),
+            (
+                base + F.when(F.col("rn") == F.col("n"), rem).otherwise(0)
+            ).alias("mc"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("ft").alias("first_touch"),
+            F.sum("lt").alias("last_touch"),
+            F.sum("mc").alias("linear_microcredit"),
+            F.count(F.lit(1)).alias("touchpoints"),
+        )
+    )
+
+
+A_ATTRIBUTION_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         ts AS touch_ts
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), j AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.touch_ts <= c.conv_ts
+    AND t.touch_ts > c.conv_ts - INTERVAL 7 DAY
+), ranked AS (
+  SELECT conv_id, channel,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts, touch_id) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM j
+)
+SELECT channel,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       CAST(sum({ATTRIB_MICROCREDIT} // n
+                + CASE WHEN rn = n
+                       THEN {ATTRIB_MICROCREDIT} - n * ({ATTRIB_MICROCREDIT} // n)
+                       ELSE 0 END) AS BIGINT) AS linear_microcredit,
+       CAST(count(*) AS BIGINT) AS touchpoints
+FROM ranked GROUP BY channel
+"""
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting: term frequency per (doc, token) x smoothed inverse
     document frequency ln((N+1)/(df+1)). The df table is tiny (vocab-sized)
@@ -11332,6 +11430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_winsorized_stats": a_winsorized_stats,
         "a_histogram_equidepth": a_histogram_equidepth,
         # ============ beyond the 50-entry window ============
+        # NEW in late r9 (never driver-checked): leads the planned r10
+        # window together with the 13 remaining r03 queries
+        "a_attribution_credit": a_attribution_credit,
         # (driver-green in r2-r8; full local oracle sweep re-verifies
         # at HEAD)
         # --- (a) late-r7, never driver-checked ---
@@ -11627,6 +11728,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_asof_forward": J4_FWD_ORACLE,
         "f_url_suite": F_URL_ORACLE,
         "a_funnel": A_FUNNEL_ORACLE,
+        "a_attribution_credit": A_ATTRIBUTION_ORACLE,
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,
         "rag_rrf_fusion": RAG_RRF_ORACLE,

@@ -309,10 +309,10 @@ def test_registry_window_discipline():
     ):
         assert q in window, f"{q} must be driver-confirmed this round"
     # the first 35 of the r03 tail fill the window (the remaining 13
-    # rotate in at r10); the beyond-window region starts with the
-    # freshly-r8-green block
+    # rotate in at r10); position 50 holds the late-r9 new query that
+    # leads the planned r10 window
     assert window[-1] == "a_histogram_equidepth"
-    assert qs[50] == "rag_rrf_fusion"
+    assert qs[50] == "a_attribution_credit"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
 
