@@ -6448,6 +6448,66 @@ FROM s3
 ATTRIB_MICROCREDIT = 1_000_000
 
 
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    event, vs the corpus max timestamp attached as a 1-row broadcast
+    scalar), frequency (event count), monetary (exact integer cents —
+    no float-sum hazard), each scored into quintiles via ntile(5) with
+    a deterministic user_id tie-break. The quintile windows rank the
+    USER DIMENSION (already reduced map-side from the event scan, so
+    |users| rows, not |events|) — the same bounded-domain convention as
+    the single-series parity windows; a fleet-scale variant would band
+    the ntile by a coarse segment key."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    base = users.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("__mx", "last_ts").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+
+
+A_RFM_ORACLE = """
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), mx AS (SELECT max(ts) AS m FROM events WHERE value IS NOT NULL)
+SELECT user_id,
+       CAST(datediff('day', last_ts, mx.m) AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY datediff('day', last_ts, mx.m),
+                           user_id) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS INT)
+         AS m_score
+FROM u CROSS JOIN mx
+"""
+
+
 def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution — the marketing-analytics shape beside
     ``a_funnel``/``a_transition_matrix``: every ``purchase`` conversion
@@ -11433,6 +11493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in late r9 (never driver-checked): leads the planned r10
         # window together with the 13 remaining r03 queries
         "a_attribution_credit": a_attribution_credit,
+        "a_rfm_segments": a_rfm_segments,
         # (driver-green in r2-r8; full local oracle sweep re-verifies
         # at HEAD)
         # --- (a) late-r7, never driver-checked ---
@@ -11729,6 +11790,7 @@ def oracle_sql() -> dict[str, str]:
         "f_url_suite": F_URL_ORACLE,
         "a_funnel": A_FUNNEL_ORACLE,
         "a_attribution_credit": A_ATTRIBUTION_ORACLE,
+        "a_rfm_segments": A_RFM_ORACLE,
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,
         "rag_rrf_fusion": RAG_RRF_ORACLE,

@@ -313,6 +313,7 @@ def test_registry_window_discipline():
     # leads the planned r10 window
     assert window[-1] == "a_histogram_equidepth"
     assert qs[50] == "a_attribution_credit"
+    assert qs[51] == "a_rfm_segments"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
 
