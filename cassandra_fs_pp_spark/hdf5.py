@@ -313,6 +313,8 @@ class _Reader:
             raise NotImplementedError(
                 "multi-level dense-storage v2 B-tree"
             )
+        if root == UNDEF or root_nrec == 0:  # empty index
+            return rectype, []
         if buf[root : root + 4] != b"BTLF":
             raise ValueError("bad v2 B-tree leaf signature")
         p = root + 6  # sig, version, type
@@ -332,6 +334,10 @@ class _Reader:
         fheap, name_bt = struct.unpack_from("<QQ", body, pos)
         if fheap == UNDEF:
             return None
+        if name_bt == UNDEF:
+            raise NotImplementedError(
+                "dense attribute storage without a name index"
+            )
         hdr = self._fheap_header(fheap)
         rectype, recs = self._btree2_records(name_bt)
         if rectype != 8:
@@ -354,6 +360,10 @@ class _Reader:
         fheap, name_bt = struct.unpack_from("<QQ", body, pos)
         if fheap == UNDEF:
             return
+        if name_bt == UNDEF:
+            raise NotImplementedError(
+                "dense link storage without a name index"
+            )
         hdr = self._fheap_header(fheap)
         rectype, recs = self._btree2_records(name_bt)
         if rectype != 5:
