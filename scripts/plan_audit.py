@@ -58,7 +58,8 @@ EXTRA = ["w5_resample_ffill", "a_sessionize", "dedup_exact_docs", "mm_image_stat
          # r8-new queries (keyed valve variants join via bench HEADLINE)
          "geo_point_in_polygon", "rag_hybrid_minmax", "text_bigram_entropy",
          # r9-new / r9-changed queries
-         "rag_mmr_rerank", "ts_dominant_period"]
+         "rag_mmr_rerank", "ts_dominant_period",
+         "a_attribution_credit", "a_rfm_segments"]
 
 
 def audit(spark, name, fn) -> str:
