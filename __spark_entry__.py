@@ -2260,6 +2260,103 @@ FROM documents
 """
 
 
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "for", "on", "with", "as", "by", "at", "be", "this", "that",
+    "it", "from", "was", "were", "not", "but", "had", "has", "have",
+)
+RAKE_SPLIT_RE = (
+    r"(?:\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b|[^a-z0-9\s]+)"
+)
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are the maximal runs between stopwords/punctuation
+    (<=4 words); each word's RAKE stats are freq (occurrences) and
+    degree (sum of the lengths of phrases containing it, self
+    included); a phrase scores the sum of its words' degree/freq — kept
+    integer-exact as micro-units (``(1e6*degree) div freq``, truncating
+    division both engines share) so the corpus-wide sums are
+    order-insensitive. Top 20 by (score desc, phrase asc). All
+    aggregations are plain hash groupBys over exploded tokens — no
+    windows until the <=20-row rank."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    raw = docs.select(F.explode(F.split(norm, RAKE_SPLIT_RE)).alias("raw"))
+    canon = F.regexp_replace(F.trim(F.col("raw")), r"\s+", " ")
+    phrases = (
+        raw.select(canon.alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .withColumn("words", F.split(F.col("phrase"), " "))
+        .filter(F.size("words") <= 4)
+    )
+    wordstats = (
+        phrases.select(
+            F.size("words").alias("plen"), F.explode("words").alias("w")
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        dp.select(
+            "phrase", "n_occ",
+            F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        )
+        .join(wordstats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.sum(F.expr("(1000000 * degree) div freq")).alias(
+                "score_micro"
+            ),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(20)
+    )
+    wr = Window.orderBy(F.desc("score_micro"), F.asc("phrase"))
+    return scored.withColumn("rank", F.row_number().over(wr))
+
+
+def _rake_sql() -> str:
+    return rf"""
+WITH rawp AS (
+  SELECT unnest(string_split_regex(lower(trim(text)),
+                '{RAKE_SPLIT_RE}')) AS raw
+  FROM documents
+), ph AS (
+  SELECT regexp_replace(trim(raw), '\s+', ' ', 'g') AS phrase FROM rawp
+), phf AS (
+  SELECT phrase, string_split(phrase, ' ') AS words
+  FROM ph WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4
+), ws AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM (SELECT len(words) AS plen, unnest(words) AS w FROM phf)
+  GROUP BY w
+), dp AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM phf GROUP BY phrase
+), pw AS (
+  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM dp
+), scored AS (
+  SELECT pw.phrase, pw.n_occ,
+         CAST(sum((1000000 * ws.degree) // ws.freq) AS BIGINT)
+           AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM pw JOIN ws ON ws.w = pw.w
+  GROUP BY pw.phrase, pw.n_occ
+)
+SELECT phrase, n_occ, score_micro, n_words,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, phrase) AS INT)
+         AS rank
+FROM scored ORDER BY score_micro DESC, phrase LIMIT 20
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -11494,6 +11591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window together with the 13 remaining r03 queries
         "a_attribution_credit": a_attribution_credit,
         "a_rfm_segments": a_rfm_segments,
+        "text_rake_keywords": text_rake_keywords,
         # (driver-green in r2-r8; full local oracle sweep re-verifies
         # at HEAD)
         # --- (a) late-r7, never driver-checked ---
@@ -11791,6 +11889,7 @@ def oracle_sql() -> dict[str, str]:
         "a_funnel": A_FUNNEL_ORACLE,
         "a_attribution_credit": A_ATTRIBUTION_ORACLE,
         "a_rfm_segments": A_RFM_ORACLE,
+        "text_rake_keywords": _rake_sql(),
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,
         "rag_rrf_fusion": RAG_RRF_ORACLE,

@@ -314,6 +314,7 @@ def test_registry_window_discipline():
     assert window[-1] == "a_histogram_equidepth"
     assert qs[50] == "a_attribution_credit"
     assert qs[51] == "a_rfm_segments"
+    assert qs[52] == "text_rake_keywords"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
 
