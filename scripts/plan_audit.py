@@ -59,7 +59,7 @@ EXTRA = ["w5_resample_ffill", "a_sessionize", "dedup_exact_docs", "mm_image_stat
          "geo_point_in_polygon", "rag_hybrid_minmax", "text_bigram_entropy",
          # r9-new / r9-changed queries
          "rag_mmr_rerank", "ts_dominant_period",
-         "a_attribution_credit", "a_rfm_segments"]
+         "a_attribution_credit", "a_rfm_segments", "text_rake_keywords"]
 
 
 def audit(spark, name, fn) -> str:
