@@ -11102,6 +11102,19 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("query_id", F.lit(0))
     )
+    # seed the greedy from the CANDIDATE set, not the pairs frame
+    # (ADVICE r9): a candidate doc_id missing from embeddings still
+    # participates in the oracle's step 1 (sel1 picks FROM cand), and a
+    # <=1-candidate set yields zero pairs — the null-b seed rows keep
+    # the applyInPandas group non-empty in both cases.
+    seed = cand.select(
+        F.col("doc_id").alias("a"),
+        F.col("rel").alias("rel_a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("s"),
+        F.lit(0).alias("query_id"),
+    )
+    greedy_in = pairs.unionByName(seed)
 
     lam, mu, k = MMR_LAMBDA, MMR_MU, MMR_K
 
@@ -11117,24 +11130,36 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in pdf[["a", "rel_a"]].drop_duplicates().itertuples()
         }
         sim = {
-            (int(r.a), int(r.b)): float(r.s) for r in pdf.itertuples()
+            (int(r.a), int(r.b)): float(r.s)
+            for r in pdf.itertuples()
+            if not pd.isna(r.b)
         }
         remaining = sorted(rel)
         selected: list[int] = []
         out = []
-        for rank in range(1, min(k, len(remaining)) + 1):
+        for rank in range(1, k + 1):
             best_d, best_score = None, None
             for d in remaining:
-                # true max (can be negative) — 0.0 only for the empty set,
-                # mirroring the oracle's step-1 special case
-                ms = (
-                    max(sim[(d, s_)] for s_ in selected)
-                    if selected
-                    else 0.0
-                )
+                if selected:
+                    # mirror the oracle's INNER join to sim: a candidate
+                    # with no sim edge to any selected doc is excluded
+                    # from this step (true max otherwise — can be
+                    # negative)
+                    edges = [
+                        sim[(d, s_)] for s_ in selected if (d, s_) in sim
+                    ]
+                    if not edges:
+                        continue
+                    ms = max(edges)
+                else:
+                    # 0.0 only for the empty set, mirroring the oracle's
+                    # step-1 special case
+                    ms = 0.0
                 score = lam * rel[d] - mu * ms
                 if best_score is None or score > best_score:
                     best_d, best_score = d, score
+            if best_d is None:
+                break  # no eligible candidate; selection can't grow
             out.append((best_d, rank, rel[best_d], best_score))
             selected.append(best_d)
             remaining.remove(best_d)
@@ -11143,7 +11168,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        pairs.groupBy("query_id")
+        greedy_in.groupBy("query_id")
         .applyInPandas(
             _greedy, "doc_id long, rank int, rel double, mmr_score double"
         )

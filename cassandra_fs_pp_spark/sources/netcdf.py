@@ -20,14 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_fs_pp_spark.netcdf3 import read_netcdf3
 
-# CF epoch-offset units (udunits spellings incl. singular forms)
+# CF epoch-offset units (udunits spellings incl. singular/abbreviated forms)
 _CF_UNIT_SECONDS = {
-    "milliseconds": 0.001, "msecs": 0.001,
+    "microseconds": 1e-6, "microsecond": 1e-6, "usecs": 1e-6, "usec": 1e-6,
+    "us": 1e-6,
+    "milliseconds": 0.001, "millisecond": 0.001, "msecs": 0.001,
+    "msec": 0.001, "ms": 0.001,
     "seconds": 1.0, "second": 1.0, "secs": 1.0, "sec": 1.0, "s": 1.0,
     "minutes": 60.0, "minute": 60.0, "mins": 60.0, "min": 60.0,
     "hours": 3600.0, "hour": 3600.0, "hrs": 3600.0, "hr": 3600.0, "h": 3600.0,
     "days": 86400.0, "day": 86400.0, "d": 86400.0,
 }
+
+_HDF5_SIGNATURE = b"\x89HDF\r\n\x1a\n"
+
+
+def _sniff_hdf5(head: bytes) -> bool:
+    """True iff ``head`` starts an HDF5 file: the 8-byte signature at
+    offset 0 or any userblock doubling (512, 1024, ...) — the same scan
+    ``hdf5._Reader`` performs, duplicated here so the router can tell
+    "not HDF5 at all" apart from "HDF5 but structurally corrupt"."""
+    base = 0
+    while base + 8 <= len(head):
+        if head[base : base + 8] == _HDF5_SIGNATURE:
+            return True
+        base = 512 if base == 0 else base * 2
+    return False
 
 
 def _read_any(path: str):
@@ -38,13 +56,19 @@ def _read_any(path: str):
     pipeline). Subset-exceeding HDF5 features (non-deflate filters,
     layout v4, userblocks...) fall back to the optional netCDF4 library
     when installed, else re-raise the honest NotImplementedError. The
-    HDF5 sniff is delegated to the reader itself so a superblock behind
-    a userblock (offset 512/1024/...) routes to the gate, not to the
-    generic "not NetCDF" error."""
+    signature sniff (incl. userblock doublings) happens HERE, before
+    parsing, so only a genuinely unrecognized file maps to the "neither
+    signature" error — structural/checksum ValueErrors from a valid
+    HDF5 signature (bad B-tree/heap magic, fletcher32 mismatch)
+    propagate with their original message."""
     with open(path, "rb") as f:
-        magic = f.read(3)
-    if magic == b"CDF":
+        head = f.read(1 << 16)
+    if head[:3] == b"CDF":
         return read_netcdf3(path)
+    if not _sniff_hdf5(head):
+        raise ValueError(
+            f"{path}: neither classic NetCDF nor HDF5 signature"
+        )
     from cassandra_fs_pp_spark.hdf5 import read_netcdf4
 
     try:
@@ -55,10 +79,6 @@ def _read_any(path: str):
         except ImportError:
             raise gate from None
         return _read_via_netcdf4_lib(path)
-    except ValueError:
-        raise ValueError(
-            f"{path}: neither classic NetCDF nor HDF5 signature"
-        ) from None
 
 
 def _read_via_netcdf4_lib(path: str):
@@ -115,11 +135,14 @@ def load_netcdf(
         if v.name == record_dim or v.dims != (record_dim,):
             continue
         arr = np.asarray(v.data)
-        if "scale_factor" in v.attrs:
+        if "scale_factor" in v.attrs or "add_offset" in v.attrs:
             fill = v.attrs.get("_FillValue")
-            scale = float(v.attrs["scale_factor"])
+            scale = float(v.attrs.get("scale_factor", 1.0))
+            offset = float(v.attrs.get("add_offset", 0.0))
             vals = [
-                None if (fill is not None and int(x) == int(fill)) else float(x) * scale
+                None
+                if (fill is not None and x == type(x)(fill))
+                else float(x) * scale + offset
                 for x in arr
             ]
             columns.append(vals)
@@ -174,13 +197,19 @@ def load_netcdf_long(
 
     arr = np.asarray(var.data)
     fill = var.attrs.get("_FillValue")
-    scale = var.attrs.get("scale_factor")
+    packed = "scale_factor" in var.attrs or "add_offset" in var.attrs
+    scale = float(var.attrs.get("scale_factor", 1.0))
+    offset = float(var.attrs.get("add_offset", 0.0))
     rows = []
     for ti, t in enumerate(tvals):
         for si, s in enumerate(sensors):
             x = arr[ti, si]
-            if scale is not None:
-                val = None if (fill is not None and int(x) == int(fill)) else float(x) * float(scale)
+            if packed:
+                val = (
+                    None
+                    if (fill is not None and x == type(x)(fill))
+                    else float(x) * scale + offset
+                )
             else:
                 val = float(x)
             rows.append((t, s, val))
@@ -217,7 +246,12 @@ def _record_times(dims, variables) -> tuple[str, list]:
     base = _dt.datetime.fromisoformat(epoch.strip())
     if base.tzinfo is not None:
         base = base.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    per = _CF_UNIT_SECONDS[unit.strip()]
+    try:
+        per = _CF_UNIT_SECONDS[unit.strip()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported CF time unit {unit.strip()!r} in units {units!r}"
+        ) from None
     tvals = [
         base + _dt.timedelta(seconds=float(x) * per)
         for x in np.asarray(tvar.data, dtype="float64")
@@ -225,21 +259,29 @@ def _record_times(dims, variables) -> tuple[str, list]:
     return record_dim, tvals
 
 
-def _unpack_values(var) -> list[float | None]:
-    """CF unpacking for one 1-D variable: packed ints scale through
-    ``scale_factor`` with ``_FillValue`` -> None; everything else casts
-    to float."""
+def _unpack_values_np(var) -> np.ndarray:
+    """Vectorized CF unpacking for one 1-D variable: packed values run
+    through ``raw * scale_factor + add_offset`` with ``_FillValue``
+    positions set to NaN (Arrow's from_pandas maps float NaN to SQL
+    null); everything else casts to float64. One numpy pass per
+    variable — no per-value Python loop."""
     arr = np.asarray(var.data)
-    if "scale_factor" in var.attrs:
+    if "scale_factor" in var.attrs or "add_offset" in var.attrs:
+        scale = float(var.attrs.get("scale_factor", 1.0))
+        offset = float(var.attrs.get("add_offset", 0.0))
+        out = arr.astype("float64") * scale + offset
         fill = var.attrs.get("_FillValue")
-        scale = float(var.attrs["scale_factor"])
-        return [
-            None
-            if (fill is not None and int(x) == int(fill))
-            else float(x) * scale
-            for x in arr
-        ]
-    return [float(x) for x in arr.astype("float64")]
+        if fill is not None:
+            out[arr == np.asarray(fill, dtype=arr.dtype)] = np.nan
+        return out
+    return arr.astype("float64")
+
+
+def _unpack_values(var) -> list[float | None]:
+    """List form of :func:`_unpack_values_np` (driver-side callers that
+    build Python rows): NaN positions surface as None."""
+    out = _unpack_values_np(var)
+    return [None if np.isnan(x) else float(x) for x in out]
 
 
 def load_netcdf_fleet(
@@ -271,23 +313,43 @@ def load_netcdf_fleet(
     )
 
     def gen(batches):
+        # numpy column assembly per file (VERDICT r9 item 3): the long
+        # shape is var-major — var column = repeat(names, n_times),
+        # time column = tile(times, n_vars), value column = one
+        # concatenate of the per-variable vectorized unpacks. No
+        # per-value Python appends.
         for pdf in batches:
-            src, ts, var, val = [], [], [], []
+            frames = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 dims, _g, variables = _read_any_bytes(bytes(content))
                 record_dim, tvals = _record_times(dims, variables)
+                data_vars = [
+                    v
+                    for v in variables
+                    if v.name != record_dim and v.dims == (record_dim,)
+                ]
+                n, k = len(tvals), len(data_vars)
+                if n == 0 or k == 0:
+                    continue
                 fname = _os.path.basename(str(path))
-                for v in variables:
-                    if v.name == record_dim or v.dims != (record_dim,):
-                        continue
-                    for t, x in zip(tvals, _unpack_values(v)):
-                        src.append(fname)
-                        ts.append(t)
-                        var.append(v.name)
-                        val.append(x)
-            yield _pd.DataFrame(
-                {"src_file": src, time_col: ts, "var": var, "value": val}
-            )
+                tarr = np.asarray(tvals, dtype="datetime64[us]")
+                names = np.array([v.name for v in data_vars], dtype=object)
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "src_file": np.repeat(
+                                np.array([fname], dtype=object), n * k
+                            ),
+                            time_col: np.tile(tarr, k),
+                            "var": np.repeat(names, n),
+                            "value": np.concatenate(
+                                [_unpack_values_np(v) for v in data_vars]
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield _pd.concat(frames, ignore_index=True)
 
     return files.mapInPandas(
         gen, f"src_file string, `{time_col}` timestamp, var string, value double"

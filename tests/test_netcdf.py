@@ -812,3 +812,93 @@ def test_load_netcdf_cf_unit_spellings(spark, tmp_path):
         assert [r["time"] for r in rows] == [
             base + dt.timedelta(hours=h) for h in want_h
         ], units
+
+
+def test_load_netcdf_add_offset_and_unit_errors(spark, tmp_path):
+    """ADVICE r9: CF unpacking applies add_offset (raw*scale+offset,
+    _FillValue -> null) on every load path; an unknown CF time unit
+    raises a named ValueError, not a bare KeyError; 'ms'/'usec'
+    spellings decode."""
+    from cassandra_fs_pp_spark.sources.netcdf import (
+        load_netcdf,
+        load_netcdf_fleet,
+    )
+
+    path = str(tmp_path / "packed.nc")
+    write_netcdf3(
+        path,
+        {"time": None},
+        [
+            Nc3Variable(
+                "time",
+                ("time",),
+                np.array([0.0, 1000.0, 2000.0]),
+                {"units": "ms since 2024-01-01 00:00:00"},
+            ),
+            Nc3Variable(
+                "t_air",
+                ("time",),
+                np.array([100, -9999, 300], dtype="int32"),
+                {
+                    "scale_factor": 0.001,
+                    "add_offset": 2.0,
+                    "_FillValue": np.int32(-9999),
+                },
+            ),
+        ],
+    )
+    rows = sorted(load_netcdf(spark, path).collect(), key=lambda r: r["time"])
+    base = dt.datetime(2024, 1, 1)
+    assert [r["time"] for r in rows] == [
+        base + dt.timedelta(seconds=s) for s in (0, 1, 2)
+    ]
+    assert [r["t_air"] for r in rows] == [
+        pytest.approx(2.1),
+        None,
+        pytest.approx(2.3),
+    ]
+    # fleet path: same unpacking, vectorized
+    fleet = sorted(
+        load_netcdf_fleet(spark, str(tmp_path / "*.nc")).collect(),
+        key=lambda r: r["time"],
+    )
+    assert [r["value"] for r in fleet] == [
+        pytest.approx(2.1),
+        None,
+        pytest.approx(2.3),
+    ]
+
+    bad = str(tmp_path / "bad_unit.nc")
+    write_netcdf3(
+        bad,
+        {"time": None},
+        [
+            Nc3Variable(
+                "time",
+                ("time",),
+                np.array([0.0]),
+                {"units": "fortnights since 2024-01-01 00:00:00"},
+            ),
+            Nc3Variable("v", ("time",), np.array([1.0])),
+        ],
+    )
+    with pytest.raises(ValueError, match="unsupported CF time unit"):
+        load_netcdf(spark, bad).collect()
+
+
+def test_read_any_error_routing(tmp_path):
+    """ADVICE r9: only a failed signature sniff maps to the 'neither
+    signature' error; a valid HDF5 signature with corrupt internals
+    propagates its structural message."""
+    from cassandra_fs_pp_spark.sources.netcdf import _read_any
+
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="neither classic NetCDF nor HDF5"):
+        _read_any(str(junk))
+
+    corrupt = tmp_path / "corrupt.h5"
+    corrupt.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\xff" * 256)
+    with pytest.raises((ValueError, NotImplementedError)) as ei:
+        _read_any(str(corrupt))
+    assert "neither" not in str(ei.value)

@@ -368,3 +368,86 @@ def test_rag_mmr_rerank_greedy_properties(spark):
     for r in out:
         if r["rank"] > 1:
             assert r["mmr_score"] <= 0.7 * r["rel"] + 0.3  # |cos| <= 1
+
+
+def _write_mmr_corpus(tmpdir, docs, vecs):
+    """Tiny documents/embeddings parquet pair for MMR edge-case tests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc_tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(doc_tbl, f"{tmpdir}/documents.parquet")
+    pq.write_table(emb_tbl, f"{tmpdir}/embeddings.parquet")
+
+
+def _mmr_oracle_rows(tmpdir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmpdir}/{t}.parquet'"
+        )
+    return con.execute(entrymod.oracle_sql()["rag_mmr_rerank"]).fetchall()
+
+
+def test_rag_mmr_rerank_candidate_missing_embedding(spark, tmp_path):
+    """ADVICE r9: a candidate doc_id absent from embeddings must not
+    diverge from the oracle — the greedy is seeded from the candidate
+    set (oracle's sel1 picks FROM cand) and steps >=2 mirror the
+    oracle's inner join to sim (edge-less candidates excluded)."""
+    docs = [
+        (0, "spark join window filler"),
+        (1, "spark join other words here"),
+        (2, "spark window more words here"),
+        (3, "spark spark join join window window spark join window"),
+    ]
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.8, 0.6, 0.0]), (2, [0.0, 1.0, 0.0])]
+    _write_mmr_corpus(tmp_path, docs, vecs)
+    got = [
+        (r["doc_id"], r["rank"], r["rel"], r["mmr_score"])
+        for r in entrymod.queries()["rag_mmr_rerank"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    want = [(d, r, rel, s) for d, r, rel, s in _mmr_oracle_rows(tmp_path)]
+    assert got == want
+    # doc 3 IS a candidate (lex top) yet unembedded: present in neither
+    # output past the edge-less exclusion, but the runs must agree on
+    # every emitted row
+    assert len(got) >= 1
+
+
+def test_rag_mmr_rerank_single_candidate(spark, tmp_path):
+    """ADVICE r9: a 1-candidate corpus yields ZERO similarity pairs —
+    the seed rows keep the applyInPandas group alive, matching the
+    oracle's sel1 (which emits the single candidate at rank 1)."""
+    docs = [(0, "spark join window")]
+    vecs = [(0, [1.0, 0.0, 0.0])]
+    _write_mmr_corpus(tmp_path, docs, vecs)
+    got = [
+        (r["doc_id"], r["rank"], r["rel"], r["mmr_score"])
+        for r in entrymod.queries()["rag_mmr_rerank"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    want = [(d, r, rel, s) for d, r, rel, s in _mmr_oracle_rows(tmp_path)]
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 0 and got[0][1] == 1
