@@ -6605,6 +6605,85 @@ FROM u CROSS JOIN mx
 """
 
 
+def a_rfm_segments_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintiles banded by acquisition cohort — the fleet-scale
+    valve for ``a_rfm_segments`` made first-class (the
+    ``p_debounce_burst`` -> ``p_debounce_burst_keyed`` precedent, per
+    VERDICT r9 item 2).  ``a_rfm_segments``'s three global ntile
+    windows rank the reduced user dimension in ONE partition — fine at
+    parity scale, a single-partition sort when the user dimension is
+    itself billions of rows.  Here each quintile window partitions by
+    the user's acquisition cohort (calendar month of first event) — the
+    standard "RFM within cohort" segmentation, and every window input
+    is one cohort's users, so the rank spreads over the cohort hash
+    space and wall time stays ~flat as the fleet grows.  Scores stay
+    exact: deterministic user_id tie-break inside each cohort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    base = users.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.to_date(F.date_trunc("month", F.col("first_ts"))).alias(
+            "cohort_month"
+        ),
+        F.datediff("__mx", "last_ts").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.partitionBy("cohort_month").orderBy(
+        F.asc("recency_days"), F.asc("user_id")
+    )
+    f_w = Window.partitionBy("cohort_month").orderBy(
+        F.desc("frequency"), F.asc("user_id")
+    )
+    m_w = Window.partitionBy("cohort_month").orderBy(
+        F.desc("monetary_cents"), F.asc("user_id")
+    )
+    return base.select(
+        "user_id",
+        "cohort_month",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+
+
+A_RFM_BANDED_ORACLE = """
+WITH u AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), mx AS (SELECT max(ts) AS m FROM events WHERE value IS NOT NULL)
+SELECT user_id,
+       CAST(date_trunc('month', first_ts) AS DATE) AS cohort_month,
+       CAST(datediff('day', last_ts, mx.m) AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(ntile(5) OVER (
+              PARTITION BY date_trunc('month', first_ts)
+              ORDER BY datediff('day', last_ts, mx.m), user_id)
+            AS INT) AS r_score,
+       CAST(ntile(5) OVER (
+              PARTITION BY date_trunc('month', first_ts)
+              ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+       CAST(ntile(5) OVER (
+              PARTITION BY date_trunc('month', first_ts)
+              ORDER BY monetary_cents DESC, user_id) AS INT) AS m_score
+FROM u CROSS JOIN mx
+"""
+
+
 def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution — the marketing-analytics shape beside
     ``a_funnel``/``a_transition_matrix``: every ``purchase`` conversion
@@ -11616,6 +11695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window together with the 13 remaining r03 queries
         "a_attribution_credit": a_attribution_credit,
         "a_rfm_segments": a_rfm_segments,
+        "a_rfm_segments_banded": a_rfm_segments_banded,
         "text_rake_keywords": text_rake_keywords,
         # (driver-green in r2-r8; full local oracle sweep re-verifies
         # at HEAD)
@@ -11914,6 +11994,7 @@ def oracle_sql() -> dict[str, str]:
         "a_funnel": A_FUNNEL_ORACLE,
         "a_attribution_credit": A_ATTRIBUTION_ORACLE,
         "a_rfm_segments": A_RFM_ORACLE,
+        "a_rfm_segments_banded": A_RFM_BANDED_ORACLE,
         "text_rake_keywords": _rake_sql(),
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,

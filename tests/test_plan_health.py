@@ -451,3 +451,14 @@ def test_rag_mmr_rerank_single_candidate(spark, tmp_path):
     want = [(d, r, rel, s) for d, r, rel, s in _mmr_oracle_rows(tmp_path)]
     assert got == want
     assert len(got) == 1 and got[0][0] == 0 and got[0][1] == 1
+
+
+def test_rfm_banded_windows_partitioned(spark):
+    """a_rfm_segments_banded: every ntile window partitions by
+    cohort_month (the fleet valve — no single-partition global sort),
+    and the user reduction is one partial-aggregated exchange."""
+    df = entrymod.queries()["a_rfm_segments_banded"](spark, SF)
+    plan = _formatted_plan(df)
+    for m in re.finditer(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan):
+        assert "cohort_month" in m.group(1), plan
+    assert _n(plan, "Window") >= 3, plan
