@@ -5934,6 +5934,51 @@ FROM ranked GROUP BY doc_id
 """
 
 
+VERBATIM_K = 8
+
+
+def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-substring dedup at ARBITRARY alignment (the Lee et al.
+    suffix-array dedup shape, distributed): every maximal span of >= 8
+    whitespace tokens occurring verbatim at >= 2 (doc, position) sites
+    corpus-wide. Complements the chunk-granular ``dedup_spans`` (fixed
+    16-word alignment misses shifted repeats) and the shift-robust-but-
+    approximate ``text_cdc_chunks``. See
+    ``operators.textdedup.verbatim_spans`` for the O(total shingles)
+    no-pair-explosion argument."""
+    from cassandra_fs_pp_spark.operators.textdedup import verbatim_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return verbatim_spans(docs, k=VERBATIM_K)
+
+
+DEDUP_VERBATIM_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(len(ws) - {VERBATIM_K} + 1)) AS pos, ws
+  FROM tok WHERE len(ws) >= {VERBATIM_K}),
+shing AS (
+  SELECT doc_id, pos,
+         array_to_string(ws[pos+1 : pos+{VERBATIM_K}], ' ') AS shingle
+  FROM pos),
+dup AS (
+  SELECT shingle FROM shing GROUP BY shingle HAVING count(*) >= 2),
+hit AS (
+  SELECT s.doc_id, s.pos FROM shing s JOIN dup d USING (shingle)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hit)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {VERBATIM_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {VERBATIM_K} AS BIGINT) AS n_tokens
+FROM runs GROUP BY doc_id, grp
+"""
+
+
 def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity score (cheap LM-perplexity proxy): each doc's
     mean corpus-wide frequency of its bigrams. Two aggregations + one
@@ -11658,6 +11703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "a_gini": a_gini,
         "dedup_spans": dedup_spans,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
         "a8_sliding_window": a8_sliding_window,
         "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
@@ -12014,6 +12060,7 @@ def oracle_sql() -> dict[str, str]:
         "w_rolling_corr": W_ROLLING_CORR_ORACLE,
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
         "dedup_spans": DEDUP_SPANS_ORACLE,
+        "dedup_verbatim_spans": DEDUP_VERBATIM_ORACLE,
         "text_lm_familiarity": TEXT_LM_FAMILIARITY_ORACLE,
         "curation_domain_mix": CURATION_DOMAIN_MIX_ORACLE,
         "p_debounce_burst": P_DEBOUNCE_ORACLE,

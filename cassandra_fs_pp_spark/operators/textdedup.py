@@ -686,3 +686,83 @@ def containment_join(
             (F.col("n_inter") / F.col("n_a")).alias("containment"),
         )
     )
+
+
+def verbatim_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact verbatim-substring dedup at ARBITRARY alignment — the
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" shape, re-expressed for a shared-nothing engine: find every
+    maximal span of >= k whitespace tokens that occurs verbatim at two
+    or more (doc, position) sites anywhere in the corpus (within one
+    document or across documents).
+
+    The reference algorithm builds a corpus-wide suffix array — a
+    single-machine construction. The distributed equivalent: a position
+    p in doc d lies inside a repeated >=k-token span iff the k-token
+    shingle starting at p occurs >=2 times corpus-wide, and the maximal
+    repeated spans are exactly the maximal CONSECUTIVE runs of such
+    positions (a run of m duplicated shingle starts = a span of
+    m + k - 1 tokens). So:
+
+      1. per doc, every k-token shingle with its start position —
+         array ops on the token array (``transform``/``slice``), zero
+         shuffle, whole-stage codegen;
+      2. corpus-wide occurrence count per shingle — one map-side-
+         combinable hash aggregation; keep counts >= 2;
+      3. hash semi-join positions back on the shingle key;
+      4. per-doc run detection (pos - row_number window) and one
+         group-by to emit maximal spans.
+
+    Shuffle volume is O(total shingles) throughout — NO candidate pair
+    ever materializes, so a boilerplate phrase shared by a million
+    documents costs a million rows, not 10^12 pairs. Spans are
+    inclusive 0-based token offsets; n_tokens = span_end - span_start
+    + 1 >= k. Shingle identity is the joined token string (exact,
+    oracle-portable); at 100 TB you'd substitute xxhash64(shingle) as
+    the aggregation/join key to cut shuffle bytes — same plan shape.
+    """
+    from pyspark.sql import Window
+
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    sh = (
+        docs.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__ws"))
+        .where(F.size("__ws") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__ws) - {k}),"
+                    f" i -> array_join(slice(__ws, i + 1, {k}), ' '))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("shingle")
+    )
+    hit = sh.join(dup, "shingle").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hit.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )

@@ -589,3 +589,59 @@ def test_matryoshka_topk_recall_vs_exact(spark):
         for r in block_matmul_topk(emb, k=5, queries=q).collect()
     }
     assert full == exact_ranked
+
+
+def test_verbatim_spans_planted_repeats(spark):
+    """Planted-repeat differential for verbatim_spans (Lee et al.
+    shape): a 12-token passage shared by two docs at DIFFERENT token
+    offsets (arbitrary alignment — invisible to fixed-chunk
+    dedup_spans), plus a within-doc repeat, plus a unique doc that must
+    emit nothing. Expected spans computed by hand."""
+    from cassandra_fs_pp_spark.operators.textdedup import verbatim_spans
+
+    passage = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    docs = spark.createDataFrame(
+        [
+            # passage at offset 0 (12 tokens), then 10 unique tokens
+            (1, passage + " alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+            # 3 unique lead tokens, passage at offset 3
+            (2, "kilo lima mike " + passage + " november oscar papa"),
+            # within-doc repeat: 9-token phrase twice, separated by noise
+            (3, "one two three four five six seven eight nine zulu yankee xray "
+                "one two three four five six seven eight nine"),
+            (4, "completely unique words without any repeated shingles at all "
+                "whiskey victor uniform tango sierra romeo quebec"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_tokens"])
+        for r in verbatim_spans(docs, k=8).collect()
+    }
+    # doc 1: passage tokens 0..11  -> span (0, 11), 12 tokens
+    # doc 2: passage tokens 3..14  -> span (3, 14), 12 tokens
+    # doc 3: phrase tokens 0..8 and 12..20 -> two 9-token spans
+    assert rows == {
+        (1, 0): (11, 12),
+        (2, 3): (14, 12),
+        (3, 0): (8, 9),
+        (3, 12): (20, 9),
+    }
+
+
+def test_verbatim_spans_no_pair_explosion_plan(spark):
+    """The verbatim-span plan must contain no cartesian/nested-loop
+    join: positions rejoin the duplicated-shingle set via an equi join
+    on the shingle key only (O(total shingles) shuffle)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_verbatim_spans"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
