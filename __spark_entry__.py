@@ -6762,8 +6762,16 @@ def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
         )
     )
+    return _attribution_rollup(j)
+
+
+def _attribution_rollup(pairs: DataFrame) -> DataFrame:
+    """Per-conversion ranking + channel credit rollup over a
+    (conv_id, channel, touch_ts, touch_id) pair frame — shared by the
+    batch query and its streaming twin (which maintains the pair frame
+    incrementally)."""
     wc = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
-    ranked = j.select(
+    ranked = pairs.select(
         "conv_id",
         "channel",
         F.row_number().over(wc).alias("rn"),
@@ -6788,6 +6796,70 @@ def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("touchpoints"),
         )
     )
+
+
+def stream_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``a_attribution_credit`` (VERDICT r9 item 6):
+    the 7-day-lookback conversion-touch pairing runs as a WATERMARKED
+    STREAM-STREAM INTERVAL JOIN (both sides carry 7-day watermarks and
+    the join predicate bounds touch_ts to (conv_ts - 7d, conv_ts], so
+    the state store evicts rows once event time passes the lookback —
+    the required shape for unbounded ingest), and every emitted
+    (conversion, touch) pair lands in an idempotent foreachBatch ledger
+    upsert keyed by (conv_id, touch_id) — at-least-once replays and
+    pairs split across micro-batches merge to the same ledger.  The
+    per-conversion ranking + channel rollup (``_attribution_rollup``,
+    the exact batch code) reads the drained ledger, so drain == batch
+    holds by construction regardless of micro-batch boundaries.  At
+    scale the ledger parquet becomes a MERGE-capable table
+    (``foreach_batch_upsert`` docstring) and the rollup an incremental
+    downstream consumer."""
+    import tempfile as _tf
+
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        foreach_batch_upsert,
+        stream_table,
+    )
+
+    tune(spark)
+    conv = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("conv_id"),
+            F.col("ts").alias("conv_ts"),
+        )
+        .withWatermark("conv_ts", "7 days")
+    )
+    touch = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "signup"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("channel"),
+            F.col("ts").alias("touch_ts"),
+        )
+        .withWatermark("touch_ts", "7 days")
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select("conv_id", "channel", "touch_ts", "touch_id")
+    snap = os.path.join(_tf.mkdtemp(prefix="attrib_ledger_"), "pairs")
+    q = foreach_batch_upsert(
+        pairs,
+        snap,
+        key=["conv_id", "touch_id"],
+        order_by=["touch_ts"],
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return _attribution_rollup(spark.read.parquet(snap))
 
 
 A_ATTRIBUTION_ORACLE = f"""
@@ -11742,6 +11814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_attribution_credit": a_attribution_credit,
         "a_rfm_segments": a_rfm_segments,
         "a_rfm_segments_banded": a_rfm_segments_banded,
+        "stream_attribution_credit": stream_attribution_credit,
         "text_rake_keywords": text_rake_keywords,
         # (driver-green in r2-r8; full local oracle sweep re-verifies
         # at HEAD)
@@ -12041,6 +12114,8 @@ def oracle_sql() -> dict[str, str]:
         "a_attribution_credit": A_ATTRIBUTION_ORACLE,
         "a_rfm_segments": A_RFM_ORACLE,
         "a_rfm_segments_banded": A_RFM_BANDED_ORACLE,
+        # streaming twin: identical ledger semantics -> identical oracle
+        "stream_attribution_credit": A_ATTRIBUTION_ORACLE,
         "text_rake_keywords": _rake_sql(),
         "text_tfidf": TEXT_TFIDF_ORACLE,
         "text_bm25_topk": TEXT_BM25_ORACLE,

@@ -477,6 +477,7 @@ def foreach_batch_upsert(
     order_by: Sequence[str],
     *,
     checkpoint_dir: str | None = None,
+    output_mode: str = "update",
 ):
     """Incremental keyed-upsert sink — the ``foreachBatch`` MERGE loop.
 
@@ -547,8 +548,11 @@ def foreach_batch_upsert(
         tempfile.mkdtemp(prefix="ckpt_"), "upsert"
     )
     return (
+        # output_mode is "append" when the upstream contains a
+        # stream-stream join (joins only support append); the merge
+        # itself is mode-agnostic — latest-wins keyed upsert either way
         stream_df.writeStream.foreachBatch(_merge)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

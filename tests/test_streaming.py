@@ -678,3 +678,39 @@ def test_stream_geofence_drain_matches_batch(spark):
         for r in m.stream_geofence_admit(spark, sf).collect()
     }
     assert drained == batch
+
+
+def test_stream_attribution_drain_matches_batch(spark):
+    """stream_attribution_credit (watermarked stream-stream interval
+    join -> idempotent (conv_id, touch_id) ledger upsert -> shared
+    rollup) drains availableNow to EXACTLY the batch twin's channel
+    credit table."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: r["channel"]  # noqa: E731
+    got = sorted(
+        (
+            (
+                r["channel"],
+                r["first_touch"],
+                r["last_touch"],
+                r["linear_microcredit"],
+                r["touchpoints"],
+            )
+            for r in m.queries()["stream_attribution_credit"](spark, sf).collect()
+        ),
+    )
+    want = sorted(
+        (
+            (
+                r["channel"],
+                r["first_touch"],
+                r["last_touch"],
+                r["linear_microcredit"],
+                r["touchpoints"],
+            )
+            for r in m.queries()["a_attribution_credit"](spark, sf).collect()
+        ),
+    )
+    assert got == want and len(got) >= 1
