@@ -11736,139 +11736,119 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-9 rotation (VERDICT r8
-    # item 1): (a) the 10 r02-spilled queries lead; (b) everything whose code
-    # or oracle changed in r9 plus the two NEW r9 queries; (c) the first 35
-    # of the 48-query r03-last-green tail.  The remaining 13 r03 queries
-    # (w_first_last, w_rolling_corr, w_step_detect, p_debounce_burst,
-    # dq_referential_audit, dq_null_profile, f_json_parse, f_map_suite,
-    # f_url_suite, agg_cube, agg_grouping_sets, tpch_q16_supplier_count,
-    # tpch_q21_shape) lead the planned r10 window.
+    # prefix window (50 entries) of this dict.  Round-10 rotation (VERDICT
+    # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
+    # (a_attribution_credit's rollup was also refactored in r10 for the
+    # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
+    # three NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
+    # changed in r10; (d) the 24 r04-last-green queries and the first 6 of
+    # the r06 tail.  After this window no query's driver evidence predates
+    # r06.  Beyond the window the registry is ordered by ascending driver-
+    # evidence freshness (r06 remainder first, from a_weighted_median), so
+    # the planned r11 window is simply the next 50 entries; the 3 sketch
+    # queries stay pinned last (rows-only by nature, never in a window).
     return {
-        # ============ r9 driver window (first 50 entries) ============
-        # --- (a) the 10 r02-spilled queries (VERDICT r8 item 1) ---
-        "text_split_assign": text_split_assign,
-        "text_token_topk": text_token_topk,
-        "text_repetition": text_repetition,
-        "text_bigram_pmi": text_bigram_pmi,
-        "curation_stratified_sample": curation_stratified_sample,
-        "curation_quality_filter": curation_quality_filter,
-        "curation_source_budget": curation_source_budget,
-        "curation_weighted_sample": curation_weighted_sample,
-        "mm_image_meta": mm_image_meta,
-        "mm_image_stats": mm_image_stats,
-        # --- (b) r9 code/oracle changes + new queries:
-        #     ts_dominant_period graduated to a full oracle (exact
-        #     integer-DFT harmonic argmax); ts_periodogram_int shares
-        #     the touched basis builder; rag_hybrid_minmax refactored
-        #     onto the shared _hybrid_fused candidate builder;
-        #     rag_mmr_rerank + stream_geofence_admit are new ---
-        "ts_dominant_period": ts_dominant_period,
-        "ts_periodogram_int": ts_periodogram_int,
-        "rag_hybrid_minmax": rag_hybrid_minmax,
-        "rag_mmr_rerank": rag_mmr_rerank,
-        "stream_geofence_admit": stream_geofence_admit,
-        # --- (c) first 35 of the 48-query r03-last-green tail
-        #     (registry order); the remaining 13 (w_first_last ..
-        #     tpch_q21_shape) lead the planned r10 window, after which
-        #     no query's driver evidence predates r04 ---
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "a_gini": a_gini,
-        "dedup_spans": dedup_spans,
-        "dedup_verbatim_spans": dedup_verbatim_spans,
-        "a8_sliding_window": a8_sliding_window,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_label_inertia": emb_label_inertia,
-        "text_hash_features": text_hash_features,
-        "text_lm_familiarity": text_lm_familiarity,
-        "dedup_url_canonical": dedup_url_canonical,
-        "curation_domain_mix": curation_domain_mix,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        "stream_fleet_hourly": stream_fleet_hourly,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "op_scd2_intervals": op_scd2_intervals,
-        "j_temporal_scd2": j_temporal_scd2,
-        "j_skew_salted": j_skew_salted,
-        "a_sessionize": a_sessionize,
-        "a_linreg_trend": a_linreg_trend,
-        "ann_adc_topk": ann_adc_topk,
-        "a_quantiles": a_quantiles,
-        "a_cohort_retention": a_cohort_retention,
-        "a_corr_regr": a_corr_regr,
-        "a_funnel": a_funnel,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_chi_square": a_chi_square,
-        "a_winsorized_stats": a_winsorized_stats,
-        "a_histogram_equidepth": a_histogram_equidepth,
-        # ============ beyond the 50-entry window ============
-        # NEW in late r9 (never driver-checked): leads the planned r10
-        # window together with the 13 remaining r03 queries
+        # ============ r10 driver window (first 50 entries) ============
+        # --- (a) late-r9, never driver-checked ---
         "a_attribution_credit": a_attribution_credit,
         "a_rfm_segments": a_rfm_segments,
-        "a_rfm_segments_banded": a_rfm_segments_banded,
-        "stream_attribution_credit": stream_attribution_credit,
         "text_rake_keywords": text_rake_keywords,
-        # (driver-green in r2-r8; full local oracle sweep re-verifies
-        # at HEAD)
-        # --- (a) late-r7, never driver-checked ---
-        "rag_rrf_fusion": rag_rrf_fusion,
-        "curation_mixture_temperature": curation_mixture_temperature,
-        "text_ngram_novelty": text_ngram_novelty,
-        "graph_degree_assortativity": graph_degree_assortativity,
-        "graph_pagerank": graph_pagerank,
-        "a_hodges_lehmann": a_hodges_lehmann,
-        "graph_clustering_coeff": graph_clustering_coeff,
-        "w_seasonal_naive_error": w_seasonal_naive_error,
-        "text_bigram_entropy": text_bigram_entropy,
-        # --- (b) r8 code/oracle changes + new queries ---
-        "mm_phash_pairs": mm_phash_pairs,
-        "emb_pca_project": emb_pca_project,
-        "ann_lsh_topk": ann_lsh_topk,
-        "w_rolling_skewkurt": w_rolling_skewkurt,
-        "p_debounce_burst_keyed": p_debounce_burst_keyed,
-        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
-        "geo_point_in_polygon": geo_point_in_polygon,
-        "stream_debounce_admit": stream_debounce_admit,
-        # --- (c) r02-last-green tail (31 of 41) ---
-        "fleet_udg_filter": fleet_udg_filter,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "mm_png_roundtrip": mm_png_roundtrip,
-        "tpch_q12_latemode": tpch_q12_latemode,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q16_partsupp": tpch_q16_partsupp,
-        "w2_centered_median": w2_centered_median,
-        "w3_count_window_median": w3_count_window_median,
-        "w4_trailing_mean_minp": w4_trailing_mean_minp,
-        "w7_ts_delta": w7_ts_delta,
-        "w10_first_after": w10_first_after,
-        "j3_outer_align": j3_outer_align,
-        "j6_dim_attach": j6_dim_attach,
-        "j4_asof_forward": j4_asof_forward,
-        "a4_distinct_counts": a4_distinct_counts,
-        "a9_head_mean": a9_head_mean,
-        "r1_melt": r1_melt,
-        "p5_regex_projection": p5_regex_projection,
-        "stream_dedup_counts": stream_dedup_counts,
-        "stream_session_agg": stream_session_agg,
-        "fleet_tdr_depth": fleet_tdr_depth,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_banded": dedup_simhash_banded,
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "text_winnow_fingerprints": text_winnow_fingerprints,
-        "text_stats": text_stats,
-        "text_lang_id": text_lang_id,
-        "text_pii_redact": text_pii_redact,
+        # --- (b) the 13 r03-last-green tail queries ---
+        "w_first_last": w_first_last,
+        "w_rolling_corr": w_rolling_corr,
+        "w_step_detect": w_step_detect,
+        "p_debounce_burst": p_debounce_burst,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "f_url_suite": f_url_suite,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        # --- (c) new in r10 / code changed in r10 ---
+        "a_rfm_segments_banded": a_rfm_segments_banded,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
+        "stream_attribution_credit": stream_attribution_credit,
+        "rag_mmr_rerank": rag_mmr_rerank,
+        # --- (d) the 24 r04-last-green queries ---
+        "dq_table_digest": dq_table_digest,
+        "ts_cusum_alerts": ts_cusum_alerts,
+        "fuzzy_match_join": fuzzy_match_join,
+        "geo_grid_join": geo_grid_join,
+        "a_heavy_hitters_mg": a_heavy_hitters_mg,
+        "rag_chunk_topk": rag_chunk_topk,
+        "op_incremental_rollup": op_incremental_rollup,
+        "ts_ewma": ts_ewma,
+        "layout_zorder_stats": layout_zorder_stats,
+        "a_bitmap_distinct": a_bitmap_distinct,
+        "text_cdc_chunks": text_cdc_chunks,
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "ann_ivf_topk": ann_ivf_topk,
+        "j_interval_overlap": j_interval_overlap,
+        "f_collections": f_collections,
+        "j_bloom_semi": j_bloom_semi,
+        "dq_benford": dq_benford,
+        "f_bitwise_suite": f_bitwise_suite,
+        "a_theil_sen": a_theil_sen,
+        "stream_holt_linear": stream_holt_linear,
+        "f_higher_order": f_higher_order,
+        # --- (d) first 6 of the r06-last-green tail ---
+        "w_bollinger_bands": w_bollinger_bands,
+        "a_autocorr": a_autocorr,
+        "layout_file_stats": layout_file_stats,
+        "w_rolling_slope": w_rolling_slope,
+        "op_cdc_merge": op_cdc_merge,
+        "dq_rule_violations": dq_rule_violations,
+        # ============ beyond the 50-entry window ============
+        # ascending driver-evidence freshness: r06 remainder (the
+        # planned r11 window head), then r07, r08, r09 — all
+        # re-verified by the full local oracle sweep at HEAD
+        "a_weighted_median": a_weighted_median,
+        "op_snapshot_diff": op_snapshot_diff,
+        "curation_epoch_upsample": curation_epoch_upsample,
+        "a_seasonality_strength": a_seasonality_strength,
+        "w_ohlc": w_ohlc,
+        "w_drawdown": w_drawdown,
+        "a_entropy_transitions": a_entropy_transitions,
+        "a_mann_whitney": a_mann_whitney,
+        "a_runs_test": a_runs_test,
+        "a_kmv_distinct": a_kmv_distinct,
+        "graph_bfs_levels": graph_bfs_levels,
+        "dq_schema_drift": dq_schema_drift,
+        "w_kalman_1d": w_kalman_1d,
+        "ts_sax_symbols": ts_sax_symbols,
+        "w_ewma_irregular": w_ewma_irregular,
+        "graph_jaccard_similarity": graph_jaccard_similarity,
+        "graph_kcore": graph_kcore,
+        "dedup_setsim_join": dedup_setsim_join,
+        "dedup_containment": dedup_containment,
+        "tpch_q1": tpch_q1,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "flagship_events_hourly": flagship_events_hourly,
+        "dedup_minhash_cluster": dedup_minhash_cluster,
+        "ann_block_topk": ann_block_topk,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_gram_matrix": emb_gram_matrix,
+        "curation_pipeline": curation_pipeline,
+        "curation_decontaminate": curation_decontaminate,
+        "curation_quality_logreg": curation_quality_logreg,
+        "text_tfidf": text_tfidf,
+        "text_zipf_fit": text_zipf_fit,
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+        "stream_cusum_alerts": stream_cusum_alerts,
+        "stream_hourly_agg": stream_hourly_agg,
+        "graph_triangle_count": graph_triangle_count,
+        "graph_connected_components": graph_connected_components,
+        "w1_rolling_median_2d": w1_rolling_median_2d,
+        "w_hampel_outliers": w_hampel_outliers,
+        "j4_asof_backward": j4_asof_backward,
+        "j_asof_nearest": j_asof_nearest,
         "a1_median_slice": a1_median_slice,
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
@@ -11918,70 +11898,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_mann_kendall": a_mann_kendall,
         "text_bm25_topk": text_bm25_topk,
         "op_compaction_plan": op_compaction_plan,
-        "w_bollinger_bands": w_bollinger_bands,
-        "a_autocorr": a_autocorr,
-        "layout_file_stats": layout_file_stats,
-        "w_rolling_slope": w_rolling_slope,
-        "op_cdc_merge": op_cdc_merge,
-        "dq_rule_violations": dq_rule_violations,
-        "a_weighted_median": a_weighted_median,
-        "op_snapshot_diff": op_snapshot_diff,
-        "curation_epoch_upsample": curation_epoch_upsample,
-        "a_seasonality_strength": a_seasonality_strength,
-        "w_ohlc": w_ohlc,
-        "w_drawdown": w_drawdown,
-        "a_entropy_transitions": a_entropy_transitions,
-        "a_mann_whitney": a_mann_whitney,
-        "a_runs_test": a_runs_test,
-        "a_kmv_distinct": a_kmv_distinct,
-        "graph_bfs_levels": graph_bfs_levels,
-        "dq_schema_drift": dq_schema_drift,
-        "w_kalman_1d": w_kalman_1d,
-        "ts_sax_symbols": ts_sax_symbols,
-        "w_ewma_irregular": w_ewma_irregular,
-        "graph_jaccard_similarity": graph_jaccard_similarity,
-        "graph_kcore": graph_kcore,
-        "dedup_setsim_join": dedup_setsim_join,
-        "dedup_containment": dedup_containment,
-        "tpch_q1": tpch_q1,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
-        "flagship_events_hourly": flagship_events_hourly,
-        "dedup_minhash_cluster": dedup_minhash_cluster,
-        "ann_block_topk": ann_block_topk,
-        "ann_matryoshka_topk": ann_matryoshka_topk,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_gram_matrix": emb_gram_matrix,
-        "curation_pipeline": curation_pipeline,
-        "curation_decontaminate": curation_decontaminate,
-        "curation_quality_logreg": curation_quality_logreg,
-        "text_tfidf": text_tfidf,
-        "text_zipf_fit": text_zipf_fit,
-        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
-        "stream_cusum_alerts": stream_cusum_alerts,
-        "stream_hourly_agg": stream_hourly_agg,
-        "graph_triangle_count": graph_triangle_count,
-        "graph_connected_components": graph_connected_components,
-        "w1_rolling_median_2d": w1_rolling_median_2d,
-        "w_hampel_outliers": w_hampel_outliers,
-        "j4_asof_backward": j4_asof_backward,
-        "j_asof_nearest": j_asof_nearest,
-        "dq_table_digest": dq_table_digest,
-        "ts_cusum_alerts": ts_cusum_alerts,
-        "fuzzy_match_join": fuzzy_match_join,
-        "geo_grid_join": geo_grid_join,
-        "a_heavy_hitters_mg": a_heavy_hitters_mg,
-        "rag_chunk_topk": rag_chunk_topk,
-        "op_incremental_rollup": op_incremental_rollup,
-        "ts_ewma": ts_ewma,
-        "layout_zorder_stats": layout_zorder_stats,
-        "a_bitmap_distinct": a_bitmap_distinct,
-        "text_cdc_chunks": text_cdc_chunks,
-        "emb_scalar_quantize": emb_scalar_quantize,
-        "curation_shuffle_shard": curation_shuffle_shard,
-        "r4_transpose": r4_transpose,
-        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "ann_ivf_topk": ann_ivf_topk,
-        "j_interval_overlap": j_interval_overlap,
+        "rag_rrf_fusion": rag_rrf_fusion,
+        "curation_mixture_temperature": curation_mixture_temperature,
+        "text_ngram_novelty": text_ngram_novelty,
+        "graph_degree_assortativity": graph_degree_assortativity,
+        "graph_pagerank": graph_pagerank,
+        "a_hodges_lehmann": a_hodges_lehmann,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "w_seasonal_naive_error": w_seasonal_naive_error,
+        "text_bigram_entropy": text_bigram_entropy,
+        "mm_phash_pairs": mm_phash_pairs,
+        "emb_pca_project": emb_pca_project,
+        "ann_lsh_topk": ann_lsh_topk,
+        "w_rolling_skewkurt": w_rolling_skewkurt,
+        "p_debounce_burst_keyed": p_debounce_burst_keyed,
+        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
+        "geo_point_in_polygon": geo_point_in_polygon,
+        "stream_debounce_admit": stream_debounce_admit,
+        "fleet_udg_filter": fleet_udg_filter,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "mm_png_roundtrip": mm_png_roundtrip,
+        "tpch_q12_latemode": tpch_q12_latemode,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q16_partsupp": tpch_q16_partsupp,
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "j4_asof_forward": j4_asof_forward,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a9_head_mean": a9_head_mean,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
+        "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
+        "fleet_tdr_depth": fleet_tdr_depth,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_banded": dedup_simhash_banded,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "text_pii_redact": text_pii_redact,
+        "text_split_assign": text_split_assign,
+        "text_token_topk": text_token_topk,
+        "text_repetition": text_repetition,
+        "text_bigram_pmi": text_bigram_pmi,
+        "curation_stratified_sample": curation_stratified_sample,
+        "curation_quality_filter": curation_quality_filter,
+        "curation_source_budget": curation_source_budget,
+        "curation_weighted_sample": curation_weighted_sample,
+        "mm_image_meta": mm_image_meta,
+        "mm_image_stats": mm_image_stats,
+        "ts_dominant_period": ts_dominant_period,
+        "ts_periodogram_int": ts_periodogram_int,
+        "rag_hybrid_minmax": rag_hybrid_minmax,
+        "stream_geofence_admit": stream_geofence_admit,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "a_gini": a_gini,
+        "dedup_spans": dedup_spans,
+        "a8_sliding_window": a8_sliding_window,
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "text_hash_features": text_hash_features,
+        "text_lm_familiarity": text_lm_familiarity,
+        "dedup_url_canonical": dedup_url_canonical,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        "stream_fleet_hourly": stream_fleet_hourly,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "op_scd2_intervals": op_scd2_intervals,
+        "j_temporal_scd2": j_temporal_scd2,
+        "j_skew_salted": j_skew_salted,
+        "a_sessionize": a_sessionize,
+        "a_linreg_trend": a_linreg_trend,
+        "ann_adc_topk": ann_adc_topk,
+        "a_quantiles": a_quantiles,
+        "a_cohort_retention": a_cohort_retention,
+        "a_corr_regr": a_corr_regr,
+        "a_funnel": a_funnel,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_chi_square": a_chi_square,
+        "a_winsorized_stats": a_winsorized_stats,
+        "a_histogram_equidepth": a_histogram_equidepth,
         # rows-only BY NATURE: the output IS an HLL++ estimate; no
         # cross-engine "correct" value exists short of exact counting
         # (that's a4_distinct_counts) — bound-vs-exact pytest instead
@@ -11989,29 +12002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only BY NATURE: materializes Spark-internal HLL sketch
         # blobs (the mergeability IS the demo); DuckDB can't parse them
         "a_hll_mergeable": a_hll_mergeable,
-        "f_collections": f_collections,
-        "j_bloom_semi": j_bloom_semi,
-        "dq_benford": dq_benford,
         # rows-only BY NATURE: GK/KLL quantile summaries are engine-
         # specific inside the shared rank-error window — banded pytest
         "a_approx_quantiles": a_approx_quantiles,
-        "f_bitwise_suite": f_bitwise_suite,
-        "a_theil_sen": a_theil_sen,
-        "stream_holt_linear": stream_holt_linear,
-        "f_higher_order": f_higher_order,
-        "w_first_last": w_first_last,
-        "w_rolling_corr": w_rolling_corr,
-        "w_step_detect": w_step_detect,
-        "p_debounce_burst": p_debounce_burst,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "f_url_suite": f_url_suite,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
     }
 
 

@@ -100,16 +100,21 @@ def main() -> None:
     spark = get_spark("plan_audit")
     qs = entrymod.queries()
     out = [
-        "# PLANS — physical-plan audit of the headline queries",
+        "# PLANS — physical-plan audit of EVERY registry query",
         "",
         f"Generated by `scripts/plan_audit.py` at sf_dir={SF_DIR}. Signals:",
         "filters pushed to every scan, columns pruned at the reader, dim",
         "joins broadcast (AQE re-plans to SMJ past the threshold at scale),",
-        "exchange (shuffle) counts per query.",
+        "exchange (shuffle) counts per query.  Bench headliners first, then",
+        "the full registry in window order — `scripts/doc_check.py` asserts",
+        "every `queries()` entry has a section here, so plan audits can't",
+        "silently lag new queries.",
         "",
     ]
-    for name in [*HEADLINE, *EXTRA]:
-        if name in qs:
+    seen = set()
+    for name in [*HEADLINE, *EXTRA, *qs]:
+        if name in qs and name not in seen:
+            seen.add(name)
             out.append(audit(spark, name, qs[name]))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -277,46 +277,60 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r8 rotation contract: the 10 late-r7 queries that
-    have never been driver-checked, every query whose code or oracle
-    changed this round (the two rows-only graduations, the
-    lazy-checkpoint LSH, the refactored skew/kurt), and every
-    new-this-round query sit inside the window; the window is exactly
-    the intended size; and every window entry carries a full SQL oracle
-    (the gate's hash check needs one)."""
+    entries. Pin the r10 rotation contract (VERDICT r9 item 1): the 3
+    late-r9 queries that were never driver-checked lead, then the 13
+    r03-last-green tail queries, then everything new or code-changed in
+    r10, then the 24 r04-last-green queries + 6 r06 queries; the window
+    is exactly the intended size; every window entry carries a full SQL
+    oracle (the gate's hash check needs one); and the beyond-window
+    tail is ordered stalest-first with the 3 rows-only sketch queries
+    pinned last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
+    # (a) never driver-checked, in order
+    assert window[:3] == [
+        "a_attribution_credit",
+        "a_rfm_segments",
+        "text_rake_keywords",
+    ]
+    # (b) the 13 r03-tail queries
     for q in (
-        # the 10 r02-spilled queries (VERDICT r8 item 1)
-        "text_split_assign",
-        "text_token_topk",
-        "text_repetition",
-        "text_bigram_pmi",
-        "curation_stratified_sample",
-        "curation_quality_filter",
-        "curation_source_budget",
-        "curation_weighted_sample",
-        "mm_image_meta",
-        "mm_image_stats",
-        # r9 code/oracle changes + new queries
-        "ts_dominant_period",
-        "ts_periodogram_int",
-        "rag_hybrid_minmax",
-        "rag_mmr_rerank",
-        "stream_geofence_admit",
+        "w_first_last",
+        "w_rolling_corr",
+        "w_step_detect",
+        "p_debounce_burst",
+        "dq_referential_audit",
+        "dq_null_profile",
+        "f_json_parse",
+        "f_map_suite",
+        "f_url_suite",
+        "agg_cube",
+        "agg_grouping_sets",
+        "tpch_q16_supplier_count",
+        "tpch_q21_shape",
     ):
-        assert q in window, f"{q} must be driver-confirmed this round"
-    # the first 35 of the r03 tail fill the window (the remaining 13
-    # rotate in at r10); position 50 holds the late-r9 new query that
-    # leads the planned r10 window
-    assert window[-1] == "a_histogram_equidepth"
-    assert qs[50] == "a_attribution_credit"
-    assert qs[51] == "a_rfm_segments"
-    assert qs[52] == "text_rake_keywords"
+        assert q in window[3:16], f"{q} must be driver-confirmed this round"
+    # (c) new / code-changed in r10
+    for q in (
+        "a_rfm_segments_banded",
+        "dedup_verbatim_spans",
+        "stream_attribution_credit",
+        "rag_mmr_rerank",
+    ):
+        assert q in window[16:20], f"{q} must be driver-confirmed this round"
+    # (d) window closes on the oldest r06 queries; the r06 remainder
+    # leads the planned r11 window
+    assert window[-1] == "dq_rule_violations"
+    assert qs[50] == "a_weighted_median"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
+    assert qs[-3:] == [
+        "a_approx_distinct",
+        "a_hll_mergeable",
+        "a_approx_quantiles",
+    ]
 
 
 def test_point_in_polygon_broadcast_only(spark):
