@@ -58,14 +58,20 @@ def stream_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the file source needs a DIRECTORY; the test tables are single files ->
-    # stream the parent dir with a glob filter for this table only
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", f"{name}.parquet"
-    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    if os.path.isdir(path):
+        # engine-written table = a DIRECTORY of part files (the layout a
+        # real deployment always has) -> stream it directly
+        df = reader.parquet(path)
+    else:
+        # driver testdata = one bare file per table; the file source
+        # needs a directory -> stream the parent with a glob filter for
+        # this table only.  A directory-shaped table must NOT take this
+        # branch: pathGlobFilter matches FILE names, so it would match
+        # zero part files and drain an empty stream silently.
+        df = reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
     dtypes = dict(df.dtypes)
     for col in NANOS_TS_COLUMNS.get(name, ()):
         # plain TIMESTAMP (not NTZ): watermarks require it, and with the

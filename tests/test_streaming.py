@@ -714,3 +714,22 @@ def test_stream_attribution_drain_matches_batch(spark):
         ),
     )
     assert got == want and len(got) >= 1
+
+
+def test_stream_table_directory_layout(spark, tmp_path):
+    """An engine-written table is a DIRECTORY of part files (the layout
+    a real deployment always has). stream_table must stream those part
+    files — the single-file glob branch would match zero files and
+    silently drain an empty stream (the r10 probe bug)."""
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        run_available_now,
+        stream_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out_dir = str(tmp_path)
+    src.limit(500).repartition(4).write.parquet(f"{out_dir}/events.parquet")
+    batch_n = spark.read.parquet(f"{out_dir}/events.parquet").count()
+    assert batch_n == 500
+    drained = run_available_now(stream_table(spark, out_dir, "events"))
+    assert drained.count() == batch_n
