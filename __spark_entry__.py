@@ -5979,6 +5979,57 @@ FROM runs GROUP BY doc_id, grp
 """
 
 
+def dedup_strip_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTPUT stage of verbatim dedup (the Lee et al. pipeline's
+    actual product): every repeated >= 8-token span is removed except
+    its corpus-wide first occurrence in (doc_id, pos) order; emits the
+    rewritten text + per-doc retention stats for every document. See
+    ``operators.textdedup.strip_verbatim`` for the plan-shape argument
+    (drop sets rebuilt per-row with an index-aware array filter — no
+    token-level shuffle)."""
+    from cassandra_fs_pp_spark.operators.textdedup import strip_verbatim
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_verbatim(docs, k=VERBATIM_K)
+
+
+DEDUP_STRIP_VERBATIM_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+shing AS (
+  SELECT doc_id, pos,
+         array_to_string(ws[pos+1 : pos+{VERBATIM_K}], ' ') AS shingle
+  FROM (SELECT doc_id, unnest(range(len(ws) - {VERBATIM_K} + 1)) AS pos, ws
+        FROM tok WHERE len(ws) >= {VERBATIM_K})),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY shingle) AS n
+  FROM shing),
+dropped AS (
+  SELECT DISTINCT doc_id, pos + u.j AS dp
+  FROM ranked, UNNEST(generate_series(0, {VERBATIM_K - 1})) AS u(j)
+  WHERE n >= 2 AND rn > 1),
+alltok AS (
+  SELECT doc_id, u.j - 1 AS pos, ws[u.j] AS tok
+  FROM tok, UNNEST(generate_series(1, len(ws))) AS u(j)),
+kept AS (
+  SELECT a.doc_id, a.pos, a.tok
+  FROM alltok a ANTI JOIN dropped d
+    ON a.doc_id = d.doc_id AND a.pos = d.dp),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tok t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
 def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity score (cheap LM-perplexity proxy): each doc's
     mean corpus-wide frequency of its bigrams. Two aggregations + one
@@ -6598,8 +6649,9 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic user_id tie-break. The quintile windows rank the
     USER DIMENSION (already reduced map-side from the event scan, so
     |users| rows, not |events|) — the same bounded-domain convention as
-    the single-series parity windows; a fleet-scale variant would band
-    the ntile by a coarse segment key."""
+    the single-series parity windows; the fleet-scale valve is
+    ``a_rfm_segments_banded`` (quintiles within acquisition cohort,
+    benched in SCALE.md r10)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     users = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -11740,13 +11792,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
     # (a_attribution_credit's rollup was also refactored in r10 for the
     # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
-    # three NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
-    # changed in r10; (d) the 24 r04-last-green queries and the first 6 of
+    # four NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
+    # changed in r10; (d) the 24 r04-last-green queries and the first 5 of
     # the r06 tail.  After this window no query's driver evidence predates
     # r06.  Beyond the window the registry is ordered by ascending driver-
-    # evidence freshness (r06 remainder first, from a_weighted_median), so
-    # the planned r11 window is simply the next 50 entries; the 3 sketch
-    # queries stay pinned last (rows-only by nature, never in a window).
+    # evidence freshness (r06 remainder first, from dq_rule_violations),
+    # so the planned r11 window is simply the next 50 entries; the 3
+    # sketch queries stay pinned last (rows-only by nature, never in a
+    # window).
     return {
         # ============ r10 driver window (first 50 entries) ============
         # --- (a) late-r9, never driver-checked ---
@@ -11770,6 +11823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) new in r10 / code changed in r10 ---
         "a_rfm_segments_banded": a_rfm_segments_banded,
         "dedup_verbatim_spans": dedup_verbatim_spans,
+        "dedup_strip_verbatim": dedup_strip_verbatim,
         "stream_attribution_credit": stream_attribution_credit,
         "rag_mmr_rerank": rag_mmr_rerank,
         # --- (d) the 24 r04-last-green queries ---
@@ -11797,17 +11851,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
-        # --- (d) first 6 of the r06-last-green tail ---
+        # --- (d) first 5 of the r06-last-green tail ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
         "w_rolling_slope": w_rolling_slope,
         "op_cdc_merge": op_cdc_merge,
-        "dq_rule_violations": dq_rule_violations,
         # ============ beyond the 50-entry window ============
         # ascending driver-evidence freshness: r06 remainder (the
-        # planned r11 window head), then r07, r08, r09 — all
-        # re-verified by the full local oracle sweep at HEAD
+        # planned r11 window head, from dq_rule_violations), then r07,
+        # r08, r09 — all re-verified by the full local oracle sweep at
+        # HEAD
+        "dq_rule_violations": dq_rule_violations,
         "a_weighted_median": a_weighted_median,
         "op_snapshot_diff": op_snapshot_diff,
         "curation_epoch_upsample": curation_epoch_upsample,
@@ -12129,6 +12184,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
         "dedup_spans": DEDUP_SPANS_ORACLE,
         "dedup_verbatim_spans": DEDUP_VERBATIM_ORACLE,
+        "dedup_strip_verbatim": DEDUP_STRIP_VERBATIM_ORACLE,
         "text_lm_familiarity": TEXT_LM_FAMILIARITY_ORACLE,
         "curation_domain_mix": CURATION_DOMAIN_MIX_ORACLE,
         "p_debounce_burst": P_DEBOUNCE_ORACLE,

@@ -68,6 +68,12 @@ HEADLINE = [
     # join) — headline membership gives them per-round bench + SCALE rows.
     "a_heavy_hitters_mg",
     "graph_triangle_count",
+    # round-10 addition: arbitrary-alignment verbatim dedup (the
+    # suffix-array training-data-dedup shape) — the heaviest text-dedup
+    # stage, headlined so its shingle-count shuffle gets per-round bench
+    # + SCALE visibility. NOTE when comparing walls across rounds: +1
+    # query (~2 s) vs the r4-r9 suite composition.
+    "dedup_verbatim_spans",
 ]
 
 

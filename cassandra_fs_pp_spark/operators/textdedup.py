@@ -766,3 +766,81 @@ def verbatim_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
         )
     )
+
+
+def strip_verbatim(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OUTPUT stage of verbatim-substring dedup (the Lee et al.
+    pipeline's actual product): rewrite each document with every
+    repeated >= k-token span removed EXCEPT its first occurrence in
+    (doc_id, position) order — first occurrence corpus-wide keeps the
+    content, later occurrences (cross-document or within-document)
+    drop the covered tokens.
+
+    Plan shape on top of :func:`verbatim_spans`'s shingle discipline:
+
+      1. k-shingles with positions (array ops, zero shuffle);
+      2. rank occurrences per shingle (window over the shingle hash
+         space) — rank > 1 within a >= 2-occurrence group marks a
+         dropped shingle start;
+      3. expand dropped starts to covered token positions (explode of
+         k ints per dropped start, linear in dropped volume) and
+         collect them into ONE drop-set array per affected document;
+      4. join the drop sets back on doc_id and rebuild the text with
+         an index-aware ``filter`` lambda — per-row array work, no
+         token-level shuffle (the naive form anti-joins EVERY token
+         position; this touches only affected docs' arrays).
+
+    Output: (doc_id, clean_text, n_tokens, n_dropped) for every input
+    document; clean_text is the whitespace-normalized lowercased token
+    join (the same normalization the shingles use)."""
+    from pyspark.sql import Window
+
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    toks = docs.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__ws")
+    )
+    sh = toks.where(F.size("__ws") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__ws) - {k}),"
+                f" i -> array_join(slice(__ws, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "shingle"),
+    )
+    w = Window.partitionBy("shingle").orderBy(id_col, "pos")
+    ranked = sh.select(
+        id_col,
+        "pos",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shingle")).alias("n"),
+    )
+    drops = (
+        ranked.where((F.col("n") >= 2) & (F.col("rn") > 1))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("dp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("dp").alias("__drops"))
+    )
+    kept = F.when(
+        F.col("__drops").isNull(), F.col("__ws")
+    ).otherwise(
+        F.filter("__ws", lambda _x, i: ~F.array_contains("__drops", i))
+    )
+    return toks.join(drops, id_col, "left").select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("__ws").cast("long").alias("n_tokens"),
+        (F.size("__ws") - F.size(kept)).cast("long").alias("n_dropped"),
+    )

@@ -316,14 +316,15 @@ def test_registry_window_discipline():
     for q in (
         "a_rfm_segments_banded",
         "dedup_verbatim_spans",
+        "dedup_strip_verbatim",
         "stream_attribution_credit",
         "rag_mmr_rerank",
     ):
-        assert q in window[16:20], f"{q} must be driver-confirmed this round"
+        assert q in window[16:21], f"{q} must be driver-confirmed this round"
     # (d) window closes on the oldest r06 queries; the r06 remainder
     # leads the planned r11 window
-    assert window[-1] == "dq_rule_violations"
-    assert qs[50] == "a_weighted_median"
+    assert window[-1] == "op_cdc_merge"
+    assert qs[50] == "dq_rule_violations"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [

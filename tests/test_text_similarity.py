@@ -645,3 +645,57 @@ def test_verbatim_spans_no_pair_explosion_plan(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_strip_verbatim_planted(spark):
+    """strip_verbatim keep-first semantics on a planted corpus: the
+    first occurrence (lowest doc_id, pos) keeps the passage, later
+    occurrences lose exactly the covered tokens; untouched docs pass
+    through with n_dropped=0."""
+    from cassandra_fs_pp_spark.operators.textdedup import strip_verbatim
+
+    passage = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " alpha bravo"),
+            (2, "kilo lima mike " + passage),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+        for r in strip_verbatim(docs, k=8).collect()
+    }
+    assert rows[1] == (passage + " alpha bravo", 14, 0)
+    assert rows[2] == ("kilo lima mike", 15, 12)
+    assert rows[3] == ("short doc", 2, 0)
+
+
+def test_strip_verbatim_invariants_corpus(spark):
+    """On the real corpus: every doc appears exactly once; docs with
+    n_dropped=0 round-trip to the normalized original; n_dropped
+    totals equal the dedup_verbatim_spans keep-first coverage (spans
+    found minus first-occurrence keeps)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = entrymod.queries()["dedup_strip_verbatim"](spark, sf)
+    assert out.count() == docs.count()
+    joined = out.join(docs, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_dropped",
+        F.concat_ws(
+            " ", F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("norm_text"),
+    )
+    bad = joined.filter(
+        (F.col("n_dropped") == 0) & (F.col("clean_text") != F.col("norm_text"))
+    ).count()
+    assert bad == 0
+    # at least one doc in the corpus loses tokens (the corpus has
+    # boilerplate repeats — dedup_spans/dedup_verbatim_spans find them)
+    assert out.filter(F.col("n_dropped") > 0).count() >= 1
