@@ -713,10 +713,12 @@ def verbatim_spans(
       1. per doc, every k-token shingle with its start position —
          array ops on the token array (``transform``/``slice``), zero
          shuffle, whole-stage codegen;
-      2. corpus-wide occurrence count per shingle — one map-side-
-         combinable hash aggregation; keep counts >= 2;
-      3. hash semi-join positions back on the shingle key;
-      4. per-doc run detection (pos - row_number window) and one
+      2. corpus-wide occurrence count as ``count(*) over (partition by
+         shingle)`` — ONE shuffle of the shingle frame, and the frame
+         is scanned/built once (the groupBy-count + join-back form
+         consumes it twice: two parquet scans, two shingle builds);
+         keep counts >= 2;
+      3. per-doc run detection (pos - row_number window) and one
          group-by to emit maximal spans.
 
     Shuffle volume is O(total shingles) throughout — NO candidate pair
@@ -725,7 +727,7 @@ def verbatim_spans(
     inclusive 0-based token offsets; n_tokens = span_end - span_start
     + 1 >= k. Shingle identity is the joined token string (exact,
     oracle-portable); at 100 TB you'd substitute xxhash64(shingle) as
-    the aggregation/join key to cut shuffle bytes — same plan shape.
+    the partition key to cut shuffle bytes — same plan shape.
     """
     from pyspark.sql import Window
 
@@ -744,13 +746,13 @@ def verbatim_spans(
             ).alias("pos", "shingle"),
         )
     )
-    dup = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    hit = (
+        sh.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .where(F.col("__n") >= 2)
-        .select("shingle")
+        .select(id_col, "pos")
     )
-    hit = sh.join(dup, "shingle").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hit.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     return (
