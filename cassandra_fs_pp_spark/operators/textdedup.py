@@ -805,6 +805,12 @@ def strip_verbatim(
 
     from cassandra_fs_pp_spark.functions.text import whitespace_tokens
 
+    # NOT pinned: the scan+tokenize subtree does feed two consumers
+    # (shingle pipeline + rebuild join), but a lazy-checkpoint A/B read
+    # 1.563 -> 1.500 s at 1x and 12.63 -> 12.49 s at 64x — the shingle
+    # rank window dominates, not the duplicated scan, so the pin's
+    # executor-block residency isn't worth 4% (the geo_grid_join
+    # precedent applies only when the duplicated subtree is the cost).
     toks = docs.select(
         F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__ws")
     )
