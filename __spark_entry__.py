@@ -11151,6 +11151,133 @@ JOIN deg dv ON dv.node = v
 # graph assortativity.
 
 
+PRF_FB_DOCS = 5
+PRF_EXP_TERMS = 3
+PRF_MAX_DF = 50  # expansion candidates must be rarer than this corpus df
+PRF_W_ORIG = 2  # Rocchio alpha/beta as integer weights — exact sums
+
+
+def rag_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio-style pseudo-relevance-feedback query expansion — the
+    classic second-pass retriever beside the fusion combiners (RRF /
+    min-max / MMR): (1) first-pass lexical retrieval picks the top-5
+    pseudo-relevant docs; (2) the expansion terms are the 3 heaviest
+    non-query terms in that feedback set, restricted to corpus-rare
+    terms (df <= 50 — the stopword guard); (3) the whole corpus is
+    re-scored with integer Rocchio weights (2x original terms + 1x
+    expansion terms), top-10 ranked.  Every score is an exact integer
+    sum (ties to lower doc_id / lexicographic term), so the oracle
+    hash-matches with no float in sight.  Scale shape: term counts are
+    map-side-combinable hash aggregations; the feedback set and the
+    expansion-term set are <=5/<=3-row broadcasts; no window touches
+    more than the 10 surviving rows."""
+    from cassandra_fs_pp_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    # lazy pin: the per-(doc, term) count table feeds FOUR consumers
+    # with different downstream shapes (feedback top-5, corpus df,
+    # original-term scores, expansion-term scores) — unpinned, the
+    # scan+tokenize+agg subtree plans 5 times (measured 5 scans / 10
+    # exchanges); pinned it computes once. The geo_grid_join
+    # precedent's profitable case.
+    tc = (
+        docs.select(
+            "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    fb = (
+        tc.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("s0"))
+        .orderBy(F.desc("s0"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+    )
+    dft = tc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    exp = (
+        tc.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .filter(~F.col("w").isin(*BM25_TERMS))
+        .groupBy("w")
+        .agg(F.sum("c").alias("fb_c"))
+        .join(dft, "w")
+        .filter(F.col("df") <= PRF_MAX_DF)
+        .orderBy(F.desc("fb_c"), F.asc("w"))
+        .limit(PRF_EXP_TERMS)
+    )
+    s_orig = (
+        tc.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("oc"))
+    )
+    s_exp = (
+        tc.join(F.broadcast(exp.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("ec"))
+    )
+    final = (
+        s_orig.join(s_exp, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.lit(PRF_W_ORIG) * F.coalesce(F.col("oc"), F.lit(0))
+                + F.coalesce(F.col("ec"), F.lit(0))
+            )
+            .cast("long")
+            .alias("prf_score"),
+        )
+        .orderBy(F.desc("prf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    wf = Window.orderBy(F.desc("prf_score"), F.asc("doc_id"))
+    return final.withColumn("rank", F.row_number().over(wf))
+
+
+RAG_PRF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), tc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, w
+), fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, sum(c) AS s0 FROM tc
+    WHERE w IN ('spark', 'join', 'window')
+    GROUP BY doc_id ORDER BY s0 DESC, doc_id LIMIT {PRF_FB_DOCS})
+), dft AS (
+  SELECT w, count(*) AS df FROM tc GROUP BY w
+), exp AS (
+  SELECT e.w FROM (
+    SELECT t.w, sum(t.c) AS fb_c
+    FROM tc t JOIN fb ON t.doc_id = fb.doc_id
+    WHERE t.w NOT IN ('spark', 'join', 'window')
+    GROUP BY t.w) e
+  JOIN dft ON dft.w = e.w
+  WHERE dft.df <= {PRF_MAX_DF}
+  ORDER BY e.fb_c DESC, e.w LIMIT {PRF_EXP_TERMS}
+), s_orig AS (
+  SELECT doc_id, sum(c) AS oc FROM tc
+  WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id
+), s_exp AS (
+  SELECT t.doc_id, sum(t.c) AS ec
+  FROM tc t JOIN exp ON t.w = exp.w GROUP BY t.doc_id
+), final AS (
+  SELECT coalesce(o.doc_id, x.doc_id) AS doc_id,
+         CAST({PRF_W_ORIG} * coalesce(o.oc, 0) + coalesce(x.ec, 0)
+              AS BIGINT) AS prf_score
+  FROM s_orig o FULL JOIN s_exp x ON o.doc_id = x.doc_id
+  ORDER BY prf_score DESC, doc_id LIMIT 10
+)
+SELECT doc_id, prf_score,
+       CAST(row_number() OVER (ORDER BY prf_score DESC, doc_id) AS INT)
+         AS rank
+FROM final
+"""
+
+
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (k=60) of a lexical and a dense retriever —
     the standard hybrid-retrieval combiner. Lexical: query-term
@@ -11792,8 +11919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
     # (a_attribution_credit's rollup was also refactored in r10 for the
     # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
-    # four NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
-    # changed in r10; (d) the 24 r04-last-green queries and the first 5 of
+    # five NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
+    # changed in r10; (d) the 24 r04-last-green queries and the first 4 of
     # the r06 tail.  After this window no query's driver evidence predates
     # r06.  Beyond the window the registry is ordered by ascending driver-
     # evidence freshness (r06 remainder first, from dq_rule_violations),
@@ -11826,6 +11953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strip_verbatim": dedup_strip_verbatim,
         "stream_attribution_credit": stream_attribution_credit,
         "rag_mmr_rerank": rag_mmr_rerank,
+        "rag_prf_expand": rag_prf_expand,
         # --- (d) the 24 r04-last-green queries ---
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
@@ -11851,17 +11979,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
-        # --- (d) first 5 of the r06-last-green tail ---
+        # --- (d) first 4 of the r06-last-green tail ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
         "w_rolling_slope": w_rolling_slope,
-        "op_cdc_merge": op_cdc_merge,
         # ============ beyond the 50-entry window ============
         # ascending driver-evidence freshness: r06 remainder (the
-        # planned r11 window head, from dq_rule_violations), then r07,
-        # r08, r09 — all re-verified by the full local oracle sweep at
-        # HEAD
+        # planned r11 window head, from op_cdc_merge), then r07, r08,
+        # r09 — all re-verified by the full local oracle sweep at HEAD
+        "op_cdc_merge": op_cdc_merge,
         "dq_rule_violations": dq_rule_violations,
         "a_weighted_median": a_weighted_median,
         "op_snapshot_diff": op_snapshot_diff,
@@ -12170,6 +12297,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_rrf_fusion": RAG_RRF_ORACLE,
         "rag_hybrid_minmax": RAG_HYBRID_ORACLE,
         "rag_mmr_rerank": _mmr_sql(),
+        "rag_prf_expand": RAG_PRF_ORACLE,
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,

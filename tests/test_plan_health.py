@@ -319,12 +319,13 @@ def test_registry_window_discipline():
         "dedup_strip_verbatim",
         "stream_attribution_credit",
         "rag_mmr_rerank",
+        "rag_prf_expand",
     ):
-        assert q in window[16:21], f"{q} must be driver-confirmed this round"
+        assert q in window[16:22], f"{q} must be driver-confirmed this round"
     # (d) window closes on the oldest r06 queries; the r06 remainder
     # leads the planned r11 window
-    assert window[-1] == "op_cdc_merge"
-    assert qs[50] == "dq_rule_violations"
+    assert window[-1] == "w_rolling_slope"
+    assert qs[50] == "op_cdc_merge"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
