@@ -6781,6 +6781,62 @@ FROM u CROSS JOIN mx
 """
 
 
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the tabular-ML feature-prep
+    staple (encode a categorical key by the mean target of the OTHER
+    rows sharing the key, so the feature never leaks its own row's
+    label): key = (user_id, event_type), target = value in exact
+    integer cents.  LOO mean = (group_cents - own_cents) / (n - 1),
+    null for singleton groups.  Exactness: integer sums all the way,
+    one correctly-rounded double division per row.  Scale shape: one
+    map-side-combinable aggregation on the key + a key-partitioned
+    window attach (the reduced key dimension never materializes on the
+    driver); output is row-per-event, the shape a feature pipeline
+    writes back to storage."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "user_id", "event_type", cents.alias("cents"))
+    wk = Window.partitionBy("user_id", "event_type")
+    enc = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        F.sum("cents").over(wk).alias("__g"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    return enc.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__g") - F.col("cents")).cast("double")
+            / (F.col("__n") - 1).cast("double"),
+        ).alias("loo_cents_mean"),
+    )
+
+
+ML_TARGET_LOO_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), enc AS (
+  SELECT event_id, user_id, event_type, cents,
+         sum(cents) OVER (PARTITION BY user_id, event_type) AS g,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+)
+SELECT event_id, user_id, event_type, cents,
+       CASE WHEN n > 1
+            THEN CAST(g - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+            END AS loo_cents_mean
+FROM enc
+"""
+
+
 def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution — the marketing-analytics shape beside
     ``a_funnel``/``a_transition_matrix``: every ``purchase`` conversion
@@ -11278,6 +11334,95 @@ FROM final
 """
 
 
+LATE_Q_TOKENS = 4
+LATE_GROUP = 4
+
+
+def rag_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): the query is a
+    BAG of token vectors (vec_ids 0..3), each document a bag of up to 4
+    token vectors (vec_id div 4 groups the corpus), and the document
+    score is sum over query tokens of the max cosine against any of the
+    document's vectors — the modern multi-vector retrieval shape beside
+    the single-vector rankers.  Exactness: every cosine uses the same
+    left-to-right ``dot`` fold the green hybrid oracles hash-match; the
+    per-(doc, qtoken) max is exact selection; and the 4-term MaxSim sum
+    is written as the FIXED left-associated expression ((m0+m1)+m2)+m3
+    in both engines (a bare SUM over a group would add in partition
+    order and drift).  Scale shape: the 4-row query bag broadcasts; one
+    hash aggregation per (group, qtoken) then per group; no window
+    touches more than the 10 surviving rows."""
+    from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < LATE_Q_TOKENS).select(
+        F.col("vec_id").alias("qt"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    d = emb.filter(F.col("vec_id") >= LATE_Q_TOKENS).select(
+        F.expr(f"vec_id div {LATE_GROUP}").alias("grp"),
+        F.col("embedding").alias("dv"),
+        l2_norm(F.col("embedding")).alias("dn"),
+    )
+    cos = d.crossJoin(F.broadcast(q)).select(
+        "grp",
+        "qt",
+        (dot(F.col("dv"), F.col("qv")) / (F.col("dn") * F.col("qn"))).alias(
+            "cos"
+        ),
+    )
+    m = cos.groupBy("grp").agg(
+        *[
+            F.max(F.when(F.col("qt") == i, F.col("cos"))).alias(f"m{i}")
+            for i in range(LATE_Q_TOKENS)
+        ]
+    )
+    score = (
+        (F.col("m0") + F.col("m1")) + F.col("m2")
+    ) + F.col("m3")
+    final = (
+        m.select(F.col("grp").alias("doc_group"), score.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("doc_group"))
+        .limit(10)
+    )
+    wf = Window.orderBy(F.desc("maxsim"), F.asc("doc_group"))
+    return final.withColumn("rank", F.row_number().over(wf))
+
+
+RAG_LATE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qt, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id < {LATE_Q_TOKENS}
+), d AS (
+  SELECT vec_id // {LATE_GROUP} AS grp, embedding::DOUBLE[] AS dv,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS dn
+  FROM embeddings WHERE vec_id >= {LATE_Q_TOKENS}
+), cos AS (
+  SELECT grp, qt,
+         list_dot_product(dv, qv) / (dn * qn) AS cos
+  FROM d CROSS JOIN q
+), m AS (
+  SELECT grp,
+         max(CASE WHEN qt = 0 THEN cos END) AS m0,
+         max(CASE WHEN qt = 1 THEN cos END) AS m1,
+         max(CASE WHEN qt = 2 THEN cos END) AS m2,
+         max(CASE WHEN qt = 3 THEN cos END) AS m3
+  FROM cos GROUP BY grp
+), final AS (
+  SELECT grp AS doc_group, ((m0 + m1) + m2) + m3 AS maxsim
+  FROM m ORDER BY maxsim DESC, doc_group LIMIT 10
+)
+SELECT doc_group, maxsim,
+       CAST(row_number() OVER (ORDER BY maxsim DESC, doc_group) AS INT)
+         AS rank
+FROM final
+"""
+
+
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (k=60) of a lexical and a dense retriever —
     the standard hybrid-retrieval combiner. Lexical: query-term
@@ -11919,8 +12064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
     # (a_attribution_credit's rollup was also refactored in r10 for the
     # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
-    # five NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
-    # changed in r10; (d) the 24 r04-last-green queries and the first 4 of
+    # seven NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
+    # changed in r10; (d) the 24 r04-last-green queries and the first 2 of
     # the r06 tail.  After this window no query's driver evidence predates
     # r06.  Beyond the window the registry is ordered by ascending driver-
     # evidence freshness (r06 remainder first, from dq_rule_violations),
@@ -11954,6 +12099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution_credit": stream_attribution_credit,
         "rag_mmr_rerank": rag_mmr_rerank,
         "rag_prf_expand": rag_prf_expand,
+        "rag_late_interaction": rag_late_interaction,
+        "ml_target_encode_loo": ml_target_encode_loo,
         # --- (d) the 24 r04-last-green queries ---
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
@@ -11979,15 +12126,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
-        # --- (d) first 4 of the r06-last-green tail ---
+        # --- (d) first 2 of the r06-last-green tail ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
-        "layout_file_stats": layout_file_stats,
-        "w_rolling_slope": w_rolling_slope,
         # ============ beyond the 50-entry window ============
         # ascending driver-evidence freshness: r06 remainder (the
-        # planned r11 window head, from op_cdc_merge), then r07, r08,
-        # r09 — all re-verified by the full local oracle sweep at HEAD
+        # planned r11 window head, from layout_file_stats), then r07,
+        # r08, r09 — all re-verified by the full local oracle sweep at
+        # HEAD
+        "layout_file_stats": layout_file_stats,
+        "w_rolling_slope": w_rolling_slope,
         "op_cdc_merge": op_cdc_merge,
         "dq_rule_violations": dq_rule_violations,
         "a_weighted_median": a_weighted_median,
@@ -12298,6 +12446,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_hybrid_minmax": RAG_HYBRID_ORACLE,
         "rag_mmr_rerank": _mmr_sql(),
         "rag_prf_expand": RAG_PRF_ORACLE,
+        "rag_late_interaction": RAG_LATE_ORACLE,
+        "ml_target_encode_loo": ML_TARGET_LOO_ORACLE,
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,

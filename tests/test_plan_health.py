@@ -320,12 +320,14 @@ def test_registry_window_discipline():
         "stream_attribution_credit",
         "rag_mmr_rerank",
         "rag_prf_expand",
+        "rag_late_interaction",
+        "ml_target_encode_loo",
     ):
-        assert q in window[16:22], f"{q} must be driver-confirmed this round"
+        assert q in window[16:24], f"{q} must be driver-confirmed this round"
     # (d) window closes on the oldest r06 queries; the r06 remainder
     # leads the planned r11 window
-    assert window[-1] == "w_rolling_slope"
-    assert qs[50] == "op_cdc_merge"
+    assert window[-1] == "a_autocorr"
+    assert qs[50] == "layout_file_stats"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
