@@ -480,3 +480,40 @@ def test_rfm_banded_windows_partitioned(spark):
     for m in re.finditer(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan):
         assert "cohort_month" in m.group(1), plan
     assert _n(plan, "Window") >= 3, plan
+
+
+def test_prf_expand_plan_shape(spark):
+    """rag_prf_expand: the pinned term-count table feeds four
+    consumers — no cartesian, every feedback/expansion attach is a
+    broadcast hash join, and the only unpartitioned window ranks the
+    <=10 surviving rows."""
+    plan = _formatted_plan(entrymod.queries()["rag_prf_expand"](spark, SF))
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _n(plan, "BroadcastHashJoin") >= 2, plan
+
+
+def test_late_interaction_plan_shape(spark):
+    """rag_late_interaction: the 4-row query bag is the ONLY nested-
+    loop side (broadcast scalar-attach convention); corpus side is one
+    pruned scan; aggregation is a single hash-agg exchange."""
+    plan = _formatted_plan(
+        entrymod.queries()["rag_late_interaction"](spark, SF)
+    )
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    assert _n(plan, "Scan parquet") == 2, plan
+    assert _n(plan, "Exchange") <= 2, plan
+
+
+def test_target_encode_loo_plan_shape(spark):
+    """ml_target_encode_loo: one pruned scan (value pushed non-null,
+    4 columns), one exchange, and the LOO window partitions by the
+    encoding key."""
+    plan = _formatted_plan(
+        entrymod.queries()["ml_target_encode_loo"](spark, SF)
+    )
+    assert _n(plan, "Scan parquet") == 1, plan
+    assert _n(plan, "Exchange") == 1, plan
+    m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
+    assert m and "user_id" in m.group(1) and "event_type" in m.group(1), plan
