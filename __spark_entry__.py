@@ -6837,6 +6837,96 @@ FROM enc
 """
 
 
+def ml_target_encode_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal (prefix) target encoding — the leakage-safe sibling of
+    ``ml_target_encode_loo`` for time-ordered data: each event is
+    encoded by the mean target of STRICTLY EARLIER events in its
+    (user_id, event_type) group (null for the group's first event), so
+    the feature is computable at serving time with no future
+    information.  One key-partitioned window with a
+    ``rows between unbounded preceding and 1 preceding`` frame;
+    integer cents sums, one exact division per row.  Streaming twin:
+    ``stream_target_encode`` (O(1) state per key)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "ts", cents.alias("cents")
+    )
+    wk = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(wk) > 0,
+            F.sum("cents").over(wk).cast("double")
+            / F.count(F.lit(1)).over(wk).cast("double"),
+        ).alias("prefix_cents_mean"),
+    )
+
+
+ML_TARGET_PREFIX_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id, event_type, cents,
+       CASE WHEN count(*) OVER w > 0
+            THEN CAST(sum(cents) OVER w AS DOUBLE)
+                 / CAST(count(*) OVER w AS DOUBLE)
+            END AS prefix_cents_mean
+FROM base
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def stream_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ml_target_encode_prefix``: the causal prefix
+    encoder as a custom stateful operator — (sum, n) per
+    (user_id, event_type), two longs of state, each event encoded from
+    state BEFORE its own target folds in.  This is the operator a
+    leakage-safe online feature store runs: the batch window form and
+    this drain are bit-identical (integer state + one exact division),
+    asserted by the shared oracle and the drain==batch pytest.  Same
+    cross-batch in-order-arrival contract as ``cusum_stateful``.
+    Backfill guidance (SCALE.md r10): per-micro-batch cost is O(groups
+    touched in that batch) — right for increments; an ALL-history
+    availableNow drain pays ~2 ms/group framework overhead, so backfill
+    with the bit-identical batch window form instead."""
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        run_available_now,
+        stream_table,
+        target_encode_prefix_stateful,
+    )
+
+    tune(spark)
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = run_available_now(
+        target_encode_prefix_stateful(
+            base, key_cols=["user_id", "event_type"]
+        )
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "cents", "prefix_cents_mean"
+    )
+
+
 def a_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution — the marketing-analytics shape beside
     ``a_funnel``/``a_transition_matrix``: every ``purchase`` conversion
@@ -12064,9 +12154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
     # (a_attribution_credit's rollup was also refactored in r10 for the
     # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
-    # seven NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
-    # changed in r10; (d) the 24 r04-last-green queries and the first 2 of
-    # the r06 tail.  After this window no query's driver evidence predates
+    # nine NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
+    # changed in r10; (d) the 24 r04-last-green queries.  After this window no query's driver evidence predates
     # r06.  Beyond the window the registry is ordered by ascending driver-
     # evidence freshness (r06 remainder first, from dq_rule_violations),
     # so the planned r11 window is simply the next 50 entries; the 3
@@ -12101,6 +12190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_prf_expand": rag_prf_expand,
         "rag_late_interaction": rag_late_interaction,
         "ml_target_encode_loo": ml_target_encode_loo,
+        "ml_target_encode_prefix": ml_target_encode_prefix,
+        "stream_target_encode": stream_target_encode,
         # --- (d) the 24 r04-last-green queries ---
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
@@ -12126,14 +12217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
         "f_higher_order": f_higher_order,
-        # --- (d) first 2 of the r06-last-green tail ---
-        "w_bollinger_bands": w_bollinger_bands,
-        "a_autocorr": a_autocorr,
         # ============ beyond the 50-entry window ============
-        # ascending driver-evidence freshness: r06 remainder (the
-        # planned r11 window head, from layout_file_stats), then r07,
+        # ascending driver-evidence freshness: the full r06 tail (the
+        # planned r11 window head, from w_bollinger_bands), then r07,
         # r08, r09 — all re-verified by the full local oracle sweep at
         # HEAD
+        "w_bollinger_bands": w_bollinger_bands,
+        "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
         "w_rolling_slope": w_rolling_slope,
         "op_cdc_merge": op_cdc_merge,
@@ -12448,6 +12538,10 @@ def oracle_sql() -> dict[str, str]:
         "rag_prf_expand": RAG_PRF_ORACLE,
         "rag_late_interaction": RAG_LATE_ORACLE,
         "ml_target_encode_loo": ML_TARGET_LOO_ORACLE,
+        "ml_target_encode_prefix": ML_TARGET_PREFIX_ORACLE,
+        # streaming twin: identical causal-prefix semantics -> identical
+        # oracle
+        "stream_target_encode": ML_TARGET_PREFIX_ORACLE,
         "curation_mixture_temperature": CURATION_MIXTURE_ORACLE,
         "text_ngram_novelty": TEXT_NOVELTY_ORACLE,
         "graph_degree_assortativity": GRAPH_ASSORT_ORACLE,

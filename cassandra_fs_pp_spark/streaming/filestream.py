@@ -646,3 +646,80 @@ def holt_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def target_encode_prefix_stateful(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Causal (prefix) target encoding as a custom stateful operator —
+    the streaming twin of the batch ``ml_target_encode_prefix`` window
+    form: each event is encoded by the mean target of STRICTLY EARLIER
+    events in its key group (null for the group's first event), the
+    out-of-time encoding a leakage-safe feature pipeline actually wants.
+
+    State per key is the pair ``(sum_cents, n)`` — two longs, O(1) per
+    key. Each micro-batch sorts its group slice on ``(ts, id)`` before
+    the fold; requires per-key in-order arrival ACROSS batches (file
+    order), the same contract as ``cusum_stateful``/``ratchet_stateful``.
+    Integer sums + one exact double division per row, so the drained
+    output is bit-identical to the batch window form.
+    """
+    from pyspark.sql.types import LongType
+
+    keys = list(key_cols)
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [df.schema[c] for c in keys]
+        + [
+            StructField(cents_col, LongType()),
+            StructField("prefix_cents_mean", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", LongType()), StructField("n", LongType())]
+    )
+
+    import numpy as np
+
+    def step(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        s, n = (state.get if state.exists else (0, 0))
+        for pdf in batches:
+            pdf = pdf.sort_values([ts_col, id_col])
+            c = pdf[cents_col].to_numpy(dtype="int64")
+            cs = np.cumsum(c)
+            prior = s + np.concatenate(([0], cs[:-1])) if len(c) else cs
+            cnt = n + np.arange(len(c), dtype="int64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # float64 (NaN -> SQL null for the first-of-group rows);
+                # prior/cnt is the same single correctly-rounded IEEE
+                # division per row the batch window form performs
+                means = np.where(
+                    cnt > 0, prior.astype("float64") / cnt, np.nan
+                )
+            out = {id_col: pdf[id_col].to_list()}
+            for kc, kv in zip(keys, key):
+                out[kc] = kv
+            out[cents_col] = c
+            out["prefix_cents_mean"] = means
+            yield pd.DataFrame(out)
+            if len(c):
+                s += int(cs[-1])
+                n += len(c)
+        state.update((s, n))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -322,12 +322,14 @@ def test_registry_window_discipline():
         "rag_prf_expand",
         "rag_late_interaction",
         "ml_target_encode_loo",
+        "ml_target_encode_prefix",
+        "stream_target_encode",
     ):
-        assert q in window[16:24], f"{q} must be driver-confirmed this round"
-    # (d) window closes on the oldest r06 queries; the r06 remainder
-    # leads the planned r11 window
-    assert window[-1] == "a_autocorr"
-    assert qs[50] == "layout_file_stats"
+        assert q in window[16:26], f"{q} must be driver-confirmed this round"
+    # (d) the 24 r04 queries close the window exactly; the full r06
+    # tail leads the planned r11 window
+    assert window[-1] == "f_higher_order"
+    assert qs[50] == "w_bollinger_bands"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [

@@ -733,3 +733,29 @@ def test_stream_table_directory_layout(spark, tmp_path):
     assert batch_n == 500
     drained = run_available_now(stream_table(spark, out_dir, "events"))
     assert drained.count() == batch_n
+
+
+def test_stream_target_encode_drain_matches_batch(spark):
+    """stream_target_encode ((sum, n) state per key, encode-before-
+    fold) drains availableNow to EXACTLY the batch prefix-window form,
+    including null first-of-group rows."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    cols = (
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        "prefix_cents_mean",
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in m.queries()["stream_target_encode"](spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in m.queries()["ml_target_encode_prefix"](spark, sf).collect()
+    )
+    assert got == want and len(got) > 100
+    assert any(r[4] is None for r in got)  # first-of-group nulls exist
