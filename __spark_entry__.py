@@ -11678,11 +11678,18 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_fs_pp_spark.operators.similarity import dot, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
+    # lazy pin (r10): the <=20-row candidate set now has TWO consumers
+    # with different downstream shapes — the broadcast embedding-attach
+    # side AND the greedy seed union — so the whole hybrid pipeline
+    # would otherwise compute twice (measured 3.35 s vs 1.66 s pinned
+    # at sf0.1). The r9 note ("ReusedExchange collapses it, don't pin")
+    # predates the seed branch; the union side is not exchange-shaped.
     cand = (
         _hybrid_fused(spark, sf_dir)
         .orderBy(F.desc("hybrid"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id", F.col("hybrid").alias("rel"))
+        .localCheckpoint(eager=False)
     )
     # the <=20-row candidate set drives BOTH pair sides: broadcast it
     # into the embedding attach so the corpus side streams through a
