@@ -77,6 +77,26 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed, data-independent JVM-side drift canary.
+
+    Three rounds (r5, r9, r10) recorded suite walls inflated 1.1-1.4x by
+    host load, each costing a cycle of regression triage before quiet-host
+    reruns reproduced the prior round's numbers.  This canary times a
+    constant whole-stage-codegen workload (range sum: no IO, no shuffle,
+    no Python) so a loaded host is self-identifying: if ``calib`` moved,
+    the wall moved with the host, not the code.  Normalization rule
+    (SCALE.md): compare rounds as ``value * (calib_ref / calib)`` where
+    calib_ref is the quiet-host calib recorded in SCALE.md.
+    """
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(300_000_000).selectExpr("sum(id * 2)").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -104,6 +124,11 @@ def main() -> None:
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Drift canary, leg 1 (post-warm, pre-suite). A second leg runs after
+    # the timed passes; the emitted calib is the min of both legs, so a
+    # transient spike has to span the whole suite to contaminate it.
+    calib = _calibrate(spark)
+
     # Per-query best-of-2, INTERLEAVED (two full suite passes, min per
     # query): a single timed pass is hostage to GC debt left by whichever
     # queries ran before it, and back-to-back reps of one query both land
@@ -119,6 +144,9 @@ def main() -> None:
             best[name] = min(best[name], time.time() - t0)
     timings = {n: round(best[n], 3) for n in names}
 
+    # Drift canary, leg 2 (post-suite); emit the min of both legs.
+    calib = min(calib, _calibrate(spark))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -128,6 +156,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "calib": calib,
             }
         )
     )
