@@ -484,6 +484,32 @@ def test_rfm_banded_windows_partitioned(spark):
     assert _n(plan, "Window") >= 3, plan
 
 
+def test_heavy_hitters_window_input_bounded(spark):
+    """a_heavy_hitters_mg: the ONLY unpartitioned window (the benign
+    source of the bench-tail `WindowExec: No Partition Defined`
+    warnings) must rank the Misra-Gries candidate RECOUNT — i.e. its
+    input chain is HashAggregate over a BroadcastHashJoin LeftSemi
+    against the MapInPandas candidate summaries (<= capacity rows per
+    partition summary, so the window frame is provably bounded). If a
+    refactor drops the semi-join prefilter, the window would rank the
+    full vocabulary and this pin fails."""
+    plan = _formatted_plan(
+        entrymod.queries()["a_heavy_hitters_mg"](spark, SF)
+    )
+    assert _n(plan, "Window") == 1, plan
+    # Tree section: single chain, so line order == ancestry. The window
+    # must sit ABOVE the LeftSemi recount, which must sit ABOVE the
+    # MapInPandas MG summary feeding the broadcast build side.
+    tree = plan.split("\n\n")[0]
+    i_win = tree.index("Window")
+    i_semi = tree.index("BroadcastHashJoin LeftSemi")
+    i_mg = tree.index("MapInPandas")
+    assert i_win < i_semi < i_mg, tree
+    # and the candidate set reaches the join as a broadcast, never a
+    # shuffled build
+    assert "BroadcastExchange" in tree, tree
+
+
 def test_prf_expand_plan_shape(spark):
     """rag_prf_expand: the pinned term-count table feeds four
     consumers — no cartesian, every feedback/expansion attach is a
