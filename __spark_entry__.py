@@ -8512,6 +8512,82 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
 
+def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + ADC + exact rerank (FAISS IVF,SQ8 serving shape): centroid
+    probe prunes cells, asymmetric distance scores the dequantized int8
+    codes, fp32 rerank of the top-20 survivors yields the final top-5.
+    Every boundary is cross-engine exact (bit-identical dq codes and
+    left-fold dot products; neighbor_id tie-breaks), so this composition
+    carries a FULL oracle. New in r11 (VERDICT r10 item 4)."""
+    from cassandra_fs_pp_spark.operators.similarity import ivf_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_adc_topk(emb, k=5, nprobe=2, rerank=20)
+
+
+ANN_IVF_ADC_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), st AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos
+), cdq AS (
+  SELECT ex.vec_id, ex.pos, {_SQ_DQ_SQL} AS dq
+  FROM ex JOIN st USING (pos)
+), corpus AS (
+  SELECT vec_id AS neighbor_id, list(dq ORDER BY pos) AS dqv
+  FROM cdq GROUP BY vec_id
+), corpus_n AS (
+  SELECT c.neighbor_id, c.dqv,
+         sqrt(list_dot_product(c.dqv, c.dqv)) AS nn,
+         e.label AS cell
+  FROM corpus c JOIN embeddings e ON e.vec_id = c.neighbor_id
+), cent AS (
+  SELECT label AS cell, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i
+), cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 37 = 0
+), probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.query_id, q.qv, q.qn, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.centroid)
+                    / (q.qn * sqrt(list_dot_product(c.centroid, c.centroid)))
+                      DESC,
+                      c.cell) AS cr
+    FROM q CROSS JOIN cvec c
+  ) WHERE cr <= 2
+), surv AS (
+  SELECT query_id, qv, qn, neighbor_id FROM (
+    SELECT p.query_id, p.qv, p.qn, n.neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(p.qv, n.dqv) / (p.qn * n.nn) DESC,
+                      n.neighbor_id) AS ar
+    FROM probes p
+    JOIN corpus_n n ON n.cell = p.cell AND n.neighbor_id <> p.query_id
+  ) WHERE ar <= 20
+), exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(s.qv, e.embedding::DOUBLE[])
+           / (s.qn * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))) AS cosine
+  FROM surv s JOIN embeddings e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= 5
+"""
+
+
 CURATION_SHUFFLE_ORACLE = """
 WITH k AS (
   SELECT doc_id,
@@ -12169,7 +12245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sketch queries stay pinned last (rows-only by nature, never in a
     # window).
     return {
-        # ============ r10 driver window (first 50 entries) ============
+        # ============ r11 driver window (first 50 entries) ============
+        # --- (a) new in r11 ---
+        "ann_ivf_adc_topk": ann_ivf_adc_topk,
+        # ============ r10 driver window ============
         # --- (a) late-r9, never driver-checked ---
         "a_attribution_credit": a_attribution_credit,
         "a_rfm_segments": a_rfm_segments,
@@ -12630,6 +12709,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_geofence_admit": _stream_geofence_oracle_sql(),
         "emb_scalar_quantize": EMB_SQ_ORACLE,
         "ann_adc_topk": ANN_ADC_ORACLE,
+        "ann_ivf_adc_topk": ANN_IVF_ADC_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),

@@ -74,6 +74,10 @@ HEADLINE = [
     # + SCALE visibility. NOTE when comparing walls across rounds: +1
     # query (~2 s) vs the r4-r9 suite composition.
     "dedup_verbatim_spans",
+    # round-11 addition: the composed IVF+ADC+exact-rerank serving shape
+    # (probe-pruned compressed scan) — headlined as the flagship ANN
+    # path. NOTE: +1 query (~1.9 s) vs the r10 suite composition.
+    "ann_ivf_adc_topk",
 ]
 
 

@@ -710,6 +710,146 @@ def adc_topk(
     )
 
 
+def ivf_adc_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+    levels: int = 255,
+    query_mod: int = 37,
+) -> DataFrame:
+    """IVF + ADC + exact rerank — the production serving shape for a
+    compressed vector store (FAISS ``IVF,SQ8`` search): prune candidate
+    cells by centroid, score the scalar-quantized codes asymmetrically,
+    exact-rerank the fp32 survivors.
+
+    Composition of :func:`ivf_topk`'s coarse probe and :func:`adc_topk`'s
+    compressed scoring (deliberately self-contained so neither parent's
+    plan changes):
+
+    1. **Coarse probe**: per-cell mean centroids (``cell_col`` stands in
+       for the k-means codebook at scale); each query keeps its top
+       ``nprobe`` cells by centroid cosine. Centroids are a tiny table —
+       broadcast, so probing never shuffles the corpus.
+    2. **ADC scan**: full-precision queries against the DEQUANTIZED
+       scalar-quantized corpus (``levels``-step per-dimension codes — the
+       4x-smaller table that is all a 100 TB store keeps hot), restricted
+       to probed cells via a broadcast of the small probe table into the
+       corpus scan — again no corpus shuffle. Keep ``rerank`` (> k)
+       survivors per query; the only wide exchange carries just the
+       probed-cell candidates.
+    3. **Exact rerank**: survivors (|queries| * rerank rows) join back to
+       the fp32 vectors on ``neighbor_id`` and the final top-``k`` is
+       ranked on exact cosine, so quantization error can only cost a true
+       neighbor if ADC pushed it below position ``rerank``.
+
+    Queries are the fixed deterministic ``id % query_mod == 0`` subset
+    (linear in corpus size, not all-pairs). Every ranking boundary is
+    cross-engine exact: dq codes are bit-identical (see
+    :func:`scalar_quantize`), dot products fold left-to-right in both
+    engines, and ties break on neighbor_id — so the full SQL oracle
+    reproduces probe, survivor, and final sets exactly.
+    """
+    # --- coarse centroids (same construction as ivf_topk) ---
+    cent = (
+        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    q = vectors.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cent_cos",
+            dot(F.col("qv"), F.col("centroid"))
+            / (F.col("qn") * l2_norm(F.col("centroid"))),
+        )
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    # --- compressed corpus: dequantized code vectors + cell ---
+    sq = scalar_quantize(vectors, id_col=id_col, vec_col=vec_col, levels=levels)
+    dq_corpus = (
+        sq.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+                lambda s: s["dq"],
+            ).alias("dqv")
+        )
+        .join(
+            vectors.select(
+                F.col(id_col), F.col(cell_col).alias("cell")
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "dqv",
+            l2_norm(F.col("dqv")).alias("nn"),
+            "cell",
+        )
+    )
+    # --- ADC scan of probed cells (probe table broadcast into the scan) ---
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    survivors = (
+        dq_corpus.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_cos",
+            dot(F.col("qv"), F.col("dqv")) / (F.col("qn") * F.col("nn")),
+        )
+        .withColumn("ar", F.row_number().over(adc_w))
+        .filter(F.col("ar") <= int(rerank))
+        .select("query_id", "qv", "qn", "neighbor_id")
+    )
+    # --- exact fp32 rerank of the survivors ---
+    fp32 = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nvn"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        fp32.join(F.broadcast(survivors), on="neighbor_id")
+        .withColumn(
+            "cos_raw",
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_raw").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 # Fixed-point scale for cross-row vector reductions. Float sums are
 # order-dependent (partitioning would leak into results); quantizing each
 # per-row term with round(x * SCALE) -> bigint makes every reduction an

@@ -480,6 +480,43 @@ def test_adc_topk_recall_vs_brute(spark):
     assert recall >= 0.9
 
 
+def test_ivf_adc_topk_recall(spark):
+    """Composed IVF+ADC+rerank (VERDICT r10 item 4). Two recall gates:
+    (a) vs ivf_topk at the SAME probes — isolates the quantization+rerank
+    stages, which must be near-lossless (a true in-cell top-5 is lost
+    only if ADC pushes it below position 20); (b) vs fp32 brute force —
+    bounded by the coarse probe on iid data (~nprobe/ncells regime,
+    same bound as test_brute_force_topk_and_ivf_recall)."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_adc_topk,
+        ivf_topk,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    composed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_adc_topk(emb, k=5, nprobe=3, rerank=20).collect()
+    }
+    ivf_same_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, nprobe=3).collect()
+        if r["query_id"] % 37 == 0
+    }
+    assert len(ivf_same_probe) > 0
+    rq = len(composed & ivf_same_probe) / len(ivf_same_probe)
+    assert rq >= 0.9, f"quantization recall {rq:.2f}"
+
+    queries = emb.filter((F.col("vec_id") % 37) == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5, queries=queries).collect()
+    }
+    rb = len(composed & exact) / len(exact)
+    assert rb >= 0.25, f"end-to-end recall {rb:.2f}"
+
+
 def test_shuffle_shard_deterministic_and_balanced(spark):
     """Shard assignment is partition-invariant (hash-keyed, no RNG) and
     roughly balanced; shard_pos is a dense 1..n_s sequence per shard."""
