@@ -6086,6 +6086,51 @@ GROUP BY doc_id
 """
 
 
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram LM
+    trained on the corpus itself — the real CCNet-style model-based
+    quality signal (text_lm_familiarity is the frequency proxy). Fixed
+    discount 3/4, exact integer count statistics, per-term nano-nat
+    rounding before the order-insensitive integer sum. New in r11
+    (VERDICT r10 item 5)."""
+    from cassandra_fs_pp_spark.functions.text import kn_perplexity
+
+    return kn_perplexity(_t(spark, sf_dir, "documents"))
+
+
+TEXT_KN_PERPLEXITY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+types AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1p_l
+  FROM types GROUP BY 1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r FROM types GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM types),
+lp AS (
+  SELECT t.w1, t.w2,
+         CAST(round(ln(
+           (CAST(t.c12 AS DOUBLE) - 0.75) / CAST(l.c1 AS DOUBLE)
+           + (0.75 * CAST(l.n1p_l AS DOUBLE) / CAST(l.c1 AS DOUBLE))
+             * (CAST(r.n1p_r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS lp_nano
+  FROM types t JOIN lft l USING (w1) JOIN rgt r ON r.w2 = t.w2 CROSS JOIN tot)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(lp_nano) AS BIGINT) AS nll_nano,
+       round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
+                 / CAST(count(*) AS DOUBLE)), 6) AS ppl
+FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+GROUP BY 1
+"""
+
+
 def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch upsampling (the LLaMA-recipe mixing step): a
     per-source repeat factor f means every doc appears floor(f) times
@@ -12248,6 +12293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============ r11 driver window (first 50 entries) ============
         # --- (a) new in r11 ---
         "ann_ivf_adc_topk": ann_ivf_adc_topk,
+        "text_kn_perplexity": text_kn_perplexity,
         # ============ r10 driver window ============
         # --- (a) late-r9, never driver-checked ---
         "a_attribution_credit": a_attribution_credit,
@@ -12710,6 +12756,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_scalar_quantize": EMB_SQ_ORACLE,
         "ann_adc_topk": ANN_ADC_ORACLE,
         "ann_ivf_adc_topk": ANN_IVF_ADC_ORACLE,
+        "text_kn_perplexity": TEXT_KN_PERPLEXITY_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),

@@ -191,3 +191,102 @@ def cdc_chunk_expr(s: str, k: int = 8, mask: int = 64) -> str:
         f" element_at({ends}, j) - element_at({starts}, j) + 1)),"
         f" c -> c <> '')"
     )
+
+
+def kn_perplexity(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+):
+    """Per-document perplexity under an interpolated Kneser-Ney bigram LM
+    trained on the whole corpus — the CCNet-style model-based quality
+    signal (`text_lm_familiarity` is the mean-frequency proxy; this is
+    the real smoothed LM).
+
+    Model (Kneser-Ney 1995 / Chen-Goodman 1999, bigram, fixed discount
+    ``D``):
+
+        P(w2|w1) = (c(w1,w2) - D)/c(w1·)
+                 + (D * N1+(w1,·)/c(w1·)) * (N1+(·,w2) / T)
+
+    where ``c(w1·)`` is the left-context occurrence total, ``N1+(w1,·)``
+    / ``N1+(·,w2)`` are distinct right/left continuation counts, and
+    ``T`` is the total number of distinct bigram types (so the
+    continuation distribution P_cont(w2) = N1+(·,w2)/T sums to 1).
+    Every scored bigram is observed in the training corpus (the corpus
+    scores itself), so c(w1,w2) >= 1 > D and the max(.-D, 0) clamp is
+    vacuous — P is always positive, no OOV branch needed.
+
+    Scale shape: one narrow bigram explode, counts on the bigram-type
+    table (|types|, not |occurrences|), two skew-tolerant group-bys on
+    w1/w2, a 1-row type-total broadcast, and ONE occurrence-side hash
+    join back to the per-type log-probability. Identical to the
+    `text_lm_familiarity` join topology — linear in corpus size.
+
+    Determinism: all model inputs are exact integers; P is a fixed
+    operation-order double expression; each ln(P) term is rounded to
+    integer NANO-NATS before the per-document sum (the
+    `text_bigram_entropy` trick), so the sum is order-insensitive and
+    the oracle matches bit-for-bit. ppl = exp(nll/n) is emitted rounded
+    to 6 dp.
+    """
+    D = float(discount)
+    ws = whitespace_tokens(F.col(text_col))
+    bg = docs.select(id_col, ws.alias("__ws")).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ws) >= 2 THEN"
+                " transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(element_at(__ws, i) AS w1,"
+                " element_at(__ws, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = types.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_l")
+    )
+    right = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    total = types.agg(F.count(F.lit(1)).alias("t"))
+    p = (
+        F.col("c12").cast("double") - F.lit(D)
+    ) / F.col("c1").cast("double") + (
+        F.lit(D) * F.col("n1p_l").cast("double") / F.col("c1").cast("double")
+    ) * (
+        F.col("n1p_r").cast("double") / F.col("t").cast("double")
+    )
+    scored_types = (
+        types.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p) * F.lit(1e9)).cast("long").alias("lp_nano"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        bg.join(scored_types, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_bigrams"),
+            (-F.sum("lp_nano")).alias("nll_nano"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_nano",
+            F.round(
+                F.exp(
+                    (F.col("nll_nano").cast("double") / F.lit(1e9))
+                    / F.col("n_bigrams").cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
