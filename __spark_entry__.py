@@ -12278,82 +12278,22 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-10 rotation (VERDICT
-    # r9 item 1): (a) the 3 late-r9 queries that were never driver-checked
-    # (a_attribution_credit's rollup was also refactored in r10 for the
-    # streaming twin); (b) the 13 r03-last-green tail queries; (c) the
-    # nine NEW r10 queries plus rag_mmr_rerank, whose greedy seeding
-    # changed in r10; (d) the 24 r04-last-green queries.  After this window no query's driver evidence predates
-    # r06.  Beyond the window the registry is ordered by ascending driver-
-    # evidence freshness (r06 remainder first, from dq_rule_violations),
-    # so the planned r11 window is simply the next 50 entries; the 3
-    # sketch queries stay pinned last (rows-only by nature, never in a
-    # window).
+    # prefix window (50 entries) of this dict.  Round-11 rotation (VERDICT
+    # r10 item 1): (a) the 2 queries NEW in r11 (ann_ivf_adc_topk,
+    # text_kn_perplexity); (b) the next 48 stalest entries -- the full
+    # 47-query r06 tail from w_bollinger_bands plus the first r07 entry
+    # (a1_median_slice).  After this window no query's driver evidence
+    # predates r07.  Beyond the window the registry stays ordered by
+    # ascending driver-evidence freshness (r07 remainder from
+    # a3_mode_interval, then r08/r09, then the 50-entry r10-window block,
+    # freshest, last); the 3 sketch queries stay pinned last (rows-only
+    # by nature, never in a window).
     return {
         # ============ r11 driver window (first 50 entries) ============
         # --- (a) new in r11 ---
         "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "text_kn_perplexity": text_kn_perplexity,
-        # ============ r10 driver window ============
-        # --- (a) late-r9, never driver-checked ---
-        "a_attribution_credit": a_attribution_credit,
-        "a_rfm_segments": a_rfm_segments,
-        "text_rake_keywords": text_rake_keywords,
-        # --- (b) the 13 r03-last-green tail queries ---
-        "w_first_last": w_first_last,
-        "w_rolling_corr": w_rolling_corr,
-        "w_step_detect": w_step_detect,
-        "p_debounce_burst": p_debounce_burst,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "f_url_suite": f_url_suite,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
-        # --- (c) new in r10 / code changed in r10 ---
-        "a_rfm_segments_banded": a_rfm_segments_banded,
-        "dedup_verbatim_spans": dedup_verbatim_spans,
-        "dedup_strip_verbatim": dedup_strip_verbatim,
-        "stream_attribution_credit": stream_attribution_credit,
-        "rag_mmr_rerank": rag_mmr_rerank,
-        "rag_prf_expand": rag_prf_expand,
-        "rag_late_interaction": rag_late_interaction,
-        "ml_target_encode_loo": ml_target_encode_loo,
-        "ml_target_encode_prefix": ml_target_encode_prefix,
-        "stream_target_encode": stream_target_encode,
-        # --- (d) the 24 r04-last-green queries ---
-        "dq_table_digest": dq_table_digest,
-        "ts_cusum_alerts": ts_cusum_alerts,
-        "fuzzy_match_join": fuzzy_match_join,
-        "geo_grid_join": geo_grid_join,
-        "a_heavy_hitters_mg": a_heavy_hitters_mg,
-        "rag_chunk_topk": rag_chunk_topk,
-        "op_incremental_rollup": op_incremental_rollup,
-        "ts_ewma": ts_ewma,
-        "layout_zorder_stats": layout_zorder_stats,
-        "a_bitmap_distinct": a_bitmap_distinct,
-        "text_cdc_chunks": text_cdc_chunks,
-        "emb_scalar_quantize": emb_scalar_quantize,
-        "curation_shuffle_shard": curation_shuffle_shard,
-        "r4_transpose": r4_transpose,
-        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "ann_ivf_topk": ann_ivf_topk,
-        "j_interval_overlap": j_interval_overlap,
-        "f_collections": f_collections,
-        "j_bloom_semi": j_bloom_semi,
-        "dq_benford": dq_benford,
-        "f_bitwise_suite": f_bitwise_suite,
-        "a_theil_sen": a_theil_sen,
-        "stream_holt_linear": stream_holt_linear,
-        "f_higher_order": f_higher_order,
-        # ============ beyond the 50-entry window ============
-        # ascending driver-evidence freshness: the full r06 tail (the
-        # planned r11 window head, from w_bollinger_bands), then r07,
-        # r08, r09 — all re-verified by the full local oracle sweep at
-        # HEAD
+        # --- (b) the 47-query r06 tail + first r07 entry ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -12402,6 +12342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_backward": j4_asof_backward,
         "j_asof_nearest": j_asof_nearest,
         "a1_median_slice": a1_median_slice,
+        # ============ beyond the 50-entry window ============
+        # ascending driver-evidence freshness: r07 remainder, then
+        # r08/r09, then the 50-entry r10 window block (freshest) last
         "a3_mode_interval": a3_mode_interval,
         "a3_per_key_freq": a3_per_key_freq,
         "a5_positive_sum_slice": a5_positive_sum_slice,
@@ -12547,6 +12490,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_chi_square": a_chi_square,
         "a_winsorized_stats": a_winsorized_stats,
         "a_histogram_equidepth": a_histogram_equidepth,
+        # ============ the r10 driver window block (r10-green) ============
+        # --- (a) late-r9, never driver-checked ---
+        "a_attribution_credit": a_attribution_credit,
+        "a_rfm_segments": a_rfm_segments,
+        "text_rake_keywords": text_rake_keywords,
+        # --- (b) the 13 r03-last-green tail queries ---
+        "w_first_last": w_first_last,
+        "w_rolling_corr": w_rolling_corr,
+        "w_step_detect": w_step_detect,
+        "p_debounce_burst": p_debounce_burst,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "f_url_suite": f_url_suite,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        # --- (c) new in r10 / code changed in r10 ---
+        "a_rfm_segments_banded": a_rfm_segments_banded,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
+        "dedup_strip_verbatim": dedup_strip_verbatim,
+        "stream_attribution_credit": stream_attribution_credit,
+        "rag_mmr_rerank": rag_mmr_rerank,
+        "rag_prf_expand": rag_prf_expand,
+        "rag_late_interaction": rag_late_interaction,
+        "ml_target_encode_loo": ml_target_encode_loo,
+        "ml_target_encode_prefix": ml_target_encode_prefix,
+        "stream_target_encode": stream_target_encode,
+        # --- (d) the 24 r04-last-green queries ---
+        "dq_table_digest": dq_table_digest,
+        "ts_cusum_alerts": ts_cusum_alerts,
+        "fuzzy_match_join": fuzzy_match_join,
+        "geo_grid_join": geo_grid_join,
+        "a_heavy_hitters_mg": a_heavy_hitters_mg,
+        "rag_chunk_topk": rag_chunk_topk,
+        "op_incremental_rollup": op_incremental_rollup,
+        "ts_ewma": ts_ewma,
+        "layout_zorder_stats": layout_zorder_stats,
+        "a_bitmap_distinct": a_bitmap_distinct,
+        "text_cdc_chunks": text_cdc_chunks,
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "ann_ivf_topk": ann_ivf_topk,
+        "j_interval_overlap": j_interval_overlap,
+        "f_collections": f_collections,
+        "j_bloom_semi": j_bloom_semi,
+        "dq_benford": dq_benford,
+        "f_bitwise_suite": f_bitwise_suite,
+        "a_theil_sen": a_theil_sen,
+        "stream_holt_linear": stream_holt_linear,
+        "f_higher_order": f_higher_order,
         # rows-only BY NATURE: the output IS an HLL++ estimate; no
         # cross-engine "correct" value exists short of exact counting
         # (that's a4_distinct_counts) — bound-vs-exact pytest instead

@@ -49,6 +49,7 @@ def main() -> int:
         bad = True
     bad = duplicate_key_lint() or bad
     bad = plans_lint(qs) or bad
+    bad = sweep_lint(qs, osql) or bad
     rows_only = qs - osql
     print(f"registry: {len(qs)} queries, {len(osql)} full oracles, "
           f"rows-only: {sorted(rows_only)}")
@@ -78,6 +79,38 @@ def plans_lint(qs: set[str]) -> bool:
         print(f"PLANS.md audits nonexistent queries: {sorted(phantom)}")
         bad = True
     print(f"PLANS.md audits {len(sections & qs)} of {len(qs)} queries")
+    return bad
+
+
+def sweep_lint(qs: set[str], osql: set[str]) -> bool:
+    """Newest committed SWEEP_r*.json × registry cross-reference (VERDICT
+    r10 item 8): the end-of-round full oracle sweep artifact must name
+    every registry query (full oracles as ok, rows-only as rows_only) so
+    out-of-window correctness evidence is auditable at a glance."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sweeps = sorted(glob.glob(os.path.join(root, "SWEEP_r*.json")))
+    if not sweeps:
+        print("sweep lint: no SWEEP_r*.json artifact yet")
+        return False  # advisory until the first artifact lands
+    newest = sweeps[-1]
+    data = json.load(open(newest))
+    swept = set(data.get("queries", {}))
+    missing = qs - swept
+    n_ok = data.get("n_ok")
+    n_fail = data.get("n_fail")
+    bad = False
+    if missing:
+        print(f"{os.path.basename(newest)} missing registry queries "
+              f"({len(missing)}): {sorted(missing)[:10]}…")
+        bad = True
+    if n_fail:
+        print(f"{os.path.basename(newest)} records {n_fail} FAILURES")
+        bad = True
+    print(f"sweep lint: {os.path.basename(newest)} names {len(swept & qs)} "
+          f"of {len(qs)} queries, {n_ok} ok / {n_fail} fail")
     return bad
 
 

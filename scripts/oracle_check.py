@@ -127,7 +127,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
-    only = set(argv)
+    # --json=PATH writes the sweep as a committed artifact (VERDICT r10
+    # item 8): {query: {status, secs, rows, problems}} for every checked
+    # query, so out-of-window freshness is auditable at a glance instead
+    # of re-derived from window history.
+    json_path = None
+    rest = []
+    for a in argv:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    only = set(rest)
+    report: dict[str, dict] = {}
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = get_spark("oracle_check", shuffle_partitions=8)
@@ -151,20 +163,27 @@ def main(argv: list[str]) -> int:
                     "the driver canonicalizer cannot hash these; serialize "
                     "via array_join/to_json"
                 )
+                report[name] = {
+                    "status": "fail",
+                    "problems": [f"non-scalar output columns {bad_cols}"],
+                }
                 failures += 1
                 continue
             sdf = sdf_spark.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"status": "fail", "problems": [f"spark: {e}"]}
             failures += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            report[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {"status": "fail", "problems": [f"duckdb: {e}"]}
             failures += 1
             continue
         problems = compare(name, sdf, odf)
@@ -172,9 +191,37 @@ def main(argv: list[str]) -> int:
         if problems:
             failures += 1
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+            report[name] = {
+                "status": "fail",
+                "secs": round(dt, 1),
+                "problems": problems,
+            }
         else:
             print(f"OK   {name} ({dt:.1f}s, {len(sdf)} rows)")
+            report[name] = {
+                "status": "ok",
+                "secs": round(dt, 1),
+                "rows": len(sdf),
+            }
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_checked": len(report),
+                    "n_ok": sum(
+                        1 for r in report.values() if r["status"] == "ok"
+                    ),
+                    "n_fail": failures,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     return 0 if failures == 0 else 1
 
 
