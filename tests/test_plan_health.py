@@ -484,6 +484,35 @@ def test_rfm_banded_windows_partitioned(spark):
     assert _n(plan, "Window") >= 3, plan
 
 
+def test_ivf_adc_plan_shape(spark):
+    """ann_ivf_adc_topk: the corpus is never shuffle-joined — centroids,
+    probes and survivors all reach their joins as broadcasts (no SMJ, no
+    cartesian; the single nested-loop is the tiny centroid cross join) —
+    and every rank window is preceded by a WindowGroupLimit partial
+    top-k so the exchanges carry only candidate rows."""
+    plan = _formatted_plan(entrymod.queries()["ann_ivf_adc_topk"](spark, SF))
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    assert _n(plan, "WindowGroupLimit") >= 3, plan
+    assert _n(plan, "Exchange") <= 7, plan
+
+
+def test_kn_perplexity_plan_shape(spark):
+    """text_kn_perplexity: every KN model join attaches broadcast (type
+    table vs its own narrow aggregates), the occurrence-side join is the
+    only wide hash join, and no window appears at all (the per-doc sum
+    is a plain aggregate). Pin measured r11: lazy-pinning bg/types LOST
+    (1.09 -> 1.15/1.40 s at sf0.1) because every consumer is exchange-
+    shaped — the r10 pin rule's unprofitable case, so the plan stays
+    unpinned and this test documents that decision."""
+    plan = _formatted_plan(entrymod.queries()["text_kn_perplexity"](spark, SF))
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "Window") == 0, plan
+    assert _n(plan, "Exchange") <= 8, plan
+
+
 def test_heavy_hitters_window_input_bounded(spark):
     """a_heavy_hitters_mg: the ONLY unpartitioned window (the benign
     source of the bench-tail `WindowExec: No Partition Defined`
