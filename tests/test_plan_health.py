@@ -277,59 +277,42 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r10 rotation contract (VERDICT r9 item 1): the 3
-    late-r9 queries that were never driver-checked lead, then the 13
-    r03-last-green tail queries, then everything new or code-changed in
-    r10, then the 24 r04-last-green queries + 6 r06 queries; the window
-    is exactly the intended size; every window entry carries a full SQL
-    oracle (the gate's hash check needs one); and the beyond-window
-    tail is ordered stalest-first with the 3 rows-only sketch queries
-    pinned last."""
+    entries. Pin the r11 rotation contract (VERDICT r10 item 1): the 2
+    queries new in r11 lead, then the next 48 stalest entries — the
+    full 47-query r06 tail from w_bollinger_bands plus the first r07
+    entry (a1_median_slice) — so after the r11 driver run no query's
+    evidence predates r07; the window is exactly the intended size;
+    every window entry carries a full SQL oracle (the gate's hash check
+    needs one); and the beyond-window tail stays ordered stalest-first
+    with the 3 rows-only sketch queries pinned last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) never driver-checked, in order
-    assert window[:3] == [
-        "a_attribution_credit",
-        "a_rfm_segments",
-        "text_rake_keywords",
-    ]
-    # (b) the 13 r03-tail queries
+    # (a) new in r11, leading
+    assert window[:2] == ["ann_ivf_adc_topk", "text_kn_perplexity"]
+    # (b) the r06 tail head and the judge's 12 independently re-checked
+    # stale queries are all inside the window
+    assert window[2] == "w_bollinger_bands"
     for q in (
-        "w_first_last",
-        "w_rolling_corr",
-        "w_step_detect",
-        "p_debounce_burst",
-        "dq_referential_audit",
-        "dq_null_profile",
-        "f_json_parse",
-        "f_map_suite",
-        "f_url_suite",
-        "agg_cube",
-        "agg_grouping_sets",
-        "tpch_q16_supplier_count",
-        "tpch_q21_shape",
+        "w_bollinger_bands",
+        "w_ohlc",
+        "w_drawdown",
+        "ts_sax_symbols",
+        "a_kmv_distinct",
+        "a_weighted_median",
+        "dq_schema_drift",
+        "op_snapshot_diff",
+        "graph_bfs_levels",
+        "dedup_setsim_join",
+        "w_kalman_1d",
+        "text_zipf_fit",
     ):
-        assert q in window[3:16], f"{q} must be driver-confirmed this round"
-    # (c) new / code-changed in r10
-    for q in (
-        "a_rfm_segments_banded",
-        "dedup_verbatim_spans",
-        "dedup_strip_verbatim",
-        "stream_attribution_credit",
-        "rag_mmr_rerank",
-        "rag_prf_expand",
-        "rag_late_interaction",
-        "ml_target_encode_loo",
-        "ml_target_encode_prefix",
-        "stream_target_encode",
-    ):
-        assert q in window[16:26], f"{q} must be driver-confirmed this round"
-    # (d) the 24 r04 queries close the window exactly; the full r06
-    # tail leads the planned r11 window
-    assert window[-1] == "f_higher_order"
-    assert qs[50] == "w_bollinger_bands"
+        assert q in window[2:], f"{q} must be driver-confirmed this round"
+    # (c) the window closes on the first r07 entry; the r07 remainder
+    # leads the beyond-window tail
+    assert window[-1] == "a1_median_slice"
+    assert qs[50] == "a3_mode_interval"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
