@@ -530,3 +530,132 @@ def test_strip_verbatim_matches_bruteforce(spark, spec):
         for r in strip_verbatim(df, k=k).collect()
     }
     assert got == _brute_strip(docs, k)
+
+
+@given(corpus_strategy)
+@SETTINGS
+def test_kn_perplexity_matches_reference_on_random_corpora(spark, spec):
+    """r11: the KN bigram LM vs the pure-Python reference on random
+    tiny-alphabet corpora — dense bigram repeats stress the continuation
+    counts, and empty/single-token docs must drop out of both sides."""
+    from test_text_similarity import _kn_reference
+
+    from cassandra_fs_pp_spark.functions.text import kn_perplexity
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(spec)]
+    if not any(len(t.split()) >= 2 for _, t in rows):
+        return  # no bigrams anywhere: both sides are empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_nano"], r["ppl"])
+        for r in kn_perplexity(df).collect()
+    }
+    assert got == _kn_reference(rows)
+
+
+def _ivf_adc_reference(vecs, cells, *, k, nprobe, rerank, query_mod, levels=255):
+    """Pure-Python IVF+ADC+rerank with Spark's exact float semantics:
+    left-fold dot products, away-from-zero code rounding, (score desc,
+    id/cell asc) tie-breaks."""
+    import math
+
+    d = len(vecs[0])
+    ids = sorted(vecs)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    # scalar quantization (per-dim min/max, away-from-zero round)
+    mn = [min(vecs[i][j] for i in ids) for j in range(d)]
+    mx = [max(vecs[i][j] for i in ids) for j in range(d)]
+    def dq(i):
+        out = []
+        for j in range(d):
+            rng = mx[j] - mn[j]
+            if rng == 0:
+                code = 0
+            else:
+                x = ((vecs[i][j] - mn[j]) / rng) * float(levels)
+                code = int(math.copysign(math.floor(abs(x) + 0.5), x))
+            out.append(mn[j] + float(code) * (rng / float(levels)))
+        return out
+
+    # per-cell mean centroids (sum order irrelevant at test tolerance;
+    # probe boundaries on random data are far above ulp)
+    cent = {}
+    for c in set(cells.values()):
+        members = [i for i in ids if cells[i] == c]
+        cent[c] = [
+            sum(vecs[i][j] for i in members) / len(members) for j in range(d)
+        ]
+    out = {}
+    for q in ids:
+        if q % query_mod != 0:
+            continue
+        qv, qn = vecs[q], norm(vecs[q])
+        probes = sorted(
+            cent, key=lambda c: (-(dot(qv, cent[c]) / (qn * norm(cent[c]))), c)
+        )[:nprobe]
+        cand = [i for i in ids if cells[i] in probes and i != q]
+        adc = sorted(
+            cand,
+            key=lambda i: (-(dot(qv, dq(i)) / (qn * norm(dq(i)))), i),
+        )[:rerank]
+        ranked = sorted(
+            adc, key=lambda i: (-(dot(qv, vecs[i]) / (qn * norm(vecs[i]))), i)
+        )[:k]
+        for rank, i in enumerate(ranked, 1):
+            out[(q, rank)] = (i, dot(qv, vecs[i]) / (qn * norm(vecs[i])))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # cell
+            # draw coords from a small POOL so duplicate vectors occur
+            # and the id tie-break is actually exercised
+            st.lists(
+                st.sampled_from([0.25, 0.5, 0.75, 1.0]), min_size=3, max_size=3
+            ),
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_ivf_adc_topk_matches_reference(spark, data):
+    """r11: the composed IVF+ADC+rerank vs a pure-Python replay of every
+    stage (quantize, probe, ADC rank, exact rerank) with Spark's fold
+    order and tie-breaks — including deliberate duplicate vectors."""
+    from cassandra_fs_pp_spark.operators.similarity import ivf_adc_topk
+
+    vecs = {i: v for i, (_, v) in enumerate(data)}
+    cells = {i: c for i, (c, _) in enumerate(data)}
+    df = spark.createDataFrame(
+        [(i, cells[i], vecs[i]) for i in vecs],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_adc_topk(
+            df, k=3, nprobe=2, rerank=5, query_mod=3
+        ).collect()
+    }
+    want = _ivf_adc_reference(
+        vecs, cells, k=3, nprobe=2, rerank=5, query_mod=3
+    )
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 1e-12
