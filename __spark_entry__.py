@@ -6131,6 +6131,61 @@ GROUP BY 1
 """
 
 
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers: per-source ntile(3) over the KN
+    bigram perplexity — the per-domain quality calibration step (an
+    absolute threshold would judge every domain by the head domain's
+    fluency). Deterministic ntile order (ppl, doc_id), so the bucket
+    assignment replays exactly in SQL. New in r11."""
+    from cassandra_fs_pp_spark.functions.curation import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+# the full KN scoring pipeline re-used as a CTE prefix (same SQL as
+# TEXT_KN_PERPLEXITY_ORACLE minus its final SELECT), then the per-source
+# ntile — order (ppl, doc_id) mirrors the Spark window exactly
+CURATION_CCNET_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+  WHERE len(ws) >= 2),
+types AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+lft AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1p_l
+  FROM types GROUP BY 1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r FROM types GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM types),
+lp AS (
+  SELECT t.w1, t.w2,
+         CAST(round(ln(
+           (CAST(t.c12 AS DOUBLE) - 0.75) / CAST(l.c1 AS DOUBLE)
+           + (0.75 * CAST(l.n1p_l AS DOUBLE) / CAST(l.c1 AS DOUBLE))
+             * (CAST(r.n1p_r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS lp_nano
+  FROM types t JOIN lft l USING (w1) JOIN rgt r ON r.w2 = t.w2 CROSS JOIN tot),
+scored AS (
+  SELECT bg.doc_id,
+         round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
+                   / CAST(count(*) AS DOUBLE)), 6) AS ppl
+  FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+  GROUP BY 1),
+tiered AS (
+  SELECT s.doc_id, d.source, s.ppl,
+         CAST(ntile(3) OVER (
+           PARTITION BY d.source ORDER BY s.ppl, s.doc_id) AS INT) AS bucket
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, source, ppl, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+            ELSE 'middle' END AS tier
+FROM tiered
+"""
+
+
 def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch upsampling (the LLaMA-recipe mixing step): a
     per-source repeat factor f means every doc appears floor(f) times
@@ -12279,21 +12334,22 @@ FROM m
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-11 rotation (VERDICT
-    # r10 item 1): (a) the 2 queries NEW in r11 (ann_ivf_adc_topk,
-    # text_kn_perplexity); (b) the next 48 stalest entries -- the full
-    # 47-query r06 tail from w_bollinger_bands plus the first r07 entry
-    # (a1_median_slice).  After this window no query's driver evidence
-    # predates r07.  Beyond the window the registry stays ordered by
-    # ascending driver-evidence freshness (r07 remainder from
-    # a3_mode_interval, then r08/r09, then the 50-entry r10-window block,
-    # freshest, last); the 3 sketch queries stay pinned last (rows-only
-    # by nature, never in a window).
+    # r10 item 1): (a) the 3 queries NEW in r11 (ann_ivf_adc_topk,
+    # text_kn_perplexity, curation_ccnet_buckets); (b) the next 47
+    # stalest entries -- the full r06 tail from w_bollinger_bands
+    # through j_asof_nearest.  After this window no query's driver
+    # evidence predates r07.  Beyond the window the registry stays
+    # ordered by ascending driver-evidence freshness (r07 remainder
+    # from a1_median_slice, then r08/r09, then the 50-entry r10-window
+    # block, freshest, last); the 3 sketch queries stay pinned last
+    # (rows-only by nature, never in a window).
     return {
         # ============ r11 driver window (first 50 entries) ============
         # --- (a) new in r11 ---
         "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "text_kn_perplexity": text_kn_perplexity,
-        # --- (b) the 47-query r06 tail + first r07 entry ---
+        "curation_ccnet_buckets": curation_ccnet_buckets,
+        # --- (b) the 47-query r06 tail ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
         "layout_file_stats": layout_file_stats,
@@ -12755,6 +12811,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_adc_topk": ANN_ADC_ORACLE,
         "ann_ivf_adc_topk": ANN_IVF_ADC_ORACLE,
         "text_kn_perplexity": TEXT_KN_PERPLEXITY_ORACLE,
+        "curation_ccnet_buckets": CURATION_CCNET_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),

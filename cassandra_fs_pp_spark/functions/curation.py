@@ -349,3 +349,56 @@ def quality_model_score(
         )
         .withColumn("keep", F.col("score") > F.lit(threshold))
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-source perplexity bucketing (Wenzek et al. 2020):
+    score every document with the corpus-trained Kneser-Ney bigram LM
+    (:func:`~cassandra_fs_pp_spark.functions.text.kn_perplexity`), then
+    split each source into ``n_buckets`` equal-count quality tiers —
+    head / middle / tail for the default 3 — by perplexity rank WITHIN
+    its source. Per-source (CCNet: per-language) calibration is the
+    point: an absolute perplexity threshold would judge every domain by
+    the head domain's fluency, starving diverse sources.
+
+    Scale shape: the KN scoring plan plus one doc_id hash join to
+    re-attach the source, then a single ntile window partitioned by
+    source — the fleet-valve-friendly partitioning (sources are the
+    cohort key; no global sort). Deterministic: ntile over
+    (ppl, doc_id) — ppl is already cross-engine bit-identical (rounded
+    6 dp) and doc_id breaks ties, so bucket assignment replays exactly
+    in SQL. Docs with no bigrams (<2 tokens) have no perplexity and are
+    excluded, same as the scorer.
+    """
+    from cassandra_fs_pp_spark.functions.text import kn_perplexity
+
+    scored = kn_perplexity(docs, id_col=id_col, text_col=text_col)
+    src = docs.select(id_col, source_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("ppl").asc(), F.col(id_col).asc()
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        if n_buckets == 3
+        else bucket.cast("string")
+    )
+    return (
+        scored.join(src, id_col)
+        .select(
+            id_col,
+            source_col,
+            "ppl",
+            bucket.alias("bucket"),
+            label.alias("tier"),
+        )
+    )

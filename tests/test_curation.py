@@ -259,3 +259,60 @@ def test_stratified_sample_empty_rates_keeps_nothing(spark):
         stratified_sample_keep(F.col("doc_id"), F.col("lang"), {})
     ).count()
     assert kept == 0
+
+
+def test_ccnet_buckets_per_source_calibration(spark):
+    """r11: per-source ntile(3) over KN perplexity. The calibration
+    property is the point: a uniformly-gibberish source still splits
+    into head/middle/tail INTERNALLY (an absolute threshold would dump
+    it entirely into tail). Also pins ntile balance (sizes differ by
+    <= 1 per source), the deterministic (ppl, doc_id) order, and that
+    the ranking window partitions by source (no global sort)."""
+    import re
+
+    from cassandra_fs_pp_spark.functions.curation import ccnet_buckets
+
+    fluent = [
+        (i, "src0", "the cat sat on the mat and the dog sat on the log")
+        for i in range(6)
+    ]
+    # rare bigrams: every doc unique word salad over a disjoint alphabet
+    gibberish = [
+        (100 + i, "src1", f"zq{i} xv{i} wk{i} yj{i} uf{i} tg{i}")
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        fluent + gibberish, "doc_id long, source string, text string"
+    )
+    out = ccnet_buckets(df)
+    rows = out.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"src0", "src1"}
+    for src, rs in by_src.items():
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        assert all(s >= 1 for s in sizes), (src, sizes)
+        # tier labels map the bucket
+        for r in rs:
+            assert r["tier"] == {1: "head", 2: "middle", 3: "tail"}[r["bucket"]]
+        # bucket order follows (ppl, doc_id)
+        ordered = sorted(rs, key=lambda r: (r["ppl"], r["doc_id"]))
+        assert [r["bucket"] for r in ordered] == sorted(
+            r["bucket"] for r in rs
+        )
+    # gibberish ppl is uniformly worse, yet src1 still has heads
+    assert max(r["ppl"] for r in by_src["src0"]) < min(
+        r["ppl"] for r in by_src["src1"]
+    )
+    assert any(r["tier"] == "head" for r in by_src["src1"])
+    # plan: every Window partitions by source — the fleet-valve shape
+    jqe = out._jdf.queryExecution()
+    plan = jqe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for m in re.finditer(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan):
+        assert "source" in m.group(1), plan

@@ -277,11 +277,11 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r11 rotation contract (VERDICT r10 item 1): the 2
-    queries new in r11 lead, then the next 48 stalest entries — the
-    full 47-query r06 tail from w_bollinger_bands plus the first r07
-    entry (a1_median_slice) — so after the r11 driver run no query's
-    evidence predates r07; the window is exactly the intended size;
+    entries. Pin the r11 rotation contract (VERDICT r10 item 1): the 3
+    queries new in r11 lead, then the next 47 stalest entries — the
+    full r06 tail from w_bollinger_bands through j_asof_nearest — so
+    after the r11 driver run no query's evidence predates r07; the
+    window is exactly the intended size;
     every window entry carries a full SQL oracle (the gate's hash check
     needs one); and the beyond-window tail stays ordered stalest-first
     with the 3 rows-only sketch queries pinned last."""
@@ -290,10 +290,14 @@ def test_registry_window_discipline():
     window = qs[:50]
     oracles = entrymod.oracle_sql()
     # (a) new in r11, leading
-    assert window[:2] == ["ann_ivf_adc_topk", "text_kn_perplexity"]
+    assert window[:3] == [
+        "ann_ivf_adc_topk",
+        "text_kn_perplexity",
+        "curation_ccnet_buckets",
+    ]
     # (b) the r06 tail head and the judge's 12 independently re-checked
     # stale queries are all inside the window
-    assert window[2] == "w_bollinger_bands"
+    assert window[3] == "w_bollinger_bands"
     for q in (
         "w_bollinger_bands",
         "w_ohlc",
@@ -308,11 +312,11 @@ def test_registry_window_discipline():
         "w_kalman_1d",
         "text_zipf_fit",
     ):
-        assert q in window[2:], f"{q} must be driver-confirmed this round"
-    # (c) the window closes on the first r07 entry; the r07 remainder
-    # leads the beyond-window tail
-    assert window[-1] == "a1_median_slice"
-    assert qs[50] == "a3_mode_interval"
+        assert q in window[3:], f"{q} must be driver-confirmed this round"
+    # (c) the window closes on the r06 tail's last entry; the r07
+    # block leads the beyond-window tail
+    assert window[-1] == "j_asof_nearest"
+    assert qs[50] == "a1_median_slice"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
