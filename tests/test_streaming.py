@@ -759,3 +759,76 @@ def test_stream_target_encode_drain_matches_batch(spark):
     )
     assert got == want and len(got) > 100
     assert any(r[4] is None for r in got)  # first-of-group nulls exist
+
+
+def test_target_encode_state_across_microbatches(spark, tmp_path):
+    """r11: the (sum, n) target-encode state must CARRY across
+    micro-batches — files split INSIDE every key group, so each group's
+    later rows are encoded by mass accumulated in an earlier batch.
+    Expected values computed by a direct pandas prefix fold."""
+    import datetime as dt
+
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        run_available_now,
+        target_encode_prefix_stateful,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        for i in range(8):
+            rows.append(
+                (eid, user, "buy", base + dt.timedelta(minutes=10 * i),
+                 (eid * 37) % 100)
+            )
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "cents"]
+    )
+    # interleave so EVERY (user) group straddles the file boundary
+    frames = [
+        df[df["event_id"] % 8 < 4].sort_values("event_id"),
+        df[df["event_id"] % 8 >= 4].sort_values("event_id"),
+    ]
+    # file order must respect per-key ts order (the operator contract):
+    # user u's rows 0..3 (file 0) precede 4..7 (file 1) in ts -> holds,
+    # since event_id order == ts order within a user
+    d = _write_stream_files(spark, tmp_path, frames)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, cents long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        r["event_id"]: r["prefix_cents_mean"]
+        for r in run_available_now(
+            target_encode_prefix_stateful(
+                stream, key_cols=["user_id", "event_type"]
+            )
+        ).collect()
+    }
+    # pandas reference: strictly-earlier mean per (user, event_type)
+    want = {}
+    for _, g in df.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        s = n = 0
+        for _, r in g.iterrows():
+            want[r["event_id"]] = (s / n) if n else None
+            s += int(r["cents"])
+            n += 1
+    assert len(got) == len(df)
+    for eid, exp in want.items():
+        if exp is None:
+            assert got[eid] is None, eid
+        else:
+            assert got[eid] == exp, (eid, got[eid], exp)
+    # the cross-batch property actually bit: every group's batch-2 rows
+    # (event_id % 8 >= 4) have non-null encodings fed by batch-1 state
+    assert all(
+        got[eid] is not None for eid in df[df["event_id"] % 8 >= 4]["event_id"]
+    )
