@@ -832,3 +832,60 @@ def test_target_encode_state_across_microbatches(spark, tmp_path):
     assert all(
         got[eid] is not None for eid in df[df["event_id"] % 8 >= 4]["event_id"]
     )
+
+
+def test_cusum_and_holt_microbatch_boundaries_invisible(spark, tmp_path):
+    """r11: micro-batch boundaries must be invisible to the stateful
+    detectors — a maxFilesPerTrigger=1 drain over files split INSIDE
+    every key's series equals the same input drained in one batch,
+    bit-for-bit (cusum's integer s; holt's (n, level, trend) doubles)."""
+    import datetime as dt
+
+    from cassandra_fs_pp_spark.streaming.filestream import (
+        cusum_stateful,
+        holt_stateful,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    for user in (1, 2):
+        for i in range(12):
+            # a step change mid-series keeps the CUSUM state non-trivial
+            v = 10 + (50 if i >= 6 else 0) + ((user * 7 + i * 13) % 9)
+            rows.append((user, base + dt.timedelta(minutes=5 * i), v))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "cents"])
+    # three files, each ending mid-series for both users
+    order = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    mask = order.groupby("user_id").cumcount()
+    frames = [order[mask < 4], order[(mask >= 4) & (mask < 8)], order[mask >= 8]]
+    d = _write_stream_files(spark, tmp_path, frames)
+    schema = "user_id long, ts timestamp, cents long"
+
+    def drain(op, chunked):
+        rd = spark.readStream.schema(schema)
+        if chunked:
+            rd = rd.option("maxFilesPerTrigger", 1)
+        return run_available_now(op(rd.parquet(d)))
+
+    cus = lambda s: cusum_stateful(  # noqa: E731
+        s, key_col="user_id", ts_col="ts", x_col="cents", drift=12
+    )
+    holt = lambda s: holt_stateful(  # noqa: E731
+        s, key_col="user_id", ts_col="ts", x_col="cents"
+    )
+    for op, cols in (
+        (cus, ("user_id", "ts", "cusum")),
+        (holt, ("user_id", "ts", "level", "trend", "n_seen")),
+    ):
+        one = sorted(
+            tuple(r[c] for c in cols) for r in drain(op, False).collect()
+        )
+        many = sorted(
+            tuple(r[c] for c in cols) for r in drain(op, True).collect()
+        )
+        assert one == many and len(one) == len(df)
+    # the step change actually fired the detector
+    assert any(
+        r["cusum"] > 0 for r in drain(cus, True).collect()
+    )
