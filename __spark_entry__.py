@@ -6098,7 +6098,10 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_perplexity(_t(spark, sf_dir, "documents"))
 
 
-TEXT_KN_PERPLEXITY_ORACLE = r"""
+# shared KN-scoring CTE prefix (tok -> bg -> types -> lft/rgt/tot -> lp):
+# TEXT_KN_PERPLEXITY_ORACLE and CURATION_CCNET_ORACLE both append their
+# final SELECTs to this, so the model SQL cannot drift between them
+_KN_CTE_SQL = r"""
 WITH tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
   FROM documents),
@@ -6121,6 +6124,9 @@ lp AS (
              * (CAST(r.n1p_r AS DOUBLE) / CAST(tot.t AS DOUBLE))
          ) * 1e9) AS BIGINT) AS lp_nano
   FROM types t JOIN lft l USING (w1) JOIN rgt r ON r.w2 = t.w2 CROSS JOIN tot)
+"""
+
+TEXT_KN_PERPLEXITY_ORACLE = _KN_CTE_SQL + r"""
 SELECT bg.doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(-sum(lp_nano) AS BIGINT) AS nll_nano,
@@ -6142,32 +6148,9 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(_t(spark, sf_dir, "documents"))
 
 
-# the full KN scoring pipeline re-used as a CTE prefix (same SQL as
-# TEXT_KN_PERPLEXITY_ORACLE minus its final SELECT), then the per-source
-# ntile — order (ppl, doc_id) mirrors the Spark window exactly
-CURATION_CCNET_ORACLE = r"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM documents),
-bg AS (
-  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-  FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
-  WHERE len(ws) >= 2),
-types AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
-lft AS (
-  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1p_l
-  FROM types GROUP BY 1),
-rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r FROM types GROUP BY 1),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM types),
-lp AS (
-  SELECT t.w1, t.w2,
-         CAST(round(ln(
-           (CAST(t.c12 AS DOUBLE) - 0.75) / CAST(l.c1 AS DOUBLE)
-           + (0.75 * CAST(l.n1p_l AS DOUBLE) / CAST(l.c1 AS DOUBLE))
-             * (CAST(r.n1p_r AS DOUBLE) / CAST(tot.t AS DOUBLE))
-         ) * 1e9) AS BIGINT) AS lp_nano
-  FROM types t JOIN lft l USING (w1) JOIN rgt r ON r.w2 = t.w2 CROSS JOIN tot),
+# the shared KN CTE prefix plus the per-source ntile — order (ppl,
+# doc_id) mirrors the Spark window exactly
+CURATION_CCNET_ORACLE = _KN_CTE_SQL.rstrip() + r""",
 scored AS (
   SELECT bg.doc_id,
          round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
