@@ -625,7 +625,12 @@ def _ivf_adc_reference(vecs, cells, *, k, nprobe, rerank, query_mod, levels=255)
         st.tuples(
             st.integers(min_value=0, max_value=2),  # cell
             # draw coords from a small POOL so duplicate vectors occur
-            # and the id tie-break is actually exercised
+            # and the id tie-break is actually exercised. The pool is
+            # deliberately DYADIC (exact binary fractions): sums and
+            # products stay exact in float64, so the per-cell avg()
+            # centroid is identical regardless of Spark's accumulation
+            # order and probe ties resolve the same way in both
+            # implementations — don't replace with arbitrary floats.
             st.lists(
                 st.sampled_from([0.25, 0.5, 0.75, 1.0]), min_size=3, max_size=3
             ),
