@@ -46,3 +46,38 @@ def test_bench_headline_names_exist(spark):
     qs = set(entrymod.queries()) | {"flagship_events_hourly"}
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_bench_json_contract():
+    """bench.py must print exactly one parseable JSON line with the
+    driver's expected keys — including the r11 `calib` drift canary
+    (positive, and small relative to any real suite wall). Runs a
+    1-query subset at sf0.001 in a fresh process, like the driver."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="tpch_q6",
+    )
+    p = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=root,
+        timeout=300,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
+    assert len(lines) == 1, (p.stdout[-2000:], p.stderr[-2000:])
+    r = json.loads(lines[0])
+    assert set(r) == {"metric", "value", "unit", "queries", "sf", "calib"}
+    assert r["metric"] == "headline_suite_wall" and r["unit"] == "sec"
+    assert r["sf"] == 0.001
+    assert list(r["queries"]) == ["tpch_q6"]
+    assert r["value"] == round(sum(r["queries"].values()), 3)
+    assert 0 < r["calib"] < 30
