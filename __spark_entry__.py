@@ -3670,12 +3670,19 @@ def w_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(F.col("x") * F.col("x")).over(w)
     num = (n * sxy - sx * sy).cast("double")
     den = (n * sxx - sx * sx).cast("double")
+    # Emitted RAW (no round): both factors are exact int64, so the two
+    # divisions are single correctly-rounded IEEE ops — bit-identical
+    # cross-engine at any SF. round(·, 6) would REINTRODUCE drift: Spark
+    # rounds the exact decimal expansion (BigDecimal HALF_UP) while
+    # DuckDB multiply-round-divides in binary, and the two disagree on
+    # ~.5e-6 boundary values (found by the r11 sf0.1 sweep: one row,
+    # |diff| = 1e-6).
     slope = num / F.nullif(den, F.lit(0.0)) / F.lit(1000.0)
     return with_x.select(
         "user_id",
         "day_ts",
         "day_value",
-        F.round(slope, 6).alias("slope_7d"),
+        slope.alias("slope_7d"),
         n.cast("int").alias("n_window"),
     )
 
@@ -3697,8 +3704,8 @@ s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY day_ts
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT user_id, day_ts, day_value,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 1000.0, 6)
+       CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 1000.0
          AS slope_7d,
        CAST(n AS INT) AS n_window
 FROM s
