@@ -146,8 +146,14 @@ def main(argv: list[str]) -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written tables are DIRECTORIES of part files; DuckDB
+            # needs the glob (the r10 stream_table layout class, on the
+            # oracle side — bit when sweeping synthesized 8x corpora)
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     failures = 0
     for name, fn in qs.items():
