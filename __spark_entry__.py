@@ -10732,7 +10732,11 @@ def a_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2, rr = F.col("n_pos"), F.col("n_neg"), F.col("runs")
     nn = (n1 + n2).cast("double")
-    two = (F.lit(2) * n1 * n2).cast("double")
+    # 2*n1*n2 in DOUBLE from the start: the int64 product silently wraps
+    # past ~2.1e9 counts per side (the 8x-sweep oracle raised the same
+    # overflow loudly), and at 100 TB per-type counts get there. Left-
+    # assoc op order mirrored exactly in the oracle SQL.
+    two = F.lit(2.0) * n1.cast("double") * n2.cast("double")
     mu = two / nn + F.lit(1.0)
     var = (
         two * (two - nn) / (nn * nn * (nn - F.lit(1.0)))
@@ -10773,14 +10777,15 @@ a AS (
   FROM s GROUP BY event_type)
 SELECT event_type, n_pos, n_neg, runs,
        CASE WHEN n_pos + n_neg > 1
-             AND 2 * n_pos * n_neg
-                 * (2 * n_pos * n_neg - (n_pos + n_neg)) > 0
+             AND (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                    - CAST(n_pos + n_neg AS DOUBLE)) > 0
        THEN
        round((CAST(runs AS DOUBLE)
-              - (CAST(2 * n_pos * n_neg AS DOUBLE)
+              - ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
                  / CAST(n_pos + n_neg AS DOUBLE) + 1.0))
-             / sqrt(CAST(2 * n_pos * n_neg AS DOUBLE)
-                    * (CAST(2 * n_pos * n_neg AS DOUBLE)
+             / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                    * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
                        - CAST(n_pos + n_neg AS DOUBLE))
                     / (CAST(n_pos + n_neg AS DOUBLE)
                        * CAST(n_pos + n_neg AS DOUBLE)
