@@ -5562,20 +5562,25 @@ def _mm_phash_oracle_sql() -> str:
     )
     return f"""
 WITH ids AS (
-  SELECT doc_id, doc_id AS k FROM documents
+  SELECT doc_id, doc_id AS k, 0 AS is_dup FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, doc_id AS k
+  SELECT doc_id + 100000 AS doc_id, doc_id AS k, 1 AS is_dup
   FROM documents WHERE doc_id % 5 = 0
 ),
 raw AS (
-  SELECT ids.doc_id, p.range AS idx,
+  SELECT ids.doc_id, ids.is_dup, p.range AS idx,
          ((ids.k + 1) * 2654435761 + (p.range + 1) * 40503
           + (ids.k * p.range % 65536) * 2971) % 4294967296 AS h0
   FROM ids CROSS JOIN range(1024) p
 ),
 px AS (
+  -- perturb by the EXPLICIT dup flag: inferring it from id magnitude
+  -- (doc_id >= 100000) broke on shifted-key probe corpora whose
+  -- ORIGINALS exceed the offset (found by the r11 8x oracle sweep:
+  -- the oracle perturbed shifted originals too, collapsing their
+  -- engineered pairs to hamming 0 while Spark correctly read 2-4)
   SELECT doc_id, idx // 32 AS y, idx % 32 AS x,
-         CASE WHEN doc_id >= 100000 AND idx // 32 < 3 AND idx % 32 < 3
+         CASE WHEN is_dup = 1 AND idx // 32 < 3 AND idx % 32 < 3
               THEN least(xor(h0, h0 >> 15) % 256 + 7, 255)
               ELSE xor(h0, h0 >> 15) % 256 END AS px
   FROM raw
