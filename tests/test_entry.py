@@ -81,3 +81,35 @@ def test_bench_json_contract():
     assert list(r["queries"]) == ["tpch_q6"]
     assert r["value"] == round(sum(r["queries"].values()), 3)
     assert 0 < r["calib"] < 30
+
+
+def test_oracle_check_comparator_catches_failure_classes():
+    """The sweep comparator is load-bearing (SWEEP artifacts gate
+    doc_check): pin that it flags each failure class the r11 sweeps
+    actually hit — row-count drift, float value drift (the round-tie
+    class), dtype-kind drift (int vs float), column-set drift — and
+    passes identical frames, including NaN==NaN."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "scripts"
+        ),
+    )
+    from oracle_check import compare
+
+    base = pd.DataFrame({"k": [1, 2], "v": [0.25, float("nan")]})
+    assert compare("same", base, base.copy()) == []
+    assert compare("rows", base, base.iloc[:1])  # row-count drift
+    shifted = base.copy()
+    shifted.loc[0, "v"] = 0.250001  # the 1e-6 round-tie class
+    assert any("max|diff|" in p for p in compare("tie", base, shifted))
+    kinds = base.copy()
+    kinds["k"] = kinds["k"].astype("float64")  # BIGINT-vs-DOUBLE drift
+    assert any("dtype kind" in p for p in compare("kind", base, kinds))
+    cols = base.rename(columns={"v": "w"})
+    assert any("columns" in p for p in compare("cols", base, cols))
