@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cassandra_fs_pp_spark.operators.dedup import dedup_keep_first, dedup_rows
-from cassandra_fs_pp_spark.operators.joins import asof_join, calibration_join
+from cassandra_fs_pp_spark.operators.joins import (
+    asof_join,
+    calibration_group_mean,
+    calibration_join,
+)
 from cassandra_fs_pp_spark.operators.validity import null_out_of_range, quality_gate
 from cassandra_fs_pp_spark.operators.windows import (
     rolling_mean,
@@ -453,11 +457,13 @@ def j1_calibration_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("s_acctbal", 2) / 1000.0).alias("m"),
         (F.col("s_nationkey") / 10.0).alias("c"),
     )
-    out = calibration_join(fact, calib)
-    return out.groupBy("sensor_id").agg(
-        F.round(F.avg("calibrated"), 6).alias("avg_cal"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    # r12: partition-invariant aggregate form — a double avg(calibrated)
+    # drifts with summation order (engine/partition/task), and the drift
+    # grows ~n*ulp with group size, so no rounding scale is safe at 100 TB
+    # (the 8x sweep's 2-row round-6 tie).  calibration_group_mean sums the
+    # on-grid hit side in exact DECIMAL(38,7) and folds the miss side
+    # algebraically; avg_cal is emitted RAW (bit-identical by construction).
+    return calibration_group_mean(fact, calib)
 
 
 J1_ORACLE = """
@@ -466,17 +472,33 @@ WITH calib AS (
          s_nationkey / 10.0 AS c
   FROM supplier WHERE s_suppkey % 4 <> 0
 ), means AS (
-  SELECT avg(m) AS avg_m, avg(c) AS avg_c FROM calib
+  -- mirrors calibration_group_mean's exact fixed-point mean (r12 fix for
+  -- the 8x order-dependent-avg round-tie): lossless DECIMAL(38,6) sum of
+  -- the low-precision coefficients, ONE final IEEE division
+  SELECT CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) / count(m) AS avg_m,
+         CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / count(c) AS avg_c
+  FROM calib
 ), fact AS (
   SELECT l_suppkey AS sensor_id, l_discount AS raw FROM lineitem
+), g AS (
+  -- hit rows land on the 7-decimal grid (m 5dp x raw 2dp + c 1dp): exact
+  -- DECIMAL sum; miss rows fold to avg_m*T + avg_c*n_miss with T exact
+  SELECT f.sensor_id,
+         sum(CASE WHEN cal.m IS NOT NULL THEN
+             CAST(cal.m * (1 - f.raw) + cal.c AS DECIMAL(38,7)) END) AS s_hit,
+         sum(CASE WHEN cal.m IS NULL THEN
+             CAST(1 - f.raw AS DECIMAL(38,2)) END) AS t_miss,
+         count(CASE WHEN cal.m IS NULL THEN 1 END) AS n_miss,
+         count(*) AS n
+  FROM fact f LEFT JOIN calib cal ON f.sensor_id = cal.sensor_id
+  GROUP BY f.sensor_id
 )
-SELECT f.sensor_id,
-       round(avg(coalesce(cal.m, means.avg_m) * (1 - f.raw)
-             + coalesce(cal.c, means.avg_c)), 6) AS avg_cal,
-       count(*) AS n
-FROM fact f LEFT JOIN calib cal ON f.sensor_id = cal.sensor_id
-CROSS JOIN means
-GROUP BY f.sensor_id
+SELECT g.sensor_id,
+       (coalesce(CAST(g.s_hit AS DOUBLE), 0)
+        + means.avg_m * coalesce(CAST(g.t_miss AS DOUBLE), 0)
+        + means.avg_c * g.n_miss) / g.n AS avg_cal,
+       g.n
+FROM g CROSS JOIN means
 """
 
 
@@ -8438,41 +8460,101 @@ FROM m
 
 
 def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized moments per event_type: clip at the exact p05/p95 (tiny
-    bounds table broadcast back), then mean/std of the clipped values and
-    the clip count — the robust-stats companion to MAD outliers."""
+    """Winsorized moments per event_type, EXACT at any scale (r12 fix for
+    the 8x percentile-interpolation tie).
+
+    Cutoffs are pure order statistics — the smallest value whose
+    cumulative count reaches ceil(p*n), computed with integer ranks over
+    the per-type DISTINCT-value counts (bounded by the 3-decimal value
+    grid, not the corpus) — so each bound is an actual data value, never
+    an interpolated float (Spark `percentile` and DuckDB `quantile_cont`
+    interpolate in different op orders, and at 8x the p05 cutoff landed
+    ON a duplicated value, flipping n_clipped by that multiplicity).
+    Moments accumulate on the milli-grid as exact DECIMAL(38,0) integer
+    sums (summation-order- and partition-count-invariant), then one
+    fixed IEEE scalar sequence per group — wins_mean/wins_std are
+    bit-identical across engines and safe to emit RAW."""
     ev = _t(spark, sf_dir, "events")
-    bounds = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+    vv = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 1000.0, 0).cast("long").alias("v3"),
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    return (
-        ev.join(F.broadcast(bounds), "event_type")
+    c = vv.groupBy("event_type", "v3").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("v3")
+    wt = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "v3",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("v3"))
+        ).alias("lo3"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("v3"))
+        ).alias("hi3"),
+    )
+    clip = F.least(F.greatest(F.col("v3"), F.col("lo3")), F.col("hi3"))
+    g = (
+        vv.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg(clipped), 6).alias("wins_mean"),
-            F.round(F.stddev_samp(clipped), 6).alias("wins_std"),
+            F.sum(clip.cast("decimal(38,0)")).alias("s1"),
+            F.sum((clip * clip).cast("decimal(38,0)")).alias("s2"),
             F.count(
-                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                F.when(
+                    (F.col("v3") < F.col("lo3")) | (F.col("v3") > F.col("hi3")), 1
+                )
             ).alias("n_clipped"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return g.select(
+        "event_type",
+        (s1d / F.col("n") / 1000.0).alias("wins_mean"),
+        (
+            F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)) / 1000.0
+        ).alias("wins_std"),
+        "n_clipped",
     )
 
 
 A_WINSOR_ORACLE = """
-WITH b AS (
+WITH vv AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, v3, count(*) AS cnt FROM vv GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v3,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v3) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c
+), b AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-  FROM events GROUP BY 1
+         min(CASE WHEN cum >= (n + 19) // 20 THEN v3 END) AS lo3,
+         min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v3 END) AS hi3
+  FROM cum GROUP BY 1
+), g AS (
+  SELECT event_type,
+         sum(CAST(least(greatest(v3, lo3), hi3) AS DECIMAL(38,0))) AS s1,
+         sum(CAST(least(greatest(v3, lo3), hi3)
+                  * least(greatest(v3, lo3), hi3) AS DECIMAL(38,0))) AS s2,
+         CAST(count(*) FILTER (WHERE v3 < lo3 OR v3 > hi3) AS BIGINT)
+           AS n_clipped,
+         count(*) AS n
+  FROM vv JOIN b USING (event_type)
+  GROUP BY 1
 )
-SELECT e.event_type,
-       round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_mean,
-       round(stddev_samp(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_std,
-       CAST(count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS BIGINT)
-         AS n_clipped
-FROM events e JOIN b USING (event_type)
-GROUP BY 1
+SELECT event_type,
+       CAST(s1 AS DOUBLE) / n / 1000.0 AS wins_mean,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+            / (n - 1)) / 1000.0 AS wins_std,
+       n_clipped
+FROM g
 """
 
 

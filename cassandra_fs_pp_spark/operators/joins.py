@@ -34,14 +34,34 @@ def calibration_join(
     m_col: str = "m",
     c_col: str = "c",
     out_col: str = "calibrated",
+    mean_decimals: int = 6,
 ) -> DataFrame:
     """J1 — broadcast dim join + fallback-to-mean coalesce + linear transform.
 
     ``calibrated = coalesce(m, avg(m)) * (1 - raw) + coalesce(c, avg(c))``
     (the EC mV->uS transform, cassandra_fs_pp/fs_pp.py:593-594).
+
+    The fallback means accumulate in EXACT fixed point — each coefficient
+    is cast to ``DECIMAL(38, mean_decimals)`` (calibration coefficients
+    are physically low-precision constants, so the cast is lossless at
+    the default 6), summed exactly, and divided ONCE in IEEE double.
+    A plain ``avg()`` of doubles is summation-order-dependent, so the
+    mean — and every fallback row downstream of it — would vary with
+    partition count, task order, and engine (the 8x-sweep residual: two
+    per-sensor averages tied at the 6th decimal across engines).  The
+    fixed-point sum makes the result bit-identical across partitionings
+    and retries, which a 100 TB engine needs for reproducible reruns.
+    Keep ``mean_decimals`` low: high-scale double->decimal casts are
+    themselves engine-specific (binary-vs-decimal expansion rounding).
     """
+    dec_t = f"decimal(38,{int(mean_decimals)})"
     means = calib.agg(
-        F.avg(m_col).alias("__avg_m"), F.avg(c_col).alias("__avg_c")
+        (F.sum(F.col(m_col).cast(dec_t)).cast("double") / F.count(m_col)).alias(
+            "__avg_m"
+        ),
+        (F.sum(F.col(c_col).cast(dec_t)).cast("double") / F.count(c_col)).alias(
+            "__avg_c"
+        ),
     )
     dim = calib.select(key, m_col, c_col)
     out = (
@@ -55,6 +75,84 @@ def calibration_join(
         .drop(m_col, c_col, "__avg_m", "__avg_c")
     )
     return out
+
+
+def calibration_group_mean(
+    fact: DataFrame,
+    calib: DataFrame,
+    *,
+    key: str = "sensor_id",
+    raw_col: str = "raw",
+    m_col: str = "m",
+    c_col: str = "c",
+    grid_decimals: int = 7,
+    raw_decimals: int = 2,
+    mean_decimals: int = 6,
+    out_col: str = "avg_cal",
+) -> DataFrame:
+    """Per-``key`` mean of J1-calibrated values, computed in EXACT
+    fixed-point algebra — the reproducible-aggregate form of
+    :func:`calibration_join` + ``avg``.
+
+    A double ``avg(calibrated)`` drifts with summation order: engine,
+    partition count, and task schedule each reorder the sum, and the
+    drift grows ~n·ulp with group size — at 8x two groups already tied
+    at the 6th decimal across engines, and at 100 TB group sizes no
+    rounding scale is safe.  This operator is partition-invariant:
+
+    * hit rows: ``calibrated = m*(1-raw)+c`` lands on the
+      ``grid_decimals`` grid (coefficient precision x raw precision), so
+      a ``DECIMAL(38, grid_decimals)`` sum is exact;
+    * miss rows: ``calibrated = avg_m*(1-raw)+avg_c`` — summed
+      algebraically as ``avg_m*T + avg_c*n_miss`` where
+      ``T = Σ(1-raw)`` is exact at ``raw_decimals``;
+    * the fallback means come from the same exact fixed-point sums as
+      :func:`calibration_join` (``mean_decimals``);
+    * ONE final fixed IEEE expression per group:
+      ``(s_hit + avg_m*T + avg_c*n_miss) / n``.
+
+    Every intermediate is an exact decimal or a deterministic scalar op,
+    so the result is bit-identical across engines and retries and safe
+    to emit RAW (no round-tie class).
+    """
+    dec_t = f"decimal(38,{int(mean_decimals)})"
+    means = calib.agg(
+        (F.sum(F.col(m_col).cast(dec_t)).cast("double") / F.count(m_col)).alias(
+            "__avg_m"
+        ),
+        (F.sum(F.col(c_col).cast(dec_t)).cast("double") / F.count(c_col)).alias(
+            "__avg_c"
+        ),
+    )
+    dim = calib.select(key, m_col, c_col)
+    hit = F.col(m_col).isNotNull()
+    cal_hit = (
+        F.col(m_col) * (F.lit(1.0) - F.col(raw_col)) + F.col(c_col)
+    ).cast(f"decimal(38,{int(grid_decimals)})")
+    t_miss = (F.lit(1.0) - F.col(raw_col)).cast(f"decimal(38,{int(raw_decimals)})")
+    g = (
+        fact.join(broadcast(dim), on=key, how="left")
+        .groupBy(key)
+        .agg(
+            F.sum(F.when(hit, cal_hit)).alias("__s_hit"),
+            F.sum(F.when(~hit, t_miss)).alias("__t_miss"),
+            F.count(F.when(~hit, F.lit(1))).alias("__n_miss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.join(broadcast(means), how="cross").select(
+        key,
+        (
+            (
+                F.coalesce(F.col("__s_hit").cast("double"), F.lit(0.0))
+                + F.col("__avg_m")
+                * F.coalesce(F.col("__t_miss").cast("double"), F.lit(0.0))
+                + F.col("__avg_c") * F.col("__n_miss")
+            )
+            / F.col("n")
+        ).alias(out_col),
+        "n",
+    )
 
 
 def asof_join(

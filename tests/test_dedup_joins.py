@@ -622,3 +622,48 @@ def test_containment_join_vs_bruteforce(spark):
     assert got == want
     # fragments really are detected as contained in their source
     assert any(a >= 1000 and b == a - 1000 for a, b in want)
+
+
+def test_calibration_group_mean_exact_and_partition_invariant(spark):
+    """r12 exact-aggregate form of J1: matches the semantic
+    join+avg within float tolerance, and — the property the operator
+    exists for — is BIT-identical under repartitioning (a plain
+    avg(double) is summation-order-dependent, so engine / partition /
+    task order each move the last bits; the 8x sweep caught two
+    round-6 ties from exactly that)."""
+    from cassandra_fs_pp_spark.operators.joins import calibration_group_mean
+
+    import random
+
+    rng = random.Random(7)
+    fact_rows = [
+        (f"s{rng.randrange(8)}", rng.randrange(11) / 100.0) for _ in range(4000)
+    ]
+    fact = spark.createDataFrame(fact_rows, "sensor_id string, raw double")
+    calib = spark.createDataFrame(
+        [(f"s{i}", round(rng.uniform(0.1, 9.9), 5), i / 10.0) for i in range(6)],
+        "sensor_id string, m double, c double",
+    )
+
+    got = {
+        r["sensor_id"]: (r["avg_cal"], r["n"])
+        for r in calibration_group_mean(fact, calib).collect()
+    }
+    want = {
+        r["sensor_id"]: (r["avg_cal"], r["n"])
+        for r in calibration_join(fact, calib)
+        .groupBy("sensor_id")
+        .agg(F.avg("calibrated").alias("avg_cal"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-9)
+
+    # partition invariance: EXACT float equality, not approx
+    a = calibration_group_mean(fact.repartition(1), calib).collect()
+    b = calibration_group_mean(fact.repartition(13), calib).collect()
+    assert {r["sensor_id"]: r["avg_cal"] for r in a} == {
+        r["sensor_id"]: r["avg_cal"] for r in b
+    }
