@@ -6171,6 +6171,67 @@ GROUP BY 1
 """
 
 
+def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney perplexity with recursive
+    continuation-count backoff (Chen-Goodman) — the next order up from
+    ``text_kn_perplexity`` toward CCNet's 5-gram signal. All model
+    tables derive from the trigram TYPE table (scale with distinct
+    types, not occurrences); one occurrence-side hash join. New in r12
+    (VERDICT r11 item 4)."""
+    from cassandra_fs_pp_spark.functions.text import kn3_perplexity
+
+    return kn3_perplexity(_t(spark, sf_dir, "documents"))
+
+
+TEXT_KN3_PERPLEXITY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+tg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+  FROM tok, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3),
+t3 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+  FROM tg GROUP BY 1, 2, 3),
+ctx12 AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12dot,
+         CAST(count(*) AS BIGINT) AS n3d
+  FROM t3 GROUP BY 1, 2),
+cont23 AS (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p23 FROM t3 GROUP BY 1, 2),
+ctx2 AS (
+  SELECT w2, CAST(sum(n1p23) AS BIGINT) AS n1p2dot,
+         CAST(count(*) AS BIGINT) AS ndw3
+  FROM cont23 GROUP BY 1),
+cont3 AS (
+  SELECT w3, CAST(count(*) AS BIGINT) AS n1p3 FROM cont23 GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM cont23),
+lp AS (
+  SELECT t.w1, t.w2, t.w3,
+         CAST(round(ln(
+           (CAST(t.c123 AS DOUBLE) - 0.75) / CAST(x.c12dot AS DOUBLE)
+           + (0.75 * CAST(x.n3d AS DOUBLE) / CAST(x.c12dot AS DOUBLE))
+             * ((CAST(c.n1p23 AS DOUBLE) - 0.75) / CAST(y.n1p2dot AS DOUBLE)
+                + (0.75 * CAST(y.ndw3 AS DOUBLE) / CAST(y.n1p2dot AS DOUBLE))
+                  * (CAST(z.n1p3 AS DOUBLE) / CAST(tot.t2 AS DOUBLE)))
+         ) * 1e9) AS BIGINT) AS lp_nano
+  FROM t3 t
+  JOIN ctx12 x ON x.w1 = t.w1 AND x.w2 = t.w2
+  JOIN cont23 c ON c.w2 = t.w2 AND c.w3 = t.w3
+  JOIN ctx2 y ON y.w2 = t.w2
+  JOIN cont3 z ON z.w3 = t.w3
+  CROSS JOIN tot)
+SELECT tg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(-sum(lp_nano) AS BIGINT) AS nll_nano,
+       round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
+                 / CAST(count(*) AS DOUBLE)), 6) AS ppl
+FROM tg JOIN lp ON lp.w1 = tg.w1 AND lp.w2 = tg.w2 AND lp.w3 = tg.w3
+GROUP BY 1
+"""
+
+
 def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-source ntile(3) over the KN
     bigram perplexity — the per-domain quality calibration step (an
@@ -6200,6 +6261,55 @@ SELECT doc_id, source, ppl, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
             ELSE 'middle' END AS tier
 FROM tiered
+"""
+
+
+def curation_ccnet_buckets_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-valve twin of ``curation_ccnet_buckets`` (VERDICT r11 item
+    3): per-source tercile CUTOFFS from a banded perplexity histogram
+    (window input = the histogram, bounded by the 2dp value grid, not
+    the cohort) + a stateless broadcast band join — no monolithic
+    per-source sort, so a CCNet-scale head language (half the corpus in
+    one cohort) costs one hash aggregation instead of one task. New in
+    r12."""
+    from cassandra_fs_pp_spark.functions.curation import ccnet_buckets_banded
+
+    return ccnet_buckets_banded(_t(spark, sf_dir, "documents"))
+
+
+# same KN CTE prefix; banded tercile cutoffs via integer ranks over the
+# per-source 2dp histogram, then a value band join — mirrors
+# ccnet_buckets_banded exactly (floor of the same IEEE double, ceil via
+# integer div)
+CURATION_CCNET_BANDED_ORACLE = _KN_CTE_SQL.rstrip() + r""",
+scored AS (
+  SELECT bg.doc_id,
+         round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
+                   / CAST(count(*) AS DOUBLE)), 6) AS ppl
+  FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+  GROUP BY 1),
+d AS (
+  SELECT s.doc_id, doc.source, s.ppl,
+         CAST(floor(s.ppl * 100) AS BIGINT) AS band
+  FROM scored s JOIN documents doc USING (doc_id)),
+hist AS (
+  SELECT source, band, count(*) AS cnt FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, band,
+         sum(cnt) OVER (PARTITION BY source ORDER BY band) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM hist),
+cuts AS (
+  SELECT source,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN band END) AS c1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN band END) AS c2
+  FROM cum GROUP BY 1)
+SELECT d.doc_id, d.source, d.ppl, d.band,
+       CAST(CASE WHEN d.band <= cuts.c1 THEN 1
+                 WHEN d.band <= cuts.c2 THEN 2 ELSE 3 END AS INT) AS bucket,
+       CASE WHEN d.band <= cuts.c1 THEN 'head'
+            WHEN d.band <= cuts.c2 THEN 'middle' ELSE 'tail' END AS tier
+FROM d JOIN cuts USING (source)
 """
 
 
@@ -12430,7 +12540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) new in r11 ---
         "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "text_kn_perplexity": text_kn_perplexity,
+        "text_kn3_perplexity": text_kn3_perplexity,
         "curation_ccnet_buckets": curation_ccnet_buckets,
+        "curation_ccnet_buckets_banded": curation_ccnet_buckets_banded,
         # --- (b) the 47-query r06 tail ---
         "w_bollinger_bands": w_bollinger_bands,
         "a_autocorr": a_autocorr,
@@ -12893,7 +13005,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_adc_topk": ANN_ADC_ORACLE,
         "ann_ivf_adc_topk": ANN_IVF_ADC_ORACLE,
         "text_kn_perplexity": TEXT_KN_PERPLEXITY_ORACLE,
+        "text_kn3_perplexity": TEXT_KN3_PERPLEXITY_ORACLE,
         "curation_ccnet_buckets": CURATION_CCNET_ORACLE,
+        "curation_ccnet_buckets_banded": CURATION_CCNET_BANDED_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),

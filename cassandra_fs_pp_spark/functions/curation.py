@@ -402,3 +402,88 @@ def ccnet_buckets(
             label.alias("tier"),
         )
     )
+
+
+def ccnet_buckets_banded(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    band_decimals: int = 2,
+) -> DataFrame:
+    """Scale-valve twin of :func:`ccnet_buckets` (VERDICT r11 item 3).
+
+    ``ccnet_buckets``'s per-source ``ntile`` sorts each source cohort in
+    ONE partition — fine for 20 synthetic sources, a single-task sort at
+    CCNet scale, where the cohort key is the language and a head
+    language can be half the corpus.  This twin never sorts a cohort:
+
+    * quantize perplexity to the ``band_decimals`` grid
+      (``floor(ppl * 10^d)`` — deterministic: both engines floor the
+      same IEEE double);
+    * per-(source, band) counts — ONE map-side-combinable aggregation,
+      hash-distributed over the full (source, band) key space;
+    * per-source cumulative counts over the BAND table — the window
+      input is the histogram, bounded by the value grid
+      (range x 10^d rows/source), not the cohort;
+    * exact integer-rank tercile cutoffs (``cum >= ceil(n/3)`` /
+      ``ceil(2n/3)``, pure integer arithmetic — the
+      a_weighted_median / winsorized order-statistic machinery);
+    * a stateless broadcast band join assigns tiers by VALUE.
+
+    Semantic difference vs the ntile form, by design: docs tied within
+    the cutoff band share a tier, so tier counts are equal only up to
+    the cutoff band's multiplicity — the standard histogram-quantile
+    trade every production CCNet pipeline makes.  Deterministic and
+    exactly SQL-replayable (no interpolation, no RNG).
+    """
+    from cassandra_fs_pp_spark.functions.text import kn_perplexity
+
+    scale = 10 ** int(band_decimals)
+    scored = kn_perplexity(docs, id_col=id_col, text_col=text_col)
+    src = docs.select(id_col, source_col)
+    d = (
+        scored.join(src, id_col)
+        .select(
+            id_col,
+            source_col,
+            "ppl",
+            F.floor(F.col("ppl") * scale).cast("long").alias("band"),
+        )
+    )
+    hist = d.groupBy(source_col, "band").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(source_col).orderBy("band")
+    wt = Window.partitionBy(source_col)
+    cum = hist.select(
+        source_col,
+        "band",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    cuts = cum.groupBy(source_col).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("band"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("band"))
+        ).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("band") <= F.col("c1"), F.lit(1))
+        .when(F.col("band") <= F.col("c2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 3, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return d.join(F.broadcast(cuts), source_col).select(
+        id_col,
+        source_col,
+        "ppl",
+        "band",
+        bucket.cast("int").alias("bucket"),
+        label.alias("tier"),
+    )

@@ -290,3 +290,122 @@ def kn_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def kn3_perplexity(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+):
+    """Per-document perplexity under an interpolated TRIGRAM Kneser-Ney
+    LM with recursive continuation-count backoff (Chen-Goodman 1999) —
+    the next honest step from :func:`kn_perplexity` toward CCNet's
+    5-gram signal (VERDICT r11 item 4).
+
+    Model (fixed discount ``D``; all counts from the trigram TYPE
+    table, so the lower orders use CONTINUATION counts, not raw
+    counts — the property that distinguishes KN from plain backoff):
+
+        P(w3|w1,w2) = (c(w1w2w3) - D)/c(w1w2·)
+                    + (D · N1+(w1w2,·)/c(w1w2·)) · P2(w3|w2)
+        P2(w3|w2)   = (N1+(·w2w3) - D)/N1+(·w2·)
+                    + (D · N1+(w2,·)/N1+(·w2·)) · P1(w3)
+        P1(w3)      = N1+(·w3) / N1+(··)
+
+    where N1+(·w2w3) counts distinct w1 preceding the bigram,
+    N1+(·w2·) = Σ_w3 N1+(·w2w3), N1+(w2,·) counts distinct mid-position
+    continuations, and P1 is the continuation-unigram over the distinct
+    (w2,w3) type table. Every scored trigram is observed in the corpus
+    (the corpus scores itself), so c ≥ 1 > D and N1+ ≥ 1 > D at every
+    level — P is always positive, no clamp or OOV branch.
+
+    Scale shape: identical topology to the bigram scorer one order up —
+    one narrow trigram explode, ALL model tables derived from the
+    trigram-type table (they scale with distinct TYPES, which saturate
+    as the corpus grows, not with occurrences), two-key/one-key
+    group-bys that hash-distribute, a 1-row total broadcast, and ONE
+    occurrence-side hash join on (w1,w2,w3).
+
+    Determinism: exact integer counts, one fixed-operation-order double
+    expression, per-trigram ln rounded to integer NANO-NATS before the
+    order-insensitive per-document integer sum; ppl = exp(nll/n)
+    rounded 6 dp (transcendental-derived, so round absorbs libm ulps
+    per the SCALE.md class rule).
+    """
+    D = float(discount)
+    ws = whitespace_tokens(F.col(text_col))
+    tg = (
+        docs.select(id_col, ws.alias("__ws"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__ws) >= 3 THEN"
+                    " transform(sequence(1, size(__ws) - 2),"
+                    " i -> struct(element_at(__ws, i) AS w1,"
+                    " element_at(__ws, i + 1) AS w2,"
+                    " element_at(__ws, i + 2) AS w3))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.w1", "g.w2", "g.w3")
+    )
+    types3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    ctx12 = types3.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12dot"), F.count(F.lit(1)).alias("n3d")
+    )
+    cont23 = types3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p23"))
+    ctx2 = cont23.groupBy("w2").agg(
+        F.sum("n1p23").alias("n1p2dot"), F.count(F.lit(1)).alias("ndw3")
+    )
+    cont3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p3"))
+    tot2 = cont23.agg(F.count(F.lit(1)).alias("t2"))
+    p2 = (F.col("n1p23").cast("double") - F.lit(D)) / F.col("n1p2dot").cast(
+        "double"
+    ) + (
+        F.lit(D) * F.col("ndw3").cast("double") / F.col("n1p2dot").cast("double")
+    ) * (
+        F.col("n1p3").cast("double") / F.col("t2").cast("double")
+    )
+    p = (F.col("c123").cast("double") - F.lit(D)) / F.col("c12dot").cast(
+        "double"
+    ) + (
+        F.lit(D) * F.col("n3d").cast("double") / F.col("c12dot").cast("double")
+    ) * p2
+    scored_types = (
+        types3.join(ctx12, ["w1", "w2"])
+        .join(cont23, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(F.log(p) * F.lit(1e9)).cast("long").alias("lp_nano"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        tg.join(scored_types, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_trigrams"),
+            (-F.sum("lp_nano")).alias("nll_nano"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "nll_nano",
+            F.round(
+                F.exp(
+                    (F.col("nll_nano").cast("double") / F.lit(1e9))
+                    / F.col("n_trigrams").cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )

@@ -561,3 +561,28 @@ def test_target_encode_loo_plan_shape(spark):
     assert _n(plan, "Exchange") == 1, plan
     m = re.search(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan)
     assert m and "user_id" in m.group(1) and "event_type" in m.group(1), plan
+
+
+def test_ccnet_banded_window_input_is_histogram(spark):
+    """curation_ccnet_buckets_banded (r12, VERDICT r11 item 3): the
+    scale valve's whole point is that NO per-source window ever sees
+    cohort-sized input.  Both windows (cumulative + total counts) must
+    rank the (source, band) HISTOGRAM — i.e. a HashAggregate sits
+    between each Window and any parquet scan — and the tercile cutoffs
+    must reach the doc-side join as a broadcast, never a shuffled
+    build.  If a refactor re-introduced the ntile-over-cohort shape,
+    the Window would consume the scored docs directly and this pin
+    fails."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_ccnet_buckets_banded"](spark, SF)
+    )
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    # exactly the two per-source histogram windows; the KN scorer side
+    # is window-free (pinned separately by test_kn_perplexity_plan_shape)
+    assert _n(plan, "Window") == 2, plan
+    tree = plan.split("\n\n")[0]
+    i_win = tree.index("Window")
+    i_scan = tree.index("Scan parquet", i_win)
+    assert "HashAggregate" in tree[i_win:i_scan], tree[i_win:i_scan]
+    assert "BroadcastExchange" in tree, tree

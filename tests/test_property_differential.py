@@ -664,3 +664,25 @@ def test_ivf_adc_topk_matches_reference(spark, data):
     for key in want:
         assert got[key][0] == want[key][0], (key, got[key], want[key])
         assert abs(got[key][1] - want[key][1]) < 1e-12
+
+
+@given(corpus_strategy)
+@SETTINGS
+def test_kn3_perplexity_matches_reference_on_random_corpora(spark, spec):
+    """r12: the trigram-KN LM vs the pure-Python reference on random
+    tiny-alphabet corpora — dense trigram repeats stress every backoff
+    level's continuation counts; docs under 3 tokens must drop out of
+    both sides."""
+    from test_text_similarity import _kn3_reference
+
+    from cassandra_fs_pp_spark.functions.text import kn3_perplexity
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(spec)]
+    if not any(len(t.split()) >= 3 for _, t in rows):
+        return  # no trigrams anywhere: both sides are empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["nll_nano"], r["ppl"])
+        for r in kn3_perplexity(df).collect()
+    }
+    assert got == _kn3_reference(rows)
