@@ -721,6 +721,8 @@ def ivf_adc_topk(
     rerank: int = 20,
     levels: int = 255,
     query_mod: int = 37,
+    fixed_queries: int | None = None,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """IVF + ADC + exact rerank — the production serving shape for a
     compressed vector store (FAISS ``IVF,SQ8`` search): prune candidate
@@ -748,11 +750,24 @@ def ivf_adc_topk(
        neighbor if ADC pushed it below position ``rerank``.
 
     Queries are the fixed deterministic ``id % query_mod == 0`` subset
-    (linear in corpus size, not all-pairs). Every ranking boundary is
-    cross-engine exact: dq codes are bit-identical (see
-    :func:`scalar_quantize`), dot products fold left-to-right in both
-    engines, and ties break on neighbor_id — so the full SQL oracle
-    reproduces probe, survivor, and final sets exactly.
+    (linear in corpus size, not all-pairs), or — when ``fixed_queries``
+    is set — the constant ``id < fixed_queries`` budget: the 100 TB
+    SERVING question, where the corpus grows but the query batch does
+    not (the bench twin ``ann_ivf_adc_serving`` tracks this shape).
+    Every ranking boundary is cross-engine exact: dq codes are
+    bit-identical (see :func:`scalar_quantize`), dot products fold
+    left-to-right in both engines, and ties break on neighbor_id — so
+    the full SQL oracle reproduces probe, survivor, and final sets
+    exactly.
+
+    ``hint_broadcast`` (ADVICE r11): the probe and survivor tables are
+    |q|*nprobe and |q|*rerank rows carrying full fp32 query vectors —
+    genuinely small ONLY when |q| is a fixed serving budget. The
+    default keeps the explicit broadcast hints (corpus never shuffles);
+    pass ``False`` for corpus-proportional query sets at large SF so
+    AQE decides from measured sizes instead of risking a driver OOM on
+    a forced build side. Centroids stay broadcast either way (bounded
+    by the codebook, not the corpus).
     """
     # --- coarse centroids (same construction as ivf_topk) ---
     cent = (
@@ -767,11 +782,17 @@ def ivf_adc_topk(
             ).alias("centroid")
         )
     )
-    q = vectors.filter((F.col(id_col) % query_mod) == 0).select(
+    q_pred = (
+        F.col(id_col) < int(fixed_queries)
+        if fixed_queries is not None
+        else (F.col(id_col) % query_mod) == 0
+    )
+    q = vectors.filter(q_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("cent_cos"), F.asc("cell")
     )
@@ -814,7 +835,7 @@ def ivf_adc_topk(
         F.desc("adc_cos"), F.asc("neighbor_id")
     )
     survivors = (
-        dq_corpus.join(F.broadcast(probes), on="cell")
+        dq_corpus.join(maybe_bcast(probes), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "adc_cos",
@@ -834,7 +855,7 @@ def ivf_adc_topk(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
     return (
-        fp32.join(F.broadcast(survivors), on="neighbor_id")
+        fp32.join(maybe_bcast(survivors), on="neighbor_id")
         .withColumn(
             "cos_raw",
             dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")),

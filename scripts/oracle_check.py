@@ -132,16 +132,27 @@ def main(argv: list[str]) -> int:
     # query, so out-of-window freshness is auditable at a glance instead
     # of re-derived from window history.
     json_path = None
+    variants = False
     rest = []
     for a in argv:
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a == "--variants":
+            # check the capped >=8x sweep twins (sweep_variants()) instead
+            # of the registry forms — the 5 pair queries whose registry
+            # output is quadratic on replicated probe corpora by design
+            variants = True
         else:
             rest.append(a)
     only = set(rest)
     report: dict[str, dict] = {}
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if variants:
+        sv = entrymod.sweep_variants()
+        qs = {f"{k}__capped": fn for k, (fn, _sql) in sv.items()}
+        oracles = {f"{k}__capped": sql for k, (_fn, sql) in sv.items()}
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     spark = get_spark("oracle_check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -149,7 +160,15 @@ def main(argv: list[str]) -> int:
         if os.path.isdir(path):
             # Spark-written tables are DIRECTORIES of part files; DuckDB
             # needs the glob (the r10 stream_table layout class, on the
-            # oracle side — bit when sweeping synthesized 8x corpora)
+            # oracle side — bit when sweeping synthesized 8x corpora).
+            # An interrupted write can leave only _SUCCESS behind —
+            # skip like the missing-file branch instead of aborting the
+            # whole sweep at view setup (ADVICE r11).
+            import glob as _glob
+
+            if not _glob.glob(os.path.join(path, "*.parquet")):
+                print(f"WARN: {path} has no part files; view skipped")
+                continue
             path = os.path.join(path, "*.parquet")
         elif not os.path.exists(path):
             continue

@@ -43,7 +43,11 @@ def test_coverage_doc_query_names_exist(spark):
 def test_bench_headline_names_exist(spark):
     from bench import HEADLINE
 
-    qs = set(entrymod.queries()) | {"flagship_events_hourly"}
+    qs = (
+        set(entrymod.queries())
+        | set(entrymod.bench_extras())
+        | {"flagship_events_hourly"}
+    )
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, missing
 
