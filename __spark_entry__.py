@@ -2891,7 +2891,13 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard between each doc and its near-dup mutation —
-    array_intersect/array_union JVM ops, no explode needed for fixed pairs."""
+    array_intersect/array_union JVM ops, no explode needed for fixed pairs.
+
+    NOTE: the original/mutated side split uses ABSOLUTE id magnitude
+    (< 100000), valid only on unshifted driver corpora; on shifted
+    probe corpora use the shift-safe capped twin
+    (``ngram_jaccard_pairs_capped`` in ``sweep_variants()``, split on
+    ``id % SHIFT``)."""
     corpus = _doc_corpus_with_near_dups(spark, sf_dir)
     bigrams = F.array_distinct(
         F.expr(
@@ -13105,7 +13111,7 @@ def oracle_sql() -> dict[str, str]:
 # accounting (every registry query: swept directly or owns a capped twin).
 # --------------------------------------------------------------------------
 
-SWEEP_CAP = 1000
+SWEEP_CAP = 120
 _SWEEP_SHIFT = 10_000_000  # scripts/scale_probe.py FACT_SHIFT stride
 
 
@@ -13125,11 +13131,11 @@ def _capped_corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _CORPUS_SQL_CAPPED = r"""
-  SELECT doc_id, text FROM documents WHERE doc_id % 10000000 < 1000
+  SELECT doc_id, text FROM documents WHERE doc_id % 10000000 < 120
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
          regexp_replace(text, '^\S+\s+', '') AS text
-  FROM documents WHERE doc_id % 10000000 < 1000
+  FROM documents WHERE doc_id % 10000000 < 120
 """
 
 
@@ -13214,7 +13220,7 @@ def emb_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_NEAR_DUPS_CAPPED_ORACLE = """
 WITH base AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10000000 < 1000
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10000000 < 120
 ), corpus AS (
   SELECT vec_id, embedding FROM base
   UNION ALL
@@ -13280,7 +13286,7 @@ def sweep_variants() -> "dict[str, tuple[Callable[[SparkSession, str], DataFrame
             dedup_spans_capped,
             DEDUP_SPANS_ORACLE.replace(
                 "FROM documents)",
-                "FROM documents WHERE doc_id % 10000000 < 1000)",
+                "FROM documents WHERE doc_id % 10000000 < 120)",
             ),
         ),
     }

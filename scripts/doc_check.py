@@ -19,6 +19,10 @@ import __spark_entry__ as entrymod
 
 def main() -> int:
     qs = set(entrymod.queries())
+    # bench-only load-profile twins are legitimate doc references even
+    # though they are not registry queries (correctness rides on their
+    # registry form's oracle)
+    extras = set(getattr(entrymod, "bench_extras", dict)())
     osql = set(entrymod.oracle_sql())
     cov = open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")).read()
     ticked = set(re.findall(r"`([a-z][a-z0-9_]+)`", cov))
@@ -30,7 +34,7 @@ def main() -> int:
     doc_queries = {t for t in ticked if t in qs}
     phantom = {
         t for t in ticked
-        if t.startswith(prefixes) and t not in qs
+        if t.startswith(prefixes) and t not in qs and t not in extras
         and not t.endswith((".py", ".md"))
         # operator/function names legitimately share prefixes; only flag
         # things that appear after 'query:'/'queries:' markers

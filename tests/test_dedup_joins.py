@@ -667,3 +667,61 @@ def test_calibration_group_mean_exact_and_partition_invariant(spark):
     assert {r["sensor_id"]: r["avg_cal"] for r in a} == {
         r["sensor_id"]: r["avg_cal"] for r in b
     }
+
+
+def test_calibration_group_mean_matches_exact_rational_reference(spark):
+    """The operator's docstring claims every intermediate is exact until
+    ONE final IEEE expression per group. Verify against a pure-Python
+    rational-arithmetic reference that replays the SAME algebra
+    (Fraction sums, then the identical fixed IEEE op sequence) — so the
+    claim is pinned by construction, not just by DuckDB agreement."""
+    import random
+    from fractions import Fraction
+
+    from cassandra_fs_pp_spark.operators.joins import calibration_group_mean
+
+    rng = random.Random(99)
+    fact_rows = [
+        (f"s{rng.randrange(10)}", rng.randrange(100) / 100.0)
+        for _ in range(3000)
+    ]
+    calib_rows = [
+        (f"s{i}", rng.randrange(1, 999999) / 100000.0, rng.randrange(50) / 10.0)
+        for i in range(7)
+    ]
+    fact = spark.createDataFrame(fact_rows, "sensor_id string, raw double")
+    calib = spark.createDataFrame(calib_rows, "sensor_id string, m double, c double")
+    got = {
+        r["sensor_id"]: (r["avg_cal"], r["n"])
+        for r in calibration_group_mean(fact, calib).collect()
+    }
+
+    # reference: exact fixed-point means (DECIMAL(38,6) == Fraction on the
+    # 6dp grid; inputs are 5dp/1dp so the cast is lossless), exact grid
+    # sums, then the operator's IEEE sequence
+    cal = {s: (Fraction(str(m)), Fraction(str(c))) for s, m, c in
+           ((s, round(m, 6), round(c, 6)) for s, m, c in calib_rows)}
+    avg_m = float(sum(m for m, _ in cal.values())) / len(cal)
+    avg_c = float(sum(c for _, c in cal.values())) / len(cal)
+    groups: dict[str, list[float]] = {}
+    for s, raw in fact_rows:
+        groups.setdefault(s, []).append(raw)
+    want = {}
+    for s, raws in groups.items():
+        if s in cal:
+            m, c = cal[s]
+            # per-row double product lands on the 7dp grid; the
+            # DECIMAL(38,7) cast recovers the exact grid value
+            s_hit = sum(
+                Fraction(str(round(float(m) * (1.0 - raw) + float(c), 7)))
+                for raw in raws
+            )
+            # the operator's fixed IEEE sequence with empty miss side
+            avg = (float(s_hit) + avg_m * 0.0 + avg_c * 0) / len(raws)
+        else:
+            t = sum(Fraction(str(round(1.0 - raw, 2))) for raw in raws)
+            avg = (0.0 + avg_m * float(t) + avg_c * len(raws)) / len(raws)
+        want[s] = (avg, len(raws))
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s] == want[s], (s, got[s], want[s])
