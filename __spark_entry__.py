@@ -1015,7 +1015,9 @@ FROM events
 def f_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (transform/filter/aggregate/sort) —
     the per-row vector algebra the similarity layer builds on."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_SWEEP_SHIFT)) < 1000
+    )
     arr = F.sequence(F.lit(1), (F.col("user_id") % 5 + 2).cast("int"))
     squares = F.transform(arr, lambda x: x * x)
     evens = F.filter(squares, lambda x: x % 2 == 0)
@@ -1052,13 +1054,15 @@ SELECT event_id,
        array_to_string(list_reverse_sort(list_transform(
          range(1, CAST(user_id % 5 + 2 AS INT) + 1), x -> x * x)), ',')
          AS sorted_desc
-FROM events WHERE event_id < 1000
+FROM events WHERE event_id % 10000000 < 1000
 """
 
 
 def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling family: coalesce/nullif/nvl2/null-safe equality."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_SWEEP_SHIFT)) < 2000
+    )
     v = F.when(F.col("value") > 100, F.col("value"))  # null-y column
     return ev.select(
         "event_id",
@@ -1080,7 +1084,7 @@ SELECT event_id,
          IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS is_null_nsafe,
        ((CASE WHEN value > 100 THEN value END) IS NULL
         AND value IS NOT NULL) AS was_filtered
-FROM events WHERE event_id < 2000
+FROM events WHERE event_id % 10000000 < 2000
 """
 
 
@@ -1122,7 +1126,9 @@ def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 deepened — calendar extraction/arithmetic breadth. Cross-engine
     numbering pinned explicitly (Spark dayofweek is 1=Sunday; DuckDB's is
     0=Sunday)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_SWEEP_SHIFT)) < 2000
+    )
     t = F.col("ts")
     return ev.select(
         "event_id",
@@ -1154,7 +1160,7 @@ SELECT event_id,
          AS days_since,
        CAST(hour(ts) AS INT) AS hr,
        CAST(minute(ts) AS INT) AS mi
-FROM events WHERE event_id < 2000
+FROM events WHERE event_id % 10000000 < 2000
 """
 
 
@@ -2893,24 +2899,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard between each doc and its near-dup mutation —
     array_intersect/array_union JVM ops, no explode needed for fixed pairs.
 
-    NOTE: the original/mutated side split uses ABSOLUTE id magnitude
-    (< 100000), valid only on unshifted driver corpora; on shifted
-    probe corpora use the shift-safe capped twin
-    (``ngram_jaccard_pairs_capped`` in ``sweep_variants()``, split on
-    ``id % SHIFT``)."""
+    SHIFT-SAFE (r13): the original/mutated side split is on
+    ``pmod(doc_id, SHIFT)`` — the corpus helper adds +100000 to mutated
+    ids, so the LOCAL (within-shift) id band classifies sides no matter
+    how probe corpora stride the ids (ids at 100 TB are never
+    magnitude-banded; the old ABSOLUTE ``doc_id < 100000`` split broke on
+    any shifted corpus).  Bigrams enumerate all ``size-1`` adjacent word
+    pairs, guarded for <2-token docs (an unguarded ``sequence(0,
+    size-2-1)`` both dropped the last bigram of every doc AND emitted a
+    spurious lone-token gram on 1-2-token texts)."""
     corpus = _doc_corpus_with_near_dups(spark, sf_dir)
     bigrams = F.array_distinct(
         F.expr(
-            "transform(sequence(0, greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 0) - 1),"
-            " i -> concat_ws(' ', split(lower(trim(text)), '\\\\s+')[i],"
-            " split(lower(trim(text)), '\\\\s+')[i+1]))"
+            "case when size(__ws) >= 2 then"
+            " transform(sequence(0, size(__ws) - 2),"
+            " i -> concat_ws(' ', __ws[i], __ws[i+1]))"
+            " else cast(array() as array<string>) end"
         )
     )
-    g = corpus.select("doc_id", bigrams.alias("grams"))
-    a = g.filter(F.col("doc_id") < 100000).select(
+    g = corpus.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__ws")
+    ).select("doc_id", bigrams.alias("grams"))
+    local = F.pmod(F.col("doc_id"), F.lit(_SWEEP_SHIFT))
+    a = g.filter(local < 100000).select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
     )
-    b = g.filter(F.col("doc_id") >= 100000).select(
+    b = g.filter(local >= 100000).select(
         (F.col("doc_id") - 100000).alias("doc_a"), F.col("grams").alias("gb")
     )
     return (
@@ -2931,11 +2945,13 @@ NGRAM_JACCARD_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL}),
 g AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 1, 1)),
-           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
-  FROM corpus
+         list_distinct(CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM corpus)
 )
 SELECT a.doc_id AS doc_a,
        len(list_intersect(a.grams, b.grams)) AS n_inter,
@@ -2943,6 +2959,7 @@ SELECT a.doc_id AS doc_a,
        len(list_intersect(a.grams, b.grams))
          / len(list_distinct(a.grams || b.grams)) AS jaccard
 FROM g a JOIN g b ON b.doc_id = a.doc_id + 100000
+WHERE a.doc_id % 10000000 < 100000
 """
 
 
@@ -3396,19 +3413,29 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_fs_pp_spark.operators.graph import connected_components
 
     li = _t(spark, sf_dir, "lineitem")
+    # parity namespace encoding (r13, shift-safe): part nodes are even
+    # (2*partkey), supplier nodes odd (2*suppkey+1) — injective for any
+    # key magnitude, and membership is node%2, never an absolute id band
+    # (the old `1000000 + suppkey` offset classified by `node < 1000000`,
+    # which miscounts as soon as keys exceed the band — at 100 TB ids are
+    # not magnitude-banded)
     edges = (
         li.filter((F.col("l_quantity") == 50) & (F.col("l_discount") > 0.08))
         .select(
-            F.col("l_partkey").alias("src"),
-            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     comp = connected_components(edges)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.when(F.col("node") < 1000000, 1).otherwise(0)).alias("n_parts"),
-        F.sum(F.when(F.col("node") >= 1000000, 1).otherwise(0)).alias("n_supps"),
+        F.sum(F.when(F.pmod(F.col("node"), F.lit(2)) == 0, 1).otherwise(0)).alias(
+            "n_parts"
+        ),
+        F.sum(F.when(F.pmod(F.col("node"), F.lit(2)) == 1, 1).otherwise(0)).alias(
+            "n_supps"
+        ),
         F.max("node").alias("max_node"),
     )
 
@@ -3416,7 +3443,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_CC_ORACLE = """
 WITH RECURSIVE
 edges AS (
-  SELECT DISTINCT l_partkey AS a, 1000000 + l_suppkey AS b
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.08),
 und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
 reach(a, b) AS (
@@ -3425,8 +3452,8 @@ reach(a, b) AS (
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
 comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
 SELECT component, count(*) AS n_nodes,
-       CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
-       CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps,
+       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps,
        max(node) AS max_node
 FROM comp GROUP BY component
 """
@@ -4861,7 +4888,9 @@ def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract — the ops the engine's bitmap/simhash internals use, exposed
     as a first-class projection suite (integer-exact, trivially
     portable)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_SWEEP_SHIFT)) < 2000
+    )
     a = F.col("user_id").cast("long")
     b = F.col("event_id").cast("long")
     return ev.select(
@@ -4888,7 +4917,7 @@ SELECT event_id,
        CAST(bit_count(event_id) AS INT) AS b_pop,
        (event_id >> 4) & 1 AS b_bit4,
        CAST(-1 AS BIGINT) AS b_zero_not
-FROM events WHERE event_id < 2000
+FROM events WHERE event_id % 10000000 < 2000
 """
 
 
@@ -8619,7 +8648,14 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum(clip.cast("decimal(38,0)")).alias("s1"),
-            F.sum((clip * clip).cast("decimal(38,0)")).alias("s2"),
+            # cast-BEFORE-multiply: a LONG*LONG square overflows (and, in
+            # non-ANSI Spark, silently wraps) once |value| > ~3.04e6 on
+            # the milli-grid, while DuckDB's BIGINT multiply raises.
+            # DECIMAL(19,0) operands give a DECIMAL(38,0) product in BOTH
+            # engines (two 38s would exceed DuckDB's 38-digit max width)
+            F.sum(clip.cast("decimal(19,0)") * clip.cast("decimal(19,0)")).alias(
+                "s2"
+            ),
             F.count(
                 F.when(
                     (F.col("v3") < F.col("lo3")) | (F.col("v3") > F.col("hi3")), 1
@@ -8658,8 +8694,8 @@ WITH vv AS (
 ), g AS (
   SELECT event_type,
          sum(CAST(least(greatest(v3, lo3), hi3) AS DECIMAL(38,0))) AS s1,
-         sum(CAST(least(greatest(v3, lo3), hi3)
-                  * least(greatest(v3, lo3), hi3) AS DECIMAL(38,0))) AS s2,
+         sum(CAST(least(greatest(v3, lo3), hi3) AS DECIMAL(19,0))
+             * CAST(least(greatest(v3, lo3), hi3) AS DECIMAL(19,0))) AS s2,
          CAST(count(*) FILTER (WHERE v3 < lo3 OR v3 > hi3) AS BIGINT)
            AS n_clipped,
          count(*) AS n
@@ -13155,19 +13191,23 @@ def dedup_simhash_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shift-safe twin of ngram_jaccard_pairs: the registry form splits
-    original/mutated sides by absolute id magnitude (< 100000), a
-    convention only valid on unshifted driver corpora; here the split is
-    id % SHIFT so each probe shift pairs its own docs."""
+    """Capped twin of ngram_jaccard_pairs (same shift-safe ``id % SHIFT``
+    split as the r13 registry form — the registry form itself migrated
+    off the absolute-magnitude split in r13; this twin remains the
+    bounded-output probe variant). Bigram expression kept identical to
+    the registry form: size-1 enumeration, <2-token guard."""
     corpus = _capped_corpus_with_near_dups(spark, sf_dir)
     bigrams = F.array_distinct(
         F.expr(
-            "transform(sequence(0, greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 0) - 1),"
-            " i -> concat_ws(' ', split(lower(trim(text)), '\\\\s+')[i],"
-            " split(lower(trim(text)), '\\\\s+')[i+1]))"
+            "case when size(__ws) >= 2 then"
+            " transform(sequence(0, size(__ws) - 2),"
+            " i -> concat_ws(' ', __ws[i], __ws[i+1]))"
+            " else cast(array() as array<string>) end"
         )
     )
-    g = corpus.select("doc_id", bigrams.alias("grams"))
+    g = corpus.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__ws")
+    ).select("doc_id", bigrams.alias("grams"))
     local = F.pmod(F.col("doc_id"), F.lit(_SWEEP_SHIFT))
     a = g.filter(local < 100000).select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
@@ -13190,11 +13230,13 @@ NGRAM_JACCARD_CAPPED_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL_CAPPED}),
 g AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 1, 1)),
-           i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
-  FROM corpus
+         list_distinct(CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM corpus)
 )
 SELECT a.doc_id AS doc_a,
        len(list_intersect(a.grams, b.grams)) AS n_inter,

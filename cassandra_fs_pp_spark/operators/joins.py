@@ -114,7 +114,14 @@ def calibration_group_mean(
     Every intermediate is an exact decimal or a deterministic scalar op,
     so the result is bit-identical across engines and retries and safe
     to emit RAW (no round-tie class).
+
+    NULL ``raw`` rows are excluded up front — matching
+    ``avg(calibrated)``, which drops a NULL calibrated value from BOTH
+    the numerator and the denominator.  (Without the filter a NULL raw
+    would null ``cal_hit``/``t_miss`` — vanishing from the sums — while
+    still counting toward ``n``/``n_miss``, deflating the mean.)
     """
+    fact = fact.filter(F.col(raw_col).isNotNull())
     dec_t = f"decimal(38,{int(mean_decimals)})"
     means = calib.agg(
         (F.sum(F.col(m_col).cast(dec_t)).cast("double") / F.count(m_col)).alias(

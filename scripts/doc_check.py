@@ -56,6 +56,7 @@ def main() -> int:
     bad = sweep_lint(qs, osql) or bad
     bad = variants_lint(qs) or bad
     bad = calib_lint() or bad
+    bad = id_magnitude_lint() or bad
     rows_only = qs - osql
     print(f"registry: {len(qs)} queries, {len(osql)} full oracles, "
           f"rows-only: {sorted(rows_only)}")
@@ -194,6 +195,92 @@ def calib_lint() -> bool:
               f"cross-round wall table has no | r{n} | row")
         return True
     print(f"calib lint: newest bench round r{n} present in SCALE.md table")
+    return False
+
+
+def id_magnitude_lint() -> bool:
+    """Flag absolute-magnitude predicates on id columns (VERDICT r12 item
+    1): a filter like ``doc_id < 100000`` or ``node >= 1000000`` encodes a
+    side-split / namespace band in the ABSOLUTE value of an id — valid
+    only on unshifted driver corpora, silently wrong the moment ids are
+    strided (probe corpora shift by 10M; at 100 TB ids are never
+    magnitude-banded).  The r12 sweep class had two members
+    (ngram_jaccard_pairs, graph_connected_components), both since
+    migrated to ``pmod(id, SHIFT)`` / parity encodings; this lint keeps
+    the class retired.
+
+    Scope: ``__spark_entry__.py`` — (a) every ``ast.Compare`` whose one
+    side is an int literal >= 1000 and whose other side mentions an
+    id-like column (``*_id``/``*_key``/``node``) without a ``pmod``
+    wrapper; (b) every SQL-ish string constant (contains SELECT), line by
+    line with ``--`` comments stripped, same regex with ``% <stride>``
+    exclusion.  Escape hatch: ``id-magnitude-ok`` on the match line or
+    the line above (code) / same line before the comment strip (SQL).
+    Small literals (< 1000, e.g. fixed top-k query budgets) are out of
+    scope by design.
+    """
+    import ast
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    return _id_magnitude_scan(open(path).read())
+
+
+def _id_magnitude_scan(src: str) -> bool:
+    import ast
+    lines = src.splitlines()
+    idcol = re.compile(r"\b(\w*_(?:id|key)|node)\b")
+    sql_pat = re.compile(
+        r'\b(\w*_(?:id|key)|node)\b\s*(<=|>=|<|>)\s*(\d{4,})'
+    )
+    hits: list[str] = []
+
+    def annotated(lineno: int) -> bool:
+        for ln in (lineno - 1, lineno - 2):
+            if 0 <= ln < len(lines) and "id-magnitude-ok" in lines[ln]:
+                return True
+        return False
+
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Compare):
+            ops = [type(o) for o in node.ops]
+            if not any(o in (ast.Lt, ast.LtE, ast.Gt, ast.GtE) for o in ops):
+                continue
+            sides = [node.left] + list(node.comparators)
+            lits = [s for s in sides
+                    if isinstance(s, ast.Constant)
+                    and isinstance(s.value, int) and s.value >= 1000]
+            others = [s for s in sides if s not in lits]
+            if not lits:
+                continue
+            seg = " ".join(ast.unparse(s) for s in others)
+            if idcol.search(seg) and "pmod" not in seg and "%" not in seg:
+                if not annotated(node.lineno):
+                    hits.append(f"  line {node.lineno}: {ast.unparse(node)}")
+        elif (isinstance(node, ast.Constant) and isinstance(node.value, str)
+              and "SELECT" in node.value):
+            base = node.lineno  # line of the string's opening quote
+            for off, sline in enumerate(node.value.splitlines()):
+                if "id-magnitude-ok" in sline:
+                    continue
+                code = sline.split("--", 1)[0]
+                m = sql_pat.search(code)
+                # exclude `expr % stride < k` bands: '%' anywhere left of
+                # the comparator means the operand is already modular
+                if m and "%" not in code[: m.start(2)]:
+                    hits.append(f"  line ~{base + off} (SQL): {sline.strip()[:90]}")
+
+    if hits:
+        print(f"id-magnitude lint: {len(hits)} absolute-magnitude id "
+              "predicate(s) — use pmod(id, SHIFT) / parity encoding, or "
+              "annotate with id-magnitude-ok:")
+        seen = set()
+        for h in hits:
+            if h not in seen:
+                seen.add(h)
+                print(h)
+        return True
+    print("id-magnitude lint: no absolute-magnitude id predicates")
     return False
 
 

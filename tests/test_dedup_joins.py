@@ -639,6 +639,9 @@ def test_calibration_group_mean_exact_and_partition_invariant(spark):
     fact_rows = [
         (f"s{rng.randrange(8)}", rng.randrange(11) / 100.0) for _ in range(4000)
     ]
+    # NULL raw rows (both on a hit and a miss sensor): avg(calibrated)
+    # drops them from numerator AND denominator — the operator must too
+    fact_rows += [("s0", None), ("s7", None), ("s7", None)]
     fact = spark.createDataFrame(fact_rows, "sensor_id string, raw double")
     calib = spark.createDataFrame(
         [(f"s{i}", round(rng.uniform(0.1, 9.9), 5), i / 10.0) for i in range(6)],
@@ -653,7 +656,7 @@ def test_calibration_group_mean_exact_and_partition_invariant(spark):
         r["sensor_id"]: (r["avg_cal"], r["n"])
         for r in calibration_join(fact, calib)
         .groupBy("sensor_id")
-        .agg(F.avg("calibrated").alias("avg_cal"), F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("calibrated").alias("avg_cal"), F.count("calibrated").alias("n"))
         .collect()
     }
     assert set(got) == set(want)
@@ -698,9 +701,18 @@ def test_calibration_group_mean_matches_exact_rational_reference(spark):
 
     # reference: exact fixed-point means (DECIMAL(38,6) == Fraction on the
     # 6dp grid; inputs are 5dp/1dp so the cast is lossless), exact grid
-    # sums, then the operator's IEEE sequence
-    cal = {s: (Fraction(str(m)), Fraction(str(c))) for s, m, c in
-           ((s, round(m, 6), round(c, 6)) for s, m, c in calib_rows)}
+    # sums, then the operator's IEEE sequence.  Spark's CAST(double AS
+    # DECIMAL(38,k)) rounds the double's SHORTEST decimal representation
+    # HALF_UP (java.math.RoundingMode.HALF_UP on BigDecimal(d.toString)),
+    # NOT Python round()'s banker's half-even — emulate it exactly so a
+    # product landing on a half-grid point pins the right tie rule.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def cast_dec(x: float, scale: int) -> Fraction:
+        q = Decimal(1).scaleb(-scale)
+        return Fraction(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    cal = {s: (cast_dec(m, 6), cast_dec(c, 6)) for s, m, c in calib_rows}
     avg_m = float(sum(m for m, _ in cal.values())) / len(cal)
     avg_c = float(sum(c for _, c in cal.values())) / len(cal)
     groups: dict[str, list[float]] = {}
@@ -713,13 +725,13 @@ def test_calibration_group_mean_matches_exact_rational_reference(spark):
             # per-row double product lands on the 7dp grid; the
             # DECIMAL(38,7) cast recovers the exact grid value
             s_hit = sum(
-                Fraction(str(round(float(m) * (1.0 - raw) + float(c), 7)))
+                cast_dec(float(m) * (1.0 - raw) + float(c), 7)
                 for raw in raws
             )
             # the operator's fixed IEEE sequence with empty miss side
             avg = (float(s_hit) + avg_m * 0.0 + avg_c * 0) / len(raws)
         else:
-            t = sum(Fraction(str(round(1.0 - raw, 2))) for raw in raws)
+            t = sum(cast_dec(1.0 - raw, 2) for raw in raws)
             avg = (0.0 + avg_m * float(t) + avg_c * len(raws)) / len(raws)
         want[s] = (avg, len(raws))
     assert set(got) == set(want)

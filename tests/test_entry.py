@@ -117,3 +117,46 @@ def test_oracle_check_comparator_catches_failure_classes():
     assert any("dtype kind" in p for p in compare("kind", base, kinds))
     cols = base.rename(columns={"v": "w"})
     assert any("columns" in p for p in compare("cols", base, cols))
+
+
+def test_id_magnitude_lint_scanner():
+    """The r13 lint keeps the shift-unsafe id-band class retired (two r12
+    members: ngram_jaccard_pairs `doc_id < 100000`,
+    graph_connected_components `node < 1000000`): pin that the scanner
+    flags both retired patterns, in Spark expressions AND SQL strings,
+    while passing the sanctioned forms (pmod/modular bands, annotated
+    sites, sub-1000 fixed budgets, non-id columns)."""
+    import contextlib
+    import io
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "scripts"
+        ),
+    )
+    from doc_check import _id_magnitude_scan
+
+    def scan(src: str) -> bool:
+        with contextlib.redirect_stdout(io.StringIO()):
+            return _id_magnitude_scan(src)
+
+    # the two retired r12 patterns must flag
+    assert scan('a = g.filter(F.col("doc_id") < 100000)')
+    assert scan('x = F.when(F.col("node") >= 1000000, 1)')
+    assert scan('Q = """SELECT 1 FROM g WHERE doc_id < 100000"""')
+    # sanctioned forms must pass
+    assert not scan('a = g.filter(F.pmod(F.col("doc_id"), F.lit(S)) < 100000)')
+    assert not scan('Q = """SELECT 1 FROM g WHERE doc_id % 10000000 < 100000"""')
+    assert not scan('Q = """SELECT 1 FROM t -- (doc_id >= 100000) old note"""')
+    assert not scan(
+        '# id-magnitude-ok: fixed fixture band\n'
+        'x = df.filter(F.col("event_id") < 5000)'
+    )
+    assert not scan('q = emb.filter(F.col("vec_id") < 162)')  # fixed budget
+    assert not scan('li = t.filter(F.col("l_quantity") >= 1000)')  # not an id
+    # and the live registry file itself is clean
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    assert not scan(open(os.path.join(root, "__spark_entry__.py")).read())
