@@ -8871,12 +8871,163 @@ def ann_ivf_adc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_adc_topk(emb, k=5, nprobe=2, rerank=20, fixed_queries=162)
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + product quantization + exact rerank (FAISS IVF,PQ — the
+    canonical 100 TB ANN compression, r13/VERDICT r12 item 5): m=4
+    subspace codebooks of ks=8 centroids each (trained with the proven
+    fixed-point Lloyd machinery, 2 rounds), per-row code assignment and
+    LUT reconstruction as literal expressions — the corpus side is ONE
+    narrow whole-stage-codegen scan, no explode/re-join (strictly better
+    shape than the SQ8 ADC path).  Full oracle: training replayed as
+    unrolled CTEs (the emb_kmeans_assign class), probe/ADC/rerank
+    boundaries all tie on neighbor_id."""
+    from cassandra_fs_pp_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, m=8, ks=8, iterations=2, k=5, nprobe=2, rerank=40)
+
+
+def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query-budget twin of ``ann_ivf_pq_topk`` (bench-only, same
+    rationale as ``ann_ivf_adc_serving``): a CONSTANT 162-query batch
+    against the growing PQ-compressed corpus — the O(|q| * n/cells)
+    serving shape. Correctness rides on the registry form's full
+    oracle."""
+    from cassandra_fs_pp_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, m=8, ks=8, iterations=2, k=5, nprobe=2, rerank=40,
+        fixed_queries=162,
+    )
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only load-profile twins of oracled registry operators —
     consumed by bench.py in addition to ``queries()``; NOT part of the
     driver correctness contract (each twin's operator is oracled via its
     registry form)."""
-    return {"ann_ivf_adc_serving": ann_ivf_adc_serving}
+    return {
+        "ann_ivf_adc_serving": ann_ivf_adc_serving,
+        "ann_ivf_pq_serving": ann_ivf_pq_serving,
+    }
+
+
+def _ivf_pq_sql(
+    *,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 8,
+    iterations: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 40,
+    query_mod: int = 37,
+) -> str:
+    """Full SQL replay of ``ann_ivf_pq_topk``: per-subspace Lloyd rounds
+    unrolled as CTEs (the ``EMB_KMEANS_ORACLE`` class, long-form over all
+    m subspaces at once), final code assignment, PQ reconstruction via
+    join-back to the trained centroids, then the same probe/ADC/rerank
+    tail as ``ANN_IVF_ADC_ORACLE``.  Every arithmetic step mirrors the
+    engine's op order: quantized integer distances, exact fixed-point
+    means (sum->DOUBLE / 1e9 / n), left-fold dots, lowest-code ties."""
+    dsub = dim // m
+
+    def dist(v: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(range(1, {dsub + 1}), i ->"
+            f" CAST(round(({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i])"
+            f" * 1000000000) AS BIGINT))), (a, t) -> a + t)"
+        )
+
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+sv AS (SELECT vec_id, j, x[(j*{dsub}+1):(j*{dsub}+{dsub})] AS v
+       FROM e, range(0, {m}) t(j)),
+c0 AS (SELECT j, vec_id AS c, v AS cv FROM sv WHERE vec_id < {ks})"""
+    rounds = []
+    for r in range(1, iterations + 1):
+        rounds.append(f""",
+a{r} AS (
+  SELECT vec_id, j, c FROM (
+    SELECT sv.vec_id, sv.j, cc.c,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                              ORDER BY {dist('sv.v', 'cc.cv')}, cc.c) AS rn
+    FROM sv JOIN c{r - 1} cc ON cc.j = sv.j) WHERE rn = 1),
+m{r} AS (
+  SELECT a.j, a.c, u.i AS p,
+         CAST(sum(CAST(round(sv.v[u.i] * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mv
+  FROM a{r} a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
+       range(1, {dsub + 1}) u(i)
+  GROUP BY a.j, a.c, u.i),
+m{r}l AS (SELECT j, c, list(mv ORDER BY p) AS cv FROM m{r} GROUP BY j, c),
+c{r} AS (SELECT p.j, p.c, coalesce(n.cv, p.cv) AS cv
+         FROM c{r - 1} p LEFT JOIN m{r}l n ON n.j = p.j AND n.c = p.c)""")
+    fin = iterations
+    tail = f""",
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT sv.vec_id, sv.j, cc.c,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                              ORDER BY {dist('sv.v', 'cc.cv')}, cc.c) AS rn
+    FROM sv JOIN c{fin} cc ON cc.j = sv.j) WHERE rn = 1),
+pq AS (
+  SELECT codes.vec_id, flatten(list(cc.cv ORDER BY codes.j)) AS pqv
+  FROM codes JOIN c{fin} cc ON cc.j = codes.j AND cc.c = codes.c
+  GROUP BY codes.vec_id),
+corpus_n AS (
+  SELECT pq.vec_id AS neighbor_id, pq.pqv,
+         sqrt(list_dot_product(pq.pqv, pq.pqv)) AS nn,
+         e2.label AS cell
+  FROM pq JOIN embeddings e2 ON e2.vec_id = pq.vec_id),
+cent AS (
+  SELECT label AS cell, i AS pos, avg(embedding[i]::DOUBLE) AS mc
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  GROUP BY label, i),
+cvec AS (SELECT cell, list(mc ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % {query_mod} = 0),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.query_id, q.qv, q.qn, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.centroid)
+                    / (q.qn * sqrt(list_dot_product(c.centroid, c.centroid)))
+                      DESC,
+                      c.cell) AS cr
+    FROM q CROSS JOIN cvec c
+  ) WHERE cr <= {nprobe}),
+surv AS (
+  SELECT query_id, qv, qn, neighbor_id FROM (
+    SELECT p.query_id, p.qv, p.qn, n.neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(p.qv, n.pqv) / (p.qn * n.nn) DESC,
+                      n.neighbor_id) AS ar
+    FROM probes p
+    JOIN corpus_n n ON n.cell = p.cell AND n.neighbor_id <> p.query_id
+  ) WHERE ar <= {rerank}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(s.qv, e3.embedding::DOUBLE[])
+           / (s.qn * sqrt(list_dot_product(e3.embedding::DOUBLE[],
+                                           e3.embedding::DOUBLE[]))) AS cosine
+  FROM surv s JOIN embeddings e3 ON e3.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {k}
+"""
+    return head + "".join(rounds) + tail
+
+
+ANN_IVF_PQ_ORACLE = _ivf_pq_sql()
 
 
 ANN_IVF_ADC_ORACLE = f"""
@@ -12609,6 +12760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sketch queries stay pinned last (rows-only by nature, never in a
     # window).
     return {
+        # ============ r13 window head: new/changed in r13 ============
+        "ann_ivf_pq_topk": ann_ivf_pq_topk,
         # ============ r12 driver window (first 50 entries) ============
         # --- (a) new in r12 ---
         "text_kn3_perplexity": text_kn3_perplexity,
@@ -12877,6 +13030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
         "flagship_events_hourly": FLAGSHIP_ORACLE,
         "tpch_q1": TPCH_Q1_ORACLE,
         "p2_dedup_rows": P2_ORACLE,

@@ -85,6 +85,14 @@ HEADLINE = [
     # (bench_extras); correctness pinned by ann_ivf_adc_topk's oracle.
     # NOTE: +1 query vs the r11 suite composition.
     "ann_ivf_adc_serving",
+    # round-13 addition (VERDICT r12 item 5): IVF + product quantization
+    # + exact rerank — codebook training (2 fixed-point Lloyd rounds) plus
+    # the one-narrow-scan compressed search; the serving twin tracks the
+    # same fixed-162-query budget as the SQ8 twin for a like-for-like
+    # ADC-vs-PQ serving comparison. NOTE: +2 queries vs the r12 suite
+    # composition (one registry, one bench-only twin).
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_serving",
 ]
 
 

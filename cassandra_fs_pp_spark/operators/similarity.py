@@ -1150,6 +1150,299 @@ def kmeans_assign(
     return assigned.select(id_col, "cluster")
 
 
+def pq_train_codebooks(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 8,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: ``m`` independent Lloyd
+    k-means runs, one per ``dim/m``-wide subspace, with the SAME
+    determinism contract as :func:`kmeans_assign` (quantized integer
+    distances, exact fixed-point means, ties to the lowest code, empty
+    cells keep their previous centroid, init = the ``ks`` smallest ids'
+    subvectors).
+
+    All ``m`` subspaces train in the SAME pass: each round is ONE corpus
+    scan computing every per-subspace argmin (the centroids are literal
+    expressions — nothing joins, nothing shuffles except the
+    ``m*ks*dsub``-key mean aggregate, which map-side combines).  The
+    returned codebooks are plain Python floats — a ``m x ks x dsub``
+    table (bounded by the codebook, never the corpus) that downstream
+    operators embed as literals, exactly like the LSH plane tables.
+
+    Returns ``cb`` with ``cb[j][c]`` = the ``dsub``-dim centroid of code
+    ``c`` in subspace ``j``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    first = (
+        vectors.filter(F.col(id_col) < ks)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(first) != ks:
+        raise ValueError(f"pq init needs ids 0..{ks - 1} present")
+    cb: list[list[list[float]]] = [
+        [
+            [float(x) for x in r[vec_col]][j * dsub : (j + 1) * dsub]
+            for r in first
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iterations):
+        codes = vectors.select(
+            id_col,
+            vec_col,
+            *[
+                F.expr(_pq_code_sql(cb[j], vec_col, j * dsub + 1, dsub)).alias(
+                    f"__k{j}"
+                )
+                for j in range(m)
+            ],
+        )
+        # exact fixed-point means per (subspace, code, pos-in-subspace):
+        # one posexplode of the full vector, subspace derived from pos
+        lf = codes.select(
+            F.array(*[F.col(f"__k{j}") for j in range(m)]).alias("__ks"),
+            F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+        ).select(
+            F.expr(f"pos0 div {dsub}").alias("sub"),
+            F.expr(f"element_at(__ks, cast(pos0 div {dsub} as int) + 1)").alias(
+                "c"
+            ),
+            F.expr(f"pos0 % {dsub}").alias("p"),
+            F.round(F.col("v").cast("double") * VEC_FIXED_SCALE)
+            .cast("long")
+            .alias("q"),
+        )
+        mrows = (
+            lf.groupBy("sub", "c", "p")
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / F.lit(float(VEC_FIXED_SCALE))
+                    / F.count(F.lit(1))
+                ).alias("mv")
+            )
+            .collect()
+        )
+        nxt: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mrows:
+            nxt.setdefault((r["sub"], r["c"]), {})[r["p"]] = r["mv"]
+        for j in range(m):
+            for c in range(ks):
+                got = nxt.get((j, c))
+                if got:
+                    cb[j][c] = [got[p] for p in sorted(got)]
+                # empty cell: keep previous centroid (deterministic)
+    return cb
+
+
+def _pq_code_sql(
+    book: list[list[float]], vec_col: str, start: int, dsub: int
+) -> str:
+    """SQL text of the PQ code assignment for ONE subspace: quantized
+    integer distance from ``slice(vec_col, start, dsub)`` to each literal
+    centroid in ``book``, folded to the lowest-index argmin in a single
+    pass (strict ``<`` keeps the earlier code on ties — the same tie rule
+    as :func:`kmeans_assign` and the oracle's ``ORDER BY d, c``).
+
+    One higher-order expression per subspace — vs a ``ks``-column CASE
+    chain this shrank the training plan ~5x (the m*ks qdist columns were
+    the dominant plan-build/codegen cost, not the data)."""
+    cb_lit = "array(" + ", ".join(
+        "array(" + ", ".join(_dlit(x) for x in cent) + ")" for cent in book
+    ) + ")"
+    sub = f"slice({vec_col}, {start}, {dsub})"
+    qd = (
+        f"aggregate(zip_with({sub}, cent, (x, c) ->"
+        f" CAST(round((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)"
+        f" * {VEC_FIXED_SCALE}) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    return (
+        "aggregate("
+        f"zip_with(transform({cb_lit}, cent -> {qd}), sequence(1, {len(book)}),"
+        " (d, i) -> named_struct('d', d, 'i', i)),"
+        " cast(null as struct<d: bigint, i: int>),"
+        " (acc, s) -> case when acc is null or s.d < acc.d then s else acc end"
+        ").i - 1"
+    )
+
+
+def _pq_reconstruct_sql(cb: list[list[list[float]]], code_prefix: str) -> str:
+    """SQL text reconstructing the PQ vector from per-row code columns
+    ``{code_prefix}{j}`` and the literal codebooks — the ADC lookup table
+    as an expression (one ``element_at`` per subspace into an
+    array-of-arrays literal; the corpus keeps only the m small codes)."""
+    parts = []
+    for j, book in enumerate(cb):
+        arrs = ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in cent) + ")" for cent in book
+        )
+        parts.append(f"element_at(array({arrs}), {code_prefix}{j} + 1)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 8,
+    iterations: int = 2,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+    query_mod: int = 37,
+    fixed_queries: int | None = None,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """IVF + product quantization + exact rerank — the canonical 100 TB
+    ANN compression (FAISS ``IVF,PQ``): :func:`ivf_adc_topk` with the
+    per-dimension scalar quantizer upgraded to m-subspace codebooks
+    (``m * log2(ks)`` bits/vector instead of ``dim`` bytes) and LUT-based
+    ADC distances.
+
+    Scale shape — strictly better than the SQ8 form:
+
+    * **Training** (:func:`pq_train_codebooks`): ``iterations`` corpus
+      scans, each map-side-combining into an ``m*ks*dsub``-key mean;
+      the codebooks come back to the driver (bounded by codebook size).
+    * **Corpus side**: ONE narrow projection — codes are per-row argmins
+      over literal centroids, and the ADC vector is reconstructed
+      in-expression from the literal codebooks
+      (:func:`_pq_reconstruct_sql`), so unlike the SQ8 path there is NO
+      explode, NO per-dimension aggregate, and NO re-join on the corpus:
+      the 100 TB table is scanned once, inside whole-stage codegen.
+    * **Probe / ADC / rerank**: identical plan shape to
+      :func:`ivf_adc_topk` — broadcast centroid probe, broadcast of the
+      |q|-bounded probe table into the corpus scan, exact fp32 rerank of
+      ``rerank`` survivors.
+
+    Cross-engine exactness: codebook training is the proven fixed-point
+    Lloyd class (bit-identical means, quantized argmin, lowest-code
+    ties), reconstruction uses full-precision double literals, and every
+    ranking boundary ties on ``neighbor_id`` — so the composition
+    carries a FULL SQL oracle that replays training as unrolled CTEs.
+    """
+    cb = pq_train_codebooks(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        ks=ks,
+        iterations=iterations,
+    )
+    dsub = dim // m
+    # --- coarse centroids (same construction as ivf_adc_topk) ---
+    cent = (
+        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    q_pred = (
+        F.col(id_col) < int(fixed_queries)
+        if fixed_queries is not None
+        else (F.col(id_col) % query_mod) == 0
+    )
+    q = vectors.filter(q_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cent_cos",
+            dot(F.col("qv"), F.col("centroid"))
+            / (F.col("qn") * l2_norm(F.col("centroid"))),
+        )
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    # --- compressed corpus: per-row PQ codes + in-expression ADC vector,
+    # one narrow scan, no shuffle ---
+    encoded = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        *[
+            F.expr(_pq_code_sql(cb[j], vec_col, j * dsub + 1, dsub)).alias(
+                f"__k{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    pq_corpus = encoded.select(
+        "neighbor_id",
+        "cell",
+        F.expr(_pq_reconstruct_sql(cb, "__k")).alias("pqv"),
+    ).select(
+        "neighbor_id", "cell", "pqv", l2_norm(F.col("pqv")).alias("nn")
+    )
+    # --- ADC scan of probed cells + exact fp32 rerank (ivf_adc_topk shape) ---
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    survivors = (
+        pq_corpus.join(maybe_bcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_cos",
+            dot(F.col("qv"), F.col("pqv")) / (F.col("qn") * F.col("nn")),
+        )
+        .withColumn("ar", F.row_number().over(adc_w))
+        .filter(F.col("ar") <= int(rerank))
+        .select("query_id", "qv", "qn", "neighbor_id")
+    )
+    fp32 = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("nvn"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        fp32.join(maybe_bcast(survivors), on="neighbor_id")
+        .withColumn(
+            "cos_raw",
+            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_raw").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     *,

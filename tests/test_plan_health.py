@@ -621,3 +621,25 @@ def test_kn3_perplexity_plan_shape(spark):
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "Window") == 0, plan
     assert _n(plan, "Exchange") <= 13, plan
+
+
+def test_ivf_pq_plan_shape(spark):
+    """ann_ivf_pq_topk (r13, VERDICT r12 item 5): the PQ corpus side is
+    ONE narrow projection — codes and the reconstructed ADC vector are
+    literal-codebook expressions — so unlike the SQ8 form there is no
+    per-dimension explode/aggregate and no re-join on the corpus: plan
+    invariants are no SortMergeJoin, no cartesian product, and every
+    rank boundary WindowGroupLimit-bounded. The serving twin must
+    additionally push its constant 162-query budget to the parquet
+    scan."""
+    plan = _formatted_plan(entrymod.queries()["ann_ivf_pq_topk"](spark, SF))
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "WindowGroupLimit") >= 3, plan
+
+    serving = _formatted_plan(
+        entrymod.bench_extras()["ann_ivf_pq_serving"](spark, SF)
+    )
+    assert _n(serving, "SortMergeJoin") == 0, serving
+    assert _n(serving, "CartesianProduct") == 0, serving
+    assert "LessThan(vec_id,162)" in serving.replace(" ", ""), serving

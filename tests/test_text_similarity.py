@@ -902,3 +902,56 @@ def test_kn3_perplexity_vs_python_reference(spark):
     for (w2, w3), _ in cont23.items():
         n1p3[w3] += 1
     assert sum(n1p3.values()) == len(cont23)  # P1 sums to exactly 1
+
+
+def test_ivf_pq_topk_recall_and_codebooks(spark):
+    """IVF-PQ (r13, VERDICT r12 item 5). Gates: (a) codebook geometry —
+    m codebooks of ks centroids, each dsub wide; (b) quantization+rerank
+    recall vs ivf_topk at the SAME probes must be near-lossless (a true
+    in-cell top-5 is lost only if the PQ ADC pushes it below the rerank
+    horizon); (c) end-to-end recall vs fp32 brute force, bounded by the
+    coarse probe on iid data (same bound as the SQ8 composition)."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        ivf_topk,
+        pq_train_codebooks,
+    )
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    cb = pq_train_codebooks(emb, m=8, ks=8, iterations=2)
+    assert len(cb) == 8
+    assert all(len(book) == 8 for book in cb)
+    assert all(len(cent) == 8 for book in cb for cent in book)
+    # trained centroids moved off the raw init vectors (k-means did work)
+    first8 = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    assert any(
+        cb[j][c] != first8[c][j * 8 : (j + 1) * 8]
+        for j in range(8)
+        for c in range(8)
+    )
+
+    composed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(emb, m=8, ks=8, k=5, nprobe=3, rerank=40).collect()
+    }
+    ivf_same_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, nprobe=3).collect()
+        if r["query_id"] % 37 == 0
+    }
+    assert len(ivf_same_probe) > 0
+    rq = len(composed & ivf_same_probe) / len(ivf_same_probe)
+    assert rq >= 0.85, f"PQ quantization recall {rq:.2f}"
+
+    queries = emb.filter((F.col("vec_id") % 37) == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5, queries=queries).collect()
+    }
+    rb = len(composed & exact) / len(exact)
+    assert rb >= 0.25, f"end-to-end recall {rb:.2f}"
