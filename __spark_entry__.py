@@ -6268,6 +6268,96 @@ GROUP BY 1
 """
 
 
+def text_kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated 5-GRAM Kneser-Ney perplexity with full recursive
+    continuation-count backoff — CCNet's actual signal order; closes the
+    kn ladder (kn2 -> kn3 -> kn5; VERDICT r12 item 6).  Nine model
+    tables, ALL successive group-bys of the 5-gram TYPE table (scale
+    with distinct types, which saturate, not occurrences); one
+    occurrence-side hash join. New in r13."""
+    from cassandra_fs_pp_spark.functions.text import kn5_perplexity
+
+    return kn5_perplexity(_t(spark, sf_dir, "documents"))
+
+
+TEXT_KN5_PERPLEXITY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+fg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3,
+         ws[i + 3] AS w4, ws[i + 4] AS w5
+  FROM tok, UNNEST(generate_series(1, len(ws) - 4)) AS u(i)
+  WHERE len(ws) >= 5),
+t5 AS (
+  SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS c5
+  FROM fg GROUP BY 1, 2, 3, 4, 5),
+ctx1234 AS (
+  SELECT w1, w2, w3, w4, CAST(sum(c5) AS BIGINT) AS s5,
+         CAST(count(*) AS BIGINT) AS n5d
+  FROM t5 GROUP BY 1, 2, 3, 4),
+cont2345 AS (
+  SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS c4
+  FROM t5 GROUP BY 1, 2, 3, 4),
+ctx234 AS (
+  SELECT w2, w3, w4, CAST(sum(c4) AS BIGINT) AS s4,
+         CAST(count(*) AS BIGINT) AS n4d
+  FROM cont2345 GROUP BY 1, 2, 3),
+cont345 AS (
+  SELECT w3, w4, w5, CAST(count(*) AS BIGINT) AS c3
+  FROM cont2345 GROUP BY 1, 2, 3),
+ctx34 AS (
+  SELECT w3, w4, CAST(sum(c3) AS BIGINT) AS s3,
+         CAST(count(*) AS BIGINT) AS n3d
+  FROM cont345 GROUP BY 1, 2),
+cont45 AS (
+  SELECT w4, w5, CAST(count(*) AS BIGINT) AS c2
+  FROM cont345 GROUP BY 1, 2),
+ctx4 AS (
+  SELECT w4, CAST(sum(c2) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n2d
+  FROM cont45 GROUP BY 1),
+cont5 AS (
+  SELECT w5, CAST(count(*) AS BIGINT) AS c1 FROM cont45 GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM cont45),
+lp AS (
+  SELECT t.w1, t.w2, t.w3, t.w4, t.w5,
+         CAST(round(ln(
+           (CAST(t.c5 AS DOUBLE) - 0.75) / CAST(a.s5 AS DOUBLE)
+           + (0.75 * CAST(a.n5d AS DOUBLE) / CAST(a.s5 AS DOUBLE))
+             * ((CAST(b.c4 AS DOUBLE) - 0.75) / CAST(c.s4 AS DOUBLE)
+                + (0.75 * CAST(c.n4d AS DOUBLE) / CAST(c.s4 AS DOUBLE))
+                  * ((CAST(d.c3 AS DOUBLE) - 0.75) / CAST(e.s3 AS DOUBLE)
+                     + (0.75 * CAST(e.n3d AS DOUBLE) / CAST(e.s3 AS DOUBLE))
+                       * ((CAST(f.c2 AS DOUBLE) - 0.75) / CAST(g.s2 AS DOUBLE)
+                          + (0.75 * CAST(g.n2d AS DOUBLE)
+                             / CAST(g.s2 AS DOUBLE))
+                            * (CAST(h.c1 AS DOUBLE)
+                               / CAST(tot.t2 AS DOUBLE)))))
+         ) * 1e9) AS BIGINT) AS lp_nano
+  FROM t5 t
+  JOIN ctx1234 a ON a.w1 = t.w1 AND a.w2 = t.w2 AND a.w3 = t.w3
+                AND a.w4 = t.w4
+  JOIN cont2345 b ON b.w2 = t.w2 AND b.w3 = t.w3 AND b.w4 = t.w4
+                 AND b.w5 = t.w5
+  JOIN ctx234 c ON c.w2 = t.w2 AND c.w3 = t.w3 AND c.w4 = t.w4
+  JOIN cont345 d ON d.w3 = t.w3 AND d.w4 = t.w4 AND d.w5 = t.w5
+  JOIN ctx34 e ON e.w3 = t.w3 AND e.w4 = t.w4
+  JOIN cont45 f ON f.w4 = t.w4 AND f.w5 = t.w5
+  JOIN ctx4 g ON g.w4 = t.w4
+  JOIN cont5 h ON h.w5 = t.w5
+  CROSS JOIN tot)
+SELECT fg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_5grams,
+       CAST(-sum(lp_nano) AS BIGINT) AS nll_nano,
+       round(exp((CAST(-sum(lp_nano) AS DOUBLE) / 1e9)
+                 / CAST(count(*) AS DOUBLE)), 6) AS ppl
+FROM fg JOIN lp ON lp.w1 = fg.w1 AND lp.w2 = fg.w2 AND lp.w3 = fg.w3
+               AND lp.w4 = fg.w4 AND lp.w5 = fg.w5
+GROUP BY 1
+"""
+
+
 def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-source ntile(3) over the KN
     bigram perplexity — the per-domain quality calibration step (an
@@ -12762,6 +12852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ============ r13 window head: new/changed in r13 ============
         "ann_ivf_pq_topk": ann_ivf_pq_topk,
+        "text_kn5_perplexity": text_kn5_perplexity,
         # ============ r12 driver window (first 50 entries) ============
         # --- (a) new in r12 ---
         "text_kn3_perplexity": text_kn3_perplexity,
@@ -13031,6 +13122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
+        "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "flagship_events_hourly": FLAGSHIP_ORACLE,
         "tpch_q1": TPCH_Q1_ORACLE,
         "p2_dedup_rows": P2_ORACLE,

@@ -643,3 +643,20 @@ def test_ivf_pq_plan_shape(spark):
     assert _n(serving, "SortMergeJoin") == 0, serving
     assert _n(serving, "CartesianProduct") == 0, serving
     assert "LessThan(vec_id,162)" in serving.replace(" ", ""), serving
+
+
+def test_kn5_perplexity_plan_shape(spark):
+    """text_kn5_perplexity (r13): the kn3 topology two orders up — all
+    nine model tables attach broadcast (each is a narrow aggregate of
+    the 5-gram type table), the occurrence side is the only wide hash
+    join, no window anywhere. Exchange budget 23: the model tables
+    recompute the narrow 5-gram lineage unpinned, the same measured
+    rule as kn2/kn3 (pinning LOSES when every consumer is
+    exchange-shaped)."""
+    plan = _formatted_plan(
+        entrymod.queries()["text_kn5_perplexity"](spark, SF)
+    )
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "Window") == 0, plan
+    assert _n(plan, "Exchange") <= 23, plan

@@ -686,3 +686,25 @@ def test_kn3_perplexity_matches_reference_on_random_corpora(spark, spec):
         for r in kn3_perplexity(df).collect()
     }
     assert got == _kn3_reference(rows)
+
+
+@given(corpus_strategy)
+@SETTINGS
+def test_kn5_perplexity_matches_reference_on_random_corpora(spark, spec):
+    """r13: the 5-gram-KN LM vs the pure-Python recursive reference on
+    random tiny-alphabet corpora — dense n-gram repeats stress every one
+    of the four backoff levels' continuation counts; docs under 5 tokens
+    must drop out of both sides."""
+    from test_text_similarity import _kn5_reference
+
+    from cassandra_fs_pp_spark.functions.text import kn5_perplexity
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(spec)]
+    if not any(len(t.split()) >= 5 for _, t in rows):
+        return  # no 5-grams anywhere: both sides are empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_5grams"], r["nll_nano"], r["ppl"])
+        for r in kn5_perplexity(df).collect()
+    }
+    assert got == _kn5_reference(rows)

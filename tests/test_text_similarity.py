@@ -955,3 +955,98 @@ def test_ivf_pq_topk_recall_and_codebooks(spark):
     }
     rb = len(composed & exact) / len(exact)
     assert rb >= 0.25, f"end-to-end recall {rb:.2f}"
+
+
+def _kn5_reference(rows, D=0.75):
+    """Pure-Python interpolated 5-gram Kneser-Ney with FULL recursive
+    continuation-count backoff (orders 5->4->3->2->1, Chen-Goodman) —
+    the spec kn5_perplexity must reproduce bit-for-bit, including
+    nano-nat rounding with the away-from-zero tie rule both engines
+    share."""
+    import math
+    from collections import Counter
+
+    def round_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    occ = []
+    for doc_id, text in rows:
+        t = text.strip().lower().split()
+        for i in range(len(t) - 4):
+            occ.append((doc_id, tuple(t[i : i + 5])))
+    c5 = Counter(g for _, g in occ)
+    s5, n5d = Counter(), Counter()
+    cont2345 = Counter()  # N1+(.w2w3w4w5): distinct w1 per suffix
+    for g, c in c5.items():
+        s5[g[:4]] += c
+        n5d[g[:4]] += 1
+        cont2345[g[1:]] += 1
+    s4, n4d, cont345 = Counter(), Counter(), Counter()
+    for g, c in cont2345.items():
+        s4[g[:3]] += c
+        n4d[g[:3]] += 1
+        cont345[g[1:]] += 1
+    s3, n3d, cont45 = Counter(), Counter(), Counter()
+    for g, c in cont345.items():
+        s3[g[:2]] += c
+        n3d[g[:2]] += 1
+        cont45[g[1:]] += 1
+    s2, n2d, cont5 = Counter(), Counter(), Counter()
+    for g, c in cont45.items():
+        s2[g[:1]] += c
+        n2d[g[:1]] += 1
+        cont5[g[1:]] += 1
+    t2 = len(cont45)
+    lp = {}
+    for g, c in c5.items():
+        w2345, w345, w45, w5 = g[1:], g[2:], g[3:], g[4:]
+        p1 = float(cont5[w5]) / float(t2)
+        p2 = (float(cont45[w45]) - D) / float(s2[g[3:4]]) + (
+            D * float(n2d[g[3:4]]) / float(s2[g[3:4]])
+        ) * p1
+        p3 = (float(cont345[w345]) - D) / float(s3[g[2:4]]) + (
+            D * float(n3d[g[2:4]]) / float(s3[g[2:4]])
+        ) * p2
+        p4 = (float(cont2345[w2345]) - D) / float(s4[g[1:4]]) + (
+            D * float(n4d[g[1:4]]) / float(s4[g[1:4]])
+        ) * p3
+        p5 = (float(c) - D) / float(s5[g[:4]]) + (
+            D * float(n5d[g[:4]]) / float(s5[g[:4]])
+        ) * p4
+        lp[g] = round_away(math.log(p5) * 1e9)
+    out = {}
+    for doc_id, g in occ:
+        n, s = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, s + lp[g])
+    return {
+        d: (n, -s, round(math.exp((-s / 1e9) / n), 6))
+        for d, (n, s) in out.items()
+    }
+
+
+def test_kn5_perplexity_vs_python_reference(spark):
+    """r13 (VERDICT r12 item 6): the distributed 5-gram-KN computation
+    must agree with a direct single-process implementation on every
+    emitted value — counts exactly, nll to the nano-nat, ppl to 6 dp.
+    Corpus exercises repeated 5-grams, shared contexts at every backoff
+    order, and sub-5-gram docs (dropped)."""
+    from cassandra_fs_pp_spark.functions.text import kn5_perplexity
+
+    rows = [
+        (1, "the cat sat on the mat by the door"),
+        (2, "the cat sat on the log by the fire again"),
+        (3, "a dog sat on a log by the fire"),
+        (4, "the dog and the cat sat on a mat by the door"),
+        (5, "fish and chips by the sea"),
+        (6, "too short for five"),
+        (7, "the cat sat on the mat the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_5grams"], r["nll_nano"], r["ppl"])
+        for r in kn5_perplexity(df).collect()
+    }
+    want = _kn5_reference(rows)
+    assert got == want
+    # doc 6 has only 4 tokens: must drop out of both sides
+    assert 6 not in got
