@@ -547,3 +547,99 @@ def kn5_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def bpe_train_merges(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 8,
+):
+    """Distributed byte-pair-encoding merge training (Sennrich 2016 —
+    the canonical tokenizer-training step of an LLM data pipeline):
+    learn the top ``merges`` merge rules by iterated weighted pair
+    counting over the corpus WORD-TYPE table.
+
+    Returns the learned merge table as a DataFrame
+    ``(round, lhs, rhs, merged, pair_count)`` — the trained artifact a
+    tokenizer ships.
+
+    Scale shape (why this survives 100 TB): after ONE corpus pass that
+    builds the word-frequency TYPE table (vocabulary — saturates as the
+    corpus grows, occurrences don't matter past their counts), every
+    round runs on the type table only: a pair-explode + weighted count
+    (map-side combinable, keyed by the pair) and a 1-ROW argmax collect.
+    The corpus is never rescanned; driver traffic is ``merges`` rows.
+
+    Determinism (cross-engine): pair counts are exact integers; the
+    argmax tie-breaks (count DESC, left ASC, right ASC); the merge is
+    applied with plain ``replace`` over a PAREN-ENCODED symbol string
+    (``(a)(b)(c)``), whose leftmost-non-overlapping scan over the
+    original string is exactly BPE's greedy left-to-right merge rule
+    and is identical in Spark (java.lang.String.replace) and DuckDB —
+    e.g. ``(a)(a)(a)(a)`` -> ``(aa)(aa)`` but ``(a)(a)(a)`` ->
+    ``(aa)(a)``. Symbols stay in the closed alphabet
+    ``[^()]`` because words are split to single characters and merges
+    concatenate them, so the parentheses can never be ambiguous.
+    """
+    spark = docs.sparkSession
+    ws = whitespace_tokens(F.col(text_col))
+    vocab = (
+        docs.select(F.explode(ws).alias("w"))
+        .filter(F.col("w") != "")
+        .filter(~F.col("w").rlike(r"[()]"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "concat('(', array_join(split(w, ''), ')('), ')')"
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    cur = vocab
+    for rnd in range(1, merges + 1):
+        pairs = cur.select(
+            F.expr(r"regexp_extract_all(sym, '\\(([^)]*)\\)', 1)").alias("ss"),
+            "freq",
+        ).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ss) >= 2 THEN"
+                    " transform(sequence(1, size(ss) - 1),"
+                    " i -> struct(element_at(ss, i) AS a,"
+                    " element_at(ss, i + 1) AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        rules.append((rnd, a, b, a + b, cnt))
+        def _sq(x: str) -> str:
+            return x.replace("\\", "\\\\").replace("'", "\\'")
+
+        cur = cur.select(
+            F.expr(
+                "replace(sym, '({a})({b})', '({m})')".format(
+                    a=_sq(a), b=_sq(b), m=_sq(a + b)
+                )
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules,
+        "round int, lhs string, rhs string, merged string, pair_count bigint",
+    )

@@ -1050,3 +1050,79 @@ def test_kn5_perplexity_vs_python_reference(spark):
     assert got == want
     # doc 6 has only 4 tokens: must drop out of both sides
     assert 6 not in got
+
+
+def _bpe_reference(texts, merges=8):
+    """Pure-Python BPE merge training (Sennrich 2016): weighted pair
+    counts over the word-frequency table, greedy left-to-right
+    non-overlapping merge application, ties (count desc, lhs, rhs)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w and "(" not in w and ")" not in w:
+                vocab[tuple(w)] += 1
+    rules = []
+    for rnd in range(1, merges + 1):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rnd, a, b, a + b, cnt))
+        nxt = Counter()
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += freq
+        vocab = nxt
+    return rules
+
+
+def test_bpe_train_merges_vs_python_reference(spark):
+    """r13: the distributed BPE trainer must reproduce the classic
+    single-process algorithm rule-for-rule — including the greedy
+    left-to-right merge on runs (aaaa -> aa aa, aaa -> aa a), weighted
+    tie-breaks, and merges that chain across rounds."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaaa aaa banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, merges=8)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == _bpe_reference(texts, merges=8)
+    # the run semantics specifically: 'aaaa' must contribute floor(n/2)
+    # pairs after an (a,a) merge, not n-1 — i.e. greedy non-overlap
+    got2 = [
+        (r["round"], r["merged"])
+        for r in bpe_train_merges(
+            spark.createDataFrame([(0, "aaaa aaa aa")], "doc_id long, text string"),
+            merges=2,
+        ).orderBy("round").collect()
+    ]
+    assert got2 == [
+        (r, m)
+        for r, _, _, m, _ in _bpe_reference(["aaaa aaa aa"], merges=2)
+    ]
