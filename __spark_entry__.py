@@ -6426,6 +6426,62 @@ FROM ({union})
 TEXT_BPE_MERGES_ORACLE = _bpe_oracle_sql()
 
 
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving half of the BPE story: apply the 8 learned merge rules to
+    every document and report per-doc token statistics (words, chars,
+    BPE tokens, chars/token compression) — the number a training-data
+    pipeline budgets by. Application is ONE narrow corpus projection
+    (literal replace chain inside a transform lambda); training is the
+    bounded type-table loop. New in r13."""
+    from cassandra_fs_pp_spark.functions.text import bpe_tokenize_counts
+
+    return bpe_tokenize_counts(_t(spark, sf_dir, "documents"), merges=8)
+
+
+def _bpe_tokenize_oracle_sql(merges: int = 8) -> str:
+    """Training replay (same CTE ladder as ``_bpe_oracle_sql``) + the
+    identical literal replace chain applied per word, summed per doc."""
+    train = _bpe_oracle_sql(merges)
+    head, _tail = train.rsplit("\nSELECT CAST(round AS INT) AS round", 1)
+    enc = "'(' || array_to_string(string_split(t.w, ''), ')(') || ')'"
+    for r in range(1, merges + 1):
+        enc = (
+            f"replace({enc}, '(' || t{r}.lhs || ')(' || t{r}.rhs || ')',"
+            f" '(' || t{r}.merged || ')')"
+        )
+    crosses = " CROSS JOIN ".join(f"t{r}" for r in range(1, merges + 1))
+    return (
+        head
+        + f""",
+wtok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''),
+per_word AS (
+  SELECT t.doc_id,
+         length(t.w) AS n_chars,
+         CASE WHEN regexp_matches(t.w, '[()]') THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(regexp_extract_all({enc},
+                   '\\(([^)]*)\\)', 1)) AS BIGINT) END AS n_tok
+  FROM wtok t CROSS JOIN {crosses})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN sum(n_tok) > 0
+            THEN round(CAST(sum(n_chars) AS DOUBLE)
+                       / CAST(sum(n_tok) AS DOUBLE), 6) END AS compression
+FROM per_word
+GROUP BY 1
+"""
+    )
+
+
+TEXT_BPE_TOKENIZE_ORACLE = _bpe_tokenize_oracle_sql()
+
+
 def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-source ntile(3) over the KN
     bigram perplexity — the per-domain quality calibration step (an
@@ -12902,16 +12958,17 @@ FROM m
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
     # prefix window (50 entries) of this dict.  Round-13 rotation (VERDICT
-    # r12 item 2): (a) the 3 queries NEW in r13 (ann_ivf_pq_topk,
-    # text_kn5_perplexity, text_bpe_merges); (b) the 8 CHANGED in r13 — the id-magnitude
+    # r12 item 2): (a) the 4 queries NEW in r13 (ann_ivf_pq_topk,
+    # text_kn5_perplexity, text_bpe_merges, text_bpe_tokenize);
+    # (b) the 8 CHANGED in r13 — the id-magnitude
     # class retirement (ngram_jaccard_pairs pmod split + bigram guard,
     # graph_connected_components parity namespace, the four f_* suites'
     # modular sample bands) and the two exact-arithmetic forms touched by
     # ADVICE fixes (a_winsorized_stats decimal-square, j1's operator
     # NULL-raw filter); (c) the two r07-evidence spillovers the r12 judge
-    # re-verified (op_compaction_plan, text_bm25_topk); (d) 37 of the 47
-    # remaining r08-evidence queries in registry order.  The 10 r08
-    # leftovers sit at positions 51-60 and lead the r14 window.  Beyond
+    # re-verified (op_compaction_plan, text_bm25_topk); (d) 36 of the 47
+    # remaining r08-evidence queries in registry order.  The 11 r08
+    # leftovers sit at positions 50-60 and lead the r14 window.  Beyond
     # that the registry keeps ascending evidence freshness (r09/r10/r11
     # blocks, then the r12-window block, freshest, last); the 3 sketch
     # queries stay pinned last (rows-only by nature, never in a window).
@@ -12920,6 +12977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": ann_ivf_pq_topk,
         "text_kn5_perplexity": text_kn5_perplexity,
         "text_bpe_merges": text_bpe_merges,
+        "text_bpe_tokenize": text_bpe_tokenize,
         # ============ (b) changed in r13 ============
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "graph_connected_components": graph_connected_components,
@@ -12932,7 +12990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============ (c) r07-evidence spillovers (judge-reverified) ============
         "op_compaction_plan": op_compaction_plan,
         "text_bm25_topk": text_bm25_topk,
-        # ============ (d) 37 of the 47 remaining r08-evidence queries ============
+        # ============ (d) 36 of the 47 remaining r08-evidence queries ============
         "rag_rrf_fusion": rag_rrf_fusion,
         "curation_mixture_temperature": curation_mixture_temperature,
         "text_ngram_novelty": text_ngram_novelty,
@@ -12969,8 +13027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_counts": a4_distinct_counts,
         "a9_head_mean": a9_head_mean,
         "r1_melt": r1_melt,
+        # ===== end of r13 window; 11 r08 leftovers lead the r14 window =====
         "p5_regex_projection": p5_regex_projection,
-        # ===== end of r13 window; 10 r08 leftovers lead the r14 window =====
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
         "fleet_tdr_depth": fleet_tdr_depth,
@@ -13186,6 +13244,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,
+        "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
         "flagship_events_hourly": FLAGSHIP_ORACLE,
         "tpch_q1": TPCH_Q1_ORACLE,
         "p2_dedup_rows": P2_ORACLE,

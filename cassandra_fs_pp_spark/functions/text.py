@@ -643,3 +643,80 @@ def bpe_train_merges(
         rules,
         "round int, lhs string, rhs string, merged string, pair_count bigint",
     )
+
+
+def bpe_tokenize_counts(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 8,
+):
+    """Apply :func:`bpe_train_merges`'s learned rules to the corpus and
+    report per-document token statistics — the serving half of the
+    tokenizer story (train once, tokenize everywhere), and the number a
+    data pipeline actually budgets by (tokens, not words).
+
+    Emits ``(doc_id, n_words, n_chars, n_bpe_tokens, compression)``
+    where ``compression = round(n_chars / n_bpe_tokens, 6)``.
+
+    Scale shape: training is the bounded type-table loop; application
+    is ONE narrow corpus projection — each word is paren-encoded and the
+    ``merges`` rules are applied as a chain of literal ``replace`` calls
+    inside a ``transform`` lambda (JVM-side, whole-stage codegen, no
+    shuffle beyond the existing row). Words containing parens (cannot be
+    paren-encoded) fall back to 1 token, mirroring the trainer's
+    vocabulary filter.
+    """
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train_merges(
+            docs, id_col=id_col, text_col=text_col, merges=merges
+        ).collect()
+    ]
+
+    def _sq(x: str) -> str:
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    enc = "concat('(', array_join(split(w, ''), ')('), ')')"
+    for a, b, m in rules:
+        enc = "replace({e}, '({a})({b})', '({m})')".format(
+            e=enc, a=_sq(a), b=_sq(b), m=_sq(m)
+        )
+    ws = whitespace_tokens(F.col(text_col))
+    return (
+        docs.select(id_col, ws.alias("__ws"))
+        .select(
+            id_col,
+            F.expr(
+                "filter(__ws, w -> w <> '')"
+            ).alias("__w"),
+        )
+        .select(
+            id_col,
+            F.size("__w").cast("long").alias("n_words"),
+            F.expr(
+                "aggregate(__w, cast(0 as bigint), (acc, w) -> acc + length(w))"
+            ).alias("n_chars"),
+            F.expr(
+                "aggregate(transform(__w, w -> CASE WHEN w rlike '[()]'"
+                " THEN cast(1 as bigint)"
+                f" ELSE cast(size(regexp_extract_all({enc}, '\\\\(([^)]*)\\\\)', 1)) as bigint) END),"
+                " cast(0 as bigint), (acc, t) -> acc + t)"
+            ).alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(
+                    F.col("n_chars").cast("double")
+                    / F.col("n_bpe_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("compression"),
+        )
+    )

@@ -277,12 +277,12 @@ def test_periodogram_no_global_window(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r13 rotation contract (VERDICT r12 item 2): the 3
+    entries. Pin the r13 rotation contract (VERDICT r12 item 2): the 4
     queries new in r13 and the 8 changed by the id-magnitude retirement
     + exact-arithmetic touch-ups lead, then the two r07-evidence
-    spillovers the r12 judge re-verified, then 37 of the 47 remaining
-    r08-evidence queries from rag_rrf_fusion; the 10 leftovers sit at
-    positions 50-59 to lead the r14 window; every window entry carries
+    spillovers the r12 judge re-verified, then 36 of the 47 remaining
+    r08-evidence queries from rag_rrf_fusion; the 11 leftovers sit at
+    positions 50-60 to lead the r14 window; every window entry carries
     a full SQL oracle (the gate's hash check needs one); the 3
     rows-only sketch queries stay pinned last."""
     qs = list(entrymod.queries())
@@ -290,13 +290,14 @@ def test_registry_window_discipline():
     window = qs[:50]
     oracles = entrymod.oracle_sql()
     # (a) new in r13, leading
-    assert window[:3] == [
+    assert window[:4] == [
         "ann_ivf_pq_topk",
         "text_kn5_perplexity",
         "text_bpe_merges",
+        "text_bpe_tokenize",
     ]
     # (b) changed in r13 (id-magnitude retirement + ADVICE fixes)
-    assert window[3:11] == [
+    assert window[4:12] == [
         "ngram_jaccard_pairs",
         "graph_connected_components",
         "f_higher_order",
@@ -307,8 +308,8 @@ def test_registry_window_discipline():
         "j1_calibration_fallback",
     ]
     # (c) the judge-re-verified r07 spillover pair, then the r08 block
-    assert window[11:13] == ["op_compaction_plan", "text_bm25_topk"]
-    assert window[13] == "rag_rrf_fusion"
+    assert window[12:14] == ["op_compaction_plan", "text_bm25_topk"]
+    assert window[14] == "rag_rrf_fusion"
     for q in (
         "curation_mixture_temperature",
         "graph_degree_assortativity",
@@ -319,11 +320,11 @@ def test_registry_window_discipline():
         "w2_centered_median",
         "j4_asof_forward",
         "a4_distinct_counts",
-        "p5_regex_projection",
     ):
-        assert q in window[13:], f"{q} must be driver-confirmed this round"
-    # (d) the 10 r08 leftovers lead the r14 window
-    assert qs[50:60] == [
+        assert q in window[14:], f"{q} must be driver-confirmed this round"
+    # (d) the 11 r08 leftovers lead the r14 window
+    assert qs[50:61] == [
+        "p5_regex_projection",
         "stream_dedup_counts",
         "stream_session_agg",
         "fleet_tdr_depth",

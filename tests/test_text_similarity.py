@@ -1126,3 +1126,55 @@ def test_bpe_train_merges_vs_python_reference(spark):
         (r, m)
         for r, _, _, m, _ in _bpe_reference(["aaaa aaa aa"], merges=2)
     ]
+
+
+def test_bpe_tokenize_counts_vs_python_reference(spark):
+    """r13: the BPE application path (literal replace chain inside a
+    transform lambda) must produce the same per-doc token counts as
+    tokenizing with the reference trainer's final vocabulary."""
+    from collections import Counter
+
+    from cassandra_fs_pp_spark.functions.text import bpe_tokenize_counts
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest new news",
+        "aaaa aaa aa a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_tokenize_counts(df, merges=8).collect()
+    }
+
+    # python reference: replay training, then greedy-apply each rule in
+    # learned order to every word
+    rules = _bpe_reference(texts, merges=8)
+
+    def apply(word):
+        syms = list(word)
+        for _, a, b, m, _ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.strip().lower().split() if w]
+        want[i] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(apply(w) for w in ws),
+        )
+    assert got == want
+    # merged runs compress: 'aaaa' must count fewer tokens than chars
+    assert got[2][2] < got[2][1]
