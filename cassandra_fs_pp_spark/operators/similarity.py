@@ -1307,6 +1307,7 @@ def ivf_pq_topk(
     query_mod: int = 37,
     fixed_queries: int | None = None,
     hint_broadcast: bool = True,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF + product quantization + exact rerank — the canonical 100 TB
     ANN compression (FAISS ``IVF,PQ``): :func:`ivf_adc_topk` with the
@@ -1336,7 +1337,11 @@ def ivf_pq_topk(
     ranking boundary ties on ``neighbor_id`` — so the composition
     carries a FULL SQL oracle that replays training as unrolled CTEs.
     """
-    cb = pq_train_codebooks(
+    # ``codebooks``: pass offline-trained codebooks to skip the training
+    # scans — the production serving reality (FAISS never retrains per
+    # query batch); training here is deterministic, so a cached table is
+    # bit-identical to a fresh one
+    cb = codebooks if codebooks is not None else pq_train_codebooks(
         vectors,
         id_col=id_col,
         vec_col=vec_col,
