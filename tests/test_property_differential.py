@@ -708,3 +708,147 @@ def test_kn5_perplexity_matches_reference_on_random_corpora(spark, spec):
         for r in kn5_perplexity(df).collect()
     }
     assert got == _kn5_reference(rows)
+
+
+def _ivf_pq_reference(vecs, cells, *, m, ks, iterations, k, nprobe, rerank,
+                      query_mod):
+    """Pure-Python IVF-PQ with Spark's exact arithmetic: quantized-integer
+    training distances (ties to the lowest code), fixed-point centroid
+    means replayed in the same op order (int-sum -> /1e9 -> /n),
+    left-fold dots, (score desc, id/cell asc) tie-breaks."""
+    import math
+
+    SCALE = 1_000_000_000
+    d = len(vecs[0])
+    dsub = d // m
+    ids = sorted(vecs)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def round_away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def qdist(sub, cent):
+        return sum(
+            round_away((x - c) * (x - c) * SCALE) for x, c in zip(sub, cent)
+        )
+
+    def subv(i, j):
+        return vecs[i][j * dsub : (j + 1) * dsub]
+
+    cb = [[list(subv(c, j)) for c in range(ks)] for j in range(m)]
+
+    def assign(i, j):
+        ds = [qdist(subv(i, j), cb[j][c]) for c in range(ks)]
+        best = min(range(ks), key=lambda c: (ds[c], c))
+        return best
+
+    for _ in range(iterations):
+        codes = {(i, j): assign(i, j) for i in ids for j in range(m)}
+        for j in range(m):
+            for c in range(ks):
+                members = [i for i in ids if codes[(i, j)] == c]
+                if not members:
+                    continue  # empty cell keeps previous centroid
+                cb[j][c] = [
+                    float(sum(round_away(subv(i, j)[p] * SCALE)
+                              for i in members))
+                    / float(SCALE)
+                    / len(members)
+                    for p in range(dsub)
+                ]
+
+    def pqv(i):
+        out = []
+        for j in range(m):
+            out.extend(cb[j][assign(i, j)])
+        return out
+
+    cent = {}
+    for c in set(cells.values()):
+        members = [i for i in ids if cells[i] == c]
+        cent[c] = [
+            sum(vecs[i][j] for i in members) / len(members) for j in range(d)
+        ]
+    out = {}
+    for q in ids:
+        if q % query_mod != 0:
+            continue
+        qv, qn = vecs[q], norm(vecs[q])
+        probes = sorted(
+            cent, key=lambda c: (-(dot(qv, cent[c]) / (qn * norm(cent[c]))), c)
+        )[:nprobe]
+        cand = [i for i in ids if cells[i] in probes and i != q]
+        adc = sorted(
+            cand,
+            key=lambda i: (-(dot(qv, pqv(i)) / (qn * norm(pqv(i)))), i),
+        )[:rerank]
+        ranked = sorted(
+            adc, key=lambda i: (-(dot(qv, vecs[i]) / (qn * norm(vecs[i]))), i)
+        )[:k]
+        for rank, i in enumerate(ranked, 1):
+            out[(q, rank)] = (i, dot(qv, vecs[i]) / (qn * norm(vecs[i])))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # cell
+            # DYADIC coordinate pool (exact binary fractions): training
+            # sums/products stay exact so the fixed-point means and the
+            # per-cell avg centroids are accumulation-order-free, and
+            # duplicate vectors exercise every tie-break. See the ADC
+            # twin test above for why NOT arbitrary floats.
+            st.lists(
+                st.sampled_from([0.25, 0.5, 0.75, 1.0]), min_size=4, max_size=4
+            ),
+        ),
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_ivf_pq_topk_matches_reference(spark, data):
+    """r13: the composed IVF-PQ (codebook training + code assignment +
+    LUT reconstruction + probe + ADC + exact rerank) vs a pure-Python
+    replay of every stage with Spark's fold orders and tie-breaks —
+    a third implementation beside the engine and the SQL oracle, so a
+    formula error mirrored into the oracle still gets caught."""
+    from cassandra_fs_pp_spark.operators.similarity import ivf_pq_topk
+
+    vecs = {i: v for i, (_, v) in enumerate(data)}
+    cells = {i: c for i, (c, _) in enumerate(data)}
+    ks = 2
+    if len(vecs) < ks:
+        return
+    df = spark.createDataFrame(
+        [(i, cells[i], vecs[i]) for i in vecs],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_pq_topk(
+            df, dim=4, m=2, ks=ks, iterations=2, k=2, nprobe=2, rerank=4,
+            query_mod=3,
+        ).collect()
+    }
+    want = _ivf_pq_reference(
+        vecs, cells, m=2, ks=ks, iterations=2, k=2, nprobe=2, rerank=4,
+        query_mod=3,
+    )
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 1e-12
