@@ -1178,3 +1178,25 @@ def test_bpe_tokenize_counts_vs_python_reference(spark):
     assert got == want
     # merged runs compress: 'aaaa' must count fewer tokens than chars
     assert got[2][2] < got[2][1]
+
+
+def test_pq_and_bpe_training_partition_invariant(spark):
+    """The r13 trainers' reproducibility claims, pinned: PQ codebooks
+    (fixed-point integer means) and BPE merge tables (exact integer pair
+    counts) must come out BIT-identical under different partitionings —
+    the property that makes retries/reruns safe at cluster scale."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges
+    from cassandra_fs_pp_spark.operators.similarity import pq_train_codebooks
+    from cassandra_fs_pp_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb1 = pq_train_codebooks(emb.repartition(1), m=4, ks=4, iterations=2)
+    cb13 = pq_train_codebooks(emb.repartition(13), m=4, ks=4, iterations=2)
+    assert cb1 == cb13  # exact float equality, not approx
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r1 = [tuple(r) for r in bpe_train_merges(docs.repartition(1), merges=4)
+          .orderBy("round").collect()]
+    r13 = [tuple(r) for r in bpe_train_merges(docs.repartition(13), merges=4)
+           .orderBy("round").collect()]
+    assert r1 == r13 and len(r1) == 4
