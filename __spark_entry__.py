@@ -6426,6 +6426,53 @@ FROM ({union})
 TEXT_BPE_MERGES_ORACLE = _bpe_oracle_sql()
 
 
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    resampling — per-bucket add-1-smoothed log ratio of target
+    (src0/src1) vs raw occurrence counts in nano-nats, per-doc integer
+    importance sums, global top-500 by (importance desc, doc_id).
+    Exact-integer λ table bounded by 512 buckets, broadcast; one token
+    explode; TakeOrdered top-k. New in r13."""
+    from cassandra_fs_pp_spark.functions.curation import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))
+
+
+CURATION_DSIR_ORACLE = r"""
+WITH ex AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+  FROM ex GROUP BY 1),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS t, CAST(sum(n_r) AS BIGINT) AS r
+        FROM cnt),
+lam AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((n_t + 1) * (tot.r + 512) AS DOUBLE)
+                       / CAST((n_r + 1) * (tot.t + 512) AS DOUBLE)) * 1e9)
+              AS BIGINT) AS lam_nano
+  FROM cnt CROSS JOIN tot),
+scored AS (
+  SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(lam_nano) AS BIGINT) AS logw_nano
+  FROM ex JOIN lam USING (bucket)
+  GROUP BY 1)
+SELECT doc_id, n_tok, logw_nano,
+       CAST(logw_nano AS DOUBLE) / 1e9 AS logw
+FROM scored
+ORDER BY logw_nano DESC, doc_id
+LIMIT 500
+"""
+
+
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving half of the BPE story: apply the 8 learned merge rules to
     every document and report per-doc token statistics (words, chars,
@@ -12992,6 +13039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn5_perplexity": text_kn5_perplexity,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokenize": text_bpe_tokenize,
+        "curation_dsir_select": curation_dsir_select,
         # ============ (b) changed in r13 ============
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "graph_connected_components": graph_connected_components,
@@ -13259,6 +13307,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,
         "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
+        "curation_dsir_select": CURATION_DSIR_ORACLE,
         "flagship_events_hourly": FLAGSHIP_ORACLE,
         "tpch_q1": TPCH_Q1_ORACLE,
         "p2_dedup_rows": P2_ORACLE,

@@ -487,3 +487,98 @@ def ccnet_buckets_banded(
         bucket.cast("int").alias("bucket"),
         label.alias("tier"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    buckets: int = 512,
+    top_k: int = 500,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — the modern data-selection step: score every document by how much
+    its hashed-n-gram feature distribution looks like a TARGET domain
+    versus the RAW pool, then keep the top-``top_k``.
+
+    Implementation (hashed word unigrams, add-1 smoothing):
+
+    * ``bucket(w) = hash60(w) % buckets`` (the corpus-wide idiom shared
+      with :func:`quality_model_score` — cross-engine exact);
+    * per-bucket occurrence counts ``n_t`` / ``n_r`` over target
+      (``source IN target_sources``) and raw (the rest) — exact
+      integers, map-side combinable, table bounded by ``buckets``;
+    * per-bucket log importance ratio in NANO-NATS:
+      ``lam = round(ln(((n_t+1)*(R+buckets)) / ((n_r+1)*(T+buckets)))
+      * 1e9)`` — ONE transcendental of a ratio of exactly-representable
+      integer products (all < 2^53), so both engines round the same
+      double to the same integer;
+    * per-doc importance = integer sum of ``lam`` over token
+      OCCURRENCES (order-free), emitted with the top-``top_k`` by
+      ``(importance desc, doc_id)``.
+
+    Scale shape: one token explode; the λ table is ``buckets`` rows
+    (broadcast); the per-doc reduce is a hash aggregate; the global
+    top-k is TakeOrdered (no single-partition window). The corpus never
+    shuffles except by ``doc_id`` for the reduce.
+    """
+    toks = F.filter(whitespace_tokens(F.col(text_col)), lambda t: t != "")
+    ex = docs.select(
+        F.col(id_col),
+        F.col(source_col).isin(*target_sources).alias("__is_t"),
+        F.explode(toks).alias("w"),
+    ).select(
+        id_col,
+        "__is_t",
+        F.expr(
+            "pmod(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint),"
+            f" {int(buckets)}L)"
+        ).alias("bucket"),
+    )
+    cnt = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~F.col("__is_t"), 1).otherwise(0)).alias("n_r"),
+    )
+    tot = cnt.agg(
+        F.sum("n_t").alias("T"), F.sum("n_r").alias("R")
+    )
+    lam = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.col("n_t") + 1) * (F.col("R") + F.lit(int(buckets)))
+                    ).cast("double")
+                    / (
+                        (F.col("n_r") + 1) * (F.col("T") + F.lit(int(buckets)))
+                    ).cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("lam_nano"),
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lam_nano").alias("logw_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("logw_nano"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(
+            id_col,
+            "n_tok",
+            "logw_nano",
+            (F.col("logw_nano").cast("double") / F.lit(1e9)).alias("logw"),
+        )
+    )
