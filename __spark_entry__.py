@@ -479,7 +479,14 @@ WITH calib AS (
          CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / count(c) AS avg_c
   FROM calib
 ), fact AS (
+  -- NULL-raw rows are excluded to mirror calibration_group_mean's
+  -- up-front filter (avg(calibrated) drops NULL from numerator AND
+  -- denominator; without this the oracle's count(*) AS n would keep
+  -- counting rows the CASE sums skip, deflating the mean).  Unreachable
+  -- on this schema (TPC-H l_discount is NOT NULL) but kept so the
+  -- oracle states the same semantics as the operator.
   SELECT l_suppkey AS sensor_id, l_discount AS raw FROM lineitem
+  WHERE l_discount IS NOT NULL
 ), g AS (
   -- hit rows land on the 7-decimal grid (m 5dp x raw 2dp + c 1dp): exact
   -- DECIMAL sum; miss rows fold to avg_m*T + avg_c*n_miss with T exact
@@ -9134,13 +9141,18 @@ def ann_ivf_adc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + product quantization + exact rerank (FAISS IVF,PQ — the
-    canonical 100 TB ANN compression, r13/VERDICT r12 item 5): m=4
+    canonical 100 TB ANN compression, r13/VERDICT r12 item 5): m=8
     subspace codebooks of ks=8 centroids each (trained with the proven
     fixed-point Lloyd machinery, 2 rounds), per-row code assignment and
     LUT reconstruction as literal expressions — the corpus side is ONE
-    narrow whole-stage-codegen scan, no explode/re-join (strictly better
-    shape than the SQ8 ADC path).  Full oracle: training replayed as
-    unrolled CTEs (the emb_kmeans_assign class), probe/ADC/rerank
+    narrow whole-stage-codegen scan whose only join is the broadcast
+    |cells|-row centroid table (strictly better shape than the SQ8 ADC
+    path).  r14 (VERDICT r13 item 3): codes quantize the RESIDUAL
+    ``x - centroid(cell)`` — what FAISS IVF,PQ actually encodes — and
+    the coarse centroids are exact fixed-point means (r13 ADVICE: a
+    double avg() is summation-order dependent; a ulp flip in cent_cos
+    can change which cells are probed).  Full oracle: training replayed
+    as unrolled CTEs (the emb_kmeans_assign class), probe/ADC/rerank
     boundaries all tie on neighbor_id."""
     from cassandra_fs_pp_spark.operators.similarity import ivf_pq_topk
 
@@ -9148,7 +9160,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, m=8, ks=8, iterations=2, k=5, nprobe=2, rerank=40)
 
 
-_PQ_CB_CACHE: dict[str, list] = {}
+_PQ_CB_CACHE: dict[str, tuple] = {}
 
 
 def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9160,20 +9172,35 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; training is deterministic so the cached table is
     bit-identical to a fresh one), so the tracked number measures the
     serving scan, not the training loop the registry form already
-    times. Correctness rides on the registry form's full oracle."""
+    times. r14: the cached index is (coarse-centroid table, residual
+    codebooks) — both offline artifacts in FAISS IVF,PQ — so serving
+    skips the centroid corpus scan too and stays at two corpus scans
+    (encode + rerank). Correctness rides on the registry form's full
+    oracle."""
     from cassandra_fs_pp_spark.operators.similarity import (
+        coarse_centroids,
         ivf_pq_topk,
         pq_train_codebooks,
+        residualize,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _PQ_CB_CACHE.get(sf_dir)
-    if cb is None:
-        cb = pq_train_codebooks(emb, m=8, ks=8, iterations=2)
-        _PQ_CB_CACHE[sf_dir] = cb
+    cached = _PQ_CB_CACHE.get(sf_dir)
+    if cached is None:
+        cent = coarse_centroids(emb)
+        cent_rows = [
+            (r["cell"], [float(x) for x in r["centroid"]])
+            for r in cent.collect()
+        ]
+        cb = pq_train_codebooks(
+            residualize(emb, cent), vec_col="rvec", m=8, ks=8, iterations=2
+        )
+        cached = (cent_rows, cb)
+        _PQ_CB_CACHE[sf_dir] = cached
+    cent_rows, cb = cached
     return ivf_pq_topk(
         emb, m=8, ks=8, iterations=2, k=5, nprobe=2, rerank=40,
-        fixed_queries=162, codebooks=cb,
+        fixed_queries=162, codebooks=cb, centroids=cent_rows,
     )
 
 
@@ -9205,7 +9232,11 @@ def _ivf_pq_sql(
     join-back to the trained centroids, then the same probe/ADC/rerank
     tail as ``ANN_IVF_ADC_ORACLE``.  Every arithmetic step mirrors the
     engine's op order: quantized integer distances, exact fixed-point
-    means (sum->DOUBLE / 1e9 / n), left-fold dots, lowest-code ties."""
+    means (sum->DOUBLE / 1e9 / n), left-fold dots, lowest-code ties.
+    r14: coarse centroids lead (fixed-point mean, mirroring
+    ``coarse_centroids``), training/encoding runs on the RESIDUAL
+    ``x - centroid(cell)``, and the ADC vector is
+    ``centroid + reconstruct(codes)``."""
     dsub = dim // m
 
     def dist(v: str, cv: str) -> str:
@@ -9217,9 +9248,22 @@ def _ivf_pq_sql(
         )
 
     head = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-sv AS (SELECT vec_id, j, x[(j*{dsub}+1):(j*{dsub}+{dsub})] AS v
-       FROM e, range(0, {m}) t(j)),
+WITH cent AS (
+  SELECT label AS cell, i AS pos,
+         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000000) AS BIGINT))
+              AS DOUBLE) / 1000000000.0 / count(*) AS mc
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  GROUP BY label, i),
+cvec AS MATERIALIZED (
+  SELECT cell, list(mc ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+e AS (
+  SELECT e0.vec_id, e0.label AS cell, cv.centroid,
+         list_transform(range(1, {dim + 1}),
+                        i -> e0.embedding[i]::DOUBLE - cv.centroid[i]) AS x
+  FROM embeddings e0 JOIN cvec cv ON cv.cell = e0.label),
+sv AS MATERIALIZED (
+  SELECT vec_id, j, x[(j*{dsub}+1):(j*{dsub}+{dsub})] AS v
+  FROM e, range(0, {m}) t(j)),
 c0 AS (SELECT j, vec_id AS c, v AS cv FROM sv WHERE vec_id < {ks})"""
     rounds = []
     for r in range(1, iterations + 1):
@@ -9249,19 +9293,16 @@ codes AS (
                               ORDER BY {dist('sv.v', 'cc.cv')}, cc.c) AS rn
     FROM sv JOIN c{fin} cc ON cc.j = sv.j) WHERE rn = 1),
 pq AS (
-  SELECT codes.vec_id, flatten(list(cc.cv ORDER BY codes.j)) AS pqv
+  SELECT codes.vec_id, flatten(list(cc.cv ORDER BY codes.j)) AS rrec
   FROM codes JOIN c{fin} cc ON cc.j = codes.j AND cc.c = codes.c
   GROUP BY codes.vec_id),
 corpus_n AS (
-  SELECT pq.vec_id AS neighbor_id, pq.pqv,
-         sqrt(list_dot_product(pq.pqv, pq.pqv)) AS nn,
-         e2.label AS cell
-  FROM pq JOIN embeddings e2 ON e2.vec_id = pq.vec_id),
-cent AS (
-  SELECT label AS cell, i AS pos, avg(embedding[i]::DOUBLE) AS mc
-  FROM embeddings, range(1, {dim + 1}) t(i)
-  GROUP BY label, i),
-cvec AS (SELECT cell, list(mc ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+  SELECT neighbor_id, pqv, sqrt(list_dot_product(pqv, pqv)) AS nn, cell
+  FROM (
+    SELECT pq.vec_id AS neighbor_id, e2.cell,
+           list_transform(range(1, {dim + 1}),
+                          i -> e2.centroid[i] + pq.rrec[i]) AS pqv
+    FROM pq JOIN e e2 ON e2.vec_id = pq.vec_id)),
 q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn

@@ -1150,6 +1150,76 @@ def kmeans_assign(
     return assigned.select(id_col, "cluster")
 
 
+def coarse_centroids(
+    vectors: DataFrame,
+    *,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell coarse centroids as EXACT fixed-point means — the IVF
+    cell table ``(cell, centroid: array<double>)``.
+
+    A plain double ``avg()`` is summation-order dependent (partition /
+    task schedule), and a ulp flip in the probe's ``cent_cos`` can change
+    WHICH ``nprobe`` cells are scanned — so the centroid mean uses the
+    same idiom as :func:`pq_train_codebooks`: lossless ``long`` sum of
+    ``round(v * VEC_FIXED_SCALE)``, one final double divide.  Bounded by
+    |cells| x dim; map-side combinable; bit-identical across engines."""
+    return (
+        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("col").cast("double") * VEC_FIXED_SCALE)
+                    .cast("long")
+                )
+                .cast("double")
+                / F.lit(float(VEC_FIXED_SCALE))
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def residualize(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    out_col: str = "rvec",
+) -> DataFrame:
+    """Attach each vector's coarse residual ``x - centroid(cell)`` — the
+    quantity FAISS ``IVF,PQ`` actually encodes (residuals cluster far
+    tighter around 0 than raw vectors, so the same codebook budget buys
+    more recall).  ONE broadcast hash join with the |cells|-row centroid
+    table; the residual subtract is two-double IEEE (exact-rounded, so
+    deterministic given the fixed-point centroid).  Keeps ``centroid``
+    so reconstruction needs no second join."""
+    return vectors.join(
+        F.broadcast(centroids),
+        on=vectors[cell_col] == centroids["cell"],
+    ).select(
+        F.col(id_col),
+        "cell",
+        "centroid",
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias(out_col),
+    )
+
+
 def pq_train_codebooks(
     vectors: DataFrame,
     *,
@@ -1308,12 +1378,22 @@ def ivf_pq_topk(
     fixed_queries: int | None = None,
     hint_broadcast: bool = True,
     codebooks: list[list[list[float]]] | None = None,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF + product quantization + exact rerank — the canonical 100 TB
     ANN compression (FAISS ``IVF,PQ``): :func:`ivf_adc_topk` with the
     per-dimension scalar quantizer upgraded to m-subspace codebooks
     (``m * log2(ks)`` bits/vector instead of ``dim`` bytes) and LUT-based
     ADC distances.
+
+    r14: RESIDUAL encoding — codes quantize ``x - centroid(cell)``
+    (what FAISS ``IVF,PQ`` encodes), not the raw vector, and the ADC
+    vector is ``centroid(cell) + reconstruct(codes)``.  Residuals
+    cluster far tighter around 0 than raw vectors, so the same m*ks
+    budget buys measurably higher recall (SCALE.md r14 row).  The coarse
+    centroids are exact fixed-point means (:func:`coarse_centroids`) —
+    a plain double avg() is summation-order dependent and a ulp flip in
+    ``cent_cos`` can change which cells are probed.
 
     Scale shape — strictly better than the SQ8 form:
 
@@ -1337,32 +1417,32 @@ def ivf_pq_topk(
     ranking boundary ties on ``neighbor_id`` — so the composition
     carries a FULL SQL oracle that replays training as unrolled CTEs.
     """
+    dsub = dim // m
+    # --- coarse centroids: exact fixed-point means; ``centroids`` passes
+    # the offline-collected table (serving form — the cell table is part
+    # of the index, so serving skips this corpus scan entirely) ---
+    if centroids is not None:
+        cent = vectors.sparkSession.createDataFrame(
+            [(c, list(v)) for c, v in centroids],
+            "cell int, centroid array<double>",
+        )
+    else:
+        cent = coarse_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
+    res = residualize(
+        vectors, cent, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )
     # ``codebooks``: pass offline-trained codebooks to skip the training
     # scans — the production serving reality (FAISS never retrains per
     # query batch); training here is deterministic, so a cached table is
     # bit-identical to a fresh one
     cb = codebooks if codebooks is not None else pq_train_codebooks(
-        vectors,
+        res,
         id_col=id_col,
-        vec_col=vec_col,
+        vec_col="rvec",
         dim=dim,
         m=m,
         ks=ks,
         iterations=iterations,
-    )
-    dsub = dim // m
-    # --- coarse centroids (same construction as ivf_adc_topk) ---
-    cent = (
-        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.col("col").cast("double")).alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        )
     )
     q_pred = (
         F.col(id_col) < int(fixed_queries)
@@ -1389,13 +1469,15 @@ def ivf_pq_topk(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    # --- compressed corpus: per-row PQ codes + in-expression ADC vector,
-    # one narrow scan, no shuffle ---
-    encoded = vectors.select(
+    # --- compressed corpus: per-row PQ codes over the RESIDUAL + the ADC
+    # vector centroid(cell) + reconstruct(codes), one narrow scan whose
+    # only join is the broadcast |cells|-row centroid table, no shuffle ---
+    encoded = res.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
+        "cell",
+        "centroid",
         *[
-            F.expr(_pq_code_sql(cb[j], vec_col, j * dsub + 1, dsub)).alias(
+            F.expr(_pq_code_sql(cb[j], "rvec", j * dsub + 1, dsub)).alias(
                 f"__k{j}"
             )
             for j in range(m)
@@ -1404,7 +1486,11 @@ def ivf_pq_topk(
     pq_corpus = encoded.select(
         "neighbor_id",
         "cell",
-        F.expr(_pq_reconstruct_sql(cb, "__k")).alias("pqv"),
+        F.zip_with(
+            F.col("centroid"),
+            F.expr(_pq_reconstruct_sql(cb, "__k")),
+            lambda c, r: c + r,
+        ).alias("pqv"),
     ).select(
         "neighbor_id", "cell", "pqv", l2_norm(F.col("pqv")).alias("nn")
     )

@@ -715,7 +715,10 @@ def _ivf_pq_reference(vecs, cells, *, m, ks, iterations, k, nprobe, rerank,
     """Pure-Python IVF-PQ with Spark's exact arithmetic: quantized-integer
     training distances (ties to the lowest code), fixed-point centroid
     means replayed in the same op order (int-sum -> /1e9 -> /n),
-    left-fold dots, (score desc, id/cell asc) tie-breaks."""
+    left-fold dots, (score desc, id/cell asc) tie-breaks.  r14: RESIDUAL
+    encoding — coarse centroids are fixed-point means, codes quantize
+    ``x - centroid(cell)``, and the ADC vector is centroid + residual
+    reconstruction (the FAISS IVF,PQ form)."""
     import math
 
     SCALE = 1_000_000_000
@@ -743,8 +746,21 @@ def _ivf_pq_reference(vecs, cells, *, m, ks, iterations, k, nprobe, rerank,
             round_away((x - c) * (x - c) * SCALE) for x, c in zip(sub, cent)
         )
 
+    cent = {}
+    for c in set(cells.values()):
+        members = [i for i in ids if cells[i] == c]
+        cent[c] = [
+            float(sum(round_away(vecs[i][j] * SCALE) for i in members))
+            / float(SCALE)
+            / len(members)
+            for j in range(d)
+        ]
+    rvecs = {
+        i: [vecs[i][j] - cent[cells[i]][j] for j in range(d)] for i in ids
+    }
+
     def subv(i, j):
-        return vecs[i][j * dsub : (j + 1) * dsub]
+        return rvecs[i][j * dsub : (j + 1) * dsub]
 
     cb = [[list(subv(c, j)) for c in range(ks)] for j in range(m)]
 
@@ -769,17 +785,11 @@ def _ivf_pq_reference(vecs, cells, *, m, ks, iterations, k, nprobe, rerank,
                 ]
 
     def pqv(i):
-        out = []
+        rec = []
         for j in range(m):
-            out.extend(cb[j][assign(i, j)])
-        return out
+            rec.extend(cb[j][assign(i, j)])
+        return [c + r for c, r in zip(cent[cells[i]], rec)]
 
-    cent = {}
-    for c in set(cells.values()):
-        members = [i for i in ids if cells[i] == c]
-        cent[c] = [
-            sum(vecs[i][j] for i in members) / len(members) for j in range(d)
-        ]
     out = {}
     for q in ids:
         if q % query_mod != 0:

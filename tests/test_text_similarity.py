@@ -955,6 +955,9 @@ def test_ivf_pq_topk_recall_and_codebooks(spark):
     }
     rb = len(composed & exact) / len(exact)
     assert rb >= 0.25, f"end-to-end recall {rb:.2f}"
+    # session-global cache hygiene: a live InMemoryRelation over this
+    # parquet would swallow other tests' pushed-filter plan assertions
+    emb.unpersist()
 
 
 def _kn5_reference(rows, D=0.75):
