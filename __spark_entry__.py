@@ -6434,26 +6434,35 @@ TEXT_BPE_MERGES_ORACLE = _bpe_oracle_sql()
 
 
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    """DSIR data selection (Xie et al. 2023): hashed n-gram importance
     resampling — per-bucket add-1-smoothed log ratio of target
     (src0/src1) vs raw occurrence counts in nano-nats, per-doc integer
     importance sums, global top-500 by (importance desc, doc_id).
-    Exact-integer λ table bounded by 512 buckets, broadcast; one token
-    explode; TakeOrdered top-k. New in r13."""
+    Exact-integer λ table bounded by 512 buckets, broadcast; one
+    feature explode; TakeOrdered top-k. New in r13; r14 lifts the
+    features from unigrams to the paper's hashed unigrams+bigrams
+    (VERDICT r13 item 6)."""
     from cassandra_fs_pp_spark.functions.curation import dsir_select
 
     return dsir_select(_t(spark, sf_dir, "documents"))
 
 
 CURATION_DSIR_ORACLE = r"""
-WITH ex AS (
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(t) AS w FROM toks
+  UNION ALL
+  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS w
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+ex AS (
   SELECT doc_id, source IN ('src0', 'src1') AS is_t,
          ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS bucket
-  FROM (
-    SELECT doc_id, source,
-           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-    FROM documents)
-  WHERE w <> ''),
+  FROM feats),
 cnt AS (
   SELECT bucket,
          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
@@ -6534,6 +6543,21 @@ GROUP BY 1
 
 
 TEXT_BPE_TOKENIZE_ORACLE = _bpe_tokenize_oracle_sql()
+
+
+def text_bpe_tokenize_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-depth BPE application (r14, VERDICT r13 item 5):
+    identical semantics to ``text_bpe_tokenize`` but the merge rules
+    live in a rank table applied inside ONE Arrow-batched mapInPandas
+    over the word-TYPE table — merge depth is a closure constant, not
+    an expression tree, so a real 32k vocabulary doesn't explode the
+    plan. Shares the replace-chain's full oracle verbatim (same rules,
+    same greedy left-to-right merge); the differential pytest pins
+    value equality at any depth and the SCALE.md probe runs it at
+    merges=1024 where the replace-chain cannot compile."""
+    from cassandra_fs_pp_spark.functions.text import bpe_tokenize_counts_trie
+
+    return bpe_tokenize_counts_trie(_t(spark, sf_dir, "documents"), merges=8)
 
 
 def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13059,78 +13083,28 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-13 rotation (VERDICT
-    # r12 item 2): (a) the 4 queries NEW in r13 (ann_ivf_pq_topk,
-    # text_kn5_perplexity, text_bpe_merges, text_bpe_tokenize);
-    # (b) the 8 CHANGED in r13 — the id-magnitude
-    # class retirement (ngram_jaccard_pairs pmod split + bigram guard,
-    # graph_connected_components parity namespace, the four f_* suites'
-    # modular sample bands) and the two exact-arithmetic forms touched by
-    # ADVICE fixes (a_winsorized_stats decimal-square, j1's operator
-    # NULL-raw filter); (c) the two r07-evidence spillovers the r12 judge
-    # re-verified (op_compaction_plan, text_bm25_topk); (d) 36 of the 47
-    # remaining r08-evidence queries in registry order.  The 11 r08
-    # leftovers sit at positions 50-60 and lead the r14 window.  Beyond
-    # that the registry keeps ascending evidence freshness (r09/r10/r11
-    # blocks, then the r12-window block, freshest, last); the 3 sketch
-    # queries stay pinned last (rows-only by nature, never in a window).
+    # prefix window (50 entries) of this dict.  Round-14 rotation (VERDICT
+    # r13 item 2): (a) the 4 queries NEW or CHANGED since the r13 artifact
+    # snapshot — curation_dsir_select (unigram→unigram+bigram features),
+    # ann_ivf_pq_topk (residual encoding + fixed-point coarse centroids),
+    # j1_calibration_fallback (oracle NULL-raw filter), and the new
+    # text_bpe_tokenize_trie; (b) the 12 queries whose driver evidence
+    # dates to r08, led by r1_melt (displaced from the r13 window at
+    # position 50 by the dsir insertion); (c) the first 34 queries of the
+    # r09-evidence block from text_split_assign, in registry order.
+    # 4+12+34 = 50.  Beyond that the registry keeps ascending evidence
+    # freshness (the r09 remainder from a_linreg_trend, then r10/r11,
+    # the r12-window block, and the r13-window block, freshest, last);
+    # the 3 sketch queries stay pinned last (rows-only by nature, never
+    # in a window).
     return {
-        # ============ (a) new in r13 ============
-        "ann_ivf_pq_topk": ann_ivf_pq_topk,
-        "text_kn5_perplexity": text_kn5_perplexity,
-        "text_bpe_merges": text_bpe_merges,
-        "text_bpe_tokenize": text_bpe_tokenize,
+        # ============ (a) new/changed since the r13 snapshot ============
         "curation_dsir_select": curation_dsir_select,
-        # ============ (b) changed in r13 ============
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "graph_connected_components": graph_connected_components,
-        "f_higher_order": f_higher_order,
-        "f_bitwise_suite": f_bitwise_suite,
-        "f_datetime_suite": f_datetime_suite,
-        "f_null_semantics": f_null_semantics,
-        "a_winsorized_stats": a_winsorized_stats,
+        "ann_ivf_pq_topk": ann_ivf_pq_topk,
         "j1_calibration_fallback": j1_calibration_fallback,
-        # ============ (c) r07-evidence spillovers (judge-reverified) ============
-        "op_compaction_plan": op_compaction_plan,
-        "text_bm25_topk": text_bm25_topk,
-        # ============ (d) 36 of the 47 remaining r08-evidence queries ============
-        "rag_rrf_fusion": rag_rrf_fusion,
-        "curation_mixture_temperature": curation_mixture_temperature,
-        "text_ngram_novelty": text_ngram_novelty,
-        "graph_degree_assortativity": graph_degree_assortativity,
-        "graph_pagerank": graph_pagerank,
-        "a_hodges_lehmann": a_hodges_lehmann,
-        "graph_clustering_coeff": graph_clustering_coeff,
-        "w_seasonal_naive_error": w_seasonal_naive_error,
-        "text_bigram_entropy": text_bigram_entropy,
-        "mm_phash_pairs": mm_phash_pairs,
-        "emb_pca_project": emb_pca_project,
-        "ann_lsh_topk": ann_lsh_topk,
-        "w_rolling_skewkurt": w_rolling_skewkurt,
-        "p_debounce_burst_keyed": p_debounce_burst_keyed,
-        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
-        "geo_point_in_polygon": geo_point_in_polygon,
-        "stream_debounce_admit": stream_debounce_admit,
-        "fleet_udg_filter": fleet_udg_filter,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "mm_png_roundtrip": mm_png_roundtrip,
-        "tpch_q12_latemode": tpch_q12_latemode,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q16_partsupp": tpch_q16_partsupp,
-        "w2_centered_median": w2_centered_median,
-        "w3_count_window_median": w3_count_window_median,
-        "w4_trailing_mean_minp": w4_trailing_mean_minp,
-        "w7_ts_delta": w7_ts_delta,
-        "w10_first_after": w10_first_after,
-        "j3_outer_align": j3_outer_align,
-        "j6_dim_attach": j6_dim_attach,
-        "j4_asof_forward": j4_asof_forward,
-        "a4_distinct_counts": a4_distinct_counts,
-        "a9_head_mean": a9_head_mean,
+        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
+        # ============ (b) the 12 r08-evidence queries ============
         "r1_melt": r1_melt,
-        # ===== end of r13 window; 11 r08 leftovers lead the r14 window =====
         "p5_regex_projection": p5_regex_projection,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
@@ -13142,7 +13116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
         "text_pii_redact": text_pii_redact,
-        # ===== r09/r10/r11-evidence blocks (ascending freshness) =====
+        # ===== (c) first 34 of the r09-evidence block, registry order =====
         "text_split_assign": text_split_assign,
         "text_token_topk": text_token_topk,
         "text_repetition": text_repetition,
@@ -13177,6 +13151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "j_skew_salted": j_skew_salted,
         "a_sessionize": a_sessionize,
+        # ===== end of r14 window; r09 remainder leads the r15 window =====
         "a_linreg_trend": a_linreg_trend,
         "ann_adc_topk": ann_adc_topk,
         "a_quantiles": a_quantiles,
@@ -13335,6 +13310,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_linear": ts_holt_linear,
         "curation_pack_sequences": curation_pack_sequences,
         "a_mann_kendall": a_mann_kendall,
+        # ===== r13-window block (freshest evidence) =====
+        "text_kn5_perplexity": text_kn5_perplexity,
+        "text_bpe_merges": text_bpe_merges,
+        "text_bpe_tokenize": text_bpe_tokenize,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "graph_connected_components": graph_connected_components,
+        "f_higher_order": f_higher_order,
+        "f_bitwise_suite": f_bitwise_suite,
+        "f_datetime_suite": f_datetime_suite,
+        "f_null_semantics": f_null_semantics,
+        "a_winsorized_stats": a_winsorized_stats,
+        "op_compaction_plan": op_compaction_plan,
+        "text_bm25_topk": text_bm25_topk,
+        "rag_rrf_fusion": rag_rrf_fusion,
+        "curation_mixture_temperature": curation_mixture_temperature,
+        "text_ngram_novelty": text_ngram_novelty,
+        "graph_degree_assortativity": graph_degree_assortativity,
+        "graph_pagerank": graph_pagerank,
+        "a_hodges_lehmann": a_hodges_lehmann,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "w_seasonal_naive_error": w_seasonal_naive_error,
+        "text_bigram_entropy": text_bigram_entropy,
+        "mm_phash_pairs": mm_phash_pairs,
+        "emb_pca_project": emb_pca_project,
+        "ann_lsh_topk": ann_lsh_topk,
+        "w_rolling_skewkurt": w_rolling_skewkurt,
+        "p_debounce_burst_keyed": p_debounce_burst_keyed,
+        "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
+        "geo_point_in_polygon": geo_point_in_polygon,
+        "stream_debounce_admit": stream_debounce_admit,
+        "fleet_udg_filter": fleet_udg_filter,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "mm_png_roundtrip": mm_png_roundtrip,
+        "tpch_q12_latemode": tpch_q12_latemode,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q16_partsupp": tpch_q16_partsupp,
+        "w2_centered_median": w2_centered_median,
+        "w3_count_window_median": w3_count_window_median,
+        "w4_trailing_mean_minp": w4_trailing_mean_minp,
+        "w7_ts_delta": w7_ts_delta,
+        "w10_first_after": w10_first_after,
+        "j3_outer_align": j3_outer_align,
+        "j6_dim_attach": j6_dim_attach,
+        "j4_asof_forward": j4_asof_forward,
+        "a4_distinct_counts": a4_distinct_counts,
+        "a9_head_mean": a9_head_mean,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -13348,6 +13371,7 @@ def oracle_sql() -> dict[str, str]:
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,
         "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
+        "text_bpe_tokenize_trie": TEXT_BPE_TOKENIZE_ORACLE,
         "curation_dsir_select": CURATION_DSIR_ORACLE,
         "flagship_events_hourly": FLAGSHIP_ORACLE,
         "tpch_q1": TPCH_Q1_ORACLE,

@@ -316,3 +316,52 @@ def test_ccnet_buckets_per_source_calibration(spark):
     )
     for m in re.finditer(r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.*)", plan):
         assert "source" in m.group(1), plan
+
+
+def test_dsir_select_bigram_order_sensitivity(spark):
+    """DSIR features are hashed unigrams+BIGRAMS (the paper's family):
+    two raw docs with IDENTICAL unigram multisets but different word
+    order must score differently — the one sharing the target's word
+    ORDER wins. A unigram-only feature map would tie them."""
+    from cassandra_fs_pp_spark.functions.curation import dsir_select
+
+    rows = [
+        # target domain: consistent "alpha beta gamma" phrasing
+        (1, "src0", "alpha beta gamma"),
+        (2, "src0", "alpha beta gamma delta"),
+        (3, "src1", "alpha beta gamma"),
+        # raw pool: same unigrams, same order (should score high) ...
+        (10, "web", "alpha beta gamma"),
+        # ... vs same unigrams, reversed order (no target bigrams)
+        (11, "web", "gamma beta alpha"),
+        # noise so the raw pool has mass of its own
+        (12, "web", "omega omega psi chi"),
+        (13, "web", "chi psi omega"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r["logw_nano"]
+        for r in dsir_select(docs, buckets=512, top_k=100).collect()
+    }
+    assert out[10] > out[11], out
+    # ordered doc carries 2 extra target bigrams; unigram part is equal
+    assert out[1] == out[10], out
+
+
+def test_dsir_select_empty_and_single_token_docs(spark):
+    """Single-token docs contribute no bigrams (but still score their
+    unigram); empty docs produce no features and drop out of the
+    scored set entirely."""
+    from cassandra_fs_pp_spark.functions.curation import dsir_select
+
+    rows = [
+        (1, "src0", "alpha beta"),
+        (2, "web", "alpha"),
+        (3, "web", "   "),
+        (4, "web", "alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in dsir_select(docs, top_k=10).collect()}
+    assert 3 not in got
+    assert got[2]["n_tok"] == 1
+    assert got[4]["n_tok"] == 3  # 2 unigrams + 1 bigram occurrence

