@@ -93,6 +93,13 @@ HEADLINE = [
     # composition (one registry, one bench-only twin).
     "ann_ivf_pq_topk",
     "ann_ivf_pq_serving",
+    # round-14 additions (VERDICT r13 items 5+6): DSIR importance
+    # resampling (now the paper's hashed unigram+bigram features) and the
+    # rank-table BPE tokenizer whose merge depth is a closure constant
+    # (the production-vocabulary path the replace chain can't take).
+    # NOTE: +2 queries vs the r13 suite composition.
+    "curation_dsir_select",
+    "text_bpe_tokenize_trie",
 ]
 
 
