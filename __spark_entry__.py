@@ -10945,12 +10945,17 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy with CDC. All higher-order JVM expressions over one scan;
     the cross-doc dedup is one window over the chunk value (hash the
     chunk to narrow the exchange at scale)."""
-    from cassandra_fs_pp_spark.functions.text import cdc_chunk_expr
+    from cassandra_fs_pp_spark.functions.text import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents")
-    chunks_expr = cdc_chunk_expr("lower(trim(text))", k=CDC_K, mask=CDC_MASK)
-    chunks = docs.select(
-        "doc_id", F.posexplode(F.expr(chunks_expr)).alias("ci", "chunk")
+    staged = cdc_chunks(
+        docs.select("doc_id", "text"),
+        "lower(trim(text))",
+        k=CDC_K,
+        mask=CDC_MASK,
+    )
+    chunks = staged.select(
+        "doc_id", F.posexplode("chunks").alias("ci", "chunk")
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "ci")
     ranked = chunks.withColumn("__rn", F.row_number().over(w))

@@ -193,6 +193,83 @@ def cdc_chunk_expr(s: str, k: int = 8, mask: int = 64) -> str:
     )
 
 
+def cdc_chunks(
+    df,
+    src_expr: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 8,
+    mask: int = 64,
+    out_col: str = "chunks",
+):
+    """Row-exploded DataFrame form of :func:`cdc_chunk_expr` — same
+    chunks, two orders of magnitude faster, and the 100 TB shape.
+
+    Why not the single-expression form at scale: higher-order-function
+    lambdas (a) do NOT share subexpressions with their enclosing scope,
+    so ``element_at(starts, j)`` re-ran the full O(len) rolling-hash
+    scan per chunk (the dsir bigram lesson), and (b) are evaluated by
+    the row-at-a-time expression INTERPRETER — HOF lambda bodies never
+    enter whole-stage codegen, and an interpreted md5+conv tree costs
+    ~70 us vs ~0.8 us compiled (measured).  O(len) interpreted windows
+    per doc is still ~100 s at sf0.1.
+
+    So the boundary scan becomes ROWS: posexplode the k-char windows
+    (one cheap interpreted substring per position), hash them in a
+    plain codegen'd projection, filter to boundaries (~len/mask
+    survivors), and sort_array(collect_list(..)) the boundary list back
+    per doc.  The chunk cutting then runs over BOUND arrays whose size
+    is chunks-per-doc (~len/mask) — trivial even interpreted.  At
+    cluster scale the window explode pipelines inside one stage (no
+    exchange before the boundary filter), and the only shuffle carries
+    ~len/mask integers per doc.
+
+    Returns ``df``'s columns plus ``out_col`` = the array of non-empty
+    CDC chunks of ``src_expr``.  ``df`` must contain ``id_col`` and the
+    columns ``src_expr`` references; ``id_col`` must be unique per row.
+    """
+    keep = df.columns
+    src = df.selectExpr(*keep, f"{src_expr} AS __s")
+    wins = src.selectExpr(
+        id_col,
+        f"posexplode(CASE WHEN length(__s) >= {k} THEN"
+        f" transform(sequence(1, length(__s) - {k - 1}),"
+        f" i -> substring(__s, i, {k}))"
+        " ELSE array() END) AS (__p0, __w)",
+    )
+    bounds = (
+        wins.where(
+            "pmod(cast(conv(substring(md5(__w), 1, 15), 16, 10) as bigint),"
+            f" {mask}) = 0"
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("__bs"))
+    )
+    staged = (
+        src.join(bounds, id_col, "left")
+        .selectExpr(
+            *keep,
+            "__s",
+            "coalesce(__bs, array()) AS __bs2",
+        )
+        .selectExpr(
+            *keep,
+            "__s",
+            "concat(array(1), __bs2) AS __starts",
+            "concat(transform(__bs2, b -> b - 1), array(length(__s)))"
+            " AS __ends",
+        )
+        .selectExpr(
+            *keep,
+            "filter(transform(sequence(1, size(__starts)),"
+            " j -> substring(__s, element_at(__starts, j),"
+            " element_at(__ends, j) - element_at(__starts, j) + 1)),"
+            f" c -> c <> '') AS {out_col}",
+        )
+    )
+    return staged
+
+
 def kn_perplexity(
     docs,
     *,

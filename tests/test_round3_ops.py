@@ -515,6 +515,42 @@ def test_cdc_chunks_resync_after_insertion(spark):
     assert len(common) >= len(distinct) * 0.6, (len(common), len(distinct))
 
 
+def test_cdc_chunks_frame_matches_expr_form(spark):
+    """The row-exploded cdc_chunks (codegen'd boundary hashing, bound-
+    array cutting) must produce byte-identical chunk arrays to the
+    reference single-expression form on every edge class: empty text,
+    shorter-than-window text, boundary-at-position-1, and normal docs."""
+    from cassandra_fs_pp_spark.functions.text import (
+        cdc_chunk_expr,
+        cdc_chunks,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of golden wheat while clouds drift slowly past "
+    ) * 4
+    rows = [
+        (1, base),
+        (2, "inserted prefix text! " + base),
+        (3, ""),
+        (4, "short"),
+        (5, "exactly8"),
+        (6, base[37:222]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    expr_form = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select(
+            "doc_id", F.expr(cdc_chunk_expr("s")).alias("chunks")
+        ).collect()
+    }
+    frame_form = {
+        r["doc_id"]: r["chunks"]
+        for r in cdc_chunks(df, "s").select("doc_id", "chunks").collect()
+    }
+    assert expr_form == frame_form
+
+
 def test_ks_statistic_matches_naive(spark):
     rng = random.Random(53)
     s1 = [round(rng.uniform(0, 10), 1) for _ in range(300)]
