@@ -9480,6 +9480,101 @@ FROM w
 """
 
 
+def curation_logreg_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (pays off quality_model_score's
+    "swap in real trained weights" promise): 3 rounds of full-batch
+    logistic-regression gradient descent on hashed-unigram token-
+    fraction features (64 buckets + bias), labels = src0/src1 vs the
+    pool, then top-400 documents by trained score. All rounding in
+    Spark SQL (micro fixed-point), per-round driver traffic = the
+    65-row update vector — the k-means/PQ codebook pattern; the oracle
+    replays training as unrolled CTE rounds."""
+    from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+
+    return logreg_train_select(_t(spark, sf_dir, "documents"))
+
+
+def _logreg_oracle_sql(
+    buckets: int = 64,
+    rounds: int = 3,
+    lr_div: int = 65536,
+    top_k: int = 400,
+) -> str:
+    """Unrolled-GD replay of ``logreg_train_select``: one CTE pair
+    (margin z{r} / residual g{r}) plus a weight-update CTE w{r} per
+    round, operation-for-operation the Spark arithmetic (BIGINT sums,
+    double divides, round half-away) so the hash comparison is exact."""
+    b = int(buckets)
+    upd = (
+        "CAST(round(CAST(sum(g{r}.g * f.f) AS DOUBLE)"
+        f" / ((SELECT nd FROM nn) * {int(lr_div)}.0)) AS BIGINT)"
+    )
+    parts = [
+        rf"""WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS y, t, len(t) AS n
+  FROM toks WHERE len(t) > 0),
+ex AS (
+  SELECT doc_id, y, n,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % {b} AS bucket
+  FROM (SELECT doc_id, y, n, unnest(t) AS w FROM base)),
+uni AS (
+  SELECT doc_id, y, n, bucket,
+         CAST(round(1e6 * count(*) / n) AS BIGINT) AS f
+  FROM ex GROUP BY doc_id, y, n, bucket),
+feats AS (
+  SELECT doc_id, y, n, bucket, f FROM uni
+  UNION ALL
+  SELECT doc_id, y, n, CAST({b} AS BIGINT), CAST(1000000 AS BIGINT)
+  FROM base),
+nn AS (SELECT count(*) AS nd FROM base),
+g1 AS (
+  SELECT doc_id,
+         CAST(round((0.5 - (CASE WHEN y THEN 1.0 ELSE 0.0 END)) * 1e6)
+              AS BIGINT) AS g
+  FROM base),
+w1 AS (
+  SELECT f.bucket, 0 - {upd.format(r=1)} AS w
+  FROM feats f JOIN g1 USING (doc_id) GROUP BY f.bucket)"""
+    ]
+    for r in range(2, int(rounds) + 1):
+        parts.append(
+            f""",
+z{r} AS (
+  SELECT f.doc_id, f.y, CAST(sum(w{r - 1}.w * f.f) AS BIGINT) AS z
+  FROM feats f JOIN w{r - 1} USING (bucket) GROUP BY f.doc_id, f.y),
+g{r} AS (
+  SELECT doc_id,
+         CAST(round((1.0 / (1.0 + exp(-(CAST(z AS DOUBLE) / 1e12)))
+              - (CASE WHEN y THEN 1.0 ELSE 0.0 END)) * 1e6) AS BIGINT) AS g
+  FROM z{r}),
+w{r} AS (
+  SELECT f.bucket, any_value(w{r - 1}.w) - {upd.format(r=r)} AS w
+  FROM feats f JOIN g{r} USING (doc_id) JOIN w{r - 1} USING (bucket)
+  GROUP BY f.bucket)"""
+        )
+    parts.append(
+        f""",
+zf AS (
+  SELECT f.doc_id, f.y, f.n, CAST(sum(w{int(rounds)}.w * f.f) AS BIGINT) AS z
+  FROM feats f JOIN w{int(rounds)} USING (bucket)
+  GROUP BY f.doc_id, f.y, f.n)
+SELECT doc_id, y AS is_target, n AS n_tok, z AS score12,
+       CAST(z AS DOUBLE) / 1e12 AS score, z > 0 AS pred_target
+FROM zf
+ORDER BY z DESC, doc_id
+LIMIT {int(top_k)}"""
+    )
+    return "".join(parts)
+
+
+CURATION_LOGREG_TRAINED_ORACLE = _logreg_oracle_sql()
+
+
 EMB_SEMDEDUP_BITS, EMB_SEMDEDUP_SEED = 8, 13
 
 
@@ -13363,6 +13458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_forward": j4_asof_forward,
         "a4_distinct_counts": a4_distinct_counts,
         "a9_head_mean": a9_head_mean,
+        # ===== r14 late additions (below the pinned 50-entry window;
+        # the window-discipline lesson from r13: never insert above it
+        # after the round's artifacts snapshot) =====
+        "curation_logreg_trained": curation_logreg_trained,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -13578,6 +13677,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_ccnet_buckets_banded": CURATION_CCNET_BANDED_ORACLE,
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
+        "curation_logreg_trained": CURATION_LOGREG_TRAINED_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),
         "j_interval_overlap": J_INTERVAL_ORACLE,
         "ann_ivf_topk": ANN_IVF_ORACLE,

@@ -613,3 +613,142 @@ def dsir_select(
             (F.col("logw_nano").cast("double") / F.lit(1e9)).alias("logw"),
         )
     )
+
+
+def logreg_train_select(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    buckets: int = 64,
+    rounds: int = 3,
+    lr_div: int = 65536,
+    top_k: int = 400,
+) -> DataFrame:
+    """TRAINED model-based quality filtering — the distributed
+    logistic-regression stage :func:`quality_model_score`'s docstring
+    promises ("swapping in real trained weights"): learn a linear
+    bag-of-hashed-words classifier separating TARGET-source documents
+    from the raw pool by full-batch gradient descent, then score every
+    document with the learned weights and keep the top-``top_k``.
+
+    Model & determinism contract (the fixed-point idiom family shared
+    with k-means / PQ / DSIR):
+
+    * features: per-doc token-fraction of each hashed unigram bucket in
+      MICRO units — ``f(d,b) = round(1e6 * count(d,b) / n_tokens(d))``
+      (exact-integer inputs, one deterministic double divide+round) —
+      plus a constant bias feature ``f(d, buckets) = 1e6``;
+    * weights: BIGINT micro-nats, ``w_0 = 0``;
+    * per round: margin ``z_d = sum_b w_b * f(d,b)`` (exact BIGINT
+      sum), residual ``g_d = round((sigmoid(z_d / 1e12) - y_d) * 1e6)``
+      (ONE transcendental per doc per round — a ulp flip would need to
+      land within 1e-6 of a rounding boundary to matter, the same bet
+      the nano-nat ln/exp oracles already make), gradient
+      ``grad_b = sum_d g_d * f(d,b)`` (exact BIGINT), update
+      ``w_b -= round(double(grad_b) / (N * lr_div))`` — every rounding
+      happens in Spark SQL so the oracle replays it operation-for-
+      operation as unrolled CTE rounds;
+    * the per-round driver round-trip is the ``buckets + 1``-row update
+      vector (the k-means/PQ codebook pattern) — never rows.
+
+    Scale shape: one tokenize+explode scan builds the feature table
+    (rows ≤ docs × min(buckets, tokens) — re-derived per round at test
+    scale; a production run would persist it), each round is two hash
+    aggregates plus one broadcast-sized literal array lookup (no join
+    for the weight attach — ``element_at`` on a 65-element literal),
+    and the final selection is TakeOrdered. Nothing shuffles except by
+    ``doc_id`` / ``bucket`` for the reduces.
+
+    Zero-token documents carry no features (not even bias) and are
+    excluded, matching :func:`quality_model_score`'s null-score posture.
+    """
+    toks = F.filter(whitespace_tokens(F.col(text_col)), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col).isin(*target_sources).alias("y"),
+        toks.alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    ex = base.select(
+        id_col,
+        "y",
+        F.size("__toks").alias("n_tok"),
+        F.explode("__toks").alias("w"),
+    ).select(
+        id_col,
+        "y",
+        "n_tok",
+        F.expr(
+            "pmod(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint),"
+            f" {int(buckets)}L)"
+        ).alias("bucket"),
+    )
+    unigram = (
+        ex.groupBy(id_col, "y", "n_tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            id_col,
+            "y",
+            "n_tok",
+            "bucket",
+            F.expr("cast(round(1e6 * c / n_tok) as bigint)").alias("f"),
+        )
+    )
+    bias = base.select(
+        id_col,
+        "y",
+        F.size("__toks").alias("n_tok"),
+        F.lit(int(buckets)).cast("bigint").alias("bucket"),
+        F.lit(1_000_000).cast("bigint").alias("f"),
+    )
+    feats = unigram.unionByName(bias)
+    n_docs = base.count()
+    weights = [0] * (int(buckets) + 1)
+
+    def _wlit() -> Column:
+        return F.array(*[F.lit(int(x)).cast("long") for x in weights])
+
+    margin = F.sum(
+        F.element_at(_wlit(), F.col("bucket").cast("int") + 1) * F.col("f")
+    ).alias("z")
+    for _ in range(int(rounds)):
+        z = feats.groupBy(id_col, "y").agg(margin)
+        g = z.select(
+            id_col,
+            F.expr(
+                "cast(round((1.0 / (1.0 + exp(-(cast(z as double) / 1e12)))"
+                " - (case when y then 1.0 else 0.0 end)) * 1e6) as bigint)"
+            ).alias("g"),
+        )
+        upd = (
+            feats.join(g, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.expr(
+                    "cast(round(cast(sum(g * f) as double)"
+                    f" / ({int(n_docs)} * {int(lr_div)}.0)) as bigint)"
+                ).alias("u")
+            )
+            .collect()
+        )
+        for r in upd:
+            weights[int(r["bucket"])] -= int(r["u"])
+        margin = F.sum(
+            F.element_at(_wlit(), F.col("bucket").cast("int") + 1)
+            * F.col("f")
+        ).alias("z")
+    scored = feats.groupBy(id_col, "y", "n_tok").agg(margin)
+    return (
+        scored.orderBy(F.desc("z"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(
+            F.col(id_col),
+            F.col("y").alias("is_target"),
+            "n_tok",
+            F.col("z").alias("score12"),
+            (F.col("z").cast("double") / F.lit(1e12)).alias("score"),
+            (F.col("z") > 0).alias("pred_target"),
+        )
+    )

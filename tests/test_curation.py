@@ -365,3 +365,65 @@ def test_dsir_select_empty_and_single_token_docs(spark):
     assert 3 not in got
     assert got[2]["n_tok"] == 1
     assert got[4]["n_tok"] == 3  # 2 unigrams + 1 bigram occurrence
+
+
+def test_logreg_trained_separates_planted_classes(spark):
+    """Train on a corpus where target docs share a marker token the pool
+    lacks: gradient descent must push the learned scores of target docs
+    above the pool's (the whole point of the trained stage vs the
+    hash-weight stand-in)."""
+    from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+
+    rows = []
+    filler = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(60):
+        target = i % 5 == 0
+        toks = [filler[(i + j) % len(filler)] for j in range(8)]
+        if target:
+            toks += ["qualitymarker"] * 4
+        rows.append((i, " ".join(toks), "src0" if target else "srcpool"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = logreg_train_select(
+        docs, target_sources=("src0",), buckets=32, top_k=60
+    ).collect()
+    assert len(out) == 60
+    t_scores = [r.score for r in out if r.is_target]
+    p_scores = [r.score for r in out if not r.is_target]
+    assert min(t_scores) > max(p_scores), (min(t_scores), max(p_scores))
+    # scores are the BIGINT margin over 1e12, and pred matches the sign
+    for r in out:
+        assert r.score == r.score12 / 1e12
+        assert r.pred_target == (r.score12 > 0)
+
+
+def test_logreg_trained_partition_invariance(spark):
+    """Trained weights (hence scores) must not depend on input
+    partitioning: every gradient reduce is an exact BIGINT sum and every
+    rounding happens on a deterministic double — repartitioned input
+    must produce byte-identical output."""
+    from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} common word{i % 4}",
+         "src0" if i % 4 == 0 else "srcB")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = logreg_train_select(docs, target_sources=("src0",), buckets=16,
+                            top_k=80).collect()
+    b = logreg_train_select(docs.repartition(13), target_sources=("src0",),
+                            buckets=16, top_k=80).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_logreg_trained_excludes_empty_docs(spark):
+    from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+
+    docs = spark.createDataFrame(
+        [(1, "real tokens here", "src0"), (2, "   ", "srcB"), (3, "", "srcB"),
+         (4, "more words", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    out = logreg_train_select(docs, target_sources=("src0",), buckets=8,
+                              top_k=10).collect()
+    assert sorted(r.doc_id for r in out) == [1, 4]
