@@ -9575,6 +9575,52 @@ LIMIT {int(top_k)}"""
 CURATION_LOGREG_TRAINED_ORACLE = _logreg_oracle_sql()
 
 
+SEMDECON_TAU = 0.30
+SEMDECON_EVAL_MOD = 41
+
+
+def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: max cosine of every corpus
+    vector against the (small, broadcast) eval subset, contaminated
+    when >= 0.30 — the semantic complement to the n-gram
+    curation_decontaminate (catches paraphrased leakage that shares no
+    8-gram). Exact by design: eval sets are bounded, so broadcast +
+    map-side reduce IS the 100 TB plan."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD != 0),
+        emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == 0),
+        tau=SEMDECON_TAU,
+    )
+
+
+CURATION_SEMDECON_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding FROM embeddings
+  WHERE vec_id % {SEMDECON_EVAL_MOD} = 0),
+pairs AS (
+  SELECT c.vec_id, ev.eval_id,
+         list_dot_product(c.embedding::DOUBLE[], ev.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(ev.embedding::DOUBLE[],
+                                  ev.embedding::DOUBLE[]))) AS max_cos
+  FROM embeddings c CROSS JOIN ev
+  WHERE c.vec_id % {SEMDECON_EVAL_MOD} <> 0)
+SELECT vec_id, eval_id AS nearest_eval_id, max_cos,
+       max_cos >= {SEMDECON_TAU} AS contaminated
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY max_cos DESC, eval_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 EMB_SEMDEDUP_BITS, EMB_SEMDEDUP_SEED = 8, 13
 
 
@@ -13462,6 +13508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window-discipline lesson from r13: never insert above it
         # after the round's artifacts snapshot) =====
         "curation_logreg_trained": curation_logreg_trained,
+        "curation_semantic_decontaminate": curation_semantic_decontaminate,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -13678,6 +13725,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_shuffle_shard": CURATION_SHUFFLE_ORACLE,
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "curation_logreg_trained": CURATION_LOGREG_TRAINED_ORACLE,
+        "curation_semantic_decontaminate": CURATION_SEMDECON_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),
         "j_interval_overlap": J_INTERVAL_ORACLE,
         "ann_ivf_topk": ANN_IVF_ORACLE,

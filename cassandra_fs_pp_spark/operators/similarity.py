@@ -1568,6 +1568,67 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    vectors: DataFrame,
+    evalset: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.30,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose max cosine against the EVAL set reaches ``tau`` — the
+    semantic complement to n-gram :func:`~...curation.decontaminate`
+    (paraphrased leakage shares no 8-gram but still embeds nearby).
+
+    Scale shape: eval benchmarks are SMALL by nature (thousands of
+    rows), so the right 100 TB plan is the exact one — broadcast the
+    eval side and stream the corpus past it map-side, reducing with one
+    per-corpus-row window over |eval| candidates (partitioned by
+    ``id_col``; no corpus-side shuffle of vectors, no pairs ever leave
+    the map stage... the exchange carries one row per corpus vector).
+    For an eval set too big to broadcast, the banded LSH machinery
+    (:func:`lsh_topk` / ``dedup_simhash_banded``) is the valve — this
+    operator deliberately stays exact.
+
+    Deterministic: cosine is the in-order ``aggregate`` fold (bit-equal
+    to DuckDB's ``list_dot_product``), the nearest-eval tie breaks on
+    ``eval_id`` asc, and ``tau`` compares against bit-identical doubles
+    — full SQL oracle, no rounding valve needed.
+    """
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda d: d)
+    ev = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("__ev"),
+        l2_norm(F.col(vec_col)).alias("__en"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("max_cos"), F.asc("eval_id")
+    )
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
+        .crossJoin(maybe_bcast(ev))
+        .withColumn(
+            "max_cos",
+            dot(F.col("__v"), F.col("__ev"))
+            / (F.col("__vn") * F.col("__en")),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("eval_id").alias("nearest_eval_id"),
+            "max_cos",
+            (F.col("max_cos") >= F.lit(float(tau))).alias("contaminated"),
+        )
+    )
+
+
 def matryoshka_topk(
     vectors: DataFrame,
     *,

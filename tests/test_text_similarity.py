@@ -1256,3 +1256,34 @@ def test_bpe_trie_deep_vocab_synthetic_rules(spark):
     # abc -> 1 token, abcabc -> 2 tokens, zzz -> 3 tokens
     assert row["n_words"] == 3
     assert row["n_bpe_tokens"] == 6
+
+
+def test_semantic_decontaminate_flags_planted_neardup(spark):
+    """A corpus vector that is a tiny perturbation of an eval vector
+    must flag contaminated with that eval id as nearest; an orthogonal
+    vector must not flag."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near eval 100
+            (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to both
+            (3, [0.01, 0.98, 0.0, 0.0]),   # near eval 101
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, ev, tau=0.9).collect()
+    }
+    assert out[1].contaminated and out[1].nearest_eval_id == 100
+    assert out[3].contaminated and out[3].nearest_eval_id == 101
+    assert not out[2].contaminated
+    # exactly one output row per corpus vector
+    assert sorted(out) == [1, 2, 3]
