@@ -9575,6 +9575,48 @@ LIMIT {int(top_k)}"""
 CURATION_LOGREG_TRAINED_ORACLE = _logreg_oracle_sql()
 
 
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (the other half of
+    curation_gopher_flags): per-doc most-common-bigram occurrence
+    fraction and duplicated-5-gram occurrence fraction, flagged against
+    0.08 / 0.20. Exact-integer numerators/denominators, two explodes +
+    hash aggs + one doc_id join."""
+    from cassandra_fs_pp_spark.functions.curation import repetition_flags
+
+    return repetition_flags(_t(spark, sf_dir, "documents"))
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS m2, CAST(sum(c) AS BIGINT) AS t2
+  FROM c2 GROUP BY 1),
+g5 AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5),
+c5 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g5 GROUP BY 1, 2),
+s5 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS d5,
+         CAST(sum(c) AS BIGINT) AS t5
+  FROM c5 GROUP BY 1)
+SELECT doc_id, m2, t2, d5, t5,
+       CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS top_bigram_frac,
+       CAST(d5 AS DOUBLE) / CAST(t5 AS DOUBLE) AS dup_5gram_frac,
+       CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE) > 0.08 AS rep_top2_flag,
+       CAST(d5 AS DOUBLE) / CAST(t5 AS DOUBLE) > 0.2 AS rep_dup5_flag
+FROM s2 JOIN s5 USING (doc_id)
+"""
+
+
 SEMDECON_TAU = 0.30
 SEMDECON_EVAL_MOD = 41
 
@@ -13509,6 +13551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # after the round's artifacts snapshot) =====
         "curation_logreg_trained": curation_logreg_trained,
         "curation_semantic_decontaminate": curation_semantic_decontaminate,
+        "text_repetition_flags": text_repetition_flags,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -13726,6 +13769,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "curation_logreg_trained": CURATION_LOGREG_TRAINED_ORACLE,
         "curation_semantic_decontaminate": CURATION_SEMDECON_ORACLE,
+        "text_repetition_flags": TEXT_REPETITION_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),
         "j_interval_overlap": J_INTERVAL_ORACLE,
         "ann_ivf_topk": ANN_IVF_ORACLE,

@@ -752,3 +752,55 @@ def logreg_train_select(
             (F.col("z") > 0).alias("pred_target"),
         )
     )
+
+
+def repetition_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.08,
+    dup5_max: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    repetition half — :func:`gopher_quality_flags` covers the
+    length/stopword half): flag documents dominated by (a) ONE bigram
+    — ``top_bigram_frac`` = occurrences of the most frequent word
+    2-gram over all 2-gram occurrences — or (b) duplicated 5-grams —
+    ``dup_5gram_frac`` = occurrences of non-unique 5-grams over all
+    5-gram occurrences. Occurrence fractions (not Gopher's character
+    fractions) keep every numerator and denominator an exact BIGINT, so
+    the two final divisions are single deterministic double ops and the
+    oracle holds bit-for-bit with no rounding valve.
+
+    Scale shape: two gram explodes (via :func:`ngram_rows`'s
+    CollapseProject barrier) each feeding two map-side-combinable hash
+    aggregates, then one doc_id join — no windows, no pairs. Documents
+    shorter than 5 tokens have no 5-grams and are excluded (inner
+    join), same posture as the perplexity scorers."""
+    g2 = ngram_rows(docs, id_col, text_col, 2)
+    c2 = g2.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    s2 = c2.groupBy(id_col).agg(
+        F.max("c").alias("m2"), F.sum("c").alias("t2")
+    )
+    g5 = ngram_rows(docs, id_col, text_col, 5)
+    c5 = g5.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    s5 = c5.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+        ).alias("d5"),
+        F.sum("c").alias("t5"),
+    )
+    top2 = F.col("m2").cast("double") / F.col("t2").cast("double")
+    dup5 = F.col("d5").cast("double") / F.col("t5").cast("double")
+    return s2.join(s5, id_col).select(
+        id_col,
+        "m2",
+        "t2",
+        "d5",
+        "t5",
+        top2.alias("top_bigram_frac"),
+        dup5.alias("dup_5gram_frac"),
+        (top2 > F.lit(float(top2_max))).alias("rep_top2_flag"),
+        (dup5 > F.lit(float(dup5_max))).alias("rep_dup5_flag"),
+    )

@@ -427,3 +427,32 @@ def test_logreg_trained_excludes_empty_docs(spark):
     out = logreg_train_select(docs, target_sources=("src0",), buckets=8,
                               top_k=10).collect()
     assert sorted(r.doc_id for r in out) == [1, 4]
+
+
+def test_repetition_flags_planted_repeats(spark):
+    """A doc dominated by one repeated bigram must flag rep_top2; a doc
+    made of one looping 5-gram must flag rep_dup5; diverse text flags
+    neither. Fractions are exact integer ratios."""
+    from cassandra_fs_pp_spark.functions.curation import repetition_flags
+
+    diverse = " ".join(f"w{i}" for i in range(30))
+    spammy = ("buy now " * 15).strip() + " " + diverse  # one hot bigram
+    looped = ("a b c d e " * 8).strip()  # every 5-gram duplicated
+    docs = spark.createDataFrame(
+        [(1, diverse), (2, spammy), (3, looped)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_flags(docs).collect()}
+    assert not out[1].rep_top2_flag and not out[1].rep_dup5_flag
+    assert out[2].rep_top2_flag
+    assert out[3].rep_dup5_flag
+    # exactness spot-checks: looped doc "a b c d e" x 8 = 40 tokens,
+    # 39 bigrams of which ("e a" appears 7, others 8) max is 8
+    assert out[3].m2 == 8 and out[3].t2 == 39
+    # all 36 5-grams cycle through 5 distinct values -> all duplicated
+    assert out[3].d5 == out[3].t5 == 36
+    # too-short docs (no 5-gram) are excluded
+    short = spark.createDataFrame(
+        [(9, "just four words here")], "doc_id long, text string"
+    )
+    assert repetition_flags(short).count() == 0
