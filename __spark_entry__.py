@@ -9586,7 +9586,7 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_flags(_t(spark, sf_dir, "documents"))
 
 
-TEXT_REPETITION_ORACLE = r"""
+TEXT_REPETITION_FLAGS_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
   FROM documents),
@@ -13769,7 +13769,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_quality_logreg": CURATION_QUALITY_LOGREG_ORACLE,
         "curation_logreg_trained": CURATION_LOGREG_TRAINED_ORACLE,
         "curation_semantic_decontaminate": CURATION_SEMDECON_ORACLE,
-        "text_repetition_flags": TEXT_REPETITION_ORACLE,
+        "text_repetition_flags": TEXT_REPETITION_FLAGS_ORACLE,
         "emb_semantic_dedup": _semantic_dedup_sql(),
         "j_interval_overlap": J_INTERVAL_ORACLE,
         "ann_ivf_topk": ANN_IVF_ORACLE,

@@ -100,6 +100,13 @@ HEADLINE = [
     # NOTE: +2 queries vs the r13 suite composition.
     "curation_dsir_select",
     "text_bpe_tokenize_trie",
+    # round-14 late additions: the trained logreg classifier (3 GD
+    # rounds = 7 jobs — the heavy one), embedding-space benchmark
+    # decontamination, and the Gopher repetition filters.
+    # NOTE: +3 queries vs the r14-snapshot suite composition.
+    "curation_logreg_trained",
+    "curation_semantic_decontaminate",
+    "text_repetition_flags",
 ]
 
 

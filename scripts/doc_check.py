@@ -52,6 +52,7 @@ def main() -> int:
             print(f"  {q}")
         bad = True
     bad = duplicate_key_lint() or bad
+    bad = shadow_lint() or bad
     bad = plans_lint(qs) or bad
     bad = sweep_lint(qs, osql) or bad
     bad = variants_lint(qs) or bad
@@ -318,6 +319,37 @@ def duplicate_key_lint() -> bool:
                 print(f"duplicate-key lint: {node.name}() literal "
                       f"{len(keys)} entries, all unique")
     return bad
+
+
+def shadow_lint() -> bool:
+    """Fail on DUPLICATE top-level assignments in __spark_entry__.py —
+    module constants (oracle SQL strings) and def names alike.  Python
+    silently rebinds, so a later ``X_ORACLE = ...`` shadows an earlier
+    one and every dict entry referencing the name gets the LAST value
+    (the r14 TEXT_REPETITION_ORACLE collision: a new query's oracle
+    constant silently replaced an existing query's oracle and the sweep
+    caught it as a schema mismatch)."""
+    import ast
+    import collections
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    tree = ast.parse(open(path).read())
+    names: collections.Counter = collections.Counter()
+    for node in tree.body:  # top level only
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names[node.name] += 1
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names[t.id] += 1
+    dupes = sorted(n for n, c in names.items() if c > 1)
+    if dupes:
+        print(f"shadowed top-level names in __spark_entry__.py: {dupes}")
+        return True
+    print(f"shadow lint: {len(names)} top-level names, all bound once")
+    return False
 
 
 def scalar_schema_lint() -> bool:
