@@ -9236,7 +9236,35 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_adc_serving": ann_ivf_adc_serving,
         "ann_ivf_pq_serving": ann_ivf_pq_serving,
+        "curation_semdecon_fixed_eval": curation_semdecon_fixed_eval,
     }
+
+
+def curation_semdecon_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only serving twin of ``curation_semantic_decontaminate``
+    with the eval side PINNED to the base-corpus ids (vec_id below the
+    probe shift stride): the registry form's %41 eval set grows with
+    the probe corpus, so its probe ratio reflects |corpus|x|eval| both
+    growing — but a real pipeline's eval benchmarks are FIXED while the
+    corpus scales, which is this twin's O(|corpus|) shape (the
+    ``ann_*_serving`` fixed-budget pattern). Oracled via the registry
+    form."""
+    from cassandra_fs_pp_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD != 0),
+        emb.filter(
+            (F.col("vec_id") % SEMDECON_EVAL_MOD == 0)
+            # pinning eval to the UNSHIFTED base ids is this twin's entire
+            # point — eval stays fixed while the probe corpus grows (the
+            # ann_*_serving fixed-budget pattern)
+            & (F.col("vec_id") < 10_000_000)  # id-magnitude-ok
+        ),
+        tau=SEMDECON_TAU,
+    )
 
 
 def _ivf_pq_sql(
