@@ -109,7 +109,21 @@ def main() -> None:
     for d in depths:
         sub = rules[:d]
         if len(sub) < d:
-            print(f"depth {d}: only {len(sub)} learnable merges on this corpus")
+            # the corpus vocabulary caps learnable merges (sf0.1 has 31
+            # word types -> 89 merges); pad to the requested depth with
+            # NEVER-MATCHING rules (symbols outside the corpus alphabet)
+            # — output is identical, so this isolates pure depth cost:
+            # the replace chain pays one plan-level replace() per rule
+            # (StackOverflowError at parse by 1024), the trie pays one
+            # closure-constant list entry
+            print(
+                f"depth {d}: only {len(sub)} learnable merges on this "
+                f"corpus — padding with {d - len(sub)} no-op rules"
+            )
+            sub = sub + [
+                (f"§{i}", f"¶{i}", f"§{i}¶{i}")
+                for i in range(d - len(sub))
+            ]
         t_trie = time_noop(bpe_tokenize_counts_trie(docs, rules=sub))
         try:
             t_chain = time_noop(bpe_tokenize_counts_chain_rules(docs, sub))
