@@ -10389,21 +10389,42 @@ def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "cw"),
     )
-    tf_expr = (
-        f"transform(sequence(0, {RAG_DIM - 1}), b -> size(filter(cw,"
-        f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
-        f" % {RAG_DIM} = b)))"
+    # Term-frequency vectors as ROWS, not as a per-bucket HOF filter: the
+    # old `transform(sequence(0,31), b -> size(filter(cw, w -> md5(w) %
+    # 32 = b)))` re-hashed every word once PER BUCKET inside the
+    # interpreted lambda (32x the md5 volume, ~70 us per interpreted
+    # eval), and binding the hashes first doesn't survive
+    # CollapseProject (single reference -> re-inlined into the lambda).
+    # Exploding (chunk, word) rows runs the md5 inside whole-stage
+    # codegen ONCE per word; the per-(chunk, bucket) counts come back
+    # through one map-side-combinable hash aggregate, and the dot
+    # against the literal query vector folds bucket-wise in the same
+    # aggregation. Row set is identical: `cw` is non-empty by
+    # construction (ci <= floor((size-1)/stride)), so the explode never
+    # drops a chunk.
+    qv_case = " ".join(
+        f"WHEN {b} THEN {c}" for b, c in enumerate(qv) if c
     )
-    dot_terms = " + ".join(
-        f"{c} * element_at(__tfs, {b + 1})" for b, c in enumerate(qv) if c
-    )
-    feat = chunks.withColumn("__tfs", F.expr(tf_expr)).select(
+    wb = chunks.select(
         "doc_id",
         "chunk_id",
-        F.expr(f"cast({dot_terms} as bigint)").alias("dot"),
+        F.explode("cw").alias("w"),
+    ).select(
+        "doc_id",
+        "chunk_id",
         F.expr(
-            "aggregate(__tfs, cast(0 as bigint), (a, t) -> a + t * t)"
-        ).alias("__self"),
+            f"pmod(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint),"
+            f" {RAG_DIM})"
+        ).alias("b"),
+    )
+    tf = wb.groupBy("doc_id", "chunk_id", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    feat = tf.groupBy("doc_id", "chunk_id").agg(
+        F.sum(
+            F.expr(f"n * (CASE b {qv_case} ELSE 0 END)")
+        ).cast("bigint").alias("dot"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("__self"),
     )
     scored = feat.withColumn(
         "score",
