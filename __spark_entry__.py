@@ -3129,7 +3129,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_IVF_ORACLE = """
 WITH cent AS (
-  SELECT label AS cell, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  SELECT label AS cell, i AS pos,
+         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000000) AS BIGINT))
+              AS DOUBLE) / 1000000000.0 / count(*) AS m
   FROM embeddings, range(1, 65) t(i)
   GROUP BY label, i
 ), cvec AS (
@@ -9416,7 +9418,9 @@ WITH ex AS (
          e.label AS cell
   FROM corpus c JOIN embeddings e ON e.vec_id = c.neighbor_id
 ), cent AS (
-  SELECT label AS cell, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  SELECT label AS cell, i AS pos,
+         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000000) AS BIGINT))
+              AS DOUBLE) / 1000000000.0 / count(*) AS m
   FROM embeddings, range(1, 65) t(i)
   GROUP BY label, i
 ), cvec AS (
@@ -9533,8 +9537,11 @@ def _logreg_oracle_sql(
     round, operation-for-operation the Spark arithmetic (BIGINT sums,
     double divides, round half-away) so the hash comparison is exact."""
     b = int(buckets)
+    # the gradient sum is explicitly 128-bit (HUGEINT), mirroring the
+    # Spark side's decimal(38,0) accumulator (ADVICE r14: per-doc terms
+    # reach 1e12, so a 64-bit sum wraps past ~9.2M docs per bucket)
     upd = (
-        "CAST(round(CAST(sum(g{r}.g * f.f) AS DOUBLE)"
+        "CAST(round(CAST(sum(CAST(g{r}.g AS HUGEINT) * f.f) AS DOUBLE)"
         f" / ((SELECT nd FROM nn) * {int(lr_div)}.0)) AS BIGINT)"
     )
     parts = [

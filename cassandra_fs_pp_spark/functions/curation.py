@@ -655,12 +655,18 @@ def logreg_train_select(
       vector (the k-means/PQ codebook pattern) — never rows.
 
     Scale shape: one tokenize+explode scan builds the feature table
-    (rows ≤ docs × min(buckets, tokens) — re-derived per round at test
-    scale; a production run would persist it), each round is two hash
-    aggregates plus one broadcast-sized literal array lookup (no join
-    for the weight attach — ``element_at`` on a 65-element literal),
-    and the final selection is TakeOrdered. Nothing shuffles except by
-    ``doc_id`` / ``bucket`` for the reduces.
+    (rows ≤ docs × min(buckets, tokens)), persisted (MEMORY_AND_DISK)
+    for the duration of training so every GD round reads cached
+    ``(doc, bucket, f)`` rows instead of re-running tokenize+explode —
+    cost ∝ rounds, not rounds × corpus-scan (r15; the cache is released
+    after the loop, so the final scoring pass re-derives lineage once).
+    Each round is two hash aggregates plus one broadcast-sized literal
+    array lookup (no join for the weight attach — ``element_at`` on a
+    65-element literal), and the final selection is TakeOrdered.
+    Nothing shuffles except by ``doc_id`` / ``bucket`` for the reduces.
+    The gradient reduce accumulates in ``decimal(38,0)`` (per-doc terms
+    reach 1e12; a BIGINT sum would wrap silently past ~9.2M docs per
+    bucket while the DuckDB oracle sums in HUGEINT — ADVICE r14).
 
     Zero-token documents carry no features (not even bias) and are
     excluded, matching :func:`quality_model_score`'s null-score posture.
@@ -703,7 +709,9 @@ def logreg_train_select(
         F.lit(int(buckets)).cast("bigint").alias("bucket"),
         F.lit(1_000_000).cast("bigint").alias("f"),
     )
-    feats = unigram.unionByName(bias)
+    from pyspark import StorageLevel
+
+    feats = unigram.unionByName(bias).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = base.count()
     weights = [0] * (int(buckets) + 1)
 
@@ -727,7 +735,8 @@ def logreg_train_select(
             .groupBy("bucket")
             .agg(
                 F.expr(
-                    "cast(round(cast(sum(g * f) as double)"
+                    "cast(round(cast(sum(cast(g as decimal(38,0)) * f)"
+                    " as double)"
                     f" / ({int(n_docs)} * {int(lr_div)}.0)) as bigint)"
                 ).alias("u")
             )
@@ -739,6 +748,7 @@ def logreg_train_select(
             F.element_at(_wlit(), F.col("bucket").cast("int") + 1)
             * F.col("f")
         ).alias("z")
+    feats.unpersist(blocking=False)
     scored = feats.groupBy(id_col, "y", "n_tok").agg(margin)
     return (
         scored.orderBy(F.desc("z"), F.asc(id_col))

@@ -148,20 +148,11 @@ def ivf_topk(
     scale); centroids are per-cell means. Candidate set = vectors in the
     query's top-``nprobe`` cells by centroid cosine.
     """
-    dims = vectors.select(F.size(vec_col).alias("d")).limit(1)
-    _ = dims  # dimensionality implied by zip_with
-    cent = (
-        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.col("col").cast("double")).alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        )
-    )
+    # r15: exact fixed-point centroid mean (coarse_centroids) — a plain
+    # double avg() is summation-order dependent and a ulp flip in
+    # cent_cos can change WHICH nprobe cells are probed (the r12
+    # winsorized/J1 residual class).  Same construction as IVF-PQ.
+    cent = coarse_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
     q = vectors.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -769,19 +760,10 @@ def ivf_adc_topk(
     a forced build side. Centroids stay broadcast either way (bounded
     by the codebook, not the corpus).
     """
-    # --- coarse centroids (same construction as ivf_topk) ---
-    cent = (
-        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.col("col").cast("double")).alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        )
-    )
+    # --- coarse centroids (same construction as ivf_topk; r15: exact
+    # fixed-point mean via coarse_centroids — no summation-order
+    # nondeterminism on the probe boundary) ---
+    cent = coarse_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
     q_pred = (
         F.col(id_col) < int(fixed_queries)
         if fixed_queries is not None

@@ -496,6 +496,36 @@ def test_rfm_banded_windows_partitioned(spark):
     assert _n(plan, "Window") >= 3, plan
 
 
+def test_semdecon_pre_exchange_bound(spark):
+    """curation_semantic_decontaminate: the 100 TB contract is "one row
+    per corpus vector leaves the map stage" — Spark must plant a
+    partial WindowGroupLimit BELOW the single rank exchange so the
+    |corpus| x |eval| cross-scored rows collapse to one per vector
+    before anything shuffles (SCALE.md observed it in the r14 probe;
+    this pins it — VERDICT r14 item 6). The eval set reaches the
+    scorer as a broadcast (the bounded BNLJ cross), never a corpus
+    shuffle-join."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_semantic_decontaminate"](spark, SF)
+    )
+    assert _n(plan, "WindowGroupLimit") == 2, plan  # partial + final
+    assert _n(plan, "Exchange") == 1, plan
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert _n(plan, "CartesianProduct") == 0, plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wgl = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    exch = [
+        i
+        for i, l in enumerate(lines)
+        if "+- Exchange" in l or ":- Exchange" in l
+    ]
+    # tree prints top-down: the FINAL limit, then the exchange, then the
+    # PARTIAL limit underneath it
+    assert len(wgl) == 2 and len(exch) == 1, tree
+    assert wgl[0] < exch[0] < wgl[1], tree
+
+
 def test_ivf_adc_plan_shape(spark):
     """ann_ivf_adc_topk: the corpus is never shuffle-joined — centroids,
     probes and survivors all reach their joins as broadcasts (no SMJ, no
