@@ -6435,6 +6435,93 @@ FROM ({union})
 TEXT_BPE_MERGES_ORACLE = _bpe_oracle_sql()
 
 
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE merge training (VERDICT r14 item 5 — the trainer
+    depth wall): up to 8 symbol-disjoint merge rules learned per
+    counting round (4 rounds here), so vocabulary depth costs
+    rounds ~ merges/batch Spark jobs instead of one argmax collect per
+    rule. Selection is deterministic and exact (disjointness means a
+    sequential re-count would see identical pair counts); batch=1
+    degenerates to text_bpe_merges bit-for-bit (differential pytest).
+    Oracle replays each round as pair-count + windowed top-8 +
+    NOT-EXISTS disjointness + a list_reduce replace chain."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
+
+    return bpe_train_merges_batched(
+        _t(spark, sf_dir, "documents"), rounds=4, batch=8
+    )
+
+
+def _bpe_batched_oracle_sql(rounds: int = 4, batch: int = 8) -> str:
+    """Unrolled replay of ``bpe_train_merges_batched``: per round, the
+    same pair-count CTE as ``_bpe_oracle_sql``, a windowed
+    top-``batch`` (count DESC, lhs, rhs), the disjointness filter
+    (selected iff no symbol shared with ANY higher-ranked candidate),
+    and a vocab rewrite applying the selected rules in rank order via
+    ``list_reduce`` (empty rule list = identity, matching the engine's
+    break-on-no-pairs)."""
+    head = r"""
+WITH vocab0 AS MATERIALIZED (
+  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS sym,
+         freq
+  FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents)
+    WHERE w <> '' AND NOT regexp_matches(w, '[()]')
+    GROUP BY w))"""
+    parts = []
+    for r in range(1, int(rounds) + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT ss[i] AS a, ss[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT regexp_extract_all(sym, '\\(([^)]*)\\)', 1) AS ss, freq
+        FROM vocab{r - 1}),
+       UNNEST(generate_series(1, len(ss) - 1)) AS u(i)
+  WHERE len(ss) >= 2
+  GROUP BY 1, 2),
+top{r} AS MATERIALIZED (
+  SELECT a, b, cnt, rnk FROM (
+    SELECT a, b, cnt,
+           row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+    FROM p{r})
+  WHERE rnk <= {int(batch)}),
+sel{r} AS MATERIALIZED (
+  SELECT {r} AS round, CAST(t1.rnk AS INT) AS rnk, t1.a AS lhs,
+         t1.b AS rhs, t1.a || t1.b AS merged, t1.cnt AS pair_count
+  FROM top{r} t1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM top{r} t2
+    WHERE t2.rnk < t1.rnk
+      AND (t2.a IN (t1.a, t1.b) OR t2.b IN (t1.a, t1.b)))),
+vocab{r} AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend(v.sym,
+             (SELECT COALESCE(list(lhs || chr(1) || rhs ORDER BY rnk), [])
+              FROM sel{r})),
+           (acc, x) -> replace(acc,
+             '(' || split_part(x, chr(1), 1) || ')('
+                 || split_part(x, chr(1), 2) || ')',
+             '(' || split_part(x, chr(1), 1)
+                 || split_part(x, chr(1), 2) || ')')) AS sym,
+         v.freq
+  FROM vocab{r - 1} v)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{r}" for r in range(1, int(rounds) + 1)
+    )
+    return (
+        head
+        + "".join(parts)
+        + f"""
+SELECT CAST(round AS INT) AS round, rnk, lhs, rhs, merged, pair_count
+FROM ({union})
+"""
+    )
+
+
+TEXT_BPE_MERGES_BATCHED_ORACLE = _bpe_batched_oracle_sql()
+
+
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed n-gram importance
     resampling — per-bucket add-1-smoothed log ratio of target
@@ -9696,6 +9783,371 @@ FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+
+
+PIPE_EVAL_MOD, PIPE_CTX, PIPE_SHARDS = 53, 512, 8
+# 2 bands x 8 rows: the fuzzy-dedup operating point (collision needs
+# J^8 agreement in one band ~ J >= 0.8); the standalone dedup query's
+# 4x4 banding is tuned for its synthetic near-dup corpus and collapses
+# this templated table 500 -> 12 (measured), starving every later stage
+PIPE_MINHASH_BANDS = 2
+
+
+def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pretraining curation flagship (VERDICT r14 item
+    7): the full modern chain as ONE lazy Catalyst plan —
+
+    1. MinHash-LSH cluster dedup (16 hashes / 2 bands of 8), keep
+       each cluster's min-id representative;
+    2. Gopher quality rules (word count / mean word length / stopword
+       ratio) AND Gopher repetition rules (top-bigram, dup-5-gram);
+    3. decontamination vs the held-out eval split (doc_id %
+       {PIPE_EVAL_MOD} == 0): 8-GRAM overlap (anti-join on broadcast
+       eval gram hashes) AND SEMANTIC (max cosine vs the broadcast eval
+       embeddings >= tau — paraphrased leakage shares no 8-gram);
+    4. DSIR importance scoring (hashed unigram+bigram features) +
+       temperature-mixture selection: per-source quota
+       ``ceil(sqrt(n_s * n_max) / 2)`` (alpha=0.5 flattening with a
+       max-normalized closed form — sqrt/divide/ceil are all IEEE
+       exact-rounded, so the quota boundary is cross-engine exact,
+       where a pow()-based share would hang it on libm ulps), keeping
+       each source's top-quota docs by importance;
+    5. sequence packing into 512-token context windows over the global
+       (source, doc_id) order — per-source window cumsum + #sources-row
+       carry-in offsets (two-level prefix entirely in Catalyst);
+    6. deterministic shuffle-shard (8 shards, md5 order).
+
+    No operator boundary forces a materialization: every stage is lazy
+    composition. The three ``persist()`` marks (post-repetition,
+    post-decontamination, post-selection) are REUSE points, not
+    barriers — each survivor set is consumed by 2+ downstream branches,
+    and an uncached lineage would re-execute the MinHash subtree ~128x
+    (2 per divergence); the cache is MEMORY_AND_DISK, spills, and at
+    100 TB holds only the shrinking survivor slice.
+
+    Output: one row per selected document
+    ``(doc_id, source, n_tok, logw_nano, pack_id, shard, shard_pos)``
+    — every stage's effect lands in the hash (membership = stages 1-4,
+    pack_id = stage 5, shard/shard_pos = stage 6).
+    """
+    from pyspark import StorageLevel
+
+    from cassandra_fs_pp_spark.functions.curation import (
+        decontaminate,
+        dsir_scores,
+        gopher_quality_flags,
+        repetition_flags,
+        shuffle_shard,
+    )
+    from cassandra_fs_pp_spark.functions.text import token_count_ws
+    from cassandra_fs_pp_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        lsh_cluster_wide,
+        minhash_signatures_wide,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # -- 1. minhash cluster dedup (keep-first = cluster representative)
+    sigs = minhash_signatures_wide(
+        docs.select("doc_id", "text"), num_hashes=MINHASH_K
+    )
+    clusters = lsh_cluster_wide(
+        sigs, num_hashes=MINHASH_K, bands=PIPE_MINHASH_BANDS
+    )
+    s1 = docs.join(
+        clusters.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+
+    # -- 2. Gopher quality band + repetition rules
+    flags = gopher_quality_flags(
+        F.col("text"), min_mean_wl=3.5, max_mean_wl=4.6
+    )
+    s2 = s1.filter(
+        ~(
+            flags["fail_word_count"]
+            | flags["fail_mean_word_len"]
+            | flags["fail_stopword_ratio"]
+        )
+    )
+    rep_keep = repetition_flags(s2).filter(
+        ~F.col("rep_top2_flag") & ~F.col("rep_dup5_flag")
+    )
+    s2 = s2.join(rep_keep.select("doc_id"), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # -- 3a. 8-gram decontamination vs the held-out eval split
+    train = s2.filter(F.col("doc_id") % PIPE_EVAL_MOD != 0)
+    evald = docs.filter(F.col("doc_id") % PIPE_EVAL_MOD == 0)
+    hits = decontaminate(train, evald, n=8)
+    s3 = train.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    # -- 3b. semantic decontamination (same eval split's embeddings)
+    sem_keep = semantic_decontaminate(
+        emb.join(
+            s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
+        ),
+        emb.filter(F.col("vec_id") % PIPE_EVAL_MOD == 0),
+        tau=SEMDECON_TAU,
+    ).filter(~F.col("contaminated"))
+    s4 = s3.join(
+        sem_keep.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- 4. DSIR importance + temperature-mixture per-source quotas
+    sel = s4.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("n_tok")
+    ).join(dsir_scores(s4).select("doc_id", "logw_nano"), "doc_id")
+    per = sel.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mx = per.agg(F.max("n_s").alias("n_max"))
+    quota = per.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.sqrt((F.col("n_s") * F.col("n_max")).cast("double"))
+                / F.lit(2.0)
+            ),
+        ).alias("q"),
+    )
+    wsel = Window.partitionBy("source").orderBy(
+        F.desc("logw_nano"), F.asc("doc_id")
+    )
+    kept = (
+        sel.join(F.broadcast(quota), "source")
+        .withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") <= F.col("q"))
+        .select("doc_id", "source", "n_tok", "logw_nano")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # -- 5. sequence packing over the global (source, doc_id) order:
+    # per-source cumsum + #sources-row carry-ins, all in Catalyst
+    wloc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = kept.withColumn(
+        "loc", F.sum("n_tok").over(wloc) - F.col("n_tok")
+    )
+    woff = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        kept.groupBy("source")
+        .agg(F.sum("n_tok").alias("stot"))
+        .withColumn("off", F.coalesce(F.sum("stot").over(woff), F.lit(0)))
+        .select("source", "off")
+    )
+    packed = local.join(F.broadcast(offs), "source").withColumn(
+        "pack_id",
+        F.floor((F.col("loc") + F.col("off")) / F.lit(PIPE_CTX)).cast(
+            "long"
+        ),
+    )
+
+    # -- 6. deterministic shuffle-shard
+    sh = shuffle_shard(
+        packed.select("doc_id"), "doc_id", shards=PIPE_SHARDS
+    )
+    return packed.join(sh, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "logw_nano",
+        "pack_id",
+        "shard",
+        "shard_pos",
+    )
+
+
+def _pretrain_pipeline_sql() -> str:
+    """Nested-CTE replay of ``curation_pretrain_pipeline`` — each stage
+    is the same SQL its standalone oracle uses (minhash cluster =
+    ``_minhash_cluster_sql``'s ladder, repetition =
+    ``TEXT_REPETITION_FLAGS_ORACLE``'s grams, 8-gram decon =
+    ``CURATION_DECONTAM_ORACLE``'s hash60 grams, semantic decon =
+    ``CURATION_SEMDECON_ORACLE``'s list_dot_product, DSIR =
+    ``CURATION_DSIR_ORACLE``'s nano-nat lambda table, pack =
+    ``CURATION_PACK_ORACLE``'s cumsum, shard =
+    ``CURATION_SHUFFLE_ORACLE``'s md5 order)."""
+    perms = ", ".join(
+        f"({k}, {a}, {b})" for k, a, b in minhash_perms(MINHASH_K)
+    )
+    rpb = MINHASH_K // PIPE_MINHASH_BANDS
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647 AS hw
+  FROM tok),
+perms(k, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, k, min((a * hw + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perms GROUP BY doc_id, k),
+banded AS (
+  SELECT doc_id, CAST(k // {rpb} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(k // {rpb} AS INT)),
+bucket AS (
+  SELECT band, band_sig, min(doc_id) AS bucket_rep
+  FROM banded GROUP BY band, band_sig),
+clus AS (
+  SELECT b.doc_id, min(k.bucket_rep) AS rep
+  FROM banded b JOIN bucket k USING (band, band_sig)
+  GROUP BY b.doc_id),
+s1 AS (
+  SELECT d.* FROM documents d
+  JOIN clus c ON c.doc_id = d.doc_id AND c.rep = d.doc_id),
+t2 AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM s1),
+m2 AS (
+  SELECT doc_id, source, text, t, len(t) AS wc,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+           AS mwl,
+         CAST(len(list_filter(t, x -> x IN
+              ('the','a','of','and','to','in','is','it','that','for')))
+              AS DOUBLE) / len(t) AS swr
+  FROM t2),
+q2 AS MATERIALIZED (
+  SELECT doc_id, source, text, t FROM m2
+  WHERE wc BETWEEN 20 AND 80 AND mwl BETWEEN 3.5 AND 4.6 AND swr >= 0.02),
+rg2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM q2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+rc2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM rg2 GROUP BY 1, 2),
+rs2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS m2c,
+               CAST(sum(c) AS BIGINT) AS t2c
+        FROM rc2 GROUP BY 1),
+rg5 AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM q2, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5),
+rc5 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM rg5 GROUP BY 1, 2),
+rs5 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS d5,
+               CAST(sum(c) AS BIGINT) AS t5
+        FROM rc5 GROUP BY 1),
+repkeep AS (
+  SELECT rs2.doc_id FROM rs2 JOIN rs5 USING (doc_id)
+  WHERE NOT (CAST(m2c AS DOUBLE) / CAST(t2c AS DOUBLE) > 0.08)
+    AND NOT (CAST(d5 AS DOUBLE) / CAST(t5 AS DOUBLE) > 0.2)),
+s2 AS MATERIALIZED (
+  SELECT q2.* FROM q2 JOIN repkeep USING (doc_id)),
+tr AS (SELECT * FROM s2 WHERE doc_id % {PIPE_EVAL_MOD} <> 0),
+evg AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS gram_hash
+  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE doc_id % {PIPE_EVAL_MOD} = 0),
+       UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8),
+contam8 AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                 AS gram_hash
+        FROM tr, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8) g
+  JOIN evg USING (gram_hash)),
+s3 AS (
+  SELECT tr.* FROM tr ANTI JOIN contam8 USING (doc_id)),
+evv AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {PIPE_EVAL_MOD} = 0),
+s4 AS MATERIALIZED (
+  SELECT s3.* FROM s3 JOIN embeddings c ON c.vec_id = s3.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM evv e
+    WHERE list_dot_product(c.embedding::DOUBLE[], e.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])))
+          >= {SEMDECON_TAU})),
+dt AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS t
+  FROM s4),
+dfe AS MATERIALIZED (
+  SELECT doc_id, source, unnest(t) AS w FROM dt
+  UNION ALL
+  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS w
+  FROM dt, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+fex AS MATERIALIZED (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS bucket
+  FROM dfe),
+cnt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+  FROM fex GROUP BY 1),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS t, CAST(sum(n_r) AS BIGINT) AS r
+        FROM cnt),
+lam AS (
+  SELECT bucket,
+         CAST(round(ln(CAST((n_t + 1) * (tot.r + 512) AS DOUBLE)
+                       / CAST((n_r + 1) * (tot.t + 512) AS DOUBLE)) * 1e9)
+              AS BIGINT) AS lam_nano
+  FROM cnt CROSS JOIN tot),
+scored AS (
+  SELECT fex.doc_id, CAST(sum(lam_nano) AS BIGINT) AS logw_nano
+  FROM fex JOIN lam USING (bucket)
+  GROUP BY 1),
+sel AS MATERIALIZED (
+  SELECT dt.doc_id, dt.source, CAST(len(dt.t) AS BIGINT) AS n_tok,
+         sc.logw_nano
+  FROM dt JOIN scored sc USING (doc_id)),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM sel GROUP BY 1),
+mx AS (SELECT max(n_s) AS n_max FROM per),
+quota AS (
+  SELECT source,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(sqrt(CAST(n_s * n_max AS DOUBLE)) / 2.0)
+                       AS BIGINT)) AS q
+  FROM per, mx),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, n_tok, logw_nano FROM (
+    SELECT sel.*, quota.q,
+           row_number() OVER (PARTITION BY sel.source
+                              ORDER BY logw_nano DESC, doc_id) AS rk
+    FROM sel JOIN quota USING (source))
+  WHERE rk <= q),
+packed AS (
+  SELECT *,
+         CAST(floor((sum(n_tok) OVER (ORDER BY source, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {PIPE_CTX}) AS BIGINT) AS pack_id
+  FROM kept)
+SELECT doc_id, source, n_tok, logw_nano, pack_id,
+       CAST(kk % {PIPE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY kk % {PIPE_SHARDS}
+                               ORDER BY kk, doc_id) AS INT) AS shard_pos
+FROM (
+  SELECT p.*,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle7'), 1, 15))::BIGINT
+           AS kk
+  FROM packed p)
+"""
+
+
+CURATION_PRETRAIN_PIPELINE_ORACLE = _pretrain_pipeline_sql()
 
 
 EMB_SEMDEDUP_BITS, EMB_SEMDEDUP_SEED = 8, 13
@@ -13327,75 +13779,29 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-14 rotation (VERDICT
-    # r13 item 2): (a) the 4 queries NEW or CHANGED since the r13 artifact
-    # snapshot — curation_dsir_select (unigram→unigram+bigram features),
-    # ann_ivf_pq_topk (residual encoding + fixed-point coarse centroids),
-    # j1_calibration_fallback (oracle NULL-raw filter), and the new
-    # text_bpe_tokenize_trie; (b) the 12 queries whose driver evidence
-    # dates to r08, led by r1_melt (displaced from the r13 window at
-    # position 50 by the dsir insertion); (c) the first 34 queries of the
-    # r09-evidence block from text_split_assign, in registry order.
-    # 4+12+34 = 50.  Beyond that the registry keeps ascending evidence
-    # freshness (the r09 remainder from a_linreg_trend, then r10/r11,
-    # the r12-window block, and the r13-window block, freshest, last);
-    # the 3 sketch queries stay pinned last (rows-only by nature, never
-    # in a window).
+    # prefix window (50 entries) of this dict.  Round-15 rotation (VERDICT
+    # r14 item 1): (a) the queries NEW or CHANGED since the r14 artifact
+    # snapshot — curation_pretrain_pipeline (the end-to-end flagship, new),
+    # text_bpe_merges_batched (new), ann_ivf_topk / ann_ivf_adc_topk
+    # (fixed-point coarse centroids), curation_logreg_trained (persisted
+    # features + decimal gradient; r14-late), curation_semantic_decontaminate
+    # and text_repetition_flags (r14-late), and text_cdc_chunks (plan
+    # rewritten r14); (b) the r09-evidence remainder from a_linreg_trend in
+    # registry order, filling the window to 50.  Beyond that the registry
+    # keeps ascending evidence freshness (the rest of the middle block, then
+    # the r14-window block, freshest, last); the 3 sketch queries stay
+    # pinned last (rows-only by nature, never in a window).
     return {
-        # ============ (a) new/changed since the r13 snapshot ============
-        "curation_dsir_select": curation_dsir_select,
-        "ann_ivf_pq_topk": ann_ivf_pq_topk,
-        "j1_calibration_fallback": j1_calibration_fallback,
-        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
-        # ============ (b) the 12 r08-evidence queries ============
-        "r1_melt": r1_melt,
-        "p5_regex_projection": p5_regex_projection,
-        "stream_dedup_counts": stream_dedup_counts,
-        "stream_session_agg": stream_session_agg,
-        "fleet_tdr_depth": fleet_tdr_depth,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_banded": dedup_simhash_banded,
-        "text_winnow_fingerprints": text_winnow_fingerprints,
-        "text_stats": text_stats,
-        "text_lang_id": text_lang_id,
-        "text_pii_redact": text_pii_redact,
-        # ===== (c) first 34 of the r09-evidence block, registry order =====
-        "text_split_assign": text_split_assign,
-        "text_token_topk": text_token_topk,
-        "text_repetition": text_repetition,
-        "text_bigram_pmi": text_bigram_pmi,
-        "curation_stratified_sample": curation_stratified_sample,
-        "curation_quality_filter": curation_quality_filter,
-        "curation_source_budget": curation_source_budget,
-        "curation_weighted_sample": curation_weighted_sample,
-        "mm_image_meta": mm_image_meta,
-        "mm_image_stats": mm_image_stats,
-        "ts_dominant_period": ts_dominant_period,
-        "ts_periodogram_int": ts_periodogram_int,
-        "rag_hybrid_minmax": rag_hybrid_minmax,
-        "stream_geofence_admit": stream_geofence_admit,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "a_gini": a_gini,
-        "dedup_spans": dedup_spans,
-        "a8_sliding_window": a8_sliding_window,
-        "emb_near_dups": emb_near_dups,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_label_inertia": emb_label_inertia,
-        "text_hash_features": text_hash_features,
-        "text_lm_familiarity": text_lm_familiarity,
-        "dedup_url_canonical": dedup_url_canonical,
-        "curation_domain_mix": curation_domain_mix,
-        "ann_bruteforce_topk": ann_bruteforce_topk,
-        "mm_frame_sample": mm_frame_sample,
-        "mm_audio_stats": mm_audio_stats,
-        "stream_fleet_hourly": stream_fleet_hourly,
-        "op_upsert_snapshot": op_upsert_snapshot,
-        "op_scd2_intervals": op_scd2_intervals,
-        "j_temporal_scd2": j_temporal_scd2,
-        "j_skew_salted": j_skew_salted,
-        "a_sessionize": a_sessionize,
-        # ===== end of r14 window; r09 remainder leads the r15 window =====
+        # ===== (a) new/changed since the r14 snapshot =====
+        "curation_pretrain_pipeline": curation_pretrain_pipeline,
+        "text_bpe_merges_batched": text_bpe_merges_batched,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_adc_topk": ann_ivf_adc_topk,
+        "curation_logreg_trained": curation_logreg_trained,
+        "curation_semantic_decontaminate": curation_semantic_decontaminate,
+        "text_repetition_flags": text_repetition_flags,
+        "text_cdc_chunks": text_cdc_chunks,
+        # ===== (b) r09-evidence remainder fills the r15 window =====
         "a_linreg_trend": a_linreg_trend,
         "ann_adc_topk": ann_adc_topk,
         "a_quantiles": a_quantiles,
@@ -13438,6 +13844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_target_encode": stream_target_encode,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
+        # ===== end of r15 window; ascending evidence freshness =====
         "fuzzy_match_join": fuzzy_match_join,
         "geo_grid_join": geo_grid_join,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
@@ -13446,19 +13853,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": ts_ewma,
         "layout_zorder_stats": layout_zorder_stats,
         "a_bitmap_distinct": a_bitmap_distinct,
-        "text_cdc_chunks": text_cdc_chunks,
         "emb_scalar_quantize": emb_scalar_quantize,
         "curation_shuffle_shard": curation_shuffle_shard,
         "r4_transpose": r4_transpose,
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "ann_ivf_topk": ann_ivf_topk,
         "j_interval_overlap": j_interval_overlap,
         "f_collections": f_collections,
         "j_bloom_semi": j_bloom_semi,
         "dq_benford": dq_benford,
         "a_theil_sen": a_theil_sen,
         "stream_holt_linear": stream_holt_linear,
-        "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "text_kn_perplexity": text_kn_perplexity,
         "curation_ccnet_buckets": curation_ccnet_buckets,
         "w_bollinger_bands": w_bollinger_bands,
@@ -13507,7 +13911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hampel_outliers": w_hampel_outliers,
         "j4_asof_backward": j4_asof_backward,
         "j_asof_nearest": j_asof_nearest,
-        # ===== r12-window block (freshest evidence) =====
         "text_kn3_perplexity": text_kn3_perplexity,
         "curation_ccnet_buckets_banded": curation_ccnet_buckets_banded,
         "a1_median_slice": a1_median_slice,
@@ -13554,7 +13957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_linear": ts_holt_linear,
         "curation_pack_sequences": curation_pack_sequences,
         "a_mann_kendall": a_mann_kendall,
-        # ===== r13-window block (freshest evidence) =====
         "text_kn5_perplexity": text_kn5_perplexity,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokenize": text_bpe_tokenize,
@@ -13602,12 +14004,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_forward": j4_asof_forward,
         "a4_distinct_counts": a4_distinct_counts,
         "a9_head_mean": a9_head_mean,
-        # ===== r14 late additions (below the pinned 50-entry window;
-        # the window-discipline lesson from r13: never insert above it
-        # after the round's artifacts snapshot) =====
-        "curation_logreg_trained": curation_logreg_trained,
-        "curation_semantic_decontaminate": curation_semantic_decontaminate,
-        "text_repetition_flags": text_repetition_flags,
+        # ===== r14-window block (freshest evidence) =====
+        "curation_dsir_select": curation_dsir_select,
+        "ann_ivf_pq_topk": ann_ivf_pq_topk,
+        "j1_calibration_fallback": j1_calibration_fallback,
+        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
+        "r1_melt": r1_melt,
+        "p5_regex_projection": p5_regex_projection,
+        "stream_dedup_counts": stream_dedup_counts,
+        "stream_session_agg": stream_session_agg,
+        "fleet_tdr_depth": fleet_tdr_depth,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_banded": dedup_simhash_banded,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "text_pii_redact": text_pii_redact,
+        "text_split_assign": text_split_assign,
+        "text_token_topk": text_token_topk,
+        "text_repetition": text_repetition,
+        "text_bigram_pmi": text_bigram_pmi,
+        "curation_stratified_sample": curation_stratified_sample,
+        "curation_quality_filter": curation_quality_filter,
+        "curation_source_budget": curation_source_budget,
+        "curation_weighted_sample": curation_weighted_sample,
+        "mm_image_meta": mm_image_meta,
+        "mm_image_stats": mm_image_stats,
+        "ts_dominant_period": ts_dominant_period,
+        "ts_periodogram_int": ts_periodogram_int,
+        "rag_hybrid_minmax": rag_hybrid_minmax,
+        "stream_geofence_admit": stream_geofence_admit,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "a_gini": a_gini,
+        "dedup_spans": dedup_spans,
+        "a8_sliding_window": a8_sliding_window,
+        "emb_near_dups": emb_near_dups,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_label_inertia": emb_label_inertia,
+        "text_hash_features": text_hash_features,
+        "text_lm_familiarity": text_lm_familiarity,
+        "dedup_url_canonical": dedup_url_canonical,
+        "curation_domain_mix": curation_domain_mix,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_stats": mm_audio_stats,
+        "stream_fleet_hourly": stream_fleet_hourly,
+        "op_upsert_snapshot": op_upsert_snapshot,
+        "op_scd2_intervals": op_scd2_intervals,
+        "j_temporal_scd2": j_temporal_scd2,
+        "j_skew_salted": j_skew_salted,
+        "a_sessionize": a_sessionize,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -13617,6 +14064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_pretrain_pipeline": CURATION_PRETRAIN_PIPELINE_ORACLE,
+        "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,

@@ -489,7 +489,7 @@ def ccnet_buckets_banded(
     )
 
 
-def dsir_select(
+def dsir_scores(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -497,12 +497,14 @@ def dsir_select(
     source_col: str = "source",
     target_sources: tuple[str, ...] = ("src0", "src1"),
     buckets: int = 512,
-    top_k: int = 500,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
     — the modern data-selection step: score every document by how much
     its hashed-n-gram feature distribution looks like a TARGET domain
-    versus the RAW pool, then keep the top-``top_k``.
+    versus the RAW pool. Returns per-doc ``(id, n_tok, logw_nano)`` for
+    EVERY input document (no limit; :func:`dsir_select` adds the global
+    top-k, the pretraining-pipeline flagship applies per-source mixture
+    quotas instead).
 
     Implementation (hashed word UNIGRAMS + BIGRAMS — the feature family
     the DSIR paper actually uses (§3: "hashed n-gram features",
@@ -595,13 +597,37 @@ def dsir_select(
             .alias("lam_nano"),
         )
     )
-    scored = (
+    return (
         ex.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
             F.sum("lam_nano").alias("logw_nano"),
         )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    buckets: int = 512,
+    top_k: int = 500,
+) -> DataFrame:
+    """DSIR selection: :func:`dsir_scores` + global top-``top_k`` by
+    ``(importance desc, id)`` (TakeOrdered — no single-partition
+    window). See :func:`dsir_scores` for the model and determinism
+    contract."""
+    scored = dsir_scores(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        target_sources=target_sources,
+        buckets=buckets,
     )
     return (
         scored.orderBy(F.desc("logw_nano"), F.asc(id_col))

@@ -722,6 +722,118 @@ def bpe_train_merges(
     )
 
 
+def bpe_train_merges_batched(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 4,
+    batch: int = 8,
+):
+    """Batched BPE merge training (Sennrich's practical variant — the
+    production-depth trainer VERDICT r14 item 5 asked for): learn up to
+    ``batch`` merge rules per counting round instead of one, so a
+    1024-merge vocabulary needs ~tens of Spark jobs, not 1024
+    one-row argmax collects (:func:`bpe_train_merges`'s depth wall).
+
+    Batch selection rule (deterministic, SQL-replayable): rank the
+    round's pairs by ``(count DESC, left ASC, right ASC)``; a pair in
+    the top-``batch`` is SELECTED iff it shares no symbol with ANY
+    strictly-higher-ranked top-``batch`` pair (selected or not).  Any
+    two selected pairs are therefore symbol-disjoint, which makes the
+    batch exact, not heuristic: merging ``(a)(b)`` can only change the
+    counts of pairs touching ``a`` or ``b`` (or the new symbol ``ab``),
+    so every selected pair's count is provably identical to what a
+    sequential re-count would have seen — applying the batch in rank
+    order equals ``batch`` sequential rounds whenever the sequential
+    argmax would have picked these same pairs.  With ``batch=1`` the
+    rule degenerates to the plain argmax and this trainer emits
+    bit-identical rules to :func:`bpe_train_merges` (the differential
+    parity test).  Rank-1 is always selected, so every non-empty round
+    learns >= 1 rule.
+
+    Scale shape: one corpus pass builds the word-TYPE table; each round
+    is a pair-explode + weighted count over TYPES ONLY (map-side
+    combinable) and ONE ``batch``-row TakeOrdered collect; the merge
+    application is a <= ``batch``-deep literal ``replace`` chain per
+    round with a localCheckpoint barrier, so expression depth never
+    grows with total vocabulary size (the sequential trainer's 1024-rule
+    parser StackOverflow cannot occur).  Driver traffic =
+    ``rounds x batch`` rows.
+
+    Returns ``(round, rnk, lhs, rhs, merged, pair_count)`` — ``rnk`` is
+    the pair's rank within its round's candidate table.
+    """
+    spark = docs.sparkSession
+    ws = whitespace_tokens(F.col(text_col))
+    vocab = (
+        docs.select(F.explode(ws).alias("w"))
+        .filter(F.col("w") != "")
+        .filter(~F.col("w").rlike(r"[()]"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "concat('(', array_join(split(w, ''), ')('), ')')"
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    def _sq(x: str) -> str:
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    rules: list[tuple[int, int, str, str, str, int]] = []
+    cur = vocab
+    for rnd in range(1, int(rounds) + 1):
+        pairs = cur.select(
+            F.expr(r"regexp_extract_all(sym, '\\(([^)]*)\\)', 1)").alias("ss"),
+            "freq",
+        ).select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ss) >= 2 THEN"
+                    " transform(sequence(1, size(ss) - 1),"
+                    " i -> struct(element_at(ss, i) AS a,"
+                    " element_at(ss, i + 1) AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(int(batch))
+            .collect()
+        )
+        if not top:
+            break
+        sel: list[tuple[int, str, str, int]] = []
+        for i, row in enumerate(top):
+            if all(
+                not ({row["a"], row["b"]} & {q["a"], q["b"]})
+                for q in top[:i]
+            ):
+                sel.append((i + 1, row["a"], row["b"], int(row["cnt"])))
+        expr = "sym"
+        for rnk, a, b, cnt in sel:
+            rules.append((rnd, rnk, a, b, a + b, cnt))
+            expr = "replace({e}, '({a})({b})', '({m})')".format(
+                e=expr, a=_sq(a), b=_sq(b), m=_sq(a + b)
+            )
+        cur = cur.select(
+            F.expr(expr).alias("sym"), "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules,
+        "round int, rnk int, lhs string, rhs string,"
+        " merged string, pair_count bigint",
+    )
+
+
 def bpe_tokenize_counts(
     docs,
     *,

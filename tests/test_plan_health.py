@@ -292,56 +292,45 @@ def test_dsir_select_plan_shape(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r14 rotation contract (VERDICT r13 items 1+2): the
-    4 queries new/changed since the r13 artifact snapshot lead (dsir
-    bigram features, residual PQ, j1's oracle NULL-raw filter, the new
-    trie tokenizer), then the 12 queries whose driver evidence dates to
-    r08 (r1_melt first — it was displaced from the r13 window by the
-    dsir insertion), then the first 34 of the r09-evidence block;
-    every window entry carries a full SQL oracle (the gate's hash
-    check needs one); the 3 rows-only sketch queries stay pinned
-    last."""
+    entries. Pin the r15 rotation contract (VERDICT r14 item 1): the 8
+    queries new or changed since the r14 artifact snapshot lead (the
+    pretraining flagship, the batched BPE trainer, the two fixed-point-
+    centroid IVF queries, the three r14-late additions, and the
+    plan-rewritten CDC chunker), then the r09-evidence remainder from
+    a_linreg_trend fills the window; every window entry carries a full
+    SQL oracle (the gate's hash check needs one); the 3 rows-only
+    sketch queries stay pinned last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new/changed since the r13 snapshot, leading
-    assert window[:4] == [
-        "curation_dsir_select",
-        "ann_ivf_pq_topk",
-        "j1_calibration_fallback",
-        "text_bpe_tokenize_trie",
+    # (a) new/changed since the r14 snapshot, leading
+    assert window[:8] == [
+        "curation_pretrain_pipeline",
+        "text_bpe_merges_batched",
+        "ann_ivf_topk",
+        "ann_ivf_adc_topk",
+        "curation_logreg_trained",
+        "curation_semantic_decontaminate",
+        "text_repetition_flags",
+        "text_cdc_chunks",
     ]
-    # (b) the 12 r08-evidence queries, r1_melt first
-    assert window[4:16] == [
-        "r1_melt",
-        "p5_regex_projection",
-        "stream_dedup_counts",
-        "stream_session_agg",
-        "fleet_tdr_depth",
-        "dedup_exact_docs",
-        "dedup_simhash",
-        "dedup_simhash_banded",
-        "text_winnow_fingerprints",
-        "text_stats",
-        "text_lang_id",
-        "text_pii_redact",
-    ]
-    # (c) the r09 block starts at text_split_assign and fills the window;
-    # its remainder (a_linreg_trend onward) leads the r15 window
-    assert window[16] == "text_split_assign"
-    assert window[49] == "a_sessionize"
-    assert qs[50] == "a_linreg_trend"
+    # (b) the r09-evidence remainder, led by a_linreg_trend, fills the
+    # window; what follows position 50 leads the r16 window
+    assert window[8] == "a_linreg_trend"
+    assert window[49] == "ts_cusum_alerts"
+    assert qs[50] == "fuzzy_match_join"
     for q in (
-        "curation_stratified_sample",
-        "mm_image_stats",
-        "emb_kmeans_assign",
-        "dedup_spans",
-        "stream_fleet_hourly",
-        "op_scd2_intervals",
-        "j_skew_salted",
+        "a_quantiles",
+        "a_funnel",
+        "a_rfm_segments",
+        "w_rolling_corr",
+        "dq_referential_audit",
+        "agg_cube",
+        "rag_mmr_rerank",
+        "ml_target_encode_loo",
     ):
-        assert q in window[16:], f"{q} must be driver-confirmed this round"
+        assert q in window[8:], f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
