@@ -107,6 +107,13 @@ HEADLINE = [
     "curation_logreg_trained",
     "curation_semantic_decontaminate",
     "text_repetition_flags",
+    # round-15 additions (VERDICT r14 items 5+7): the end-to-end
+    # pretraining curation flagship (dedup -> quality -> decon -> DSIR
+    # mixture -> pack -> shard as one plan) and the batched BPE trainer
+    # (up to 8 disjoint rules per counting round).
+    # NOTE: +2 queries vs the r14 suite composition.
+    "curation_pretrain_pipeline",
+    "text_bpe_merges_batched",
 ]
 
 
@@ -126,6 +133,27 @@ def _calibrate(spark) -> float:
     for _ in range(2):
         t0 = time.time()
         spark.range(300_000_000).selectExpr("sum(id * 2)").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _calibrate_io(spark) -> float:
+    """Second drift-canary leg: a fixed parquet SCAN (r15, VERDICT r14
+    item 2). The codegen-only canary above has no IO/shuffle, so r14's
+    host slowdown hit the suite 1.4x while calib moved only +9% — the
+    official bench artifact was unreadable without a quiet-host twin
+    run. This leg times one full pass over the lineitem file (sum over
+    two money columns + count — scan-dominated, one partial-agg
+    exchange), so normalization covers the dominant cost class of the
+    suite: SCALE.md's rule uses ``calib`` for codegen-bound rows and
+    ``calib_io`` for IO/shuffle-bound ones."""
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.read.parquet(path).selectExpr(
+            "sum(l_extendedprice)", "sum(l_quantity)", "count(*)"
+        ).collect()
         best = min(best, time.time() - t0)
     return round(best, 3)
 
@@ -161,10 +189,12 @@ def main() -> None:
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Drift canary, leg 1 (post-warm, pre-suite). A second leg runs after
-    # the timed passes; the emitted calib is the min of both legs, so a
-    # transient spike has to span the whole suite to contaminate it.
+    # Drift canaries, leg 1 (post-warm, pre-suite). A second leg runs
+    # after the timed passes; the emitted values are the min of both
+    # legs, so a transient spike has to span the whole suite to
+    # contaminate them.
     calib = _calibrate(spark)
+    calib_io = _calibrate_io(spark)
 
     # Per-query best-of-2, INTERLEAVED (two full suite passes, min per
     # query): a single timed pass is hostage to GC debt left by whichever
@@ -181,8 +211,9 @@ def main() -> None:
             best[name] = min(best[name], time.time() - t0)
     timings = {n: round(best[n], 3) for n in names}
 
-    # Drift canary, leg 2 (post-suite); emit the min of both legs.
+    # Drift canaries, leg 2 (post-suite); emit the min of both legs.
     calib = min(calib, _calibrate(spark))
+    calib_io = min(calib_io, _calibrate_io(spark))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -194,6 +225,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "calib": calib,
+                "calib_io": calib_io,
             }
         )
     )

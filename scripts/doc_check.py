@@ -341,9 +341,21 @@ def shadow_lint() -> bool:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             names[node.name] += 1
         elif isinstance(node, ast.Assign):
-            for t in node.targets:
+            # also unpack tuple/list targets: `A, B = ...` rebinds both
+            # names just as silently as a plain assignment (ADVICE r14)
+            stack = list(node.targets)
+            while stack:
+                t = stack.pop()
                 if isinstance(t, ast.Name):
                     names[t.id] += 1
+                elif isinstance(t, (ast.Tuple, ast.List)):
+                    stack.extend(t.elts)
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            # annotated top-level assignment (X_ORACLE: str = ...) would
+            # otherwise evade the lint entirely (ADVICE r14)
+            names[node.target.id] += 1
     dupes = sorted(n for n, c in names.items() if c > 1)
     if dupes:
         print(f"shadowed top-level names in __spark_entry__.py: {dupes}")
