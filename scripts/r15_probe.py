@@ -1,0 +1,124 @@
+"""Round-15 new/changed-query scale probe (scale_probe protocol).
+
+Synthesizes the shifted 8x/64x corpora (scale_probe.synthesize — key
+spaces GROW per copy), then times the r15 probe set at 1x/8x/64x via
+per-query min-of-2 fresh-JVM bench runs, printing the SCALE.md addendum
+table. Probe set = the queries new or changed since the r14 artifacts:
+the pretraining-pipeline flagship, the batched BPE trainer, the two
+fixed-point-centroid IVF queries, and the persisted-feature logreg.
+
+Two special probes (VERDICT r14 items 4+5 done-criteria):
+  --rounds   times logreg_train_select at rounds=3 vs rounds=8 on sf0.1
+             (fresh JVM each) — with the persisted feature table the
+             cost must grow ~linearly in rounds, not rounds x scan;
+  --depth    times bpe_train_merges_batched to >= 256 learned rules
+             (rounds=40, batch=8) on sf0.1 — the trainer-side depth row
+             to sit next to the r14 trie APPLICATION depth row. The
+             sequential trainer needs one argmax collect per rule, so
+             256 rules = 256 Spark jobs; the batched form needs ~40.
+
+Usage: python scripts/r15_probe.py [--skip-synth] [--rounds] [--depth]
+       (no flags: the 1x/8x/64x table)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_probe import BASE, run_bench, synthesize  # noqa: E402  (sibling)
+from cassandra_fs_pp_spark.session import get_spark  # noqa: E402
+
+PROBE = [
+    "curation_pretrain_pipeline",
+    "text_bpe_merges_batched",
+    "ann_ivf_topk",
+    "ann_ivf_adc_topk",
+    "curation_logreg_trained",
+]
+
+
+def probe_logreg_rounds() -> None:
+    """Item-4 done-criterion: cost ∝ rounds, not rounds x corpus scan."""
+    import subprocess
+
+    code = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from cassandra_fs_pp_spark.session import get_spark
+from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+spark = get_spark("logreg_probe")
+docs = spark.read.parquet({sf!r} + "/documents.parquet")
+t0 = time.time()
+logreg_train_select(docs, rounds={rounds}).write.format("noop").mode(
+    "overwrite").save()
+print("ROUNDS={rounds} WALL=%.3f" % (time.time() - t0))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rounds in (3, 8):
+        best = float("inf")
+        for _ in range(2):
+            p = subprocess.run(
+                [sys.executable, "-c", code.format(repo=repo, sf=BASE, rounds=rounds)],
+                capture_output=True, text=True,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("ROUNDS=")]
+            assert line, p.stdout + p.stderr
+            best = min(best, float(line[-1].split("WALL=")[1]))
+        print(f"logreg rounds={rounds}: {best:.3f}s (min of 2 fresh JVMs)")
+
+
+def probe_bpe_train_depth() -> None:
+    """Item-5 done-criterion: batched TRAINING to production rule depth."""
+    spark = get_spark("bpe_depth_probe")
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    for rounds, batch in ((8, 8), (40, 8)):
+        t0 = time.time()
+        n = bpe_train_merges_batched(docs, rounds=rounds, batch=batch).count()
+        print(
+            f"batched train rounds={rounds} batch={batch}: {n} rules in "
+            f"{time.time() - t0:.1f}s"
+        )
+
+
+def main() -> None:
+    if "--rounds" in sys.argv:
+        probe_logreg_rounds()
+        return
+    if "--depth" in sys.argv:
+        probe_bpe_train_depth()
+        return
+    dirs = {8: "/tmp/scale_probe_8x", 64: "/tmp/scale_probe_64x"}
+    if "--skip-synth" not in sys.argv:
+        spark = get_spark("r15_probe_synth")
+        for n, d in dirs.items():
+            synthesize(spark, n, d)
+            print(f"synthesized {n}x at {d}")
+        spark.stop()
+    base = run_bench(BASE, queries=PROBE)
+    print("1x:", base["queries"])
+    b8 = run_bench(dirs[8], queries=PROBE)
+    print("8x:", b8["queries"])
+    b64 = run_bench(dirs[64], queries=PROBE)
+    print("64x:", b64["queries"])
+    print()
+    print("| query | 1x sec | 8x sec | ratio | 64x sec | ratio | ratio/64 |")
+    print("|---|---|---|---|---|---|---|")
+    for q in PROBE:
+        t1, t8, t64 = (d["queries"].get(q) for d in (base, b8, b64))
+        if not (t1 and t8 and t64):
+            print(f"| {q} | {t1} | {t8} | - | {t64} | - | - |")
+            continue
+        print(
+            f"| {q} | {t1} | {t8} | {round(t8 / t1, 1)} | {t64} |"
+            f" {round(t64 / t1, 1)} | {round(t64 / t1 / 64, 2)} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
