@@ -86,12 +86,52 @@ def probe_bpe_train_depth() -> None:
         )
 
 
+def probe_ivf_grown_cells() -> None:
+    """ann_ivf_topk's shifted-corpus 8x ratio (18.8x, r15 table) is the
+    FIXED-CODEBOOK artifact: the probe grows vectors 8x but the cell
+    table (labels) stays ~10 entries, so per-cell candidate lists grow
+    8x and the corpus-as-queries candidate volume grows 64x. A real IVF
+    deployment grows its codebook with the corpus (constant per-cell
+    occupancy). This probe synthesizes the 8x corpus with labels ALSO
+    shifted per copy (8x cells, constant cell size) and times the same
+    operator — the contract under which ivf_topk is linear."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cassandra_fs_pp_spark.operators.similarity import ivf_topk
+
+    spark = get_spark("ivf_cells_probe")
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    out = "/tmp/ivf_cells_8x"
+    copies = [emb]
+    for i in range(1, 8):
+        copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            .withColumn("label", F.col("label") + F.lit(i * 1000))
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(out)
+    for name, src in (("1x", emb), ("8x+8xcells", spark.read.parquet(out))):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            ivf_topk(src).write.format("noop").mode("overwrite").save()
+            best = min(best, _t.time() - t0)
+        print(f"ivf_topk {name}: {best:.3f}s")
+
+
 def main() -> None:
     if "--rounds" in sys.argv:
         probe_logreg_rounds()
         return
     if "--depth" in sys.argv:
         probe_bpe_train_depth()
+        return
+    if "--ivf-cells" in sys.argv:
+        probe_ivf_grown_cells()
         return
     dirs = {8: "/tmp/scale_probe_8x", 64: "/tmp/scale_probe_64x"}
     if "--skip-synth" not in sys.argv:
