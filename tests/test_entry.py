@@ -55,6 +55,7 @@ def test_bench_headline_names_exist(spark):
 def test_bench_json_contract():
     """bench.py must print exactly one parseable JSON line with the
     driver's expected keys — including the r11 `calib` drift canary
+    and the r15 `calib_io` scan-leg canary
     (positive, and small relative to any real suite wall). Runs a
     1-query subset at sf0.001 in a fresh process, like the driver."""
     import json
@@ -79,12 +80,15 @@ def test_bench_json_contract():
     lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
     assert len(lines) == 1, (p.stdout[-2000:], p.stderr[-2000:])
     r = json.loads(lines[0])
-    assert set(r) == {"metric", "value", "unit", "queries", "sf", "calib"}
+    assert set(r) == {
+        "metric", "value", "unit", "queries", "sf", "calib", "calib_io",
+    }
     assert r["metric"] == "headline_suite_wall" and r["unit"] == "sec"
     assert r["sf"] == 0.001
     assert list(r["queries"]) == ["tpch_q6"]
     assert r["value"] == round(sum(r["queries"].values()), 3)
     assert 0 < r["calib"] < 30
+    assert 0 < r["calib_io"] < 30
 
 
 def test_oracle_check_comparator_catches_failure_classes():

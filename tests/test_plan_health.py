@@ -485,6 +485,23 @@ def test_rfm_banded_windows_partitioned(spark):
     assert _n(plan, "Window") >= 3, plan
 
 
+def test_pretrain_pipeline_plan_shape(spark):
+    """curation_pretrain_pipeline (r15 flagship): the composed 6-stage
+    chain stays join-safe — no CartesianProduct anywhere, every
+    BroadcastNestedLoopJoin one of the 5 bounded attaches (semantic
+    eval cross, DSIR totals, mixture max, pack carry-ins), and every
+    parquet scan pruned (no full-width documents read)."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_pretrain_pipeline"](spark, SF)
+    )
+    assert _n(plan, "CartesianProduct") == 0, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 5, plan
+    # widest scan is the 5-column documents table itself
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        assert len(cols) <= 5, m.group(1)
+
+
 def test_semdecon_pre_exchange_bound(spark):
     """curation_semantic_decontaminate: the 100 TB contract is "one row
     per corpus vector leaves the map stage" — Spark must plant a
