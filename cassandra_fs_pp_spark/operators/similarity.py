@@ -145,8 +145,20 @@ def ivf_topk(
     """IVF-style approximate top-k: probe only the ``nprobe`` nearest cells.
 
     Uses ``cell_col`` as the coarse partition (a k-means codebook at
-    scale); centroids are per-cell means. Candidate set = vectors in the
+    scale); centroids are per-cell means (exact fixed-point —
+    :func:`coarse_centroids`, r15). Candidate set = vectors in the
     query's top-``nprobe`` cells by centroid cosine.
+
+    Scale contract: candidate volume is ``n x nprobe x (n / cells)``
+    — LINEAR in ``n`` when the codebook grows with the corpus
+    (constant per-cell occupancy, how a real IVF is deployed:
+    cells ∝ n). The shifted-corpus probe suite holds ``cell_col``
+    fixed while growing vectors, which makes this registry form read
+    quadratic there (8x -> 18.8x, SCALE.md r15); re-probed with cells
+    grown alongside (labels shifted per copy) it reads 2.8x at 8x
+    (``scripts/r15_probe.py --ivf-cells``). Fixed-budget serving
+    shapes are the tracked scale path (``ivf_adc_topk`` /
+    ``ivf_pq_topk`` with ``fixed_queries``).
     """
     # r15: exact fixed-point centroid mean (coarse_centroids) — a plain
     # double avg() is summation-order dependent and a ulp flip in

@@ -42,33 +42,30 @@ PROBE = [
 
 
 def probe_logreg_rounds() -> None:
-    """Item-4 done-criterion: cost ∝ rounds, not rounds x corpus scan."""
-    import subprocess
+    """Item-4 done-criterion: cost ∝ rounds, not rounds x corpus scan.
 
-    code = """
-import sys, time
-sys.path.insert(0, {repo!r})
-from cassandra_fs_pp_spark.session import get_spark
-from cassandra_fs_pp_spark.functions.curation import logreg_train_select
-spark = get_spark("logreg_probe")
-docs = spark.read.parquet({sf!r} + "/documents.parquet")
-t0 = time.time()
-logreg_train_select(docs, rounds={rounds}).write.format("noop").mode(
-    "overwrite").save()
-print("ROUNDS={rounds} WALL=%.3f" % (time.time() - t0))
-"""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rounds in (3, 8):
+    Same-JVM warm protocol: fresh-JVM single-query timings are
+    JIT/planning-dominated at this SF (measured: rounds=3 read SLOWER
+    than rounds=8 across fresh JVMs), so a warmup run precedes the
+    timed min-of-2 per rounds setting — the marginal per-round slope
+    (e.g. the 8→16 delta) is the number that grades the persisted
+    feature table."""
+    from cassandra_fs_pp_spark.functions.curation import logreg_train_select
+
+    spark = get_spark("logreg_probe")
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    logreg_train_select(docs, rounds=2).write.format("noop").mode(
+        "overwrite"
+    ).save()  # JIT warmup
+    for rounds in (3, 8, 16):
         best = float("inf")
         for _ in range(2):
-            p = subprocess.run(
-                [sys.executable, "-c", code.format(repo=repo, sf=BASE, rounds=rounds)],
-                capture_output=True, text=True,
-            )
-            line = [l for l in p.stdout.splitlines() if l.startswith("ROUNDS=")]
-            assert line, p.stdout + p.stderr
-            best = min(best, float(line[-1].split("WALL=")[1]))
-        print(f"logreg rounds={rounds}: {best:.3f}s (min of 2 fresh JVMs)")
+            t0 = time.time()
+            logreg_train_select(docs, rounds=rounds).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        print(f"logreg rounds={rounds}: {best:.3f}s (warm min-of-2)")
 
 
 def probe_bpe_train_depth() -> None:
