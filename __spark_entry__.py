@@ -9326,6 +9326,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_adc_serving": ann_ivf_adc_serving,
         "ann_ivf_pq_serving": ann_ivf_pq_serving,
         "curation_semdecon_fixed_eval": curation_semdecon_fixed_eval,
+        "curation_pretrain_staged": curation_pretrain_staged,
     }
 
 
@@ -9829,9 +9830,47 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, source, n_tok, logw_nano, pack_id, shard, shard_pos)``
     — every stage's effect lands in the hash (membership = stages 1-4,
     pack_id = stage 5, shard/shard_pos = stage 6).
+
+    Deployment note: keeping everything one plan buys composability but
+    the LOGICAL tree embeds each stage's subtree once per downstream
+    branch (~128 copies of the MinHash subtree), so Catalyst ANALYSIS
+    alone costs 15-20 s regardless of data size (SCALE.md r15). The
+    production shape stages boundaries to storage — the bench-only twin
+    ``curation_pretrain_staged`` (localCheckpoint barriers, identical
+    rows) measures that form.
     """
     from pyspark import StorageLevel
 
+    return _pretrain_pipeline_chain(
+        spark,
+        sf_dir,
+        lambda df: df.persist(StorageLevel.MEMORY_AND_DISK),
+    )
+
+
+def curation_pretrain_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only STAGED twin of ``curation_pretrain_pipeline``: the
+    same 6-stage chain with each reuse boundary materialized
+    (``localCheckpoint`` — the single-process stand-in for writing
+    stage datasets to storage, which is how a production curation
+    pipeline actually deploys). Truncating the logical plan at the
+    boundaries collapses the one-plan form's exponential analysis tree
+    (~128 embedded MinHash subtrees -> 1) and removes the
+    cache-vs-recompute dependence; rows are identical (pytest
+    differential). Oracled via the registry form."""
+    return _pretrain_pipeline_chain(
+        spark, sf_dir, lambda df: df.localCheckpoint()
+    )
+
+
+def _pretrain_pipeline_chain(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: "Callable[[DataFrame], DataFrame]",
+) -> DataFrame:
+    """Shared 6-stage chain behind the flagship and its staged twin;
+    ``barrier`` is applied at the three survivor-set reuse boundaries
+    (persist = one lazy plan; localCheckpoint = staged deployment)."""
     from cassandra_fs_pp_spark.functions.curation import (
         decontaminate,
         dsir_scores,
@@ -9876,9 +9915,7 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_keep = repetition_flags(s2).filter(
         ~F.col("rep_top2_flag") & ~F.col("rep_dup5_flag")
     )
-    s2 = s2.join(rep_keep.select("doc_id"), "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    s2 = barrier(s2.join(rep_keep.select("doc_id"), "doc_id"))
 
     # -- 3a. 8-gram decontamination vs the held-out eval split
     train = s2.filter(F.col("doc_id") % PIPE_EVAL_MOD != 0)
@@ -9894,9 +9931,9 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % PIPE_EVAL_MOD == 0),
         tau=SEMDECON_TAU,
     ).filter(~F.col("contaminated"))
-    s4 = s3.join(
-        sem_keep.select(F.col("vec_id").alias("doc_id")), "doc_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s4 = barrier(
+        s3.join(sem_keep.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    )
 
     # -- 4. DSIR importance + temperature-mixture per-source quotas
     sel = s4.select(
@@ -9917,12 +9954,11 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsel = Window.partitionBy("source").orderBy(
         F.desc("logw_nano"), F.asc("doc_id")
     )
-    kept = (
+    kept = barrier(
         sel.join(F.broadcast(quota), "source")
         .withColumn("rk", F.row_number().over(wsel))
         .filter(F.col("rk") <= F.col("q"))
         .select("doc_id", "source", "n_tok", "logw_nano")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # -- 5. sequence packing over the global (source, doc_id) order:

@@ -114,6 +114,12 @@ HEADLINE = [
     # NOTE: +2 queries vs the r14 suite composition.
     "curation_pretrain_pipeline",
     "text_bpe_merges_batched",
+    # round-15 late addition: the STAGED deployment twin of the
+    # flagship (localCheckpoint at the three reuse boundaries — the
+    # production stage-to-storage shape; identical rows, no exponential
+    # analysis tree). Bench-only (bench_extras).
+    # NOTE: +1 query vs the r15-initial composition above.
+    "curation_pretrain_staged",
 ]
 
 

@@ -487,3 +487,16 @@ def test_pretrain_pipeline_invariants(spark):
         shards.setdefault(r.shard, []).append(r.shard_pos)
     for s, poss in shards.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), (s, poss)
+
+
+def test_pretrain_staged_twin_identical(spark):
+    """The staged deployment twin (localCheckpoint barriers) must emit
+    row-for-row the registry flagship's output — the barriers change
+    WHERE computation materializes, never what is computed."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r.doc_id,)  # noqa: E731
+    a = sorted(entry.curation_pretrain_pipeline(spark, sf).collect(), key=key)
+    b = sorted(entry.curation_pretrain_staged(spark, sf).collect(), key=key)
+    assert a == b
