@@ -3918,9 +3918,134 @@ FROM events GROUP BY 1
 """
 
 
+HLL_DET_M = 1024  # registers (b = 10 index bits of the 60-bit hash)
+# alpha_m * m^2 * 2^51 — ONE Python-computed double, embedded as the same
+# literal in both engines, so the estimate is a single deterministic
+# divide of two exactly-agreed values
+HLL_DET_ALPHA_NUM = (
+    0.7213 / (1.0 + 1.079 / HLL_DET_M) * HLL_DET_M * HLL_DET_M * float(1 << 51)
+)
+
+
+def a_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch deterministic HyperLogLog with a FULL cross-engine
+    oracle (r15) — the exact-parity complement to the native-sketch trio
+    (``a_approx_distinct`` / ``a_hll_mergeable`` are rows-only forever:
+    engine-specific register layouts). Every piece is integer-exact:
+
+    * 60-bit md5 hash -> register index ``h % 1024`` + 50-bit suffix
+      ``w = h div 1024``; rank ``rho = 51 - bit_length(w)`` (via
+      ``length(bin(w))`` — identical strings in Spark and DuckDB);
+    * per-key registers = ``max(rho)`` per (event_type, register) —
+      map-side-combinable, bounded by keys x 1024 rows;
+    * MERGE is register-wise max (associative/commutative — the
+      property that makes HLL the 100 TB cardinality sketch); the
+      ``__merged__`` row is built from the per-key register table and
+      a pytest asserts it equals the direct global computation;
+    * harmonic denominator ``sum(2^(51-rho))`` is an exact BIGINT
+      (<= 1024 * 2^51 = 2^61), absent registers contribute ``2^51``;
+      the estimate is one double divide of two exactly-agreed values;
+      the small-range linear-counting leg uses the house nano-nat
+      idiom (one ``ln`` of an exactly-representable ratio, rounded to
+      integer nanos in-engine).
+    """
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("key"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "key",
+        F.expr("cast(h % 1024 as int)").alias("reg"),
+        F.expr("h div 1024").alias("w"),
+    ).select(
+        "key",
+        "reg",
+        F.expr(
+            "cast(case when w > 0 then 51 - length(bin(w)) else 51 end"
+            " as int)"
+        ).alias("rho"),
+    )
+    regs = base.groupBy("key", "reg").agg(F.max("rho").alias("r"))
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__merged__").alias("key"), "reg", "r")
+    )
+    agg = (
+        regs.unionByName(merged)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 51 - r)")).alias(
+                "present_sum"
+            ),
+        )
+    )
+    m = F.lit(HLL_DET_M).cast("long")
+    zeros = (m - F.col("n_present")).alias("zeros")
+    denom = (
+        F.col("present_sum") + (m - F.col("n_present")) * F.lit(1 << 51)
+    ).alias("denom")
+    return agg.select(
+        "key",
+        "n_present",
+        zeros,
+        denom,
+        (F.lit(HLL_DET_ALPHA_NUM) / denom.cast("double")).alias("est_raw"),
+        F.when(
+            (m - F.col("n_present")) > 0,
+            F.round(
+                F.log(
+                    F.lit(float(HLL_DET_M))
+                    / (m - F.col("n_present")).cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("long")
+            * m,
+        ).alias("lc_nano"),
+    )
+
+
+A_HLL_DETERMINISTIC_ORACLE = f"""
+WITH h AS (
+  SELECT event_type AS key,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+b AS (
+  SELECT key, CAST(h % 1024 AS INT) AS reg, h // 1024 AS w FROM h),
+rr AS (
+  SELECT key, reg,
+         CAST(CASE WHEN w > 0 THEN 51 - length(bin(w)) ELSE 51 END AS INT)
+           AS rho
+  FROM b),
+regs AS (SELECT key, reg, max(rho) AS r FROM rr GROUP BY 1, 2),
+mrg AS (SELECT '__merged__' AS key, reg, max(r) AS r FROM regs GROUP BY 2),
+per AS (SELECT * FROM regs UNION ALL SELECT * FROM mrg),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(1::BIGINT << (51 - r)) AS BIGINT) AS present_sum
+  FROM per GROUP BY 1)
+SELECT key, n_present,
+       CAST(1024 - n_present AS BIGINT) AS zeros,
+       CAST(present_sum + (1024 - n_present) * (1::BIGINT << 51) AS BIGINT)
+         AS denom,
+       {HLL_DET_ALPHA_NUM!r}
+         / CAST(present_sum + (1024 - n_present) * (1::BIGINT << 51)
+                AS DOUBLE) AS est_raw,
+       CASE WHEN 1024 - n_present > 0 THEN
+         CAST(round(ln(1024.0 / CAST(1024 - n_present AS DOUBLE)) * 1e9)
+              AS BIGINT) * 1024
+       END AS lc_nano
+FROM agg
+"""
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — algorithm-specific, so no SQL oracle
-    (rows-only check); exactness bound asserted in tests/test_operators.py."""
+    (rows-only check); exactness bound asserted in tests/test_operators.py.
+    See ``a_hll_deterministic`` for the from-scratch exact-parity HLL."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
@@ -14091,6 +14216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "j_skew_salted": j_skew_salted,
         "a_sessionize": a_sessionize,
+        # ===== r15 late addition (below the pinned window) =====
+        "a_hll_deterministic": a_hll_deterministic,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -14102,6 +14229,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "curation_pretrain_pipeline": CURATION_PRETRAIN_PIPELINE_ORACLE,
         "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
+        "a_hll_deterministic": A_HLL_DETERMINISTIC_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,

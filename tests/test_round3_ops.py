@@ -771,3 +771,57 @@ def test_pca_power_project_exact_replay_and_gap_convergence(spark):
     c1 = abs(np.dot(va_g, vecs[:, -1])) / np.linalg.norm(va_g)
     c2 = abs(np.dot(vb_g, vecs[:, -2])) / np.linalg.norm(vb_g)
     assert c1 >= 0.9999 and c2 >= 0.9999, (c1, c2)
+
+
+def test_hll_deterministic_reference_and_merge(spark):
+    """a_hll_deterministic (r15): (a) engine registers/denominator/
+    estimate equal a pure-Python md5 reference exactly; (b) the
+    __merged__ row (register-wise max over per-key registers) equals
+    the direct global computation — HLL's mergeability, bit-exact;
+    (c) the small-range linear-counting estimate lands within 3 sigma
+    (~10% at m=1024) of the true distinct count."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["key"]: r for r in entry.a_hll_deterministic(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+
+    def h60(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    regs: dict[str, dict[int, int]] = {}
+    truth: dict[str, set] = {}
+    for r in ev:
+        h = h60(str(r["user_id"]))
+        reg, w = h % 1024, h // 1024
+        rho = 51 - w.bit_length() if w > 0 else 51
+        for key in (r["event_type"], "__merged__"):
+            d = regs.setdefault(key, {})
+            d[reg] = max(d.get(reg, 0), rho)
+            truth.setdefault(key, set()).add(r["user_id"])
+
+    assert set(rows) == set(regs)
+    for key, d in regs.items():
+        got = rows[key]
+        n_present = len(d)
+        present_sum = sum(1 << (51 - r) for r in d.values())
+        denom = present_sum + (1024 - n_present) * (1 << 51)
+        assert got["n_present"] == n_present, key
+        assert got["denom"] == denom, key
+        assert got["est_raw"] == entry.HLL_DET_ALPHA_NUM / float(denom), key
+        zeros = 1024 - n_present
+        if zeros:
+            lc = round(math.log(1024.0 / zeros) * 1e9) * 1024
+            assert got["lc_nano"] == lc, key
+            # small-range regime: linear counting within 3 sigma
+            est = 1024 * math.log(1024.0 / zeros)
+            true = len(truth[key])
+            assert abs(est - true) <= max(3 * 1.04 / math.sqrt(1024) * true, 10), (
+                key, est, true
+            )
