@@ -490,7 +490,11 @@ def test_pretrain_pipeline_plan_shape(spark):
     chain stays join-safe — no CartesianProduct anywhere, every
     BroadcastNestedLoopJoin one of the 5 bounded attaches (semantic
     eval cross, DSIR totals, mixture max, pack carry-ins), and every
-    parquet scan pruned (no full-width documents read)."""
+    parquet scan pruned (no full-width documents read). Cache is
+    cleared first: an earlier test's persisted survivor tables would
+    otherwise swap InMemoryRelations into this plan and change the
+    join strategies under assertion."""
+    spark.catalog.clearCache()
     plan = _formatted_plan(
         entrymod.queries()["curation_pretrain_pipeline"](spark, SF)
     )
