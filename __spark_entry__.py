@@ -4042,6 +4042,114 @@ FROM agg
 """
 
 
+CM_D, CM_W, CM_PROBE_MOD = 4, 256, 13
+
+
+def a_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch Count-Min frequency sketch with a FULL cross-engine
+    oracle (r15) — the frequency-sketch sibling of
+    :func:`a_hll_deterministic` (and the exact-parity counterpart to
+    the summary-merging ``a_heavy_hitters_mg``): every cell is an exact
+    integer COUNT, so unlike probabilistic-register sketches the whole
+    structure is SQL-replayable and MERGEABLE BY ADDITION (per-key
+    sketches sum cell-wise to the global sketch — asserted in pytest).
+
+    * ``d`` = {CM_D} salted md5 hash rows, ``w`` = {CM_W} buckets:
+      ``cell(j, b) = count of events whose user hashes to b under salt
+      j`` — one projection + a (d*w)-bounded hash aggregate, map-side
+      combinable (the textbook 100 TB frequency plan);
+    * estimates for the deterministic probe set (users with
+      ``user_id % {CM_PROBE_MOD} == 0``): ``est = min_j cell(j,
+      h_j(u))`` via a broadcast join against the 1024-row cell table —
+      CM guarantees ``est >= true`` (overestimate-only, also asserted);
+    * output: one exact-integer row per probe user
+      ``(user_id, true_cnt, est_cnt, over)``.
+    """
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(F.col("user_id"))
+    hashed = rows.select(
+        "user_id",
+        *[
+            F.expr(
+                "cast(pmod(cast(conv(substring(md5(concat('cm', "
+                f"'{j}', ':', cast(user_id as string))), 1, 15), 16, 10)"
+                f" as bigint), {CM_W}L) as int)"
+            ).alias(f"b{j}")
+            for j in range(CM_D)
+        ],
+    )
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), F.col(f"b{j}").alias("b")
+                        )
+                        for j in range(CM_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        hashed.filter(F.col("user_id") % CM_PROBE_MOD == 0)
+        .groupBy("user_id", *[f"b{j}" for j in range(CM_D)])
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    est = probe
+    for j in range(CM_D):
+        cj = cells.filter(F.col("j") == j).select(
+            F.col("b").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"b{j}")
+    est_col = F.least(*[F.col(f"c{j}") for j in range(CM_D)])
+    return est.select(
+        "user_id",
+        "true_cnt",
+        est_col.alias("est_cnt"),
+        (est_col - F.col("true_cnt")).alias("over"),
+    )
+
+
+A_COUNTMIN_ORACLE = f"""
+WITH hashed AS (
+  SELECT user_id,
+         {", ".join(
+             "CAST(('0x' || substr(md5('cm' || '" + str(j) + "' || ':' || "
+             "CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % " + str(CM_W)
+             + " AS INT) AS b" + str(j)
+             for j in range(CM_D)
+         )}
+  FROM events),
+cells AS (
+  SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+    {" UNION ALL ".join(
+        "SELECT " + str(j) + " AS j, b" + str(j) + " AS b FROM hashed"
+        for j in range(CM_D)
+    )})
+  GROUP BY 1, 2),
+probe AS (
+  SELECT user_id, {", ".join("b" + str(j) for j in range(CM_D))},
+         CAST(count(*) AS BIGINT) AS true_cnt
+  FROM hashed WHERE user_id % {CM_PROBE_MOD} = 0
+  GROUP BY {", ".join(str(i + 1) for i in range(CM_D + 1))})
+SELECT p.user_id, p.true_cnt,
+       least({", ".join("c" + str(j) + ".cnt" for j in range(CM_D))})
+         AS est_cnt,
+       least({", ".join("c" + str(j) + ".cnt" for j in range(CM_D))})
+         - p.true_cnt AS over
+FROM probe p
+{" ".join(
+    "JOIN cells c" + str(j) + " ON c" + str(j) + ".j = " + str(j)
+    + " AND c" + str(j) + ".b = p.b" + str(j)
+    for j in range(CM_D)
+)}
+"""
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — algorithm-specific, so no SQL oracle
     (rows-only check); exactness bound asserted in tests/test_operators.py.
@@ -14216,8 +14324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "j_skew_salted": j_skew_salted,
         "a_sessionize": a_sessionize,
-        # ===== r15 late addition (below the pinned window) =====
+        # ===== r15 late additions (below the pinned window) =====
         "a_hll_deterministic": a_hll_deterministic,
+        "a_countmin_freq": a_countmin_freq,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -14230,6 +14339,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pretrain_pipeline": CURATION_PRETRAIN_PIPELINE_ORACLE,
         "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
         "a_hll_deterministic": A_HLL_DETERMINISTIC_ORACLE,
+        "a_countmin_freq": A_COUNTMIN_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,
         "text_kn5_perplexity": TEXT_KN5_PERPLEXITY_ORACLE,
         "text_bpe_merges": TEXT_BPE_MERGES_ORACLE,

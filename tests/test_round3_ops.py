@@ -825,3 +825,51 @@ def test_hll_deterministic_reference_and_merge(spark):
             assert abs(est - true) <= max(3 * 1.04 / math.sqrt(1024) * true, 10), (
                 key, est, true
             )
+
+
+def test_countmin_reference_merge_and_guarantee(spark):
+    """a_countmin_freq (r15): (a) estimates equal a pure-Python md5
+    reference exactly; (b) CM's guarantee est >= true holds for every
+    probe; (c) mergeability BY ADDITION: per-event_type sketches sum
+    cell-wise to the global sketch (the property that makes CM the
+    distributed frequency sketch)."""
+    import hashlib
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in entry.a_countmin_freq(spark, sf).collect()}
+    assert got, "no probe users at sf0.001"
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+
+    def bucket(j: int, u) -> int:
+        h = int(hashlib.md5(f"cm{j}:{u}".encode()).hexdigest()[:15], 16)
+        return h % entry.CM_W
+
+    cells: Counter = Counter()
+    by_key: dict[str, Counter] = {}
+    true: Counter = Counter()
+    for r in ev:
+        true[r["user_id"]] += 1
+        for j in range(entry.CM_D):
+            b = bucket(j, r["user_id"])
+            cells[(j, b)] += 1
+            by_key.setdefault(r["event_type"], Counter())[(j, b)] += 1
+    # (c) additive merge
+    summed: Counter = Counter()
+    for c in by_key.values():
+        summed.update(c)
+    assert summed == cells
+    # (a)+(b)
+    probes = {u for u in true if u % entry.CM_PROBE_MOD == 0}
+    assert set(got) == probes
+    for u in probes:
+        est = min(cells[(j, bucket(j, u))] for j in range(entry.CM_D))
+        assert got[u]["est_cnt"] == est, u
+        assert got[u]["true_cnt"] == true[u], u
+        assert got[u]["over"] == est - true[u], u
+        assert est >= true[u], u
