@@ -3946,8 +3946,13 @@ def a_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
       (<= 1024 * 2^51 = 2^61), absent registers contribute ``2^51``;
       the estimate is one double divide of two exactly-agreed values;
       the small-range linear-counting leg uses the house nano-nat
-      idiom (one ``ln`` of an exactly-representable ratio, rounded to
-      integer nanos in-engine).
+      idiom: one ``ln`` whose INPUT ``m / zeros`` is computed from
+      exactly-agreed integers (the quotient itself is generally not
+      exactly representable, and Java ``Math.log`` vs DuckDB libm may
+      differ in the final ulp — a result within an ulp of a .5-nano
+      boundary could round differently cross-engine; the same
+      negligible residual every nano-nat call site carries), rounded
+      to integer nanos in-engine (ADVICE r15 wording fix).
     """
     from cassandra_fs_pp_spark.functions.text import hash60
 
@@ -9559,7 +9564,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_adc_serving": ann_ivf_adc_serving,
         "ann_ivf_pq_serving": ann_ivf_pq_serving,
         "curation_semdecon_fixed_eval": curation_semdecon_fixed_eval,
-        "curation_pretrain_staged": curation_pretrain_staged,
+        "curation_pretrain_oneplan": curation_pretrain_oneplan,
     }
 
 
@@ -10029,7 +10034,9 @@ PIPE_MINHASH_BANDS = 2
 
 def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end pretraining curation flagship (VERDICT r14 item
-    7): the full modern chain as ONE lazy Catalyst plan —
+    7): the full modern chain, staged at three survivor-set reuse
+    boundaries (the production stage-to-storage shape; see "Barrier
+    form" below) —
 
     1. MinHash-LSH cluster dedup (16 hashes / 2 bands of 8), keep
        each cluster's min-id representative;
@@ -10051,48 +10058,57 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        carry-in offsets (two-level prefix entirely in Catalyst);
     6. deterministic shuffle-shard (8 shards, md5 order).
 
-    No operator boundary forces a materialization: every stage is lazy
-    composition. The three ``persist()`` marks (post-repetition,
-    post-decontamination, post-selection) are REUSE points, not
-    barriers — each survivor set is consumed by 2+ downstream branches,
-    and an uncached lineage would re-execute the MinHash subtree ~128x
-    (2 per divergence); the cache is MEMORY_AND_DISK, spills, and at
-    100 TB holds only the shrinking survivor slice.
+    No operator boundary forces a materialization WITHIN a stage: every
+    stage is lazy composition, and the three barriers (post-repetition,
+    post-decontamination, post-selection) sit exactly where each
+    survivor set gains 2+ downstream consumers.
+
+    Barrier form (r16, VERDICT r15 item 1): each reuse boundary is
+    ``localCheckpoint`` — the single-process stand-in for staging the
+    survivor set to storage, which is how a production curation
+    pipeline actually deploys (each stage's output is a dataset the
+    next stage reads once). This is the scale-safe shape: a lazy
+    ``persist()`` mark bounds re-EXECUTION but not the logical tree —
+    with 2+ consumers per boundary the plan embeds each stage's subtree
+    once per consumer (~128 copies of the MinHash subtree by the shard
+    stage) and Catalyst ANALYSIS alone costs 15-20 s regardless of data
+    size, doubling with every further reuse point (SCALE.md r15). The
+    one-plan form survives as the bench-only stress twin
+    ``curation_pretrain_oneplan`` (identical rows, pytest
+    differential); at sf0.1 this staged form runs ~4-5 s vs the
+    one-plan's ~20-24 s for row-identical output.
 
     Output: one row per selected document
     ``(doc_id, source, n_tok, logw_nano, pack_id, shard, shard_pos)``
     — every stage's effect lands in the hash (membership = stages 1-4,
     pack_id = stage 5, shard/shard_pos = stage 6).
-
-    Deployment note: keeping everything one plan buys composability but
-    the LOGICAL tree embeds each stage's subtree once per downstream
-    branch (~128 copies of the MinHash subtree), so Catalyst ANALYSIS
-    alone costs 15-20 s regardless of data size (SCALE.md r15). The
-    production shape stages boundaries to storage — the bench-only twin
-    ``curation_pretrain_staged`` (localCheckpoint barriers, identical
-    rows) measures that form.
     """
+    return _pretrain_pipeline_chain(
+        spark, sf_dir, lambda df: df.localCheckpoint()
+    )
+
+
+def curation_pretrain_oneplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only ONE-PLAN stress twin of ``curation_pretrain_pipeline``
+    (the r15 flagship shape, demoted in r16 per VERDICT r15 item 1):
+    the same 6-stage chain with lazy ``persist()`` reuse marks instead
+    of staged barriers, so the whole pipeline is ONE Catalyst plan.
+    Kept as the composability stress test — it proves no operator in
+    the chain FORCES a materialization — and as the measured exhibit of
+    why production stages to storage: the logical tree embeds each
+    stage's subtree once per downstream consumer (~128 MinHash copies),
+    and fixed plan-analysis time dominates its wall at any data size.
+    Rows are identical to the flagship (pytest differential); oracled
+    via the registry form. The persisted survivor sets are NOT
+    unpersisted here (the consuming action happens outside); bench.py
+    clears the cache between suite passes so repeated invocations don't
+    accumulate InMemoryRelations (ADVICE r15)."""
     from pyspark import StorageLevel
 
     return _pretrain_pipeline_chain(
         spark,
         sf_dir,
         lambda df: df.persist(StorageLevel.MEMORY_AND_DISK),
-    )
-
-
-def curation_pretrain_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only STAGED twin of ``curation_pretrain_pipeline``: the
-    same 6-stage chain with each reuse boundary materialized
-    (``localCheckpoint`` — the single-process stand-in for writing
-    stage datasets to storage, which is how a production curation
-    pipeline actually deploys). Truncating the logical plan at the
-    boundaries collapses the one-plan form's exponential analysis tree
-    (~128 embedded MinHash subtrees -> 1) and removes the
-    cache-vs-recompute dependence; rows are identical (pytest
-    differential). Oracled via the registry form."""
-    return _pretrain_pipeline_chain(
-        spark, sf_dir, lambda df: df.localCheckpoint()
     )
 
 

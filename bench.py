@@ -109,17 +109,22 @@ HEADLINE = [
     "text_repetition_flags",
     # round-15 additions (VERDICT r14 items 5+7): the end-to-end
     # pretraining curation flagship (dedup -> quality -> decon -> DSIR
-    # mixture -> pack -> shard as one plan) and the batched BPE trainer
-    # (up to 8 disjoint rules per counting round).
+    # mixture -> pack -> shard) and the batched BPE trainer (disjoint
+    # rules per counting round).
     # NOTE: +2 queries vs the r14 suite composition.
+    # r16 (VERDICT r15 item 1): the flagship row is now the STAGED
+    # (localCheckpoint-barrier) form — the production stage-to-storage
+    # shape; its r15 value (~24 s) measured the one-plan form, which
+    # moved to the stress-twin row below (~20-24 s expected there).
     "curation_pretrain_pipeline",
     "text_bpe_merges_batched",
-    # round-15 late addition: the STAGED deployment twin of the
-    # flagship (localCheckpoint at the three reuse boundaries — the
-    # production stage-to-storage shape; identical rows, no exponential
-    # analysis tree). Bench-only (bench_extras).
-    # NOTE: +1 query vs the r15-initial composition above.
-    "curation_pretrain_staged",
+    # round-16 swap of the r15-late twin row: the ONE-PLAN stress twin
+    # (persist reuse marks, single Catalyst plan, ~128 embedded MinHash
+    # subtrees — the measured exhibit of fixed plan-analysis cost;
+    # identical rows). Bench-only (bench_extras). The r15 row here
+    # ("curation_pretrain_staged", ~4.7 s) measured what is now the
+    # flagship row above — suite composition count is unchanged at 46.
+    "curation_pretrain_oneplan",
 ]
 
 
@@ -194,6 +199,13 @@ def main() -> None:
     # throughput — the number that scales to a long-lived cluster.
     for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Drop whatever the pass persisted (the one-plan flagship twin's
+    # survivor caches are never unpersisted by design — ADVICE r15):
+    # without this, (a) InMemoryRelations accumulate across the 3
+    # invocations each query gets per bench process, and (b) the staged
+    # flagship's pre-barrier subtrees plan-match the twin's cached
+    # survivors and time a cache read instead of the pipeline.
+    spark.catalog.clearCache()
 
     # Drift canaries, leg 1 (post-warm, pre-suite). A second leg runs
     # after the timed passes; the emitted values are the min of both
@@ -215,6 +227,7 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best[name] = min(best[name], time.time() - t0)
+        spark.catalog.clearCache()  # see the post-warm-pass note above
     timings = {n: round(best[n], 3) for n in names}
 
     # Drift canaries, leg 2 (post-suite); emit the min of both legs.

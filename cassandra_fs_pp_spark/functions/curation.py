@@ -684,8 +684,10 @@ def logreg_train_select(
     (rows ≤ docs × min(buckets, tokens)), persisted (MEMORY_AND_DISK)
     for the duration of training so every GD round reads cached
     ``(doc, bucket, f)`` rows instead of re-running tokenize+explode —
-    cost ∝ rounds, not rounds × corpus-scan (r15; the cache is released
-    after the loop, so the final scoring pass re-derives lineage once).
+    cost ∝ rounds, not rounds × corpus-scan (r15); the final scoring
+    pass ALSO reads the cache — its ≤ ``top_k``-row result is
+    localCheckpoint-ed before the cache is released, so no pass ever
+    re-derives the tokenize+explode lineage (r16, VERDICT r15 item 6).
     Each round is two hash aggregates plus one broadcast-sized literal
     array lookup (no join for the weight attach — ``element_at`` on a
     65-element literal), and the final selection is TakeOrdered.
@@ -774,9 +776,8 @@ def logreg_train_select(
             F.element_at(_wlit(), F.col("bucket").cast("int") + 1)
             * F.col("f")
         ).alias("z")
-    feats.unpersist(blocking=False)
     scored = feats.groupBy(id_col, "y", "n_tok").agg(margin)
-    return (
+    out = (
         scored.orderBy(F.desc("z"), F.asc(id_col))
         .limit(int(top_k))
         .select(
@@ -787,7 +788,16 @@ def logreg_train_select(
             (F.col("z").cast("double") / F.lit(1e12)).alias("score"),
             (F.col("z") > 0).alias("pred_target"),
         )
+        # materialize the <= top_k-row selection WHILE the feature table
+        # is still cached, then release the cache: unpersisting before
+        # the final pass (r15) re-derived the full tokenize+explode
+        # lineage once per consumer — a whole-corpus re-scan at 100 TB
+        # (VERDICT r15 item 6). localCheckpoint on the post-limit result
+        # is a bounded (top_k-row) materialization.
+        .localCheckpoint()
     )
+    feats.unpersist(blocking=False)
+    return out
 
 
 def repetition_flags(

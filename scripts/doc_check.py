@@ -124,6 +124,28 @@ def sweep_lint(qs: set[str], osql: set[str]) -> bool:
         bad = True
     print(f"sweep lint: {os.path.basename(newest)} names {len(swept & qs)} "
           f"of {len(qs)} queries, {n_ok} ok / {n_fail} fail")
+
+    # SCALE.md sweep-paragraph staleness (VERDICT r15 item 7): a late
+    # patched-in query bumps the JSON counts but not the prose — require
+    # every SCALE.md sentence naming a sweep artifact to carry that
+    # artifact's own n_checked/n_ok numbers.
+    scale = open(os.path.join(root, "SCALE.md")).read()
+    for path in sweeps:
+        base = os.path.basename(path)
+        d = json.load(open(path))
+        nc, nk = d.get("n_checked"), d.get("n_ok")
+        for m in re.finditer(re.escape(base), scale):
+            # counts sentence = context mentions queries/checked/ok counts;
+            # stop at the next artifact citation to avoid crediting ITS
+            # numbers to this one
+            ctx = scale[m.end(): m.end() + 220].split("`SWEEP", 1)[0]
+            if not re.search(r"\d+\s*(queries|checked)\b", ctx):
+                continue  # a non-counts mention (e.g. tooling prose)
+            nums = set(re.findall(r"\d+", ctx))
+            if not (str(nc) in nums and str(nk) in nums):
+                print(f"SCALE.md paragraph citing {base} does not match "
+                      f"its counts ({nc} checked / {nk} ok): …{ctx[:120]}…")
+                bad = True
     return bad
 
 
@@ -350,6 +372,9 @@ def shadow_lint() -> bool:
                     names[t.id] += 1
                 elif isinstance(t, (ast.Tuple, ast.List)):
                     stack.extend(t.elts)
+                elif isinstance(t, ast.Starred):
+                    # `A, *B = ...` rebinds B just as silently (ADVICE r15)
+                    stack.append(t.value)
         elif isinstance(node, ast.AnnAssign) and isinstance(
             node.target, ast.Name
         ):

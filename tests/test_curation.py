@@ -489,14 +489,23 @@ def test_pretrain_pipeline_invariants(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1)), (s, poss)
 
 
-def test_pretrain_staged_twin_identical(spark):
-    """The staged deployment twin (localCheckpoint barriers) must emit
-    row-for-row the registry flagship's output — the barriers change
-    WHERE computation materializes, never what is computed."""
+def test_pretrain_oneplan_twin_identical(spark):
+    """The one-plan stress twin (persist reuse marks, single Catalyst
+    plan) must emit row-for-row the registry flagship's (staged,
+    localCheckpoint-barrier) output — the barriers change WHERE
+    computation materializes, never what is computed. (r16 swapped
+    which form is the flagship; the differential is unchanged.)"""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
     key = lambda r: (r.doc_id,)  # noqa: E731
     a = sorted(entry.curation_pretrain_pipeline(spark, sf).collect(), key=key)
-    b = sorted(entry.curation_pretrain_staged(spark, sf).collect(), key=key)
+    b = sorted(
+        entry.curation_pretrain_oneplan(spark, sf).collect(), key=key
+    )
     assert a == b
+    # release the twin's persisted survivor sets (ADVICE r15: the
+    # builder never unpersists them; outside bench's clearCache rhythm
+    # they would linger for the rest of the pytest session and
+    # plan-match into later tests' plans)
+    spark.catalog.clearCache()

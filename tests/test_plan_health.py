@@ -486,17 +486,20 @@ def test_rfm_banded_windows_partitioned(spark):
 
 
 def test_pretrain_pipeline_plan_shape(spark):
-    """curation_pretrain_pipeline (r15 flagship): the composed 6-stage
-    chain stays join-safe — no CartesianProduct anywhere, every
-    BroadcastNestedLoopJoin one of the 5 bounded attaches (semantic
-    eval cross, DSIR totals, mixture max, pack carry-ins), and every
-    parquet scan pruned (no full-width documents read). Cache is
+    """The composed 6-stage pretraining chain stays join-safe — no
+    CartesianProduct anywhere, every BroadcastNestedLoopJoin one of the
+    5 bounded attaches (semantic eval cross, DSIR totals, mixture max,
+    pack carry-ins), and every parquet scan pruned (no full-width
+    documents read). Asserted on the ONE-PLAN stress twin, the form
+    whose single Catalyst plan exposes the whole chain (the r16
+    flagship's localCheckpoint barriers truncate its visible plan to
+    the post-selection stages — pinned separately below). Cache is
     cleared first: an earlier test's persisted survivor tables would
     otherwise swap InMemoryRelations into this plan and change the
     join strategies under assertion."""
     spark.catalog.clearCache()
     plan = _formatted_plan(
-        entrymod.queries()["curation_pretrain_pipeline"](spark, SF)
+        entrymod.bench_extras()["curation_pretrain_oneplan"](spark, SF)
     )
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "BroadcastNestedLoopJoin") <= 5, plan
@@ -504,6 +507,21 @@ def test_pretrain_pipeline_plan_shape(spark):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = [c for c in m.group(1).split(",") if c]
         assert len(cols) <= 5, m.group(1)
+    spark.catalog.clearCache()  # drop the twin's persist marks
+
+
+def test_pretrain_pipeline_staged_barriers(spark):
+    """curation_pretrain_pipeline (r16 flagship form): the registry
+    flagship is the STAGED shape — its returned plan must start from a
+    checkpointed survivor set (ExistingRDD scan), not re-embed the
+    upstream MinHash subtree, and keep the post-selection stages
+    (pack + shard) join-safe."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_pretrain_pipeline"](spark, SF)
+    )
+    assert "ExistingRDD" in plan, plan
+    assert _n(plan, "Scan parquet") == 0, plan  # barriers cut all scans
+    assert _n(plan, "CartesianProduct") == 0, plan
 
 
 def test_semdecon_pre_exchange_bound(spark):
