@@ -6675,29 +6675,40 @@ TEXT_BPE_MERGES_ORACLE = _bpe_oracle_sql()
 
 def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE merge training (VERDICT r14 item 5 — the trainer
-    depth wall): up to 8 symbol-disjoint merge rules learned per
-    counting round (4 rounds here), so vocabulary depth costs
-    rounds ~ merges/batch Spark jobs instead of one argmax collect per
-    rule. Selection is deterministic and exact (disjointness means a
-    sequential re-count would see identical pair counts); batch=1
-    degenerates to text_bpe_merges bit-for-bit (differential pytest).
-    Oracle replays each round as pair-count + windowed top-8 +
-    NOT-EXISTS disjointness + a list_reduce replace chain."""
+    depth wall): up to 16 symbol-disjoint merge rules learned per
+    counting round (4 rounds here, 128-candidate pool), so vocabulary
+    depth costs rounds ~ merges/batch Spark jobs instead of one argmax
+    collect per rule. r16 (VERDICT r15 item 3): selection is the GREEDY
+    maximal disjoint set over the top-``topk`` candidates — scan in
+    rank order, select iff symbol-disjoint from every already-SELECTED
+    pair — which fills the batch whenever enough disjoint hot pairs
+    exist (the r15 any-higher-ranked-candidate rule capped fill at
+    ~4-6/round) with the same exactness argument: disjointness among
+    SELECTED pairs is the only property the count-invariance proof
+    uses. batch=1 still degenerates to text_bpe_merges bit-for-bit
+    (differential pytest). Oracle replays each round as pair-count +
+    windowed top-128 + a list_reduce greedy-selection fold + a
+    list_reduce replace chain."""
     from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
 
     return bpe_train_merges_batched(
-        _t(spark, sf_dir, "documents"), rounds=4, batch=8
+        _t(spark, sf_dir, "documents"), rounds=4, batch=16, topk=128
     )
 
 
-def _bpe_batched_oracle_sql(rounds: int = 4, batch: int = 8) -> str:
+def _bpe_batched_oracle_sql(
+    rounds: int = 4, batch: int = 8, topk: int | None = None
+) -> str:
     """Unrolled replay of ``bpe_train_merges_batched``: per round, the
     same pair-count CTE as ``_bpe_oracle_sql``, a windowed
-    top-``batch`` (count DESC, lhs, rhs), the disjointness filter
-    (selected iff no symbol shared with ANY higher-ranked candidate),
-    and a vocab rewrite applying the selected rules in rank order via
-    ``list_reduce`` (empty rule list = identity, matching the engine's
-    break-on-no-pairs)."""
+    top-``topk`` candidate table (count DESC, lhs, rhs), the GREEDY
+    maximal-disjoint selection (r16, VERDICT r15 item 3: scan
+    candidates in rank order, select iff symbol-disjoint from every
+    already-selected pair, stop at ``batch``) replayed as a
+    ``list_reduce`` fold whose accumulator is the selected list, and a
+    vocab rewrite applying the selected rules in rank order via a
+    second ``list_reduce`` (empty rule list = identity, matching the
+    engine's break-on-no-pairs)."""
     head = r"""
 WITH vocab0 AS MATERIALIZED (
   SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS sym,
@@ -6723,15 +6734,31 @@ top{r} AS MATERIALIZED (
     SELECT a, b, cnt,
            row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
     FROM p{r})
-  WHERE rnk <= {int(batch)}),
+  WHERE rnk <= {int(topk if topk is not None else 8 * batch)}),
 sel{r} AS MATERIALIZED (
-  SELECT {r} AS round, CAST(t1.rnk AS INT) AS rnk, t1.a AS lhs,
-         t1.b AS rhs, t1.a || t1.b AS merged, t1.cnt AS pair_count
-  FROM top{r} t1
-  WHERE NOT EXISTS (
-    SELECT 1 FROM top{r} t2
-    WHERE t2.rnk < t1.rnk
-      AND (t2.a IN (t1.a, t1.b) OR t2.b IN (t1.a, t1.b)))),
+  SELECT {r} AS round, CAST(split_part(x, chr(1), 1) AS INT) AS rnk,
+         split_part(x, chr(1), 2) AS lhs,
+         split_part(x, chr(1), 3) AS rhs,
+         split_part(x, chr(1), 2) || split_part(x, chr(1), 3) AS merged,
+         CAST(split_part(x, chr(1), 4) AS BIGINT) AS pair_count
+  FROM (SELECT list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]),
+            COALESCE((SELECT list([CAST(rnk AS VARCHAR) || chr(1) || a
+                                   || chr(1) || b || chr(1)
+                                   || CAST(cnt AS VARCHAR)]
+                                  ORDER BY rnk)
+                      FROM top{r}), [])),
+          (acc, x) -> CASE
+            WHEN len(acc) >= {int(batch)}
+              OR len(list_filter(acc, s ->
+                  split_part(s, chr(1), 2) IN
+                    (split_part(x[1], chr(1), 2),
+                     split_part(x[1], chr(1), 3))
+                  OR split_part(s, chr(1), 3) IN
+                    (split_part(x[1], chr(1), 2),
+                     split_part(x[1], chr(1), 3)))) > 0
+            THEN acc ELSE list_append(acc, x[1]) END) AS g),
+       UNNEST(g) AS t(x)),
 vocab{r} AS MATERIALIZED (
   SELECT list_reduce(
            list_prepend(v.sym,
@@ -6757,7 +6784,9 @@ FROM ({union})
     )
 
 
-TEXT_BPE_MERGES_BATCHED_ORACLE = _bpe_batched_oracle_sql()
+TEXT_BPE_MERGES_BATCHED_ORACLE = _bpe_batched_oracle_sql(
+    rounds=4, batch=16, topk=128
+)
 
 
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

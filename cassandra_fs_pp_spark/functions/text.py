@@ -729,6 +729,7 @@ def bpe_train_merges_batched(
     text_col: str = "text",
     rounds: int = 4,
     batch: int = 8,
+    topk: int | None = None,
 ):
     """Batched BPE merge training (Sennrich's practical variant — the
     production-depth trainer VERDICT r14 item 5 asked for): learn up to
@@ -736,33 +737,42 @@ def bpe_train_merges_batched(
     1024-merge vocabulary needs ~tens of Spark jobs, not 1024
     one-row argmax collects (:func:`bpe_train_merges`'s depth wall).
 
-    Batch selection rule (deterministic, SQL-replayable): rank the
-    round's pairs by ``(count DESC, left ASC, right ASC)``; a pair in
-    the top-``batch`` is SELECTED iff it shares no symbol with ANY
-    strictly-higher-ranked top-``batch`` pair (selected or not).  Any
-    two selected pairs are therefore symbol-disjoint, which makes the
-    batch exact, not heuristic: merging ``(a)(b)`` can only change the
-    counts of pairs touching ``a`` or ``b`` (or the new symbol ``ab``),
-    so every selected pair's count is provably identical to what a
-    sequential re-count would have seen — applying the batch in rank
-    order equals ``batch`` sequential rounds whenever the sequential
-    argmax would have picked these same pairs.  With ``batch=1`` the
-    rule degenerates to the plain argmax and this trainer emits
-    bit-identical rules to :func:`bpe_train_merges` (the differential
-    parity test).  Rank-1 is always selected, so every non-empty round
-    learns >= 1 rule.
+    Batch selection rule (deterministic, SQL-replayable; r16 upgrades
+    the r15 conservative rule to the GREEDY MAXIMAL disjoint set per
+    VERDICT r15 item 3): rank the round's pairs by
+    ``(count DESC, left ASC, right ASC)``, keep the top-``topk``
+    candidates (default ``8 * batch``), then scan them in rank order
+    and SELECT a pair iff it shares no symbol with any
+    already-SELECTED pair, stopping after ``batch`` selections.  Any
+    two selected pairs are therefore symbol-disjoint, which is what
+    makes the batch exact, not heuristic: merging ``(a)(b)`` can only
+    change the counts of pairs touching ``a`` or ``b`` (or the new
+    symbol ``ab``), so every selected pair's count is provably
+    identical to what a re-count after the earlier selected merges
+    would have seen — applying the batch in rank order equals
+    ``batch`` sequential rounds whenever the sequential argmax would
+    have picked these same pairs.  (The r15 rule rejected a candidate
+    conflicting with ANY higher-ranked candidate, selected or not,
+    which capped fill at ~4-6 rules/round; the greedy rule fills the
+    batch whenever ``topk`` holds enough disjoint pairs, with the same
+    exactness argument — disjointness among SELECTED pairs is the only
+    property the proof uses.)  With ``batch=1`` the rule degenerates to
+    the plain argmax and this trainer emits bit-identical rules to
+    :func:`bpe_train_merges` (the differential parity test).  Rank-1 is
+    always selected, so every non-empty round learns >= 1 rule.
 
     Scale shape: one corpus pass builds the word-TYPE table; each round
     is a pair-explode + weighted count over TYPES ONLY (map-side
-    combinable) and ONE ``batch``-row TakeOrdered collect; the merge
+    combinable) and ONE ``topk``-row TakeOrdered collect; the merge
     application is a <= ``batch``-deep literal ``replace`` chain per
     round with a localCheckpoint barrier, so expression depth never
     grows with total vocabulary size (the sequential trainer's 1024-rule
     parser StackOverflow cannot occur).  Driver traffic =
-    ``rounds x batch`` rows.
+    ``rounds x topk`` rows.
 
     Returns ``(round, rnk, lhs, rhs, merged, pair_count)`` — ``rnk`` is
-    the pair's rank within its round's candidate table.
+    the pair's rank within its round's ``topk`` candidate table (so
+    with ``topk > batch`` a selected rank may exceed ``batch``).
     """
     spark = docs.sparkSession
     ws = whitespace_tokens(F.col(text_col))
@@ -806,18 +816,19 @@ def bpe_train_merges_batched(
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(int(batch))
+            .limit(int(topk if topk is not None else 8 * batch))
             .collect()
         )
         if not top:
             break
         sel: list[tuple[int, str, str, int]] = []
+        taken: set[str] = set()
         for i, row in enumerate(top):
-            if all(
-                not ({row["a"], row["b"]} & {q["a"], q["b"]})
-                for q in top[:i]
-            ):
+            if len(sel) >= int(batch):
+                break
+            if row["a"] not in taken and row["b"] not in taken:
                 sel.append((i + 1, row["a"], row["b"], int(row["cnt"])))
+                taken.update((row["a"], row["b"]))
         expr = "sym"
         for rnk, a, b, cnt in sel:
             rules.append((rnd, rnk, a, b, a + b, cnt))

@@ -1192,6 +1192,44 @@ def test_bpe_batched_selected_rules_disjoint(spark):
                 ), (a, b)
 
 
+def test_bpe_batched_greedy_fills_past_conservative(spark):
+    """r16 (VERDICT r15 item 3): the greedy maximal-disjoint rule must
+    select a candidate that conflicts only with UNSELECTED
+    higher-ranked pairs — the case the r15 conservative rule
+    (disjoint-from-any-higher-ranked-candidate) always rejected.
+    Pair counts by construction: (a,b)=5 > (a,c)=4 > (b,d)=3 >
+    (c,e)=2 > (x,y)=1. Greedy: select (a,b); skip (a,c),(b,d)
+    (conflict with the SELECTED (a,b)); select (c,e) — c appears in
+    the higher-ranked but unselected (a,c), so the conservative rule
+    would have rejected it; select (x,y)."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
+
+    words = ["ab"] * 5 + ["ac"] * 4 + ["bd"] * 3 + ["ce"] * 2 + ["xy"]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        bpe_train_merges_batched(df, rounds=1, batch=8, topk=8).collect(),
+        key=lambda r: r["rnk"],
+    )
+    got = [(r["rnk"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    assert got == [(1, "a", "b", 5), (4, "c", "e", 2), (5, "x", "y", 1)], got
+
+
+def test_bpe_batched_batch_cap_respected(spark):
+    """The greedy scan stops at ``batch`` selections even when more
+    disjoint candidates remain in the pool."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
+
+    words = ["ab"] * 4 + ["cd"] * 3 + ["ef"] * 2 + ["gh"]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    rows = bpe_train_merges_batched(df, rounds=1, batch=2, topk=8).collect()
+    got = sorted((r["lhs"], r["rhs"]) for r in rows)
+    assert got == [("a", "b"), ("c", "d")], got
+
+
 def test_bpe_tokenize_counts_vs_python_reference(spark):
     """r13: the BPE application path (literal replace chain inside a
     transform lambda) must produce the same per-doc token counts as
