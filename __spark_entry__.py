@@ -6347,6 +6347,61 @@ FROM tok t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
 
 
+def dedup_chain_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-chain exact substring dedup (r16, VERDICT r15 item 8):
+    maximal >= 8-token spans occurring verbatim at a single consistent
+    partner site — each span chained in LOCKSTEP against its shingles'
+    corpus-canonical ((doc, pos)-min) occurrence, the suffix-array
+    extend-against-first-occurrence convention. Closes the gap between
+    ``dedup_verbatim_spans`` (run-merge over duplicated shingle starts
+    — maximal COVERAGE, but a merged span may be a chimera of
+    different partners) and a true pairwise maximal-match table (pair-
+    quadratic by nature). Emits (doc_id, span_start, span_end,
+    n_tokens, src_doc, src_start); the span's tokens equal the source
+    site's tokens (pytest-asserted). See
+    ``operators.textdedup.suffix_chain_spans`` for the O(total
+    shingles) argument."""
+    from cassandra_fs_pp_spark.operators.textdedup import suffix_chain_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return suffix_chain_spans(docs, k=VERBATIM_K)
+
+
+DEDUP_CHAIN_SPANS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+shing AS (
+  SELECT doc_id, pos,
+         array_to_string(ws[pos+1 : pos+{VERBATIM_K}], ' ') AS shingle
+  FROM (SELECT doc_id, unnest(range(len(ws) - {VERBATIM_K} + 1)) AS pos, ws
+        FROM tok WHERE len(ws) >= {VERBATIM_K})),
+canon AS (
+  SELECT doc_id, pos,
+         first_value(doc_id) OVER w AS src_doc,
+         first_value(pos) OVER w AS src_pos
+  FROM shing
+  WINDOW w AS (PARTITION BY shingle ORDER BY doc_id, pos
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)),
+occ AS (
+  SELECT doc_id, pos, src_doc, pos - src_pos AS diag
+  FROM canon WHERE NOT (doc_id = src_doc AND pos = src_pos)),
+runs AS (
+  SELECT doc_id, src_doc, diag, pos,
+         pos - row_number() OVER (PARTITION BY doc_id, src_doc, diag
+                                  ORDER BY pos) AS grp
+  FROM occ)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {VERBATIM_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {VERBATIM_K} AS BIGINT) AS n_tokens,
+       src_doc,
+       CAST(min(pos) - diag AS BIGINT) AS src_start
+FROM runs GROUP BY doc_id, src_doc, diag, grp
+"""
+
+
 def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-familiarity score (cheap LM-perplexity proxy): each doc's
     mean corpus-wide frequency of its bigrams. Two aggregations + one
@@ -14107,6 +14162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pinned last (rows-only by nature, never in a window).
     return {
         # ===== (a) new/changed since the r14 snapshot =====
+        "dedup_chain_spans": dedup_chain_spans,
         "curation_pretrain_pipeline": curation_pretrain_pipeline,
         "text_bpe_merges_batched": text_bpe_merges_batched,
         "ann_ivf_topk": ann_ivf_topk,
@@ -14517,6 +14573,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": CURATION_PIPELINE_ORACLE,
         "dedup_spans": DEDUP_SPANS_ORACLE,
         "dedup_verbatim_spans": DEDUP_VERBATIM_ORACLE,
+        "dedup_chain_spans": DEDUP_CHAIN_SPANS_ORACLE,
         "dedup_strip_verbatim": DEDUP_STRIP_VERBATIM_ORACLE,
         "text_lm_familiarity": TEXT_LM_FAMILIARITY_ORACLE,
         "curation_domain_mix": CURATION_DOMAIN_MIX_ORACLE,

@@ -734,6 +734,114 @@ def test_verbatim_spans_planted_repeats(spark):
     }
 
 
+def test_suffix_chain_spans_planted(spark):
+    """suffix_chain_spans on the verbatim-test corpus: the canonical
+    (first-occurrence) sites emit nothing; later occurrences emit
+    lockstep spans attributed to the canonical site."""
+    from cassandra_fs_pp_spark.operators.textdedup import suffix_chain_spans
+
+    passage = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+            (2, "kilo lima mike " + passage + " november oscar papa"),
+            (3, "one two three four five six seven eight nine zulu yankee xray "
+                "one two three four five six seven eight nine"),
+            (4, "completely unique words without any repeated shingles at all "
+                "whiskey victor uniform tango sierra romeo quebec"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"], r["n_tokens"], r["src_doc"], r["src_start"]
+        )
+        for r in suffix_chain_spans(docs, k=8).collect()
+    }
+    # doc 1 holds every canonical site -> silent; doc 2's passage chains
+    # against doc 1 offset 0; doc 3's second phrase occurrence chains
+    # against its own first occurrence.
+    assert rows == {
+        (2, 3): (14, 12, 1, 0),
+        (3, 12): (20, 9, 3, 0),
+    }
+
+
+def test_suffix_chain_spans_fragments_chimera(spark):
+    """The case that distinguishes the chain form from verbatim_spans:
+    doc 5 = 'p q r s t' is covered by duplicated 3-shingles throughout
+    (verbatim_spans would merge it into ONE 5-token span that occurs
+    nowhere else as a whole), but its shingles canonicalize to two
+    different sources — the chain form splits at the source switch and
+    every emitted span genuinely occurs at its (src_doc, src_start)."""
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        suffix_chain_spans,
+        verbatim_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s x1 x2"),
+            (2, "y1 q r s t"),
+            (5, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"], r["n_tokens"], r["src_doc"], r["src_start"]
+        )
+        for r in suffix_chain_spans(docs, k=3).collect()
+    }
+    assert rows == {
+        (2, 1): (3, 3, 1, 1),   # "q r s" vs doc1[1:3]
+        (5, 0): (3, 4, 1, 0),   # "p q r s" vs doc1[0:3]
+        (5, 2): (4, 3, 2, 2),   # "r s t" vs doc2[2:4]
+    }
+    # and the run-merge form indeed reports the 5-token chimera
+    vs = {
+        (r["doc_id"], r["span_start"]): r["n_tokens"]
+        for r in verbatim_spans(docs, k=3).collect()
+    }
+    assert vs[(5, 0)] == 5
+
+
+def test_suffix_chain_spans_verbatim_equality_sf0001(spark):
+    """Every span emitted on the sf0.001 documents table must satisfy
+    the operator's contract: the span's tokens equal the source site's
+    tokens, and the span lies inside some verbatim_spans run of the
+    same doc (chain spans are a refinement of shingle coverage)."""
+    import re as _re
+
+    from cassandra_fs_pp_spark.operators.textdedup import (
+        suffix_chain_spans,
+        verbatim_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = {
+        r["doc_id"]: [
+            w for w in _re.split(r"\s+", r["text"].strip().lower()) if w
+        ]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    spans = suffix_chain_spans(docs, k=8).collect()
+    assert spans, "sf0.001 documents contain planted repeats"
+    cover = {}
+    for r in verbatim_spans(docs, k=8).collect():
+        cover.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for r in spans:
+        a = toks[r["doc_id"]][r["span_start"]: r["span_end"] + 1]
+        b = toks[r["src_doc"]][r["src_start"]: r["src_start"] + r["n_tokens"]]
+        assert a == b and len(a) == r["n_tokens"], r
+        assert any(
+            s <= r["span_start"] and r["span_end"] <= e
+            for s, e in cover.get(r["doc_id"], [])
+        ), r
+
+
 def test_verbatim_spans_no_pair_explosion_plan(spark):
     """The verbatim-span plan must contain no cartesian/nested-loop
     join: positions rejoin the duplicated-shingle set via an equi join
