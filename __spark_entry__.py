@@ -14148,73 +14148,30 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-15 rotation (VERDICT
-    # r14 item 1): (a) the queries NEW or CHANGED since the r14 artifact
-    # snapshot — curation_pretrain_pipeline (the end-to-end flagship, new),
-    # text_bpe_merges_batched (new), ann_ivf_topk / ann_ivf_adc_topk
-    # (fixed-point coarse centroids), curation_logreg_trained (persisted
-    # features + decimal gradient; r14-late), curation_semantic_decontaminate
-    # and text_repetition_flags (r14-late), and text_cdc_chunks (plan
-    # rewritten r14); (b) the r09-evidence remainder from a_linreg_trend in
-    # registry order, filling the window to 50.  Beyond that the registry
-    # keeps ascending evidence freshness (the rest of the middle block, then
-    # the r14-window block, freshest, last); the 3 sketch queries stay
-    # pinned last (rows-only by nature, never in a window).
+    # prefix window (50 entries) of this dict.  Round-16 rotation (VERDICT
+    # r15 item 2): (a) the queries NEW or CHANGED since the r15 artifact
+    # snapshot — dedup_chain_spans (new suffix-chain span dedup),
+    # curation_pretrain_pipeline (staged localCheckpoint barriers are now
+    # the flagship form), text_bpe_merges_batched (greedy maximal-disjoint
+    # selection, batch=16/topk=128), curation_logreg_trained (final scoring
+    # pass reads the cache; checkpointed top-k) — plus the two r15-late
+    # exact-parity sketches a_hll_deterministic / a_countmin_freq, which
+    # were added below the pinned r15 window and see the driver gate here
+    # for the first time; (b) the stalest remainder from fuzzy_match_join
+    # in registry order (r09/r10-evidence middle block), filling the window
+    # to 50.  Beyond that the registry keeps ascending evidence freshness
+    # (the rest of the middle block, then the r15-window block, freshest,
+    # last); the 3 native-sketch queries stay pinned last (rows-only by
+    # nature, never in a window).
     return {
-        # ===== (a) new/changed since the r14 snapshot =====
+        # ===== (a) new/changed since the r15 snapshot + r15-late sketches =====
         "dedup_chain_spans": dedup_chain_spans,
         "curation_pretrain_pipeline": curation_pretrain_pipeline,
         "text_bpe_merges_batched": text_bpe_merges_batched,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "curation_logreg_trained": curation_logreg_trained,
-        "curation_semantic_decontaminate": curation_semantic_decontaminate,
-        "text_repetition_flags": text_repetition_flags,
-        "text_cdc_chunks": text_cdc_chunks,
-        # ===== (b) r09-evidence remainder fills the r15 window =====
-        "a_linreg_trend": a_linreg_trend,
-        "ann_adc_topk": ann_adc_topk,
-        "a_quantiles": a_quantiles,
-        "a_cohort_retention": a_cohort_retention,
-        "a_corr_regr": a_corr_regr,
-        "a_funnel": a_funnel,
-        "a_time_weighted_avg": a_time_weighted_avg,
-        "a_histogram": a_histogram,
-        "a_concurrency": a_concurrency,
-        "a_transition_matrix": a_transition_matrix,
-        "a_mad_outliers": a_mad_outliers,
-        "a_basket_lift": a_basket_lift,
-        "a_chi_square": a_chi_square,
-        "a_histogram_equidepth": a_histogram_equidepth,
-        "a_attribution_credit": a_attribution_credit,
-        "a_rfm_segments": a_rfm_segments,
-        "text_rake_keywords": text_rake_keywords,
-        "w_first_last": w_first_last,
-        "w_rolling_corr": w_rolling_corr,
-        "w_step_detect": w_step_detect,
-        "p_debounce_burst": p_debounce_burst,
-        "dq_referential_audit": dq_referential_audit,
-        "dq_null_profile": dq_null_profile,
-        "f_json_parse": f_json_parse,
-        "f_map_suite": f_map_suite,
-        "f_url_suite": f_url_suite,
-        "agg_cube": agg_cube,
-        "agg_grouping_sets": agg_grouping_sets,
-        "tpch_q16_supplier_count": tpch_q16_supplier_count,
-        "tpch_q21_shape": tpch_q21_shape,
-        "a_rfm_segments_banded": a_rfm_segments_banded,
-        "dedup_verbatim_spans": dedup_verbatim_spans,
-        "dedup_strip_verbatim": dedup_strip_verbatim,
-        "stream_attribution_credit": stream_attribution_credit,
-        "rag_mmr_rerank": rag_mmr_rerank,
-        "rag_prf_expand": rag_prf_expand,
-        "rag_late_interaction": rag_late_interaction,
-        "ml_target_encode_loo": ml_target_encode_loo,
-        "ml_target_encode_prefix": ml_target_encode_prefix,
-        "stream_target_encode": stream_target_encode,
-        "dq_table_digest": dq_table_digest,
-        "ts_cusum_alerts": ts_cusum_alerts,
-        # ===== end of r15 window; ascending evidence freshness =====
+        "a_hll_deterministic": a_hll_deterministic,
+        "a_countmin_freq": a_countmin_freq,
+        # ===== (b) stalest middle-block remainder fills the r16 window =====
         "fuzzy_match_join": fuzzy_match_join,
         "geo_grid_join": geo_grid_join,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
@@ -14259,6 +14216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_kcore": graph_kcore,
         "dedup_setsim_join": dedup_setsim_join,
+        # ===== below the window: ascending evidence freshness =====
         "dedup_containment": dedup_containment,
         "tpch_q1": tpch_q1,
         "tpch_q18_large_orders": tpch_q18_large_orders,
@@ -14374,7 +14332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_forward": j4_asof_forward,
         "a4_distinct_counts": a4_distinct_counts,
         "a9_head_mean": a9_head_mean,
-        # ===== r14-window block (freshest evidence) =====
         "curation_dsir_select": curation_dsir_select,
         "ann_ivf_pq_topk": ann_ivf_pq_topk,
         "j1_calibration_fallback": j1_calibration_fallback,
@@ -14425,9 +14382,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "j_skew_salted": j_skew_salted,
         "a_sessionize": a_sessionize,
-        # ===== r15 late additions (below the pinned window) =====
-        "a_hll_deterministic": a_hll_deterministic,
-        "a_countmin_freq": a_countmin_freq,
+        # ===== r15-window block (freshest driver evidence, r15) =====
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_adc_topk": ann_ivf_adc_topk,
+        "curation_semantic_decontaminate": curation_semantic_decontaminate,
+        "text_repetition_flags": text_repetition_flags,
+        "text_cdc_chunks": text_cdc_chunks,
+        "a_linreg_trend": a_linreg_trend,
+        "ann_adc_topk": ann_adc_topk,
+        "a_quantiles": a_quantiles,
+        "a_cohort_retention": a_cohort_retention,
+        "a_corr_regr": a_corr_regr,
+        "a_funnel": a_funnel,
+        "a_time_weighted_avg": a_time_weighted_avg,
+        "a_histogram": a_histogram,
+        "a_concurrency": a_concurrency,
+        "a_transition_matrix": a_transition_matrix,
+        "a_mad_outliers": a_mad_outliers,
+        "a_basket_lift": a_basket_lift,
+        "a_chi_square": a_chi_square,
+        "a_histogram_equidepth": a_histogram_equidepth,
+        "a_attribution_credit": a_attribution_credit,
+        "a_rfm_segments": a_rfm_segments,
+        "text_rake_keywords": text_rake_keywords,
+        "w_first_last": w_first_last,
+        "w_rolling_corr": w_rolling_corr,
+        "w_step_detect": w_step_detect,
+        "p_debounce_burst": p_debounce_burst,
+        "dq_referential_audit": dq_referential_audit,
+        "dq_null_profile": dq_null_profile,
+        "f_json_parse": f_json_parse,
+        "f_map_suite": f_map_suite,
+        "f_url_suite": f_url_suite,
+        "agg_cube": agg_cube,
+        "agg_grouping_sets": agg_grouping_sets,
+        "tpch_q16_supplier_count": tpch_q16_supplier_count,
+        "tpch_q21_shape": tpch_q21_shape,
+        "a_rfm_segments_banded": a_rfm_segments_banded,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
+        "dedup_strip_verbatim": dedup_strip_verbatim,
+        "stream_attribution_credit": stream_attribution_credit,
+        "rag_mmr_rerank": rag_mmr_rerank,
+        "rag_prf_expand": rag_prf_expand,
+        "rag_late_interaction": rag_late_interaction,
+        "ml_target_encode_loo": ml_target_encode_loo,
+        "ml_target_encode_prefix": ml_target_encode_prefix,
+        "stream_target_encode": stream_target_encode,
+        "dq_table_digest": dq_table_digest,
+        "ts_cusum_alerts": ts_cusum_alerts,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,

@@ -292,45 +292,45 @@ def test_dsir_select_plan_shape(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r15 rotation contract (VERDICT r14 item 1): the 8
-    queries new or changed since the r14 artifact snapshot lead (the
-    pretraining flagship, the batched BPE trainer, the two fixed-point-
-    centroid IVF queries, the three r14-late additions, and the
-    plan-rewritten CDC chunker), then the r09-evidence remainder from
-    a_linreg_trend fills the window; every window entry carries a full
-    SQL oracle (the gate's hash check needs one); the 3 rows-only
-    sketch queries stay pinned last."""
+    entries. Pin the r16 rotation contract (VERDICT r15 item 2): the 4
+    queries new or changed since the r15 artifact snapshot lead (the
+    suffix-chain span dedup, the staged-barrier flagship, the greedy
+    batched BPE trainer, the cache-to-the-end logreg), then the two
+    r15-late exact-parity sketches (added below the pinned r15 window —
+    the driver gate must see new code once), then the stalest
+    middle-block remainder from fuzzy_match_join fills the window;
+    every window entry carries a full SQL oracle (the gate's hash check
+    needs one); the 3 rows-only native-sketch queries stay pinned
+    last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new/changed since the r14 snapshot, leading
-    assert window[:8] == [
+    # (a) new/changed since the r15 snapshot + the r15-late sketches
+    assert window[:6] == [
+        "dedup_chain_spans",
         "curation_pretrain_pipeline",
         "text_bpe_merges_batched",
-        "ann_ivf_topk",
-        "ann_ivf_adc_topk",
         "curation_logreg_trained",
-        "curation_semantic_decontaminate",
-        "text_repetition_flags",
-        "text_cdc_chunks",
+        "a_hll_deterministic",
+        "a_countmin_freq",
     ]
-    # (b) the r09-evidence remainder, led by a_linreg_trend, fills the
-    # window; what follows position 50 leads the r16 window
-    assert window[8] == "a_linreg_trend"
-    assert window[49] == "ts_cusum_alerts"
-    assert qs[50] == "fuzzy_match_join"
+    # (b) the stalest middle-block remainder, led by fuzzy_match_join,
+    # fills the window; what follows position 50 leads the r17 window
+    assert window[6] == "fuzzy_match_join"
+    assert window[49] == "dedup_setsim_join"
+    assert qs[50] == "dedup_containment"
     for q in (
-        "a_quantiles",
-        "a_funnel",
-        "a_rfm_segments",
-        "w_rolling_corr",
-        "dq_referential_audit",
-        "agg_cube",
-        "rag_mmr_rerank",
-        "ml_target_encode_loo",
+        "geo_grid_join",
+        "a_heavy_hitters_mg",
+        "ts_ewma",
+        "j_interval_overlap",
+        "dq_benford",
+        "w_kalman_1d",
+        "graph_kcore",
+        "dedup_setsim_join",
     ):
-        assert q in window[8:], f"{q} must be driver-confirmed this round"
+        assert q in window[6:], f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
