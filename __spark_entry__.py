@@ -6791,29 +6791,42 @@ top{r} AS MATERIALIZED (
     FROM p{r})
   WHERE rnk <= {int(topk if topk is not None else 8 * batch)}),
 sel{r} AS MATERIALIZED (
+  -- greedy maximal-disjoint scan as a list_reduce fold over rank order.
+  -- The accumulator is ONE string 'syms<US>rest' (chr(3) separator):
+  -- syms = chr(1)-flanked selected symbols, rest = chr(2)-joined
+  -- selected records. A pure-string fold because DuckDB v1.0
+  -- mis-evaluates a lambda nested inside list_reduce's lambda
+  -- (list_filter over acc dropped earlier selections — measured), and
+  -- flanked-containment equals exact symbol equality because symbols
+  -- cannot contain chr(1)/chr(2)/chr(3) (the same assumption the
+  -- vocab-rewrite fold already makes).
   SELECT {r} AS round, CAST(split_part(x, chr(1), 1) AS INT) AS rnk,
          split_part(x, chr(1), 2) AS lhs,
          split_part(x, chr(1), 3) AS rhs,
          split_part(x, chr(1), 2) || split_part(x, chr(1), 3) AS merged,
          CAST(split_part(x, chr(1), 4) AS BIGINT) AS pair_count
   FROM (SELECT list_reduce(
-          list_prepend(CAST([] AS VARCHAR[]),
-            COALESCE((SELECT list([CAST(rnk AS VARCHAR) || chr(1) || a
-                                   || chr(1) || b || chr(1)
-                                   || CAST(cnt AS VARCHAR)]
-                                  ORDER BY rnk)
+          list_prepend(chr(3),
+            COALESCE((SELECT list(CAST(rnk AS VARCHAR) || chr(1) || a
+                                  || chr(1) || b || chr(1)
+                                  || CAST(cnt AS VARCHAR)
+                                 ORDER BY rnk)
                       FROM top{r}), [])),
           (acc, x) -> CASE
-            WHEN len(acc) >= {int(batch)}
-              OR len(list_filter(acc, s ->
-                  split_part(s, chr(1), 2) IN
-                    (split_part(x[1], chr(1), 2),
-                     split_part(x[1], chr(1), 3))
-                  OR split_part(s, chr(1), 3) IN
-                    (split_part(x[1], chr(1), 2),
-                     split_part(x[1], chr(1), 3)))) > 0
-            THEN acc ELSE list_append(acc, x[1]) END) AS g),
-       UNNEST(g) AS t(x)),
+            WHEN len(string_split(split_part(acc, chr(3), 2), chr(2)))
+                   > {int(batch)}
+              OR contains(split_part(acc, chr(3), 1),
+                          chr(1) || split_part(x, chr(1), 2) || chr(1))
+              OR contains(split_part(acc, chr(3), 1),
+                          chr(1) || split_part(x, chr(1), 3) || chr(1))
+            THEN acc
+            ELSE split_part(acc, chr(3), 1) || chr(1)
+                 || split_part(x, chr(1), 2) || chr(1)
+                 || split_part(x, chr(1), 3) || chr(1) || chr(3)
+                 || split_part(acc, chr(3), 2) || chr(2) || x
+            END) AS g),
+       UNNEST(string_split(split_part(g, chr(3), 2), chr(2))) AS t(x)
+  WHERE x <> ''),
 vocab{r} AS MATERIALIZED (
   SELECT list_reduce(
            list_prepend(v.sym,
