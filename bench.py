@@ -123,8 +123,19 @@ HEADLINE = [
     # subtrees — the measured exhibit of fixed plan-analysis cost;
     # identical rows). Bench-only (bench_extras). The r15 row here
     # ("curation_pretrain_staged", ~4.7 s) measured what is now the
-    # flagship row above — suite composition count is unchanged at 46.
+    # flagship row above. NOTE this row's number is also structurally
+    # higher than r15's one-plan row (24.2 -> ~28): the between-pass
+    # clearCache means each invocation re-executes fully, where the r15
+    # min-of-2 included cross-invocation cache reuse.
     "curation_pretrain_oneplan",
+    # round-16 addition (VERDICT r15 item 8): suffix-chain exact
+    # substring dedup — the single-consistent-partner refinement of
+    # dedup_verbatim_spans (lockstep chaining against each shingle's
+    # corpus-canonical occurrence). Headlined like the other text-dedup
+    # stages so its two-shuffle shingle plan gets per-round bench +
+    # SCALE visibility. NOTE: +1 query (~1.7 s) vs the r15 and
+    # r16-quiet suite compositions (46 -> 47).
+    "dedup_chain_spans",
 ]
 
 
