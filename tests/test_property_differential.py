@@ -512,6 +512,64 @@ def test_verbatim_spans_matches_bruteforce(spark, spec):
     assert got == want
 
 
+def _brute_chain_spans(docs: dict[int, list[str]], k: int):
+    """Reference semantics for suffix_chain_spans, O(everything): every
+    duplicated k-shingle occurrence pairs with its (doc, pos)-min
+    canonical site; lockstep runs merge on the (doc, src_doc, diag)
+    diagonal."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d in sorted(docs):
+        toks = docs[d]
+        for i in range(len(toks) - k + 1):
+            occ[tuple(toks[i : i + k])].append((d, i))
+    diag = defaultdict(list)  # (doc, src_doc, p - p0) -> positions
+    for sites in occ.values():
+        d0, p0 = min(sites)
+        for d, p in sites:
+            if (d, p) != (d0, p0):
+                diag[(d, d0, p - p0)].append(p)
+    spans = set()
+    for (d, d0, dg), ps in diag.items():
+        run: list[int] = []
+        for p in sorted(ps) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add(
+                    (d, run[0], run[-1] + k - 1,
+                     run[-1] - run[0] + k, d0, run[0] - dg)
+                )
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+@given(corpus_strategy)
+@SETTINGS
+def test_suffix_chain_spans_matches_bruteforce(spark, spec):
+    """r16: the suffix-chain span operator vs the pure-Python reference
+    on random tiny-alphabet corpora — dense shingle repeats stress the
+    canonical-site tie-breaks, within-doc overlaps, and diagonal run
+    splits."""
+    from cassandra_fs_pp_spark.operators.textdedup import suffix_chain_spans
+
+    k = 3
+    docs = {i: toks for i, toks in enumerate(spec) if toks}
+    if not docs:
+        return
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"],
+         r["n_tokens"], r["src_doc"], r["src_start"])
+        for r in suffix_chain_spans(df, k=k).collect()
+    }
+    assert got == _brute_chain_spans(docs, k)
+
+
 @given(corpus_strategy)
 @SETTINGS
 def test_strip_verbatim_matches_bruteforce(spark, spec):
