@@ -510,6 +510,22 @@ def test_pretrain_pipeline_plan_shape(spark):
     spark.catalog.clearCache()  # drop the twin's persist marks
 
 
+def test_chain_spans_two_shuffles_no_joins(spark):
+    """dedup_chain_spans (r16): the suffix-chain plan is one parquet
+    scan + exactly two shuffles (canonical-site window keyed by
+    shingle, diagonal run window keyed by (doc, src_doc, diag) whose
+    partitioning the final aggregate reuses) and NO join of any kind —
+    the no-candidate-pair-table guarantee, pinned."""
+    plan = _formatted_plan(
+        entrymod.queries()["dedup_chain_spans"](spark, SF)
+    )
+    assert _n(plan, "Scan parquet") == 1, plan
+    assert _n(plan, "Exchange") == 2, plan
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert _n(plan, j) == 0, (j, plan)
+
+
 def test_pretrain_pipeline_staged_barriers(spark):
     """curation_pretrain_pipeline (r16 flagship form): the registry
     flagship is the STAGED shape — its returned plan must start from a
