@@ -6984,6 +6984,88 @@ def text_bpe_tokenize_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize_counts_trie(_t(spark, sf_dir, "documents"), merges=8)
 
 
+def text_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer pipeline (r16 late): train the greedy
+    maximal-disjoint batched BPE table (4 rounds × batch 16 over a
+    128-candidate pool — the r16 trainer) and apply it with the
+    production rank-table tokenizer (`bpe_tokenize_counts_trie`,
+    Arrow-batched mapInPandas over the word-TYPE table) in ONE query —
+    the tokenizer twin of the curation flagship's train+serve
+    composition. Emits per-doc (n_words, n_chars, n_bpe_tokens,
+    compression). The trained rule table crosses the driver once
+    (≤ rounds×batch rows, the codebook pattern); the oracle replays
+    training via the batched CTE ladder and application as a
+    list_reduce replace fold over DISTINCT word types joined back to
+    occurrences (mirroring the engine's type-table shape)."""
+    from cassandra_fs_pp_spark.functions.text import (
+        bpe_tokenize_counts_trie,
+        bpe_train_merges_batched,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train_merges_batched(
+            docs, rounds=4, batch=16, topk=128
+        ).orderBy("round", "rnk").collect()
+    ]
+    return bpe_tokenize_counts_trie(docs, rules=rules)
+
+
+def _bpe_pipeline_oracle_sql(
+    rounds: int = 4, batch: int = 16, topk: int = 128
+) -> str:
+    """Training replay (the batched greedy CTE ladder) + rank-table
+    application: the learned rules fold over each DISTINCT word type as
+    a chain of replaces (single-level list_reduce — the proven vocab-
+    rewrite pattern), then types join back to word occurrences."""
+    train = _bpe_batched_oracle_sql(rounds, batch, topk)
+    head, _tail = train.rsplit("\nSELECT CAST(round AS INT) AS round", 1)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{r}" for r in range(1, int(rounds) + 1)
+    )
+    return head + rf""",
+rl AS (
+  SELECT COALESCE(list(lhs || chr(1) || rhs || chr(1) || merged
+                       ORDER BY round, rnk), []) AS rules
+  FROM ({union})),
+wtok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''),
+wtypes AS (
+  SELECT w,
+         CASE WHEN regexp_matches(w, '[()]') THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(regexp_extract_all(
+                list_reduce(
+                  list_prepend(
+                    '(' || array_to_string(string_split(w, ''), ')(')
+                        || ')',
+                    (SELECT rules FROM rl)),
+                  (acc, x) -> replace(acc,
+                    '(' || split_part(x, chr(1), 1) || ')('
+                        || split_part(x, chr(1), 2) || ')',
+                    '(' || split_part(x, chr(1), 3) || ')')),
+                '\(([^)]*)\)', 1)) AS BIGINT) END AS n_tok
+  FROM (SELECT DISTINCT w FROM wtok))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+       CAST(sum(y.n_tok) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN sum(y.n_tok) > 0
+            THEN round(CAST(sum(length(t.w)) AS DOUBLE)
+                       / CAST(sum(y.n_tok) AS DOUBLE), 6) END
+         AS compression
+FROM wtok t JOIN wtypes y USING (w)
+GROUP BY 1
+"""
+
+
+TEXT_BPE_PIPELINE_ORACLE = _bpe_pipeline_oracle_sql()
+
+
 def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-source ntile(3) over the KN
     bigram perplexity — the per-domain quality calibration step (an
@@ -14443,6 +14525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_target_encode": stream_target_encode,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
+        # ===== r16 late additions (below the pinned window; the r17
+        # rotation pulls them into its head — the r15 HLL/CMS pattern) =====
+        "text_bpe_pipeline": text_bpe_pipeline,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -14454,6 +14539,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "curation_pretrain_pipeline": CURATION_PRETRAIN_PIPELINE_ORACLE,
         "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
+        "text_bpe_pipeline": TEXT_BPE_PIPELINE_ORACLE,
         "a_hll_deterministic": A_HLL_DETERMINISTIC_ORACLE,
         "a_countmin_freq": A_COUNTMIN_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,

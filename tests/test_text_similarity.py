@@ -1338,6 +1338,45 @@ def test_bpe_batched_batch_cap_respected(spark):
     assert got == [("a", "b"), ("c", "d")], got
 
 
+def test_bpe_pipeline_batch1_equals_sequential_tokenize(spark):
+    """The composed train+apply pipeline at batch=1 must equal the
+    sequential replace-chain tokenizer end-to-end: the greedy batched
+    trainer degenerates to the sequential argmax at batch=1 (pinned
+    above) and the rank-table applier is value-identical to the
+    replace chain (pinned below), so the COMPOSITION of the two is the
+    sequential `bpe_tokenize_counts` bit-for-bit."""
+    from cassandra_fs_pp_spark.functions.text import (
+        bpe_tokenize_counts,
+        bpe_tokenize_counts_trie,
+        bpe_train_merges_batched,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest new news",
+        "aaaa aaa aa a",
+        "banana bandana cabana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train_merges_batched(df, rounds=6, batch=1)
+        .orderBy("round", "rnk")
+        .collect()
+    ]
+    got = sorted(
+        bpe_tokenize_counts_trie(df, rules=rules).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    want = sorted(
+        bpe_tokenize_counts(df, merges=6).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == want
+
+
 def test_bpe_tokenize_counts_vs_python_reference(spark):
     """r13: the BPE application path (literal replace chain inside a
     transform lambda) must produce the same per-doc token counts as
