@@ -84,7 +84,43 @@ def probe_bpe_depth() -> None:
     print("rules/round:", dict(sorted(per_round.items())))
 
 
+def probe_bpe_depth_apply() -> None:
+    """Capstone: the FULL tokenizer pipeline at production vocabulary
+    depth — train the greedy batched table to ~1k rules on the
+    high-entropy corpus, then apply it with the rank-table tokenizer
+    (the shape the replace-chain form cannot compile at this depth)."""
+    from cassandra_fs_pp_spark.functions.text import (
+        bpe_tokenize_counts_trie,
+        bpe_train_merges_batched,
+    )
+
+    spark = get_spark("bpe_depth_apply16")
+    docs = synth_hex_corpus(spark).localCheckpoint()
+    t0 = time.time()
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train_merges_batched(
+            docs, rounds=80, batch=32, topk=512
+        ).orderBy("round", "rnk").collect()
+    ]
+    t_train = time.time() - t0
+    t0 = time.time()
+    out = bpe_tokenize_counts_trie(docs, rules=rules)
+    agg = out.selectExpr(
+        "count(*) AS docs", "sum(n_words) AS words",
+        "sum(n_bpe_tokens) AS toks",
+        "round(sum(n_chars) / sum(n_bpe_tokens), 4) AS compression",
+    ).collect()[0]
+    t_apply = time.time() - t0
+    print(f"train: {len(rules)} rules in {t_train:.1f}s; apply to "
+          f"{agg['docs']} docs / {agg['words']} words: {t_apply:.1f}s "
+          f"({agg['toks']} tokens, compression {agg['compression']})")
+
+
 def main() -> None:
+    if "--depth-apply" in sys.argv:
+        probe_bpe_depth_apply()
+        return
     if "--depth" in sys.argv:
         probe_bpe_depth()
         return
