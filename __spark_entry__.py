@@ -4047,6 +4047,115 @@ FROM agg
 """
 
 
+BK_K = 256  # bottom-k sample size (rank error ~ sqrt(q(1-q)/k) ≈ 3%)
+
+
+def a_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k hash-sample QUANTILE sketch with a FULL
+    cross-engine oracle (r16 late) — the quantile member of the
+    exact-parity sketch family (r15's deterministic HLL and Count-Min
+    are the cardinality and frequency members; the native
+    ``a_approx_quantiles`` stays rows-only by nature). Every piece is
+    cross-engine exact:
+
+    * sample = per ``event_type`` the ``BK_K`` rows with the smallest
+      ``(md5-60bit(event_id), event_id)`` — a deterministic uniform
+      sample because the hash is effectively random in the value
+      domain, and the classic bottom-k MERGE property holds exactly:
+      bottom-k of a union equals bottom-k of the per-part bottom-ks
+      (pytest proves the ``__merged__`` row equals the direct global
+      computation bit-for-bit);
+    * the ``__merged__`` sample is built FROM the per-key sample table
+      via sort + limit (TakeOrdered — no single-partition window; the
+      input is the bounded keys × k sketch table);
+    * quantile estimates select the sample element at position
+      ``greatest(1, ceil(q * n))`` from the ``(value, event_id)``-
+      sorted sample — pure element selection, no interpolation
+      arithmetic, so the emitted doubles are bit-identical in both
+      engines; ``q * n`` is one exact-rounded double multiply.
+
+    Scale shape: one projection + one per-key window (the only
+    data-sized shuffle) collapses the corpus to keys × k rows; every
+    later step runs on that bounded sketch table (the 100 TB quantile
+    plan: map-side sample, tiny merge). Rank error is the textbook
+    bottom-k bound ~ sqrt(q(1-q)/k) (~3% at k=256) — pytest asserts
+    the estimates' true CDF positions land within 0.1 of their targets
+    on the sf0.001 corpus.
+    """
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("key"),
+        "event_id",
+        "value",
+        hash60(F.col("event_id").cast("string")).alias("h"),
+    )
+    wk = Window.partitionBy("key").orderBy("h", "event_id")
+    per = (
+        base.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= BK_K)
+        .drop("rn")
+    )
+    mrg = (
+        per.orderBy("h", "event_id")
+        .limit(BK_K)
+        .select(F.lit("__merged__").alias("key"), "event_id", "value")
+    )
+    allr = per.select("key", "event_id", "value").unionByName(mrg)
+    agg = allr.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.expr("sort_array(collect_list(struct(value, event_id)))").alias(
+            "__vs"
+        ),
+    )
+
+    def _q(q: float) -> Column:
+        return F.expr(
+            f"element_at(__vs, greatest(1, cast(ceil({q} * n_sample)"
+            " as int))).value"
+        )
+
+    return agg.select(
+        "key",
+        "n_sample",
+        _q(0.25).alias("q25"),
+        _q(0.5).alias("q50"),
+        _q(0.9).alias("q90"),
+    )
+
+
+A_BOTTOMK_QUANTILES_ORACLE = f"""
+WITH h AS (
+  SELECT event_type AS key, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events),
+per AS (
+  SELECT key, event_id, value, h FROM (
+    SELECT key, event_id, value, h,
+           row_number() OVER (PARTITION BY key ORDER BY h, event_id)
+             AS rn
+    FROM h)
+  WHERE rn <= {BK_K}),
+mrg AS (
+  SELECT '__merged__' AS key, event_id, value
+  FROM per ORDER BY h, event_id LIMIT {BK_K}),
+allr AS (
+  SELECT key, event_id, value FROM per
+  UNION ALL SELECT key, event_id, value FROM mrg),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_sample,
+         list(value ORDER BY value, event_id) AS vs
+  FROM allr GROUP BY 1)
+SELECT key, n_sample,
+       vs[greatest(1, CAST(ceil(0.25 * n_sample) AS INT))] AS q25,
+       vs[greatest(1, CAST(ceil(0.5 * n_sample) AS INT))] AS q50,
+       vs[greatest(1, CAST(ceil(0.9 * n_sample) AS INT))] AS q90
+FROM agg
+"""
+
+
 CM_D, CM_W, CM_PROBE_MOD = 4, 256, 13
 
 
@@ -14528,6 +14637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r16 late additions (below the pinned window; the r17
         # rotation pulls them into its head — the r15 HLL/CMS pattern) =====
         "text_bpe_pipeline": text_bpe_pipeline,
+        "a_bottomk_quantiles": a_bottomk_quantiles,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -14540,6 +14650,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pretrain_pipeline": CURATION_PRETRAIN_PIPELINE_ORACLE,
         "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
         "text_bpe_pipeline": TEXT_BPE_PIPELINE_ORACLE,
+        "a_bottomk_quantiles": A_BOTTOMK_QUANTILES_ORACLE,
         "a_hll_deterministic": A_HLL_DETERMINISTIC_ORACLE,
         "a_countmin_freq": A_COUNTMIN_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,

@@ -873,3 +873,65 @@ def test_countmin_reference_merge_and_guarantee(spark):
         assert got[u]["true_cnt"] == true[u], u
         assert got[u]["over"] == est - true[u], u
         assert est >= true[u], u
+
+
+def test_bottomk_quantiles_merge_and_rank_error(spark):
+    """a_bottomk_quantiles (r16): (a) the __merged__ row equals a
+    direct global bottom-k over the raw rows (the classic bottom-k
+    merge property: bottom-k of a union == bottom-k of the per-part
+    bottom-ks); (b) every estimate is an actual sample element picked
+    at position ceil(q*n) of the (value, event_id) order (pure-Python
+    replay); (c) each estimate's true CDF position lands within 0.1 of
+    its target quantile (the ~3%-stderr bottom-k bound at k=256, with
+    slack)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["key"]: r for r in entry.a_bottomk_quantiles(spark, sf).collect()}
+    ev = (
+        spark.read.parquet(sf + "/events.parquet")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+
+    def h60(x) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    by_key: dict = {}
+    for r in ev:
+        by_key.setdefault(r["event_type"], []).append(
+            (h60(r["event_id"]), r["event_id"], r["value"])
+        )
+    samples = {
+        k: sorted(v)[: entry.BK_K] for k, v in by_key.items()
+    }
+    # (a) merged sample from per-key samples == direct global bottom-k
+    union = sorted(x for v in samples.values() for x in v)[: entry.BK_K]
+    direct = sorted(
+        (h60(r["event_id"]), r["event_id"], r["value"]) for r in ev
+    )[: entry.BK_K]
+    assert union == direct
+    samples["__merged__"] = union
+    # (b) estimates replay: element at ceil(q*n) of (value, id) order
+    values = {r["event_type"] for r in ev} | {"__merged__"}
+    assert set(got) == values
+    for k, samp in samples.items():
+        vs = sorted((v, i) for _h, i, v in samp)
+        n = len(vs)
+        assert got[k]["n_sample"] == n
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            want = vs[max(1, math.ceil(q * n)) - 1][0]
+            assert got[k][col] == want, (k, col)
+    # (c) rank-error bound vs the TRUE per-key distribution
+    for k, rows in by_key.items():
+        allv = sorted(v for _h, _i, v in rows)
+        n_all = len(allv)
+        if n_all < 50:
+            continue  # too few rows for a meaningful CDF position
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            est = got[k][col]
+            pos = sum(1 for v in allv if v <= est) / n_all
+            assert abs(pos - q) < 0.1, (k, col, pos)
