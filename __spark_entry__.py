@@ -4156,6 +4156,171 @@ FROM agg
 """
 
 
+# 128 words x 31 bits = 3968-bit filter, 3 salted hashes; offsets stay
+# in 0..30 so every mask is a positive BIGINT (no sign-bit or <<63
+# overflow divergence between engines)
+BF_WORDS, BF_BITS, BF_D, BF_PROBE_MOD = 128, 31, 3, 13
+BF_ABSENT_SHIFT = 1_000_003
+
+
+def a_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BLOOM FILTER with a FULL cross-engine oracle (r16
+    late) — the set-membership member of the exact-parity sketch
+    family (deterministic HLL = cardinality, Count-Min = frequency,
+    bottom-k = quantiles). Every piece is integer-exact:
+
+    * per ``event_type``, each distinct ``user_id`` sets ``BF_D``
+      salted-md5 bits ``h60(j || ':' || uid) % 3968`` in a 128-word ×
+      31-bit bitmap (offsets 0..30 keep every mask a positive BIGINT —
+      no sign-bit/overflow divergence); the filter table is
+      ``bit_or``-aggregated, bounded by keys × 128 rows;
+    * MERGE is word-wise ``bit_or`` (the property that makes Bloom the
+      100 TB membership sketch) — the ``__merged__`` filter is built
+      FROM the per-key filter table and a pytest proves it equals the
+      direct global build bit-for-bit;
+    * the probe set is ``user_id % {BF_PROBE_MOD} == 0`` members PLUS
+      their ``+{BF_ABSENT_SHIFT}`` twins (absent unless colliding), so
+      the output exercises both the no-false-negative guarantee
+      (pytest-asserted: truly ⇒ claimed, per key) and real false
+      positives; ``claimed`` is ``bool_and`` over the ``BF_D`` bit
+      lookups, a missing word reading as 0.
+
+    Output: one row per (filter key incl. ``__merged__``, probe id) —
+    ``(key, probe_id, claimed, truly, false_pos)``, all exact
+    booleans/integers, hash-identical cross-engine.
+    """
+    from cassandra_fs_pp_spark.functions.text import hash60
+
+    ev = _t(spark, sf_dir, "events")
+    uids = ev.select(
+        F.col("event_type").alias("key"), F.col("user_id").alias("uid")
+    ).distinct()
+
+    def bit_of(j: int, col: str) -> Column:
+        return F.pmod(
+            hash60(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))),
+            F.lit(BF_WORDS * BF_BITS),
+        )
+
+    bits = uids.select(
+        "key",
+        F.explode(
+            F.array(*[bit_of(j, "uid") for j in range(BF_D)])
+        ).alias("bit"),
+    )
+    per = (
+        bits.select(
+            "key",
+            (F.col("bit") / BF_BITS).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(bit % {BF_BITS} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("key", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    mrg = per.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits")).select(
+        F.lit("__merged__").alias("key"), "word", "bits"
+    )
+    filt = per.unionByName(mrg)
+
+    base_probe = (
+        ev.select(F.col("user_id").alias("uid"))
+        .where(F.col("uid") % BF_PROBE_MOD == 0)
+        .distinct()
+    )
+    probes = base_probe.unionByName(
+        base_probe.select((F.col("uid") + BF_ABSENT_SHIFT).alias("uid"))
+    )
+    pb = probes.select(
+        "uid",
+        F.explode(
+            F.array(*[bit_of(j, "uid") for j in range(BF_D)])
+        ).alias("bit"),
+    ).select(
+        "uid",
+        (F.col("bit") / BF_BITS).cast("long").alias("word"),
+        (F.col("bit") % BF_BITS).cast("int").alias("off"),
+    )
+    keys = filt.select("key").distinct()
+    look = (
+        keys.crossJoin(pb)
+        .join(F.broadcast(filt), ["key", "word"], "left")
+        .groupBy("key", "uid")
+        .agg(
+            F.expr(
+                "bool_and(coalesce(shiftright(bits, off) & 1, 0) = 1)"
+            ).alias("claimed")
+        )
+    )
+    truly = uids.withColumn("t", F.lit(True)).unionByName(
+        uids.select("uid").distinct().select(
+            F.lit("__merged__").alias("key"), "uid", F.lit(True).alias("t")
+        )
+    )
+    return (
+        look.join(truly, ["key", "uid"], "left")
+        .select(
+            "key",
+            F.col("uid").alias("probe_id"),
+            "claimed",
+            F.coalesce(F.col("t"), F.lit(False)).alias("truly"),
+            (
+                F.col("claimed") & ~F.coalesce(F.col("t"), F.lit(False))
+            ).alias("false_pos"),
+        )
+    )
+
+
+A_BLOOM_MEMBERSHIP_ORACLE = f"""
+WITH uids AS (
+  SELECT DISTINCT event_type AS key, user_id AS uid FROM events),
+bits AS (
+  SELECT key,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                             || CAST(uid AS VARCHAR)), 1, 15))::BIGINT
+           % {BF_WORDS * BF_BITS} AS bit
+  FROM uids, UNNEST([0, 1, 2]) AS t(j)),
+per AS (
+  SELECT key, bit // {BF_BITS} AS word,
+         bit_or(1::BIGINT << CAST(bit % {BF_BITS} AS INT)) AS bits
+  FROM bits GROUP BY 1, 2),
+mrg AS (
+  SELECT '__merged__' AS key, word, bit_or(bits) AS bits
+  FROM per GROUP BY 2),
+filt AS (SELECT * FROM per UNION ALL SELECT * FROM mrg),
+base_probe AS (
+  SELECT DISTINCT user_id AS uid FROM events
+  WHERE user_id % {BF_PROBE_MOD} = 0),
+probes AS (
+  SELECT uid FROM base_probe
+  UNION ALL SELECT uid + {BF_ABSENT_SHIFT} FROM base_probe),
+pb AS (
+  SELECT uid,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                             || CAST(uid AS VARCHAR)), 1, 15))::BIGINT
+           % {BF_WORDS * BF_BITS} AS bit
+  FROM probes, UNNEST([0, 1, 2]) AS t(j)),
+keys AS (SELECT DISTINCT key FROM filt),
+look AS (
+  SELECT k.key, pb.uid,
+         bool_and(COALESCE((f.bits >> CAST(pb.bit % {BF_BITS} AS INT))
+                           & 1, 0) = 1) AS claimed
+  FROM keys k CROSS JOIN pb
+  LEFT JOIN filt f ON f.key = k.key AND f.word = pb.bit // {BF_BITS}
+  GROUP BY 1, 2),
+truly AS (
+  SELECT key, uid FROM uids
+  UNION ALL
+  SELECT '__merged__', uid FROM (SELECT DISTINCT uid FROM uids))
+SELECT l.key, l.uid AS probe_id, l.claimed,
+       (t.uid IS NOT NULL) AS truly,
+       l.claimed AND t.uid IS NULL AS false_pos
+FROM look l LEFT JOIN truly t ON l.key = t.key AND l.uid = t.uid
+"""
+
+
 CM_D, CM_W, CM_PROBE_MOD = 4, 256, 13
 
 
@@ -14638,6 +14803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation pulls them into its head — the r15 HLL/CMS pattern) =====
         "text_bpe_pipeline": text_bpe_pipeline,
         "a_bottomk_quantiles": a_bottomk_quantiles,
+        "a_bloom_membership": a_bloom_membership,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
@@ -14651,6 +14817,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_merges_batched": TEXT_BPE_MERGES_BATCHED_ORACLE,
         "text_bpe_pipeline": TEXT_BPE_PIPELINE_ORACLE,
         "a_bottomk_quantiles": A_BOTTOMK_QUANTILES_ORACLE,
+        "a_bloom_membership": A_BLOOM_MEMBERSHIP_ORACLE,
         "a_hll_deterministic": A_HLL_DETERMINISTIC_ORACLE,
         "a_countmin_freq": A_COUNTMIN_ORACLE,
         "ann_ivf_pq_topk": ANN_IVF_PQ_ORACLE,

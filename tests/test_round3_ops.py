@@ -935,3 +935,74 @@ def test_bottomk_quantiles_merge_and_rank_error(spark):
             est = got[k][col]
             pos = sum(1 for v in allv if v <= est) / n_all
             assert abs(pos - q) < 0.1, (k, col, pos)
+
+
+def test_bloom_membership_guarantees_and_merge(spark):
+    """a_bloom_membership (r16): (a) pure-Python replay of the filter
+    words and probe lookups; (b) the no-false-negative guarantee holds
+    per key (truly => claimed); (c) the __merged__ filter equals the
+    word-wise OR of the per-key filters AND the direct global build;
+    (d) the absent-twin probes exercise the false-positive path
+    honestly (false_pos == claimed AND NOT truly)."""
+    import hashlib
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["key"], r["probe_id"]): r
+        for r in entry.a_bloom_membership(spark, sf).collect()
+    }
+    ev = (
+        spark.read.parquet(sf + "/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    m = entry.BF_WORDS * entry.BF_BITS
+
+    def bits_of(uid) -> list:
+        return [
+            int(hashlib.md5(f"{j}:{uid}".encode()).hexdigest()[:15], 16) % m
+            for j in range(entry.BF_D)
+        ]
+
+    members: dict = {}
+    for r in ev:
+        members.setdefault(r["event_type"], set()).add(r["user_id"])
+    members["__merged__"] = set().union(*members.values())
+    # (a) replay filters word-by-word
+    filters: dict = {}
+    for k, uids in members.items():
+        words = [0] * entry.BF_WORDS
+        for u in uids:
+            for b in bits_of(u):
+                words[b // entry.BF_BITS] |= 1 << (b % entry.BF_BITS)
+        filters[k] = words
+    # (c) merged == OR of per-key == direct global (same loop builds
+    # the global directly from the merged member set; OR-merge below)
+    orred = [0] * entry.BF_WORDS
+    for k, w in filters.items():
+        if k != "__merged__":
+            for i, x in enumerate(w):
+                orred[i] |= x
+    assert orred == filters["__merged__"]
+    base = {u for u in members["__merged__"] if u % entry.BF_PROBE_MOD == 0}
+    probes = base | {u + entry.BF_ABSENT_SHIFT for u in base}
+    assert set(got) == {
+        (k, p) for k in members for p in probes
+    }
+    saw_fp_path = 0
+    for (k, p), r in got.items():
+        want_claimed = all(
+            filters[k][b // entry.BF_BITS] >> (b % entry.BF_BITS) & 1
+            for b in bits_of(p)
+        )
+        truly = p in members[k]
+        assert r["claimed"] == want_claimed, (k, p)
+        assert r["truly"] == truly, (k, p)
+        assert r["false_pos"] == (want_claimed and not truly), (k, p)
+        if truly:
+            assert r["claimed"], (k, p)  # (b) no false negatives
+        if not truly:
+            saw_fp_path += 1
+    assert saw_fp_path, "absent twins must exist to exercise the fp path"
