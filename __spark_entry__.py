@@ -4085,7 +4085,12 @@ def a_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_fs_pp_spark.functions.text import hash60
 
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
+    # value IS NOT NULL pins the cross-engine contract (ADVICE r16):
+    # Spark's sort_array puts a NULL struct field FIRST, DuckDB's
+    # list(... ORDER BY value) puts NULLs LAST — a null value would
+    # make the engines select different quantile elements. The sketch
+    # is defined over non-null measurements in both engines.
+    base = ev.where(F.col("value").isNotNull()).select(
         F.col("event_type").alias("key"),
         "event_id",
         "value",
@@ -4130,7 +4135,7 @@ WITH h AS (
   SELECT event_type AS key, event_id, value,
          ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
            AS h
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 per AS (
   SELECT key, event_id, value, h FROM (
     SELECT key, event_id, value, h,
@@ -7015,18 +7020,29 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4-6/round) with the same exactness argument: disjointness among
     SELECTED pairs is the only property the count-invariance proof
     uses. batch=1 still degenerates to text_bpe_merges bit-for-bit
-    (differential pytest). Oracle replays each round as pair-count +
-    windowed top-128 + a list_reduce greedy-selection fold + a
-    list_reduce replace chain."""
+    (differential pytest). r17 (VERDICT r16 item 4): the candidate
+    pool is symbol-diversified — a pair enters only if its rank within
+    its left-symbol AND right-symbol groups is <= sym_cap=4, so one
+    hot symbol occupies at most 8 of the 128 pool slots instead of
+    flooding the pool with pairs greedy can't co-select (the ~16
+    rules/round fill plateau); selection exactness is untouched
+    (disjointness among SELECTED pairs is the only property the proof
+    uses). Oracle replays each round as pair-count + the two
+    per-symbol rank windows + windowed top-128 + a list_reduce
+    greedy-selection fold + a list_reduce replace chain."""
     from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
 
     return bpe_train_merges_batched(
-        _t(spark, sf_dir, "documents"), rounds=4, batch=16, topk=128
+        _t(spark, sf_dir, "documents"), rounds=4, batch=16, topk=128,
+        sym_cap=4,
     )
 
 
 def _bpe_batched_oracle_sql(
-    rounds: int = 4, batch: int = 8, topk: int | None = None
+    rounds: int = 4,
+    batch: int = 8,
+    topk: int | None = None,
+    sym_cap: int | None = None,
 ) -> str:
     """Unrolled replay of ``bpe_train_merges_batched``: per round, the
     same pair-count CTE as ``_bpe_oracle_sql``, a windowed
@@ -7037,7 +7053,12 @@ def _bpe_batched_oracle_sql(
     ``list_reduce`` fold whose accumulator is the selected list, and a
     vocab rewrite applying the selected rules in rank order via a
     second ``list_reduce`` (empty rule list = identity, matching the
-    engine's break-on-no-pairs)."""
+    engine's break-on-no-pairs).  ``sym_cap`` (r17, VERDICT r16
+    item 4) mirrors the engine's symbol-diversity pool: a pair enters
+    the pool only if its rank within its left-symbol group AND its
+    right-symbol group (same (count DESC, lhs, rhs) order) is
+    <= ``sym_cap``; the global rank is then computed over the capped
+    pool."""
     head = r"""
 WITH vocab0 AS MATERIALIZED (
   SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS sym,
@@ -7048,6 +7069,19 @@ WITH vocab0 AS MATERIALIZED (
           FROM documents)
     WHERE w <> '' AND NOT regexp_matches(w, '[()]')
     GROUP BY w))"""
+    if sym_cap is not None:
+        pool = (
+            "(SELECT a, b, cnt FROM ("
+            "SELECT a, b, cnt,"
+            " row_number() OVER (PARTITION BY a ORDER BY cnt DESC, a, b)"
+            " AS ra,"
+            " row_number() OVER (PARTITION BY b ORDER BY cnt DESC, a, b)"
+            " AS rb"
+            " FROM p{r})"
+            f" WHERE ra <= {int(sym_cap)} AND rb <= {int(sym_cap)})"
+        )
+    else:
+        pool = "p{r}"
     parts = []
     for r in range(1, int(rounds) + 1):
         parts.append(f""",
@@ -7062,7 +7096,7 @@ top{r} AS MATERIALIZED (
   SELECT a, b, cnt, rnk FROM (
     SELECT a, b, cnt,
            row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
-    FROM p{r})
+    FROM {pool.format(r=r)})
   WHERE rnk <= {int(topk if topk is not None else 8 * batch)}),
 sel{r} AS MATERIALIZED (
   -- greedy maximal-disjoint scan as a list_reduce fold over rank order.
@@ -7127,7 +7161,7 @@ FROM ({union})
 
 
 TEXT_BPE_MERGES_BATCHED_ORACLE = _bpe_batched_oracle_sql(
-    rounds=4, batch=16, topk=128
+    rounds=4, batch=16, topk=128, sym_cap=4
 )
 
 
@@ -7201,7 +7235,11 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_tokenize_oracle_sql(merges: int = 8) -> str:
     """Training replay (same CTE ladder as ``_bpe_oracle_sql``) + the
-    identical literal replace chain applied per word, summed per doc."""
+    identical literal replace chain applied per word, summed per doc.
+    The final SELECT drives from ``documents`` with a LEFT JOIN
+    (ADVICE r16): the engine emits a (0, 0, 0, NULL) row for a
+    whitespace-only document, so the oracle must not let the per-WORD
+    grouping silently drop it."""
     train = _bpe_oracle_sql(merges)
     head, _tail = train.rsplit("\nSELECT CAST(round AS INT) AS round", 1)
     enc = "'(' || array_to_string(string_split(t.w, ''), ')(') || ')'"
@@ -7226,16 +7264,22 @@ per_word AS (
          CASE WHEN regexp_matches(t.w, '[()]') THEN CAST(1 AS BIGINT)
               ELSE CAST(len(regexp_extract_all({enc},
                    '\\(([^)]*)\\)', 1)) AS BIGINT) END AS n_tok
-  FROM wtok t CROSS JOIN {crosses})
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
-       CASE WHEN sum(n_tok) > 0
-            THEN round(CAST(sum(n_chars) AS DOUBLE)
-                       / CAST(sum(n_tok) AS DOUBLE), 6) END AS compression
-FROM per_word
-GROUP BY 1
+  FROM wtok t CROSS JOIN {crosses}),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+  FROM per_word GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+       COALESCE(a.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+       COALESCE(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       CASE WHEN a.n_bpe_tokens > 0
+            THEN round(CAST(a.n_chars AS DOUBLE)
+                       / CAST(a.n_bpe_tokens AS DOUBLE), 6) END
+         AS compression
+FROM documents d LEFT JOIN perdoc a USING (doc_id)
 """
     )
 
@@ -7280,20 +7324,26 @@ def text_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = [
         (r["lhs"], r["rhs"], r["merged"])
         for r in bpe_train_merges_batched(
-            docs, rounds=4, batch=16, topk=128
+            docs, rounds=4, batch=16, topk=128, sym_cap=4
         ).orderBy("round", "rnk").collect()
     ]
     return bpe_tokenize_counts_trie(docs, rules=rules)
 
 
 def _bpe_pipeline_oracle_sql(
-    rounds: int = 4, batch: int = 16, topk: int = 128
+    rounds: int = 4,
+    batch: int = 16,
+    topk: int = 128,
+    sym_cap: int | None = 4,
 ) -> str:
     """Training replay (the batched greedy CTE ladder) + rank-table
     application: the learned rules fold over each DISTINCT word type as
     a chain of replaces (single-level list_reduce — the proven vocab-
-    rewrite pattern), then types join back to word occurrences."""
-    train = _bpe_batched_oracle_sql(rounds, batch, topk)
+    rewrite pattern), then types join back to word occurrences. The
+    final SELECT drives from ``documents`` with a LEFT JOIN (ADVICE
+    r16): the engine emits a (0, 0, 0, NULL) row for a whitespace-only
+    document, so the per-word grouping must not drop it."""
+    train = _bpe_batched_oracle_sql(rounds, batch, topk, sym_cap)
     head, _tail = train.rsplit("\nSELECT CAST(round AS INT) AS round", 1)
     union = " UNION ALL ".join(
         f"SELECT * FROM sel{r}" for r in range(1, int(rounds) + 1)
@@ -7323,17 +7373,23 @@ wtypes AS (
                         || split_part(x, chr(1), 2) || ')',
                     '(' || split_part(x, chr(1), 3) || ')')),
                 '\(([^)]*)\)', 1)) AS BIGINT) END AS n_tok
-  FROM (SELECT DISTINCT w FROM wtok))
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
-       CAST(sum(y.n_tok) AS BIGINT) AS n_bpe_tokens,
-       CASE WHEN sum(y.n_tok) > 0
-            THEN round(CAST(sum(length(t.w)) AS DOUBLE)
-                       / CAST(sum(y.n_tok) AS DOUBLE), 6) END
+  FROM (SELECT DISTINCT w FROM wtok)),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+         CAST(sum(y.n_tok) AS BIGINT) AS n_bpe_tokens
+  FROM wtok t JOIN wtypes y USING (w)
+  GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+       COALESCE(a.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+       COALESCE(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       CASE WHEN a.n_bpe_tokens > 0
+            THEN round(CAST(a.n_chars AS DOUBLE)
+                       / CAST(a.n_bpe_tokens AS DOUBLE), 6) END
          AS compression
-FROM wtok t JOIN wtypes y USING (w)
-GROUP BY 1
+FROM documents d LEFT JOIN perdoc a USING (doc_id)
 """
 
 

@@ -517,6 +517,15 @@ def set_similarity_join(
 
     The token->df ranking is computed with an aggregation + shuffle join
     (never collected/broadcast): the vocabulary can be arbitrarily large.
+    Document frequency is ``groupBy(__tok).count()`` equi-joined back
+    onto the exploded token frame, NOT ``count(*) over (partition by
+    __tok)`` — row-identical, but the aggregate gets map-side partial
+    counting on hot (stopword-ish) tokens and the join-back gets AQE
+    skew splitting, where WindowExec would execute each hot token as a
+    single sorted straggler task.  The hot tokens are exactly the ones
+    the frequency order then EXCLUDES from prefixes, so the candidate
+    join below never sees them — only this df-ranking pass does, and
+    it must stay skew-proof.
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
@@ -527,16 +536,8 @@ def set_similarity_join(
     ).filter(F.size("__toks") > 0)
 
     tok = base.select("__id", F.explode("__toks").alias("__tok"))
-    # Document frequency via a count window over the token partition —
-    # one shuffle on __tok (the same key a groupBy+join-back would
-    # shuffle twice on).  Hot tokens concentrate in a partition either
-    # way; they are exactly the tokens the frequency order then EXCLUDES
-    # from prefixes.
-    from pyspark.sql.window import Window
-
-    tok = tok.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("__tok"))
-    )
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    tok = tok.join(dfreq, "__tok")
     # Per-doc token list ordered by (df ASC, token ASC): sort structs,
     # then project the token back out — the global order is total and
     # identical for every doc, which the prefix theorem requires.
@@ -637,11 +638,11 @@ def containment_join(
     ).filter(F.size("__toks") > 0)
 
     tok = base.select("__id", F.explode("__toks").alias("__tok"))
-    from pyspark.sql.window import Window
-
-    tok = tok.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("__tok"))
-    )
+    # df ranking via groupBy+join-back, not a count window — map-side
+    # partial counting + AQE skew splitting on hot tokens (see
+    # :func:`set_similarity_join` for the full argument).
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    tok = tok.join(dfreq, "__tok")
     ordered = tok.groupBy("__id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
@@ -713,11 +714,18 @@ def verbatim_spans(
       1. per doc, every k-token shingle with its start position —
          array ops on the token array (``transform``/``slice``), zero
          shuffle, whole-stage codegen;
-      2. corpus-wide occurrence count as ``count(*) over (partition by
-         shingle)`` — ONE shuffle of the shingle frame, and the frame
-         is scanned/built once (the groupBy-count + join-back form
-         consumes it twice: two parquet scans, two shingle builds);
-         keep counts >= 2;
+      2. corpus-wide duplicated-shingle detection as a
+         ``groupBy(shingle).count() >= 2`` LEFT-SEMI-joined back onto
+         the shingle frame — NOT ``count(*) over (partition by
+         shingle)``.  Row-identical (an unbounded per-key window count
+         is the per-key aggregate broadcast back), but skew-safe:
+         partial aggregation collapses a boilerplate shingle shared by
+         a million docs map-side, the semi-join's build side holds only
+         DISTINCT duplicated shingles, and the probe join gets AQE
+         skew splitting — the window form runs the hot key as one
+         sorted straggler task.  Costs a second shingle build (codegen
+         array work, linear); buys bounded task time on skewed
+         corpora;
       3. per-doc run detection (pos - row_number window) and one
          group-by to emit maximal spans.
 
@@ -746,13 +754,13 @@ def verbatim_spans(
             ).alias("pos", "shingle"),
         )
     )
-    hit = (
-        sh.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= 2)
-        .select(id_col, "pos")
+        .select("shingle")
     )
+    hit = sh.join(dup, "shingle", "left_semi").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hit.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -787,9 +795,16 @@ def strip_verbatim(
     Plan shape on top of :func:`verbatim_spans`'s shingle discipline:
 
       1. k-shingles with positions (array ops, zero shuffle);
-      2. rank occurrences per shingle (window over the shingle hash
-         space) — rank > 1 within a >= 2-occurrence group marks a
-         dropped shingle start;
+      2. the kept occurrence per shingle is ``groupBy(shingle).agg(
+         min(struct(doc_id, pos)))`` equi-joined back on the shingle;
+         any occurrence that is NOT its shingle's (doc, pos)-min is a
+         dropped shingle start.  Row-identical to the
+         ``row_number() over (partition by shingle order by doc_id,
+         pos) > 1`` window form (rank 1 IS the struct-min, and a
+         non-min occurrence implies >= 2 occurrences), but the
+         aggregate gets map-side partial_min on hot shingles and the
+         join-back gets AQE skew splitting — WindowExec would run a
+         boilerplate shingle as one sorted straggler task;
       3. expand dropped starts to covered token positions (explode of
          k ints per dropped start, linear in dropped volume) and
          collect them into ONE drop-set array per affected document;
@@ -801,15 +816,14 @@ def strip_verbatim(
     Output: (doc_id, clean_text, n_tokens, n_dropped) for every input
     document; clean_text is the whitespace-normalized lowercased token
     join (the same normalization the shingles use)."""
-    from pyspark.sql import Window
-
     from cassandra_fs_pp_spark.functions.text import whitespace_tokens
 
-    # NOT pinned: the scan+tokenize subtree does feed two consumers
-    # (shingle pipeline + rebuild join), but a lazy-checkpoint A/B read
-    # 1.563 -> 1.500 s at 1x and 12.63 -> 12.49 s at 64x — the shingle
-    # rank window dominates, not the duplicated scan, so the pin's
-    # executor-block residency isn't worth 4% (the geo_grid_join
+    # NOT pinned: the scan+tokenize subtree feeds multiple consumers
+    # (shingle pipeline x2 for the agg+join-back, plus the rebuild
+    # join), but a lazy-checkpoint A/B read 1.563 -> 1.500 s at 1x and
+    # 12.63 -> 12.49 s at 64x on the window form — the shingle
+    # canonical-site shuffle dominates, not the duplicated scan, so the
+    # pin's executor-block residency isn't worth 4% (the geo_grid_join
     # precedent applies only when the duplicated subtree is the cost).
     toks = docs.select(
         F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__ws")
@@ -823,15 +837,19 @@ def strip_verbatim(
             )
         ).alias("pos", "shingle"),
     )
-    w = Window.partitionBy("shingle").orderBy(id_col, "pos")
-    ranked = sh.select(
-        id_col,
-        "pos",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("shingle")).alias("n"),
+    canon = sh.groupBy("shingle").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("__first")
     )
     drops = (
-        ranked.where((F.col("n") >= 2) & (F.col("rn") > 1))
+        sh.join(canon, "shingle")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
         .select(
             id_col,
             F.explode(
@@ -892,13 +910,25 @@ def suffix_chain_spans(
     and the classic k-overlap argument makes the merged
     ``run + k - 1``-token span verbatim-equal to the source span.
 
-    Plan: one shingle build (array ops, codegen, zero shuffle), one
-    shuffle by shingle (the canonical-site window — min over a
-    (doc, pos) struct), one shuffle by (doc, src_doc, diag) for the
-    run window whose partitioning the final group-by reuses. Canonical
-    occurrences themselves emit nothing (they are the kept copy),
-    which also makes an explicit >= 2 occurrence filter unnecessary —
-    a singleton's only occurrence IS canonical.
+    Plan: the canonical site per shingle is a ``groupBy(shingle).agg(
+    min(struct(doc, pos)))`` joined back on the shingle — NOT a
+    ``min(...).over(Window.partitionBy(shingle))``.  The two forms are
+    row-identical (an unbounded per-key window min is definitionally
+    the per-key aggregate broadcast back to the key's rows), but only
+    the aggregate form survives a skewed corpus: partial aggregation
+    collapses a boilerplate shingle shared by a million documents to
+    one row per map task before the shuffle, and the equi-join back
+    gets AQE skew-join splitting — WindowExec gets neither, so the
+    window form executes the hot key as ONE sorted straggler task
+    holding every occurrence.  The price is a second pass over the
+    shingle build (agg side + probe side); shingle construction is
+    whole-stage-codegen array work, linear and embarrassingly
+    parallel, which a straggler task is not.  After the join: one
+    shuffle by (doc, src_doc, diag) for the run window whose
+    partitioning the final group-by reuses.  Canonical occurrences
+    themselves emit nothing (they are the kept copy), which also makes
+    an explicit >= 2 occurrence filter unnecessary — a singleton's
+    only occurrence IS canonical.
 
     Output: ``(doc_id, span_start, span_end, n_tokens, src_doc,
     src_start)`` — inclusive 0-based token offsets; the tokens of
@@ -924,14 +954,13 @@ def suffix_chain_spans(
             ).alias("pos", "shingle"),
         )
     )
-    wsh = Window.partitionBy("shingle")
+    canon = sh.groupBy("shingle").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("__src")
+    )
     occ = (
-        sh.withColumn(
-            "__src",
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-            ).over(wsh),
-        )
+        sh.join(canon, "shingle")
         .where(
             ~(
                 (F.col(id_col) == F.col("__src.d"))

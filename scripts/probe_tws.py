@@ -140,8 +140,8 @@ def run_tws(spark, path: str):
                 yield out
             self._st.update((s, n))
 
-        def close(self) -> None:
-            pass
+        # close(): the base class ships a no-op default — no override
+        # needed (nothing to tear down; state lives in the store).
 
     df = _stream(spark, path)
     return run_available_now(

@@ -8,6 +8,9 @@ that won't survive the 100 TB scale-up (quadratic candidate sets, driver
 materialization, broadcast of a grown side...).
 
 Usage: python scripts/scale_probe.py [N]        (default 8; writes SCALE.md)
+       python scripts/scale_probe.py --skew     (standing skew leg: Zipf
+           user_id mass + boilerplate-shingle documents twin at 1x rows;
+           prints the base-vs-skew table for SKEW_QUERIES)
 """
 
 from __future__ import annotations
@@ -74,8 +77,101 @@ SHIFT = 10_000_000
 CELLS_PROPORTIONAL = ["ann_ivf_topk", "ann_ivf_adc_topk"]
 LABEL_SHIFT = 1000
 
+# Standing skew leg (r17, VERDICT r16 items 1+5): the cells∝n protocol
+# catches codebook-contract artifacts; this leg catches TASK-SKEW — the
+# failure AQE can't fix for WindowExec and partial aggregation can't
+# fix for pair joins. The twin keeps row counts at 1x and skews only
+# the KEY distributions, so base-vs-skew wall ratios isolate straggler
+# behavior (modulo legitimately larger dedup output on the boilerplate
+# docs — the emitted spans are real duplicates).
+SKEW_QUERIES = [
+    # text-dedup family: hot shingles / hot tokens (de-skewed r17 from
+    # per-shingle windows to partial-agg + join-back)
+    "dedup_verbatim_spans",
+    "dedup_strip_verbatim",
+    "dedup_chain_spans",
+    "dedup_setsim_join",
+    "dedup_containment",
+    # keyed-window / sessionize family: hot user_id
+    "a_sessionize",
+    "p_debounce_burst_keyed",
+    "w_rolling_skewkurt_keyed",
+]
+# 48 tokens >= 41 duplicated 8-shingles per affected doc — long enough
+# that the boilerplate dominates each hot doc's shingle set.
+BOILERPLATE = " ".join(
+    f"boiler{i:02d}" for i in range(24)
+) + " " + " ".join(f"plate{i:02d}" for i in range(24))
 
-def synthesize(spark, n: int, out_dir: str, grow_cells: bool = False) -> None:
+
+def synthesize_skew_twin(spark, out_dir: str) -> None:
+    """Zipf-skewed twin of BASE at identical row counts.
+
+    * documents: a fixed 48-token boilerplate phrase is PREPENDED to
+      ~20% of docs (hash-selected) — every one of its k-shingles
+      becomes a corpus-hot key shared by tens of thousands of docs,
+      the exact shape that made the r16 window forms run one sorted
+      straggler task per hot shingle.
+    * events: ``user_id`` remapped so a harmonic head of 5 hot users
+      holds ~67% of all rows (hottest ~30%) — Zipf-shaped key mass for
+      the sessionize / keyed-window family.
+    * all other tables: symlinks to BASE (unchanged).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, BASE, "documents")
+    hot = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(5)) == 0
+    docs.withColumn(
+        "text",
+        F.when(hot, F.concat(F.lit(BOILERPLATE + " "), F.col("text")))
+        .otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    ev = load_table(spark, BASE, "events")
+    u = F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(1000))
+    ev.withColumn(
+        "user_id",
+        F.when(u < 300, F.lit(1))
+        .when(u < 450, F.lit(2))
+        .when(u < 550, F.lit(3))
+        .when(u < 620, F.lit(4))
+        .when(u < 670, F.lit(5))
+        .otherwise(F.col("user_id"))
+        .cast(dict(ev.dtypes)["user_id"]),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    for name in TABLES:
+        if name in ("documents", "events"):
+            continue
+        link = os.path.join(out_dir, f"{name}.parquet")
+        target = os.path.join(BASE, f"{name}.parquet")
+        if not os.path.exists(link) and os.path.exists(target):
+            os.symlink(target, link)
+
+
+def run_skew_leg() -> None:
+    """`--skew` mode: print the base-vs-skew table for SKEW_QUERIES
+    (pasted into the current round's SCALE.md addendum — this function
+    deliberately does not rewrite SCALE.md)."""
+    spark = get_spark("scale_probe_skew")
+    out_dir = os.path.join(tempfile.gettempdir(), "scale_probe_skew")
+    t0 = time.time()
+    synthesize_skew_twin(spark, out_dir)
+    print(f"synthesized skew twin at {out_dir} in {time.time()-t0:.0f}s")
+    spark.stop()
+    base = run_bench(BASE, queries=SKEW_QUERIES)
+    skew = run_bench(out_dir, queries=SKEW_QUERIES)
+    lines = [
+        "| query | base sec | skew sec | skew/base |",
+        "|---|---|---|---|",
+    ]
+    for q in SKEW_QUERIES:
+        t1, t2 = base["queries"].get(q), skew["queries"].get(q)
+        if t1 and t2:
+            lines.append(f"| {q} | {t1} | {t2} | {round(t2 / t1, 1)} |")
+    print("\n".join(lines))
+
+
+def synthesize(spark, n: int, out_dir: str) -> None:
     for name in TABLES:
         df = load_table(spark, BASE, name)
         if name in FACT_SHIFT:
@@ -84,11 +180,6 @@ def synthesize(spark, n: int, out_dir: str, grow_cells: bool = False) -> None:
                 c = df
                 for col in FACT_SHIFT[name]:
                     c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
-                if grow_cells and name == "embeddings":
-                    # cells ∝ n: each copy brings its own label space
-                    c = c.withColumn(
-                        "label", F.col("label") + F.lit(i * LABEL_SHIFT)
-                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
@@ -164,6 +255,9 @@ def main() -> None:
     deep: list[str] | None = None
     ns: list[int] = []
     for a in argv:
+        if a == "--skew":
+            run_skew_leg()
+            return
         if a.startswith("--deep="):
             deep = [q.strip() for q in a.split("=", 1)[1].split(",")]
         else:

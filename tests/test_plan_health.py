@@ -510,20 +510,54 @@ def test_pretrain_pipeline_plan_shape(spark):
     spark.catalog.clearCache()  # drop the twin's persist marks
 
 
-def test_chain_spans_two_shuffles_no_joins(spark):
-    """dedup_chain_spans (r16): the suffix-chain plan is one parquet
-    scan + exactly two shuffles (canonical-site window keyed by
-    shingle, diagonal run window keyed by (doc, src_doc, diag) whose
-    partitioning the final aggregate reuses) and NO join of any kind —
-    the no-candidate-pair-table guarantee, pinned."""
+def test_chain_spans_skew_safe_canonical_site(spark):
+    """dedup_chain_spans (r17 de-skew form): the canonical site per
+    shingle is a partial-aggregated ``groupBy(shingle).agg(min(struct))``
+    equi-joined back — NOT a ``min().over(partitionBy(shingle))``
+    window, which would execute a boilerplate shingle as one sorted
+    straggler task (no map-side combine, no AQE skew splitting for
+    WindowExec).  Pinned: map-side partial_min on the shingle key,
+    exactly ONE equi-join (the join-back — still no candidate PAIR
+    table), exactly one Window (the diagonal run window keyed by
+    (doc, src_doc, diag), bounded by per-doc occurrence counts), and
+    two shuffles + two scans (the agg side re-reads the shingle build;
+    codegen array work — the price of bounded task time)."""
     plan = _formatted_plan(
         entrymod.queries()["dedup_chain_spans"](spark, SF)
     )
-    assert _n(plan, "Scan parquet") == 1, plan
+    assert "partial_min" in plan, plan
+    assert _n(plan, "Scan parquet") == 2, plan
     assert _n(plan, "Exchange") == 2, plan
-    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-              "BroadcastNestedLoopJoin", "CartesianProduct"):
+    assert _n(plan, "Window") == 1, plan
+    n_joins = sum(
+        _n(plan, j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    for j in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert _n(plan, j) == 0, (j, plan)
+
+
+def test_textdedup_family_no_hot_key_windows(spark):
+    """The r16 verdict's one weak-at-100x pattern: unbounded windows
+    partitioned by a corpus-frequency key (shingle / token) in the
+    text-dedup family.  De-skewed in r17 to groupBy+agg+join-back;
+    this pin keeps the family free of per-shingle/per-token WindowExec
+    and requires the map-side partial aggregation that replaced it.
+    The remaining Window nodes are keyed by doc-bounded or
+    band-bounded partitions only."""
+    for q, partial in (
+        ("dedup_verbatim_spans", "partial_count"),
+        ("dedup_strip_verbatim", "partial_min"),
+        ("dedup_setsim_join", "partial_count"),
+        ("dedup_containment", "partial_count"),
+    ):
+        plan = _formatted_plan(entrymod.queries()[q](spark, SF))
+        assert partial in plan, (q, plan)
+        # No window may partition by the hot corpus-frequency keys.
+        for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            assert "shingle" not in spec and "__tok" not in spec, (q, spec)
 
 
 def test_pretrain_pipeline_staged_barriers(spark):

@@ -1338,6 +1338,75 @@ def test_bpe_batched_batch_cap_respected(spark):
     assert got == [("a", "b"), ("c", "d")], got
 
 
+def test_bpe_sym_cap_batch1_equals_sequential(spark):
+    """r17 (VERDICT r16 item 4): the symbol-diversity pool cap must not
+    disturb batch=1 parity for ANY cap >= 1 — the global rank-1 pair is
+    rank-1 within both of its symbol groups (same order), so it always
+    survives the cap and the greedy degenerates to the plain argmax."""
+    from cassandra_fs_pp_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaaa aaa banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = [
+        (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, merges=6).orderBy("round").collect()
+    ]
+    for cap in (1, 4):
+        bat = [
+            (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train_merges_batched(
+                df, rounds=6, batch=1, sym_cap=cap
+            )
+            .orderBy("round")
+            .collect()
+        ]
+        assert bat == seq, cap
+
+
+def test_bpe_sym_cap_diversifies_pool(spark):
+    """r17 (VERDICT r16 item 4 — the fill plateau): a hot symbol that
+    floods the top-``topk`` pool starves the greedy scan (it can select
+    at most one pair per symbol), capping fill regardless of ``batch``.
+    Corpus by construction: 'a' appears in the 5 highest-count pairs,
+    disjoint low-count pairs (x,y) and (p,q) sit below them. With
+    topk=5 and no cap the pool is all-'a' pairs -> greedy selects ONE
+    rule; with sym_cap=2 the a-group contributes only its top 2, the
+    disjoint pairs enter the pool, and greedy fills three rules — the
+    global argmax (a,b) still selected first in both."""
+    from cassandra_fs_pp_spark.functions.text import bpe_train_merges_batched
+
+    words = (
+        ["ab"] * 10 + ["ac"] * 9 + ["ad"] * 8 + ["ae"] * 7 + ["af"] * 6
+        + ["xy"] * 2 + ["pq"]
+    )
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    flooded = bpe_train_merges_batched(
+        df, rounds=1, batch=8, topk=5
+    ).collect()
+    assert sorted((r["lhs"], r["rhs"]) for r in flooded) == [("a", "b")]
+
+    capped = sorted(
+        bpe_train_merges_batched(
+            df, rounds=1, batch=8, topk=5, sym_cap=2
+        ).collect(),
+        key=lambda r: r["rnk"],
+    )
+    got = [(r["rnk"], r["lhs"], r["rhs"], r["pair_count"]) for r in capped]
+    assert got == [(1, "a", "b", 10), (3, "x", "y", 2), (4, "p", "q", 1)], got
+
+
 def test_bpe_pipeline_batch1_equals_sequential_tokenize(spark):
     """The composed train+apply pipeline at batch=1 must equal the
     sequential replace-chain tokenizer end-to-end: the greedy batched
@@ -1375,6 +1444,60 @@ def test_bpe_pipeline_batch1_equals_sequential_tokenize(spark):
         key=lambda r: r["doc_id"],
     )
     assert got == want
+
+
+def test_bpe_pipeline_blank_doc_oracle_parity(spark, tmp_path):
+    """ADVICE r16: a whitespace-only document must survive BOTH engines
+    with the same (n_words=0, n_chars=0, n_bpe_tokens=0,
+    compression=NULL) row — the engine drives per-doc stats from the
+    documents table itself, and the oracles now mirror that with a
+    LEFT JOIN from documents instead of grouping only over non-empty
+    words (which silently dropped blank docs)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "low low low lower lowest",
+        "   \t  ",  # whitespace-only: the row under test
+        "newest newest new news",
+        "banana bandana cabana",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    for qname in ("text_bpe_pipeline", "text_bpe_tokenize"):
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["n_chars"], r["n_bpe_tokens"],
+                r["compression"],
+            )
+            for r in entrymod.queries()[qname](spark, str(tmp_path)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS"
+            f" SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(
+                entrymod.oracle_sql()[qname]
+            ).fetchall()
+        }
+        assert set(got) == set(range(len(texts))), qname
+        assert got == want, qname
+        assert got[1] == (0, 0, 0, None), qname
 
 
 def test_bpe_tokenize_counts_vs_python_reference(spark):
