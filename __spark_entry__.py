@@ -14573,76 +14573,39 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-16 rotation (VERDICT
-    # r15 item 2): (a) the queries NEW or CHANGED since the r15 artifact
-    # snapshot — dedup_chain_spans (new suffix-chain span dedup),
-    # curation_pretrain_pipeline (staged localCheckpoint barriers are now
-    # the flagship form), text_bpe_merges_batched (greedy maximal-disjoint
-    # selection, batch=16/topk=128), curation_logreg_trained (final scoring
-    # pass reads the cache; checkpointed top-k) — plus the two r15-late
-    # exact-parity sketches a_hll_deterministic / a_countmin_freq, which
-    # were added below the pinned r15 window and see the driver gate here
-    # for the first time; (b) the stalest remainder from fuzzy_match_join
-    # in registry order (r09/r10-evidence middle block), filling the window
-    # to 50.  Beyond that the registry keeps ascending evidence freshness
-    # (the rest of the middle block, then the r15-window block, freshest,
-    # last); the 3 native-sketch queries stay pinned last (rows-only by
-    # nature, never in a window).
+    # prefix window (50 entries) of this dict.  Round-17 rotation (VERDICT
+    # r16 item 2): (a) the queries NEW or CHANGED since the r16 artifact
+    # snapshot — the five text-dedup queries whose hot-key windows became
+    # partial-agg + join-back (dedup_chain_spans, dedup_verbatim_spans,
+    # dedup_strip_verbatim, dedup_setsim_join, dedup_containment), the
+    # sym_cap=4 symbol-diversified BPE trainer (text_bpe_merges_batched),
+    # and the two tokenize queries whose shared oracle gained the
+    # blank-doc LEFT JOIN shape (text_bpe_tokenize, text_bpe_tokenize_trie)
+    # — then the three r16-late queries that have never seen the driver
+    # gate (text_bpe_pipeline — also sym_cap-changed —, a_bottomk_quantiles
+    # — also NULL-contract-pinned —, a_bloom_membership); (b) the stalest
+    # remainder from tpch_q1 in registry order (the r11-evidence block
+    # that followed the r16 window), filling the window to 50.  Beyond
+    # that the registry keeps ascending evidence freshness (the rest of
+    # the middle block, then the r15-window block, then the r16-window
+    # block, freshest, last); the 3 native-sketch queries stay pinned
+    # last (rows-only by nature, never in a window).
     return {
-        # ===== (a) new/changed since the r15 snapshot + r15-late sketches =====
+        # ===== (a) r17 head: new/changed since the r16 snapshot =====
         "dedup_chain_spans": dedup_chain_spans,
-        "curation_pretrain_pipeline": curation_pretrain_pipeline,
-        "text_bpe_merges_batched": text_bpe_merges_batched,
-        "curation_logreg_trained": curation_logreg_trained,
-        "a_hll_deterministic": a_hll_deterministic,
-        "a_countmin_freq": a_countmin_freq,
-        # ===== (b) stalest middle-block remainder fills the r16 window =====
-        "fuzzy_match_join": fuzzy_match_join,
-        "geo_grid_join": geo_grid_join,
-        "a_heavy_hitters_mg": a_heavy_hitters_mg,
-        "rag_chunk_topk": rag_chunk_topk,
-        "op_incremental_rollup": op_incremental_rollup,
-        "ts_ewma": ts_ewma,
-        "layout_zorder_stats": layout_zorder_stats,
-        "a_bitmap_distinct": a_bitmap_distinct,
-        "emb_scalar_quantize": emb_scalar_quantize,
-        "curation_shuffle_shard": curation_shuffle_shard,
-        "r4_transpose": r4_transpose,
-        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
-        "j_interval_overlap": j_interval_overlap,
-        "f_collections": f_collections,
-        "j_bloom_semi": j_bloom_semi,
-        "dq_benford": dq_benford,
-        "a_theil_sen": a_theil_sen,
-        "stream_holt_linear": stream_holt_linear,
-        "text_kn_perplexity": text_kn_perplexity,
-        "curation_ccnet_buckets": curation_ccnet_buckets,
-        "w_bollinger_bands": w_bollinger_bands,
-        "a_autocorr": a_autocorr,
-        "layout_file_stats": layout_file_stats,
-        "w_rolling_slope": w_rolling_slope,
-        "op_cdc_merge": op_cdc_merge,
-        "dq_rule_violations": dq_rule_violations,
-        "a_weighted_median": a_weighted_median,
-        "op_snapshot_diff": op_snapshot_diff,
-        "curation_epoch_upsample": curation_epoch_upsample,
-        "a_seasonality_strength": a_seasonality_strength,
-        "w_ohlc": w_ohlc,
-        "w_drawdown": w_drawdown,
-        "a_entropy_transitions": a_entropy_transitions,
-        "a_mann_whitney": a_mann_whitney,
-        "a_runs_test": a_runs_test,
-        "a_kmv_distinct": a_kmv_distinct,
-        "graph_bfs_levels": graph_bfs_levels,
-        "dq_schema_drift": dq_schema_drift,
-        "w_kalman_1d": w_kalman_1d,
-        "ts_sax_symbols": ts_sax_symbols,
-        "w_ewma_irregular": w_ewma_irregular,
-        "graph_jaccard_similarity": graph_jaccard_similarity,
-        "graph_kcore": graph_kcore,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
+        "dedup_strip_verbatim": dedup_strip_verbatim,
         "dedup_setsim_join": dedup_setsim_join,
-        # ===== below the window: ascending evidence freshness =====
         "dedup_containment": dedup_containment,
+        "text_bpe_merges_batched": text_bpe_merges_batched,
+        "text_bpe_tokenize": text_bpe_tokenize,
+        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
+        # r16-late, never driver-gated — pulled into the head (the r15
+        # HLL/CMS pattern; VERDICT r16 item 2 / ADVICE r16 item 1)
+        "text_bpe_pipeline": text_bpe_pipeline,
+        "a_bottomk_quantiles": a_bottomk_quantiles,
+        "a_bloom_membership": a_bloom_membership,
+        # ===== (b) stalest middle-block remainder fills the r17 window =====
         "tpch_q1": tpch_q1,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "flagship_events_hourly": flagship_events_hourly,
@@ -14682,6 +14645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_time_slice": p10_time_slice,
         "p1_prune_all_null": p1_prune_all_null,
         "p2_dedup_rows": p2_dedup_rows,
+        # ===== below the window: ascending evidence freshness =====
         "p3_dedup_keep_first": p3_dedup_keep_first,
         "p7_validity_null": p7_validity_null,
         "r5_pivot": r5_pivot,
@@ -14712,7 +14676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_mann_kendall": a_mann_kendall,
         "text_kn5_perplexity": text_kn5_perplexity,
         "text_bpe_merges": text_bpe_merges,
-        "text_bpe_tokenize": text_bpe_tokenize,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "graph_connected_components": graph_connected_components,
         "f_higher_order": f_higher_order,
@@ -14760,7 +14723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dsir_select": curation_dsir_select,
         "ann_ivf_pq_topk": ann_ivf_pq_topk,
         "j1_calibration_fallback": j1_calibration_fallback,
-        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "stream_dedup_counts": stream_dedup_counts,
@@ -14844,8 +14806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_count": tpch_q16_supplier_count,
         "tpch_q21_shape": tpch_q21_shape,
         "a_rfm_segments_banded": a_rfm_segments_banded,
-        "dedup_verbatim_spans": dedup_verbatim_spans,
-        "dedup_strip_verbatim": dedup_strip_verbatim,
         "stream_attribution_credit": stream_attribution_credit,
         "rag_mmr_rerank": rag_mmr_rerank,
         "rag_prf_expand": rag_prf_expand,
@@ -14855,11 +14815,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_target_encode": stream_target_encode,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
-        # ===== r16 late additions (below the pinned window; the r17
-        # rotation pulls them into its head — the r15 HLL/CMS pattern) =====
-        "text_bpe_pipeline": text_bpe_pipeline,
-        "a_bottomk_quantiles": a_bottomk_quantiles,
-        "a_bloom_membership": a_bloom_membership,
+        # ===== r16-window block (freshest driver evidence, r16) =====
+        "curation_pretrain_pipeline": curation_pretrain_pipeline,
+        "curation_logreg_trained": curation_logreg_trained,
+        "a_hll_deterministic": a_hll_deterministic,
+        "a_countmin_freq": a_countmin_freq,
+        "fuzzy_match_join": fuzzy_match_join,
+        "geo_grid_join": geo_grid_join,
+        "a_heavy_hitters_mg": a_heavy_hitters_mg,
+        "rag_chunk_topk": rag_chunk_topk,
+        "op_incremental_rollup": op_incremental_rollup,
+        "ts_ewma": ts_ewma,
+        "layout_zorder_stats": layout_zorder_stats,
+        "a_bitmap_distinct": a_bitmap_distinct,
+        "emb_scalar_quantize": emb_scalar_quantize,
+        "curation_shuffle_shard": curation_shuffle_shard,
+        "r4_transpose": r4_transpose,
+        "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
+        "j_interval_overlap": j_interval_overlap,
+        "f_collections": f_collections,
+        "j_bloom_semi": j_bloom_semi,
+        "dq_benford": dq_benford,
+        "a_theil_sen": a_theil_sen,
+        "stream_holt_linear": stream_holt_linear,
+        "text_kn_perplexity": text_kn_perplexity,
+        "curation_ccnet_buckets": curation_ccnet_buckets,
+        "w_bollinger_bands": w_bollinger_bands,
+        "a_autocorr": a_autocorr,
+        "layout_file_stats": layout_file_stats,
+        "w_rolling_slope": w_rolling_slope,
+        "op_cdc_merge": op_cdc_merge,
+        "dq_rule_violations": dq_rule_violations,
+        "a_weighted_median": a_weighted_median,
+        "op_snapshot_diff": op_snapshot_diff,
+        "curation_epoch_upsample": curation_epoch_upsample,
+        "a_seasonality_strength": a_seasonality_strength,
+        "w_ohlc": w_ohlc,
+        "w_drawdown": w_drawdown,
+        "a_entropy_transitions": a_entropy_transitions,
+        "a_mann_whitney": a_mann_whitney,
+        "a_runs_test": a_runs_test,
+        "a_kmv_distinct": a_kmv_distinct,
+        "graph_bfs_levels": graph_bfs_levels,
+        "dq_schema_drift": dq_schema_drift,
+        "w_kalman_1d": w_kalman_1d,
+        "ts_sax_symbols": ts_sax_symbols,
+        "w_ewma_irregular": w_ewma_irregular,
+        "graph_jaccard_similarity": graph_jaccard_similarity,
+        "graph_kcore": graph_kcore,
         # ===== sketch trio: rows-only by nature, pinned last =====
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,

@@ -19,10 +19,11 @@ encoding produces, from the public HDF5 File Format Specification
   B-tree; filter pipelines v1/v2 with deflate (stdlib ``zlib``),
   shuffle, and fletcher32 (verified) — the standard netCDF4
   ``zlib=True`` stack, beyond the reference's own ``zlib=False``
-* data layout v4 (``libver='latest'``): single-chunk, implicit, and
-  fixed-array (FAHD/FADB, unpaged, plain or filtered entries) chunk
-  indexes; the extensible-array index (what libhdf5 picks for
-  unlimited dims) and the v2-B-tree index gate honestly
+* data layout v4 (``libver='latest'``): single-chunk, implicit,
+  fixed-array (FAHD/FADB, unpaged, plain or filtered entries) and
+  extensible-array (EAHD/EAIB/EADB/EASB — what libhdf5 picks for
+  unlimited dims; r17) chunk indexes; the v2-B-tree index, paged
+  EA data blocks, and EA super-block page bitmaps gate honestly
 * fill-value messages (0x0004/0x0005) honored for unallocated
   contiguous data and missing chunks (netCDF4's defaults are non-zero)
 * attributes v1/v2/v3, vlen payloads via global heap collections (GCOL)
@@ -33,24 +34,35 @@ encoding produces, from the public HDF5 File Format Specification
   (``CLASS=DIMENSION_SCALE``), data variables bind dims through
   ``DIMENSION_LIST`` object references
 
-Anything outside the subset (non-deflate filters such as szip, the
-extensible-array chunk index, filtered fractal heaps, multi-level
-dense-index B-trees, nested indirect heap blocks, huge/tiny heap
-object classes, compound/enum types) raises ``NotImplementedError``
+Anything outside the subset (non-deflate filters such as szip,
+filtered fractal heaps, multi-level dense-index B-trees, nested
+indirect heap blocks, huge/tiny heap object classes, compound/enum
+types, paged extensible-array blocks) raises ``NotImplementedError``
 naming the feature — the honest-gate convention shared with the image
 codecs; the ``sources/netcdf.py`` caller routes those to the optional
 netCDF4/h5py libraries when installed.
 
-The extensible-array index stays gated DELIBERATELY (same rationale as
-the arithmetic-JPEG/lossy-VP8 gates): its super-block/data-block
-doubling arithmetic is the most transcription-fragile structure in the
-format, and with no libhdf5-written validation artifact in the
-container, a from-memory writer+reader pair sharing one misread of the
-growth rule would round-trip green while misplacing every chunk of a
-real file. The structures implemented here were kept to those whose
-layout is fixed-offset tables (superblock, headers, FRHP/FHDB/FADB,
-depth-0 BTHD/BTLF) where each field is independently checkable against
-the spec text.
+The extensible-array index was gated through r16 because its
+super-block/data-block doubling arithmetic is the most
+transcription-fragile structure in the format: with no libhdf5-written
+validation artifact in the container, a from-memory writer+reader pair
+sharing one misread of the growth rule would round-trip green while
+misplacing every chunk of a real file. The r17 implementation
+(VERDICT r16 item 8) mitigates exactly that failure mode: the reader
+computes the schedule from the H5EA formula
+(``super block s = 2^(s//2) data blocks × data_blk_min_elmts *
+2^((s+1)//2) elements``; index block carries the first
+``idx_blk_elmts`` elements inline plus direct addresses for the data
+blocks of the first ``2*log2(sup_blk_min_data_ptrs)`` super blocks),
+while the test fixture lays its blocks out from HAND-WRITTEN literal
+schedules — derived independently from the design, never from the
+reader's formula — at TWO creation-parameter sets (the libhdf5
+dataset-chunk defaults 32/4/4/16/10 and a small custom set that
+forces a materialized EASB super block within a 9-chunk dataset).
+Agreement between formula-driven reading and literal-table writing is
+the strongest validation available without a libhdf5 artifact; a
+shared conceptual misread remains possible and is documented here
+rather than hidden.
 """
 
 from __future__ import annotations
@@ -754,11 +766,17 @@ class _Reader:
         if itype == 3:  # fixed array
             addr = struct.unpack_from("<Q", body, pos + 1)[0]
             return ("chunked_farr", addr, chunk, elem)
+        if itype == 4:  # extensible array (libhdf5's unlimited-dim pick)
+            # creation parameters, in H5O layout-message encode order:
+            # max nelmts bits, index block elements, super block min
+            # data pointers, data block min elements, max data block
+            # page nelmts bits — the reader needs all five to replay
+            # the element->block schedule (the header repeats them).
+            cparams = tuple(body[pos : pos + 5])
+            addr = struct.unpack_from("<Q", body, pos + 5)[0]
+            return ("chunked_earr", addr, chunk, elem, cparams)
         raise NotImplementedError(
-            "chunk index type "
-            + {4: "extensible array", 5: "v2 B-tree"}.get(
-                itype, str(itype)
-            )
+            "chunk index type " + {5: "v2 B-tree"}.get(itype, str(itype))
         )
 
     def _alloc(self, ds: H5Dataset, npd: np.dtype) -> np.ndarray:
@@ -823,6 +841,11 @@ class _Reader:
             _, addr, chunk, _elem = ds.layout
             if addr != UNDEF:
                 self._read_fixed_array(addr, ds, chunk, out, npd)
+            return out
+        if kind == "chunked_earr":
+            _, addr, chunk, _elem, cparams = ds.layout
+            if addr != UNDEF:
+                self._read_extensible_array(addr, ds, chunk, out, npd)
             return out
         raise NotImplementedError(f"layout kind {kind}")
 
@@ -895,6 +918,139 @@ class _Reader:
             else:
                 raw = bytes(buf[caddr : caddr + csize])
             self._paste_chunk(out, raw, start, chunk, npd)
+
+    def _read_extensible_array(self, addr, ds, chunk, out, npd):
+        """Extensible Array chunk index (EAHD header -> EAIB index block
+        -> EADB data blocks, directly addressed or via EASB super
+        blocks) — what libhdf5 creates for a chunked dataset with an
+        unlimited dimension under ``libver='latest'`` (the netCDF4
+        record-dimension case; r17, closing the last S11 index gate).
+
+        Element schedule (the public H5EA doubling-super-block design;
+        creation parameters from the layout message / header): element
+        ``i`` indexes the i-th chunk of the row-major chunk grid —
+        netCDF4 keeps the unlimited record dim FIRST, so libhdf5's
+        unlimited-first coordinate swizzle is the identity (a
+        non-leading unlimited dim is gated honestly below).  The first
+        ``idx_blk_elmts`` elements live INLINE in the index block; the
+        rest live in data blocks grouped into super blocks
+        ``s = 0, 1, ...`` where super block ``s`` spans ``2^(s//2)``
+        data blocks of ``data_blk_min_elmts * 2^((s+1)//2)`` elements
+        each.  The data blocks of the first
+        ``2*log2(sup_blk_min_data_ptrs)`` super blocks are addressed
+        DIRECTLY from the index block (those super blocks never
+        materialize); later super blocks appear as EASB blocks holding
+        their data-block addresses.  Elements are chunk addresses
+        (client 0) or (address, stored size, filter mask) records
+        (client 1, filtered).  A data block whose element count
+        exceeds ``2^max_dblk_page_nelmts_bits`` is stored paged with
+        per-page checksums — gated honestly, as are page bitmaps in
+        super blocks.  Block checksums are not verified (same policy
+        as the fixed-array and B-tree readers)."""
+        import math
+
+        buf = self.buf
+        if buf[addr : addr + 4] != b"EAHD":
+            raise ValueError("bad extensible array header signature")
+        client = buf[addr + 5]
+        elem_size = buf[addr + 6]
+        max_bits = buf[addr + 7]
+        idx_elmts = buf[addr + 8]
+        dblk_min = buf[addr + 9]
+        sblk_min_ptrs = buf[addr + 10]
+        page_bits = buf[addr + 11]
+        if client not in (0, 1):
+            raise NotImplementedError(f"extensible array client id {client}")
+        if any(m == UNDEF for m in ds.maxshape[1:]):
+            raise NotImplementedError(
+                "extensible array with a non-leading unlimited dimension"
+                " (non-identity coordinate swizzle)"
+            )
+        if dblk_min & (dblk_min - 1) or sblk_min_ptrs & (sblk_min_ptrs - 1):
+            raise ValueError("extensible array parameters must be 2^k")
+        # six length-sized stats fields skipped; index block address next
+        iblk = struct.unpack_from("<Q", buf, addr + 12 + 6 * 8)[0]
+        if iblk == UNDEF:
+            return
+        starts = list(self._chunk_grid(ds.shape, chunk))
+        csize = int(np.prod(chunk)) * npd.itemsize
+
+        def paste_element(i: int, e: int) -> None:
+            if i >= len(starts):
+                return  # beyond the current extent: ignore
+            caddr = struct.unpack_from("<Q", buf, e)[0]
+            if caddr == UNDEF:
+                return  # never-written chunk stays fill
+            if client == 1:
+                szb = elem_size - 12
+                stored = int.from_bytes(buf[e + 8 : e + 8 + szb], "little")
+                fmask = struct.unpack_from("<I", buf, e + 8 + szb)[0]
+                raw = bytes(buf[caddr : caddr + stored])
+                raw = self._defilter_chunk(
+                    raw, ds.filters, fmask, npd.itemsize
+                )
+            else:
+                raw = bytes(buf[caddr : caddr + csize])
+            self._paste_chunk(out, raw, starts[i], chunk, npd)
+
+        off_bytes = (max_bits + 7) // 8  # block-offset field width
+
+        def read_dblock(daddr: int, first: int, nelmts: int) -> None:
+            if daddr == UNDEF:
+                return
+            if nelmts > (1 << page_bits):
+                raise NotImplementedError(
+                    "paged extensible-array data block"
+                )
+            if buf[daddr : daddr + 4] != b"EADB":
+                raise ValueError(
+                    "bad extensible array data block signature"
+                )
+            # sig, version, client id, header address, block offset
+            p = daddr + 6 + 8 + off_bytes
+            for j in range(nelmts):
+                paste_element(first + j, p + j * elem_size)
+
+        if buf[iblk : iblk + 4] != b"EAIB":
+            raise ValueError("bad extensible array index block signature")
+        p = iblk + 6 + 8  # sig, version, client id, header address
+        for i in range(idx_elmts):
+            paste_element(i, p + i * elem_size)
+        p += idx_elmts * elem_size
+        nsblks = 1 + (max_bits - int(math.log2(dblk_min)))
+        first_real = 2 * int(math.log2(sblk_min_ptrs))
+        elem_idx = idx_elmts
+        # data blocks of super blocks < first_real: direct addresses
+        for s in range(min(first_real, nsblks)):
+            ndb = 1 << (s // 2)
+            nel = dblk_min << ((s + 1) // 2)
+            for _ in range(ndb):
+                read_dblock(struct.unpack_from("<Q", buf, p)[0],
+                            elem_idx, nel)
+                p += 8
+                elem_idx += nel
+        # materialized super blocks
+        for s in range(first_real, nsblks):
+            saddr = struct.unpack_from("<Q", buf, p)[0]
+            p += 8
+            ndb = 1 << (s // 2)
+            nel = dblk_min << ((s + 1) // 2)
+            if saddr != UNDEF:
+                if nel > (1 << page_bits):
+                    raise NotImplementedError(
+                        "paged extensible-array super block (page bitmap)"
+                    )
+                if buf[saddr : saddr + 4] != b"EASB":
+                    raise ValueError(
+                        "bad extensible array super block signature"
+                    )
+                q = saddr + 6 + 8 + off_bytes
+                for d in range(ndb):
+                    read_dblock(struct.unpack_from("<Q", buf, q + d * 8)[0],
+                                elem_idx + d * nel, nel)
+            elem_idx += ndb * nel
+            if elem_idx >= len(starts):
+                break
 
     def _read_chunk_btree(self, addr, chunk, out, npd, filters=()):
         buf = self.buf

@@ -135,10 +135,22 @@ def sweep_lint(qs: set[str], osql: set[str]) -> bool:
         d = json.load(open(path))
         nc, nk = d.get("n_checked"), d.get("n_ok")
         for m in re.finditer(re.escape(base), scale):
-            # counts sentence = context mentions queries/checked/ok counts;
-            # stop at the next artifact citation to avoid crediting ITS
-            # numbers to this one
-            ctx = scale[m.end(): m.end() + 220].split("`SWEEP", 1)[0]
+            # counts sentence = context mentions queries/checked/ok counts.
+            # Scan BOTH sides of the citation (ADVICE r16: '268 checked
+            # ... (`SWEEP_r16.json`)' phrases the counts BEFORE the
+            # citation, which an after-only window silently skipped),
+            # bounded by the neighboring artifact citations so a
+            # neighbor's numbers aren't credited to this one.
+            after = scale[m.end(): m.end() + 220].split("`SWEEP", 1)[0]
+            before = scale[max(0, m.start() - 160): m.start()]
+            if "SWEEP_r" in before:
+                before = before[
+                    before.rindex("SWEEP_r") + len("SWEEP_r"):
+                ]
+                # drop the previous citation's own tail (its filename
+                # suffix and any counts that sentence carried)
+                before = before.split("\n", 1)[-1] if "\n" in before else ""
+            ctx = before + " " + after
             if not re.search(r"\d+\s*(queries|checked)\b", ctx):
                 continue  # a non-counts mention (e.g. tooling prose)
             nums = set(re.findall(r"\d+", ctx))

@@ -829,6 +829,408 @@ def _fixed_array(
     f.place(f"{prefix}:fahd", hd)
 
 
+def _layout_v4_ea(
+    chunk: tuple[int, ...],
+    elem: int,
+    addr_key: str,
+    cparams: tuple[int, int, int, int, int],
+) -> _Blob:
+    """Layout message v4 class 2 with chunk index 4 (extensible array).
+    ``cparams`` in LAYOUT-MESSAGE encode order: (max nelmts bits, index
+    block elements, super block min data pointers, data block min
+    elements, max data block page nelmts bits) — note the header stores
+    the middle three in a DIFFERENT order (idx, dblk_min, sblk_min)."""
+    out = _Blob().emit(struct.pack("<BBBBB", 4, 2, 0, len(chunk) + 1, 8))
+    for d in (*chunk, elem):
+        out.emit(struct.pack("<Q", d))
+    out.emit(struct.pack("<B", 4))
+    out.emit(struct.pack("<5B", *cparams))
+    return out.slot(addr_key)
+
+
+def _ea_entry(db: _Blob, entry, client: int) -> None:
+    """One element record: client 0 = chunk address; client 1 =
+    (address, stored size (8), filter mask (4)). ``entry`` is a data
+    key (str), None (never written), or (key|None, size, mask)."""
+    if client == 0:
+        if entry is None:
+            db.emit(struct.pack("<Q", UNDEF))
+        else:
+            db.slot(entry)
+        return
+    key, size, mask = entry if entry is not None else (None, 0, 0)
+    if key is None:
+        db.emit(struct.pack("<Q", UNDEF))
+    else:
+        db.slot(key)
+    db.emit(size.to_bytes(8, "little") + struct.pack("<I", mask))
+
+
+def _ea_data_block(
+    f: _File, key: str, hdr_key: str, client: int,
+    off_bytes: int, block_offset: int, entries: list,
+) -> None:
+    """EADB: sig, version, client id, header address, block offset
+    (``off_bytes`` wide = ceil(max_nelmts_bits / 8)), elements,
+    checksum (unverified, same policy as FADB)."""
+    db = _Blob().emit(b"EADB").emit(struct.pack("<BB", 0, client))
+    db.slot(hdr_key)
+    db.emit(block_offset.to_bytes(off_bytes, "little"))
+    for e in entries:
+        _ea_entry(db, e, client)
+    db.emit(b"\x00" * 4)
+    f.place(key, db)
+
+
+def _ea_super_block(
+    f: _File, key: str, hdr_key: str,
+    off_bytes: int, block_offset: int, dblk_keys: list,
+) -> None:
+    """EASB: sig, version, client id, header address, block offset,
+    data block addresses (no page bitmap — unpaged fixtures only),
+    checksum."""
+    sb = _Blob().emit(b"EASB").emit(struct.pack("<BB", 0, 0))
+    sb.slot(hdr_key)
+    sb.emit(block_offset.to_bytes(off_bytes, "little"))
+    for k in dblk_keys:
+        if k is None:
+            sb.emit(struct.pack("<Q", UNDEF))
+        else:
+            sb.slot(k)
+    sb.emit(b"\x00" * 4)
+    f.place(key, sb)
+
+
+def _extensible_array(
+    f: _File,
+    prefix: str,
+    *,
+    client: int,
+    elem_size: int,
+    hdr_cparams: tuple[int, int, int, int, int],
+    inline: list,
+    direct_dblk_keys: list,
+    sblk_keys: list,
+) -> None:
+    """EAHD + EAIB. ``hdr_cparams`` in HEADER encode order: (max nelmts
+    bits, index block elements, data block min elements, super block
+    min data pointers, max data block page nelmts bits). The CALLER
+    supplies the literal pointer-slot lists (``direct_dblk_keys`` must
+    hold every data-block slot of the super blocks below
+    2*log2(sup_blk_min_data_ptrs); ``sblk_keys`` one slot per
+    remaining super block) — hand-derived at each call site, never
+    computed with the reader's schedule formula, so fixture and reader
+    cannot share a transcription error."""
+    ib = _Blob().emit(b"EAIB").emit(struct.pack("<BB", 0, client))
+    ib.slot(f"{prefix}:eahd")
+    for e in inline:
+        _ea_entry(ib, e, client)
+    for k in direct_dblk_keys:
+        if k is None:
+            ib.emit(struct.pack("<Q", UNDEF))
+        else:
+            ib.slot(k)
+    for k in sblk_keys:
+        if k is None:
+            ib.emit(struct.pack("<Q", UNDEF))
+        else:
+            ib.slot(k)
+    ib.emit(b"\x00" * 4)
+    f.place(f"{prefix}:eaib", ib)
+
+    hd = _Blob().emit(b"EAHD").emit(struct.pack("<BB", 0, client))
+    hd.emit(struct.pack("<B", elem_size))
+    hd.emit(struct.pack("<5B", *hdr_cparams))
+    hd.emit(b"\x00" * 48)  # six length-sized stats (unread)
+    hd.slot(f"{prefix}:eaib")
+    hd.emit(b"\x00" * 4)
+    f.place(f"{prefix}:eahd", hd)
+
+
+def write_netcdf4_layout_ea(path: str) -> dict:
+    """'latest' flavor exercising the EXTENSIBLE-ARRAY chunk index
+    (r17, VERDICT r16 item 8) — what libhdf5 emits for chunked
+    datasets with an unlimited dimension. Three variables over an
+    unlimited time dim (n_time=16) cover the three block classes:
+
+    * ``time`` (int64, chunk 2 -> 8 chunks) uses the libhdf5
+      DATASET-CHUNK DEFAULT creation parameters (max bits 32, index
+      elements 4, super block min pointers 4, data block min elements
+      16, page bits 10). Hand-derived literals: the index block holds
+      4 inline elements (chunks 0-3), then SIX direct data-block
+      slots — super blocks below 2*log2(4)=4 never materialize and
+      their data blocks (1 of 16 elmts, 1 of 32, 2 of 32, 2 of 64)
+      hang off the index block — then 25 super-block slots (nsblks =
+      1 + (32 - log2(16)) = 29, minus the 4 index-block-resident
+      ones). Chunks 4-7 land in the first direct data block (block
+      offset 4, 16 element slots, 12 never written); every other
+      pointer slot is UNDEF.
+    * ``press`` (float64, chunk 5 -> 4 chunks) is CLIENT 1 (deflate
+      filter pipeline): all 4 chunks fit the 4 inline elements, each a
+      20-byte (address, stored size, filter mask) record; chunk 3 is
+      never written and reads as the fill value.
+    * ``depth`` (2-D (time, sensor), int64, chunk (1,3) -> 16 chunks)
+      uses SMALL custom parameters (max bits 16 -> 2-byte block
+      offsets, index elements 1, super block min pointers 2, data
+      block min elements 2, page bits 8) so materialized EASB super
+      blocks appear within 16 chunks. Hand-derived literals: 1 inline
+      element (chunk 0); direct data blocks for super blocks below
+      2*log2(2)=2 — s0 = one 2-element block (chunks 1-2, offset 1),
+      s1 = one 4-element block (chunks 3-6, offset 3, chunk 5 never
+      written -> fill) — then 14 super-block slots (nsblks =
+      1 + (16 - log2(2)) = 16, minus 2): s2 materialized (2 data
+      blocks x 4 elements, offset 7; first block chunks 7-10, second
+      chunks 11-14), s3 materialized (2 data blocks x 8 elements,
+      offset 15; first block holds chunk 15 in slot 0, 7 slots
+      unwritten, second block UNDEF), s4.. UNDEF.
+
+    All pointer-slot counts and block offsets above are hand-written
+    literals derived from the H5EA design on paper — never computed
+    with the reader's schedule formula (see hdf5.py's module
+    docstring for why that independence matters)."""
+    n_time, n_sensor = 16, 3
+    rng = np.random.default_rng(17)
+    time_vals = np.arange(n_time, dtype=np.int64) * 1800
+    press = np.round(rng.normal(101.3, 0.8, n_time), 6)
+    press_fill = -9.9
+    press[15:] = press_fill  # chunk 3 (rows 15) never written
+    depth = rng.integers(-500, 500, (n_time, n_sensor)).astype(np.int64)
+    depth_fill = -99
+    depth[5] = depth_fill  # chunk 5 never written
+
+    f = _File()
+    sb = _Blob().emit(b"\x89HDF\r\n\x1a\n")
+    sb.emit(struct.pack("<BBBB", 3, 8, 8, 0))
+    sb.emit(struct.pack("<QQ", 0, UNDEF))
+    eof_off = len(sb.b)
+    sb.emit(struct.pack("<Q", 0))
+    sb.slot("oh:root")
+    sb.emit(b"\x00\x00\x00\x00")
+    f.place(None, sb)
+
+    # ---- time: EA, defaults, client 0, 8 chunks of 2 ----
+    for c in range(8):
+        f.place(
+            f"data:time{c}",
+            _Blob().emit(time_vals[c * 2 : c * 2 + 2].astype("<i8").tobytes()),
+        )
+    _ea_data_block(
+        f, "ea:time:d0", "ea:time:eahd", client=0, off_bytes=4,
+        block_offset=4,
+        entries=[f"data:time{c}" for c in range(4, 8)] + [None] * 12,
+    )
+    _extensible_array(
+        f, "ea:time", client=0, elem_size=8,
+        hdr_cparams=(32, 4, 16, 4, 10),  # header order: dblk_min, sblk_min
+        inline=[f"data:time{c}" for c in range(4)],
+        direct_dblk_keys=["ea:time:d0", None, None, None, None, None],
+        sblk_keys=[None] * 25,
+    )
+
+    # ---- press: EA, defaults, CLIENT 1 (deflate), 4 chunks of 5 ----
+    press_inline = []
+    for c in range(3):  # chunk 3 never written
+        raw = press[c * 5 : c * 5 + 5].astype("<f8").tobytes()
+        comp = zlib.compress(raw, 6)
+        f.place(f"data:press{c}", _Blob().emit(comp))
+        press_inline.append((f"data:press{c}", len(comp), 0))
+    press_inline.append(None)
+    _extensible_array(
+        f, "ea:press", client=1, elem_size=20,
+        hdr_cparams=(32, 4, 16, 4, 10),
+        inline=press_inline,
+        direct_dblk_keys=[None] * 6,
+        sblk_keys=[None] * 25,
+    )
+
+    # ---- depth: EA, custom small params, client 0, 16 chunks of (1,3)
+    for c in range(16):
+        if c == 5:
+            continue  # never written
+        f.place(
+            f"data:depth{c}", _Blob().emit(depth[c].astype("<i8").tobytes())
+        )
+    _ea_data_block(
+        f, "ea:depth:d0", "ea:depth:eahd", client=0, off_bytes=2,
+        block_offset=1, entries=["data:depth1", "data:depth2"],
+    )
+    _ea_data_block(
+        f, "ea:depth:d1", "ea:depth:eahd", client=0, off_bytes=2,
+        block_offset=3,
+        entries=["data:depth3", "data:depth4", None, "data:depth6"],
+    )
+    _ea_data_block(
+        f, "ea:depth:s2d0", "ea:depth:eahd", client=0, off_bytes=2,
+        block_offset=7,
+        entries=[f"data:depth{c}" for c in range(7, 11)],
+    )
+    _ea_data_block(
+        f, "ea:depth:s2d1", "ea:depth:eahd", client=0, off_bytes=2,
+        block_offset=11,
+        entries=[f"data:depth{c}" for c in range(11, 15)],
+    )
+    _ea_super_block(
+        f, "ea:depth:s2", "ea:depth:eahd", off_bytes=2, block_offset=7,
+        dblk_keys=["ea:depth:s2d0", "ea:depth:s2d1"],
+    )
+    _ea_data_block(
+        f, "ea:depth:s3d0", "ea:depth:eahd", client=0, off_bytes=2,
+        block_offset=15, entries=["data:depth15"] + [None] * 7,
+    )
+    _ea_super_block(
+        f, "ea:depth:s3", "ea:depth:eahd", off_bytes=2, block_offset=15,
+        dblk_keys=["ea:depth:s3d0", None],
+    )
+    _extensible_array(
+        f, "ea:depth", client=0, elem_size=8,
+        hdr_cparams=(16, 1, 2, 2, 8),
+        inline=["data:depth0"],
+        direct_dblk_keys=["ea:depth:d0", "ea:depth:d1"],
+        sblk_keys=["ea:depth:s2", "ea:depth:s3"] + [None] * 12,
+    )
+
+    # ---- netCDF4 dressing: dim scales, DIMENSION_LIST, headers ----
+    gh = _Blob()
+    payload = _Blob()
+    for i, key in ((1, "oh:time"), (2, "oh:sensor")):
+        payload.emit(struct.pack("<HHIQ", i, 1, 0, 8))
+        payload.slot(key)
+    total = 16 + len(payload.b) + 16
+    gh.emit(b"GCOL" + struct.pack("<B3xQ", 1, total))
+    gh.splice(payload)
+    gh.emit(struct.pack("<HHIQ", 0, 0, 0, 16))
+    f.place("gheap", gh)
+
+    def vref(gidx: int) -> _Blob:
+        return (
+            _Blob()
+            .emit(struct.pack("<I", 1))
+            .slot("gheap")
+            .emit(struct.pack("<I", gidx))
+        )
+
+    def dim_list(gidxs: list[int]) -> _Blob:
+        data = _Blob()
+        for gi in gidxs:
+            data.splice(vref(gi))
+        return _msg2(
+            0x000C,
+            _attr3(
+                "DIMENSION_LIST",
+                _dt_vlen(string=False),
+                _dataspace((len(gidxs),)),
+                data,
+            ),
+        )
+
+    def sattr(name: str, val: str) -> _Blob:
+        raw = val.encode() + b"\x00"
+        return _msg2(
+            0x000C, _attr3(name, _dt_string(len(raw)), _dataspace(()), raw)
+        )
+
+    f.place(
+        "oh:time",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time,), (UNDEF,))),
+                _msg2(0x0003, _dt_int(8)),
+                _msg2(
+                    0x0008,
+                    # layout-message cparam order: max bits, idx elmts,
+                    # SBLK min ptrs, DBLK min elmts, page bits
+                    _layout_v4_ea((2,), 8, "ea:time:eahd", (32, 4, 4, 16, 10)),
+                ),
+                sattr("CLASS", "DIMENSION_SCALE"),
+                sattr("NAME", "time"),
+            ]
+        ),
+    )
+    sensor_layout = (
+        _Blob()
+        .emit(struct.pack("<BB", 4, 1))
+        .emit(struct.pack("<QQ", UNDEF, n_sensor * 8))
+    )
+    f.place(
+        "oh:sensor",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_sensor,))),
+                _msg2(0x0003, _dt_float64()),
+                _msg2(0x0008, sensor_layout),
+                sattr("CLASS", "DIMENSION_SCALE"),
+                sattr(
+                    "NAME",
+                    "This is a netCDF dimension but not a netCDF variable."
+                    f" {n_sensor}",
+                ),
+            ]
+        ),
+    )
+    f.place(
+        "oh:press",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time,), (UNDEF,))),
+                _msg2(0x0003, _dt_float64()),
+                _msg2(
+                    0x0008,
+                    _layout_v4_ea((5,), 8, "ea:press:eahd", (32, 4, 4, 16, 10)),
+                ),
+                _msg2(0x000B, _filter_pipeline_v2([(1, (6,))])),
+                _msg2(0x0005, _fill_value_v3(struct.pack("<d", press_fill))),
+                dim_list([1]),
+            ]
+        ),
+    )
+    f.place(
+        "oh:depth",
+        _object_header_v2(
+            [
+                _msg2(0x0001, _dataspace((n_time, n_sensor), (UNDEF, n_sensor))),
+                _msg2(0x0003, _dt_int(8)),
+                _msg2(
+                    0x0008,
+                    _layout_v4_ea(
+                        (1, n_sensor), 8, "ea:depth:eahd", (16, 1, 2, 2, 8)
+                    ),
+                ),
+                _msg2(
+                    0x0005, _fill_value_v3(struct.pack("<q", depth_fill))
+                ),
+                dim_list([1, 2]),
+            ]
+        ),
+    )
+
+    names = sorted(["time", "sensor", "press", "depth"])
+
+    def link_msg(n: str) -> _Blob:
+        body = _Blob().emit(struct.pack("<BBB", 1, 0, len(n)))
+        body.emit(n.encode()).slot(f"oh:{n}")
+        return _msg2(0x0006, body)
+
+    f.place(
+        "oh:root",
+        _object_header_v2(
+            [_msg2(0x0002, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF))]
+            + [link_msg(n) for n in names]
+        ),
+    )
+
+    out = bytearray(f.finish())
+    struct.pack_into("<Q", out, eof_off, len(out))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return {
+        "time": time_vals,
+        "press": press,
+        "depth": depth,
+        "n_time": n_time,
+        "n_sensor": n_sensor,
+    }
+
+
 def write_netcdf4_layout_v4(
     path: str, n_time: int = 48, n_sensor: int = 3, *, compress: bool = False
 ) -> dict:

@@ -669,7 +669,9 @@ def test_netcdf4_layout_v4_indexes(tmp_path):
             half = truth["n_time"] // 2
             assert (truth["depth"][half:] == -2.5).all()  # fill path
 
-    # patch depth's index type 3 -> 4: extensible-array honest gate
+    # patch depth's index type 3 -> 5: v2-B-tree honest gate (the
+    # extensible-array index is implemented as of r17 — see
+    # test_netcdf4_layout_ea below)
     path = str(tmp_path / "v4_False.nc")
     buf = bytearray(open(path, "rb").read())
     # the layout message dims for depth: (24, 3, 8) as 8-byte LE each,
@@ -677,11 +679,46 @@ def test_netcdf4_layout_v4_indexes(tmp_path):
     sig = b"".join(_s.pack("<Q", d) for d in (24, 3, 8)) + b"\x03"
     at = buf.find(sig)
     assert at > 0
-    buf[at + len(sig) - 1] = 4
-    p = str(tmp_path / "v4_ea.nc")
+    buf[at + len(sig) - 1] = 5
+    p = str(tmp_path / "v4_bt2.nc")
     open(p, "wb").write(bytes(buf))
-    with pytest.raises(NotImplementedError, match="extensible array"):
+    with pytest.raises(NotImplementedError, match="v2 B-tree"):
         read_netcdf4(p)
+
+
+def test_netcdf4_layout_ea(tmp_path):
+    """r17 (VERDICT r16 item 8): the extensible-array chunk index —
+    libhdf5's pick for unlimited dims under libver='latest' — decodes
+    through every block class the fixture lays out from HAND-WRITTEN
+    literal schedules (never the reader's formula): inline index-block
+    elements, a direct data block (defaults: 6 direct slots + 25
+    super-block slots), client-1 filtered inline records with a
+    never-written chunk reading as fill, and materialized EASB super
+    blocks (custom small params: two 4-element blocks in s2, a partial
+    8-element block in s3) with an intra-block missing chunk."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hdf5_fixture import write_netcdf4_layout_ea
+
+    from cassandra_fs_pp_spark.hdf5 import read_netcdf4
+
+    path = str(tmp_path / "ea.nc")
+    truth = write_netcdf4_layout_ea(path)
+    dims, _gattrs, variables = read_netcdf4(path)
+    v = {x.name: x for x in variables}
+    # time is the unlimited/record dim -> None (netcdf3-style contract)
+    assert dims == {"time": None, "sensor": truth["n_sensor"]}
+    # defaults params: 4 inline chunks + 4 chunks in the direct dblock
+    assert np.array_equal(v["time"].data, truth["time"])
+    # client 1: deflate records inline; chunk 3 never written -> fill
+    assert np.array_equal(v["press"].data, truth["press"])
+    assert (v["press"].data[15:] == -9.9).all()
+    # custom params: inline + 2 direct dblocks (chunk 5 missing -> fill)
+    # + super blocks s2 (full) and s3 (partial)
+    assert np.array_equal(v["depth"].data, truth["depth"])
+    assert (v["depth"].data[5] == -99).all()
+    assert v["depth"].dims == ("time", "sensor")
 
 
 @pytest.mark.parametrize("n_time,n_sensor", [(6, 1), (47, 2), (96, 5)])

@@ -292,45 +292,50 @@ def test_dsir_select_plan_shape(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r16 rotation contract (VERDICT r15 item 2): the 4
-    queries new or changed since the r15 artifact snapshot lead (the
-    suffix-chain span dedup, the staged-barrier flagship, the greedy
-    batched BPE trainer, the cache-to-the-end logreg), then the two
-    r15-late exact-parity sketches (added below the pinned r15 window —
-    the driver gate must see new code once), then the stalest
-    middle-block remainder from fuzzy_match_join fills the window;
-    every window entry carries a full SQL oracle (the gate's hash check
-    needs one); the 3 rows-only native-sketch queries stay pinned
-    last."""
+    entries. Pin the r17 rotation contract (VERDICT r16 item 2): the 8
+    queries new or changed since the r16 artifact snapshot lead (the
+    five de-skewed text-dedup queries, the sym_cap BPE trainer, the two
+    tokenize queries whose shared oracle gained the blank-doc LEFT JOIN
+    shape), then the three r16-late queries that have never seen the
+    driver gate (text_bpe_pipeline, a_bottomk_quantiles,
+    a_bloom_membership), then the stalest middle-block remainder from
+    tpch_q1 fills the window; every window entry carries a full SQL
+    oracle (the gate's hash check needs one); the 3 rows-only
+    native-sketch queries stay pinned last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new/changed since the r15 snapshot + the r15-late sketches
-    assert window[:6] == [
+    # (a) new/changed since the r16 snapshot + the r16-late trio
+    assert window[:11] == [
         "dedup_chain_spans",
-        "curation_pretrain_pipeline",
-        "text_bpe_merges_batched",
-        "curation_logreg_trained",
-        "a_hll_deterministic",
-        "a_countmin_freq",
-    ]
-    # (b) the stalest middle-block remainder, led by fuzzy_match_join,
-    # fills the window; what follows position 50 leads the r17 window
-    assert window[6] == "fuzzy_match_join"
-    assert window[49] == "dedup_setsim_join"
-    assert qs[50] == "dedup_containment"
-    for q in (
-        "geo_grid_join",
-        "a_heavy_hitters_mg",
-        "ts_ewma",
-        "j_interval_overlap",
-        "dq_benford",
-        "w_kalman_1d",
-        "graph_kcore",
+        "dedup_verbatim_spans",
+        "dedup_strip_verbatim",
         "dedup_setsim_join",
+        "dedup_containment",
+        "text_bpe_merges_batched",
+        "text_bpe_tokenize",
+        "text_bpe_tokenize_trie",
+        "text_bpe_pipeline",
+        "a_bottomk_quantiles",
+        "a_bloom_membership",
+    ]
+    # (b) the stalest middle-block remainder, led by tpch_q1, fills
+    # the window; what follows position 50 leads the r18 window
+    assert window[11] == "tpch_q1"
+    assert window[49] == "p2_dedup_rows"
+    assert qs[50] == "p3_dedup_keep_first"
+    for q in (
+        "flagship_events_hourly",
+        "dedup_minhash_cluster",
+        "curation_pipeline",
+        "mm_jpeg_roundtrip",
+        "graph_triangle_count",
+        "j4_asof_backward",
+        "a8_resample_hourly",
+        "f_scalar_suite",
     ):
-        assert q in window[6:], f"{q} must be driver-confirmed this round"
+        assert q in window[11:], f"{q} must be driver-confirmed this round"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
