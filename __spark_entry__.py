@@ -41,10 +41,73 @@ from cassandra_fs_pp_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Scan-spread policy (r17 optimization, guide §2.2/§6): the heavy-payload
+# tables whose operators do super-linear per-row work (tokenize + n-gram
+# explode + md5 on documents; per-subspace PQ argmin / dot products on
+# embeddings).  When such a table arrives as fewer planned input splits
+# than the cluster has cores — the sf0.1 reality: ONE small single-row-
+# group parquet file, so the whole tokenize/encode stage runs as ONE task
+# while 31 cores idle (measured: the 1-2 s single-task jobs dominating
+# curation_dsir_select / ann_ivf_pq_* / dedup_*_spans walls) — a round-
+# robin repartition to ``defaultParallelism`` spreads that CPU-bound work
+# across the cluster.  The guard is scale-adaptive, not a local[32]
+# constant: at 100 TB the scan has >> cores planned splits and the spread
+# is a NO-OP (no exchange added); it only fires in the
+# small-input/unsplittable-file regime where the scan itself cannot
+# parallelize.  Scan-bound tables (lineitem/orders/events) are NOT spread:
+# their scan+partial-agg plans are already the ideal shape and the extra
+# exchange costs more than the downstream work it parallelizes (measured:
+# tpch_q1 +0.3 s when lineitem is spread).  Results are unchanged — no
+# declared query depends on row order or partitioning (the oracle gate
+# compares order-insensitively, and every ranking boundary specifies its
+# own ORDER BY).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+_BYTE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes_conf(value: str, default: int = 134217728) -> int:
+    """Spark size confs arrive as '134217728b' / '128MB' / '128m'."""
+    s = str(value).strip().lower()
+    for suf in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            num = s[: -len(suf)].strip()
+            if num.isdigit():
+                return int(num) * _BYTE_SUFFIXES[suf]
+    if s.isdigit():
+        return int(s)
+    return default
+
+
+def _spread_if_narrow(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> DataFrame:
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect — no SparkContext; keep the scan as-is
+        return df
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    maxpb = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    planned_splits = max(1, (nbytes + maxpb - 1) // maxpb)
+    if planned_splits < par:
+        df = df.repartition(par)
+    return df
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if name in _SPREAD_TABLES:
+        df = _spread_if_narrow(spark, sf_dir, name, df)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -10593,7 +10656,13 @@ def curation_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_id = stage 5, shard/shard_pos = stage 6).
     """
     return _pretrain_pipeline_chain(
-        spark, sf_dir, lambda df: df.localCheckpoint()
+        # eager=False (r17): the logical plan is truncated identically (the
+        # barrier still returns a LogicalRDD leaf, so analysis cost stays
+        # bounded), but materialization happens inside the consuming job
+        # instead of as three serialized driver-blocking jobs at build time
+        # — measured −0.23 s at sf0.1 with rows identical (the checkpoint
+        # RDD is computed once; both consumers share the stage).
+        spark, sf_dir, lambda df: df.localCheckpoint(eager=False)
     )
 
 

@@ -674,7 +674,10 @@ def bpe_train_merges(
             ).alias("sym"),
             "freq",
         )
-        .localCheckpoint()
+        # eager=False: the type table materializes inside round 1's count
+        # job instead of as a separate driver-blocking job; the logical
+        # plan is truncated identically (r17).
+        .localCheckpoint(eager=False)
     )
     rules: list[tuple[int, str, str, str, int]] = []
     cur = vocab
@@ -708,6 +711,9 @@ def bpe_train_merges(
         def _sq(x: str) -> str:
             return x.replace("\\", "\\\\").replace("'", "\\'")
 
+        # eager=False: round N's replace pass materializes inside round
+        # N+1's count job, and the FINAL round's pass (whose output no one
+        # reads) is never executed at all (r17).
         cur = cur.select(
             F.expr(
                 "replace(sym, '({a})({b})', '({m})')".format(
@@ -715,7 +721,7 @@ def bpe_train_merges(
                 )
             ).alias("sym"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rules,
         "round int, lhs string, rhs string, merged string, pair_count bigint",
@@ -807,7 +813,8 @@ def bpe_train_merges_batched(
             ).alias("sym"),
             "freq",
         )
-        .localCheckpoint()
+        # eager=False — see bpe_train_merges (r17)
+        .localCheckpoint(eager=False)
     )
 
     def _sq(x: str) -> str:
@@ -872,9 +879,10 @@ def bpe_train_merges_batched(
             expr = "replace({e}, '({a})({b})', '({m})')".format(
                 e=expr, a=_sq(a), b=_sq(b), m=_sq(a + b)
             )
+        # eager=False — the final round's apply is never materialized (r17)
         cur = cur.select(
             F.expr(expr).alias("sym"), "freq"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rules,
         "round int, rnk int, lhs string, rhs string,"
@@ -1016,9 +1024,21 @@ def bpe_tokenize_counts_trie(
             "aggregate(__w, cast(0 as bigint), (acc, w) -> acc + length(w))"
         ).alias("n_chars"),
     )
-    types_df = (
-        words.select(F.explode("__w").alias("w")).distinct()
-    )
+    # The tokenizer below is a CPU-bound Python stage whose cost is per
+    # ROW (O(merges) passes per word type), but AQE coalesces the
+    # distinct's output by BYTES — on a small vocabulary that starves the
+    # stage down to one task (measured: 2 x 300 ms single-task
+    # ArrowEvalPython jobs at sf0.1 while 31 cores idle).  An explicit
+    # REPARTITION_BY_NUM pins the Python stage at cluster parallelism;
+    # the exchange moves only the vocabulary (bounded — word TYPES
+    # saturate as the corpus grows), so it stays cheap at any scale.
+    try:
+        _par = docs.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        _par = None
+    types_df = words.select(F.explode("__w").alias("w")).distinct()
+    if _par:
+        types_df = types_df.repartition(_par)
 
     def _tokenize_types(batches):
         import pandas as pd

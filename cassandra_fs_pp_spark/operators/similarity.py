@@ -647,6 +647,60 @@ def scalar_quantize(
     )
 
 
+def _sq_stats_row(
+    vectors: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE-row per-dimension quantizer stats ``(__mn: array<double>,
+    __mx: array<double>)`` — the broadcastable form of
+    :func:`scalar_quantize`'s 64-key min/max aggregate (r17).  Bounded by
+    ``dim`` at any corpus size; map-side combinable."""
+    ex = vectors.select(
+        F.posexplode(F.col(vec_col)).alias("pos0", "v0")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    per = ex.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("__mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("__mx"),
+    )
+
+
+def _dq_vec_sql(vec_col: str, levels: int) -> str:
+    """SQL text of the dequantized vector from ``vec_col`` and the 1-row
+    stats arrays ``__mn``/``__mx`` (r17): per element,
+    ``code = round(((v - mn) / rng) * levels)`` (0 when ``rng = 0``) and
+    ``dq = mn + code * (rng / levels)`` — operation-for-operation the
+    arithmetic of :func:`scalar_quantize` (same rounding, same order), so
+    the values are bit-identical to the explode/join/re-assemble form this
+    replaces; the corpus side becomes one narrow whole-stage-codegen
+    projection (no explode, no per-id collect_list shuffle, no stats
+    join), matching the PQ path's shape."""
+    lv = repr(float(levels))
+    mn = "element_at(__mn, i)"
+    mx = "element_at(__mx, i)"
+    rng = f"({mx} - {mn})"
+    v = f"cast(element_at({vec_col}, i) as double)"
+    code = (
+        f"cast(CASE WHEN {rng} = cast(0 as double) THEN 0"
+        f" ELSE cast(round((({v} - {mn}) / {rng}) * {lv}, 0) as int)"
+        f" END as double)"
+    )
+    return (
+        f"transform(sequence(1, size({vec_col})),"
+        f" i -> {mn} + {code} * ({rng} / {lv}))"
+    )
+
+
 def adc_topk(
     vectors: DataFrame,
     *,
@@ -665,20 +719,20 @@ def adc_topk(
     At 100 TB the corpus side is the compact code table (4x smaller scan,
     same shuffle shape); compose with IVF cells to prune candidates.
     """
-    sq = scalar_quantize(
-        vectors, id_col=id_col, vec_col=vec_col, levels=levels
-    )
+    # r17: dequantize per ROW from the 1-row broadcast stats — bit-identical
+    # values (see _dq_vec_sql), but the corpus side is now one narrow
+    # codegen projection instead of explode -> stats join -> per-id
+    # collect_list re-assembly (two shuffles of dim x |corpus| rows gone).
+    stats_row = _sq_stats_row(vectors, vec_col=vec_col)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     corpus = (
-        sq.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
-                lambda s: s["dq"],
-            ).alias("dqv")
-        )
+        vectors.crossJoin(F.broadcast(stats_row))
         .select(
             F.col(id_col).alias("neighbor_id"),
+            F.expr(_dq_vec_sql(vec_col, levels)).alias("dqv"),
+        )
+        .select(
+            "neighbor_id",
             "dqv",
             l2_norm(F.col("dqv")).alias("nn"),
         )
@@ -801,24 +855,22 @@ def ivf_adc_topk(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    # --- compressed corpus: dequantized code vectors + cell ---
-    sq = scalar_quantize(vectors, id_col=id_col, vec_col=vec_col, levels=levels)
+    # --- compressed corpus: dequantized code vectors + cell.  r17: per-row
+    # dequantize from the 1-row broadcast stats (bit-identical values, see
+    # _dq_vec_sql) — one narrow codegen projection carrying ``cell`` along,
+    # replacing explode -> stats join -> per-id collect_list -> corpus
+    # re-join (two shuffles of dim x |corpus| rows and a corpus-sized hash
+    # join gone; the SQ8 corpus side now matches the PQ path's shape). ---
+    stats_row = _sq_stats_row(vectors, vec_col=vec_col)
     dq_corpus = (
-        sq.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
-                lambda s: s["dq"],
-            ).alias("dqv")
-        )
-        .join(
-            vectors.select(
-                F.col(id_col), F.col(cell_col).alias("cell")
-            ),
-            id_col,
-        )
+        vectors.crossJoin(F.broadcast(stats_row))
         .select(
             F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            F.expr(_dq_vec_sql(vec_col, levels)).alias("dqv"),
+        )
+        .select(
+            "neighbor_id",
             "dqv",
             l2_norm(F.col("dqv")).alias("nn"),
             "cell",

@@ -23,6 +23,23 @@ def _n(plan: str, node: str) -> int:
     return len(re.findall(rf"\(\d+\) {node}\b", plan))
 
 
+def _n_spread(plan: str) -> int:
+    """Scan-spread exchanges (``__spark_entry__._spread_if_narrow``):
+    round-robin redistribution of a small unsplittable documents/embeddings
+    scan so per-row-heavy stages parallelize (r17 optimization, no-op at
+    scale).  Not a data-keyed shuffle — excluded from the structural
+    shuffle pins below."""
+    return len(
+        re.findall(r"RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan)
+    )
+
+
+def _n_shuffles(plan: str) -> int:
+    """Exchange count excluding the scan-spread round-robins — the
+    data-keyed shuffle structure the 100 TB pins assert."""
+    return _n(plan, "Exchange") - _n_spread(plan)
+
+
 def test_debounce_is_single_shuffle(spark):
     df = entrymod.queries()["p_debounce_burst"](spark, SF)
     plan = _formatted_plan(df)
@@ -112,7 +129,7 @@ def test_semantic_dedup_single_pass_no_joins(spark):
     # SemDeDup path: one shuffle into buckets (window min), zero joins
     df = entrymod.queries()["emb_semantic_dedup"](spark, SF)
     plan = _formatted_plan(df)
-    assert _n(plan, "Exchange") == 1, plan
+    assert _n_shuffles(plan) == 1, plan
     assert _n(plan, "SortMergeJoin") == 0
     assert _n(plan, "BroadcastHashJoin") == 0
     assert _n(plan, "Scan parquet") == 1
@@ -122,7 +139,7 @@ def test_quality_logreg_is_scan_project_only(spark):
     # linear scoring is a pure narrow projection: zero shuffles
     df = entrymod.queries()["curation_quality_logreg"](spark, SF)
     plan = _formatted_plan(df)
-    assert _n(plan, "Exchange") == 0, plan
+    assert _n_shuffles(plan) == 0, plan
     assert _n(plan, "Scan parquet") == 1
 
 
@@ -172,7 +189,7 @@ def test_fuzzy_join_equi_only(spark):
 def test_gram_matrix_single_exchange(spark):
     df = entrymod.queries()["emb_gram_matrix"](spark, SF)
     plan = _formatted_plan(df)
-    assert _n(plan, "Exchange") == 1, plan
+    assert _n_shuffles(plan) == 1, plan
 
 
 def test_setsim_join_equi_joins_only(spark):
@@ -532,7 +549,7 @@ def test_chain_spans_skew_safe_canonical_site(spark):
     )
     assert "partial_min" in plan, plan
     assert _n(plan, "Scan parquet") == 2, plan
-    assert _n(plan, "Exchange") == 2, plan
+    assert _n_shuffles(plan) == 2, plan
     assert _n(plan, "Window") == 1, plan
     n_joins = sum(
         _n(plan, j)
@@ -592,7 +609,7 @@ def test_semdecon_pre_exchange_bound(spark):
         entrymod.queries()["curation_semantic_decontaminate"](spark, SF)
     )
     assert _n(plan, "WindowGroupLimit") == 2, plan  # partial + final
-    assert _n(plan, "Exchange") == 1, plan
+    assert _n_shuffles(plan) == 1, plan  # + scan-spread round-robins only
     assert _n(plan, "SortMergeJoin") == 0, plan
     assert _n(plan, "CartesianProduct") == 0, plan
     tree = plan.split("\n\n")[0]
@@ -603,10 +620,14 @@ def test_semdecon_pre_exchange_bound(spark):
         for i, l in enumerate(lines)
         if "+- Exchange" in l or ":- Exchange" in l
     ]
-    # tree prints top-down: the FINAL limit, then the exchange, then the
-    # PARTIAL limit underneath it
-    assert len(wgl) == 2 and len(exch) == 1, tree
-    assert wgl[0] < exch[0] < wgl[1], tree
+    # tree prints top-down: the FINAL limit, then the rank exchange, then
+    # the PARTIAL limit underneath it.  Scan-spread round-robins (if any)
+    # sit BELOW the partial limit, next to the scans; no exchange may
+    # appear above the final limit.
+    assert len(wgl) == 2, tree
+    assert all(i > wgl[0] for i in exch), tree
+    between = [i for i in exch if wgl[0] < i < wgl[1]]
+    assert len(between) == 1, tree
 
 
 def test_ivf_adc_plan_shape(spark):
@@ -620,7 +641,7 @@ def test_ivf_adc_plan_shape(spark):
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "BroadcastNestedLoopJoin") <= 1, plan
     assert _n(plan, "WindowGroupLimit") >= 3, plan
-    assert _n(plan, "Exchange") <= 7, plan
+    assert _n_shuffles(plan) <= 7, plan
 
 
 def test_kn_perplexity_plan_shape(spark):
@@ -635,7 +656,7 @@ def test_kn_perplexity_plan_shape(spark):
     assert _n(plan, "SortMergeJoin") == 0, plan
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "Window") == 0, plan
-    assert _n(plan, "Exchange") <= 8, plan
+    assert _n_shuffles(plan) <= 8, plan
 
 
 def test_heavy_hitters_window_input_bounded(spark):
@@ -685,7 +706,7 @@ def test_late_interaction_plan_shape(spark):
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "BroadcastNestedLoopJoin") <= 1, plan
     assert _n(plan, "Scan parquet") == 2, plan
-    assert _n(plan, "Exchange") <= 2, plan
+    assert _n_shuffles(plan) <= 2, plan
 
 
 def test_target_encode_loo_plan_shape(spark):
@@ -758,7 +779,7 @@ def test_kn3_perplexity_plan_shape(spark):
     assert _n(plan, "SortMergeJoin") == 0, plan
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "Window") == 0, plan
-    assert _n(plan, "Exchange") <= 13, plan
+    assert _n_shuffles(plan) <= 13, plan
 
 
 def test_ivf_pq_plan_shape(spark):
@@ -797,4 +818,4 @@ def test_kn5_perplexity_plan_shape(spark):
     assert _n(plan, "SortMergeJoin") == 0, plan
     assert _n(plan, "CartesianProduct") == 0, plan
     assert _n(plan, "Window") == 0, plan
-    assert _n(plan, "Exchange") <= 23, plan
+    assert _n_shuffles(plan) <= 23, plan
