@@ -740,7 +740,12 @@ def logreg_train_select(
     from pyspark import StorageLevel
 
     feats = unigram.unionByName(bias).persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = base.count()
+    # n_docs = count of bias rows (exactly one per doc with >= 1 token —
+    # the same population base.count() measured).  Counting on ``feats``
+    # instead of ``base`` materializes the persisted feature table in the
+    # same job, so training does ONE tokenize+explode pass total where the
+    # r16 form paid a separate tokenize scan just for the count (r17).
+    n_docs = feats.where(F.col("bucket") == int(buckets)).count()
     weights = [0] * (int(buckets) + 1)
 
     def _wlit() -> Column:
