@@ -1473,7 +1473,21 @@ def ivf_pq_topk(
             "cell int, centroid array<double>",
         )
     else:
-        cent = coarse_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
+        # r17: materialize the |cells|-row centroid table ONCE (bounded by
+        # the codebook, never the corpus — the same driver-collect class as
+        # the trained codebooks below) and re-inject it as a local table,
+        # exactly the ``centroids=`` serving path.  Lazily it sat inside
+        # the lineage of every training action AND twice in the final plan
+        # (probes + residualize), so the corpus-sized centroid aggregate
+        # ran ~5x per invocation.  Values round-trip as IEEE doubles —
+        # bit-identical, oracles unchanged.
+        cent_rows = coarse_centroids(
+            vectors, cell_col=cell_col, vec_col=vec_col
+        ).collect()
+        cent = vectors.sparkSession.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+            "cell int, centroid array<double>",
+        )
     res = residualize(
         vectors, cent, id_col=id_col, vec_col=vec_col, cell_col=cell_col
     )

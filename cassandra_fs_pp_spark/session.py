@@ -31,6 +31,13 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (coalesce/skew-split) stages that sit under a
+    # cached plan.  Default false pins a persisted intermediate's full
+    # shuffle fan-out forever, so every pass over a small cached table
+    # (logreg GD rounds, staged pipelines) pays shuffle-partition-count
+    # task launches; with AQE sizing by bytes this stays a no-op once
+    # partitions are production-sized.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for any pandas_udf / toPandas interop (multimodal + similarity).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Bound Arrow batch size so mapInPandas over fat binary payloads
