@@ -11299,8 +11299,15 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) distance join into a 9-stencil hash equi-join with identical
     results (operators/geo.py); the oracle runs the naive range join."""
     from cassandra_fs_pp_spark.operators.geo import grid_radius_join
+    from cassandra_fs_pp_spark.operators.skew import spread_if_narrow
 
-    ev = _t(spark, sf_dir, "events")
+    # r17: the md5 + base-16 point projection is CPU per row; a narrow
+    # scan (one parquet split at bench scale) would compute it single-
+    # task, so spread the 8-byte id column FIRST — production-sized scans
+    # pass through with no exchange.
+    ev = spread_if_narrow(
+        _t(spark, sf_dir, "events").select("event_id")
+    )
     # One md5 per point: hex digits 1-15 drive x, 16-30 drive y (both
     # 60-bit, independent) — halves the hash cost vs two salted hashes.
     md5 = F.md5(F.concat(F.lit("g"), F.col("event_id").cast("string")))

@@ -74,7 +74,19 @@ def blocked_levenshtein_join(
     # distance of a pair depends only on the values. The verified value-
     # pair table then re-expands through two hash joins, restoring full
     # rows AND multiplicities (exactly the cross join's semantics).
-    pv = probes.select(probe_col).distinct()
+    # r17: the probe-value dedup feeds the (2t+1)^2(t+1)-way segment
+    # explode — a CPU-bound stage whose bytes are tiny, so AQE's
+    # byte-based coalescing would starve it to 1-2 tasks.  An explicit
+    # repartition BY VALUE with a pinned count (AQE never coalesces a
+    # user-specified partition count) both dedups in one exchange
+    # (hash clustering satisfies dropDuplicates) and keeps the explode
+    # at cluster width.
+    n_parts = probes.sparkSession.sparkContext.defaultParallelism
+    pv = (
+        probes.select(probe_col)
+        .repartition(n_parts, probe_col)
+        .dropDuplicates()
+    )
     mv = master.select(master_col).distinct()
     if method == "length":
         cand = _length_band_candidates(pv, mv, probe_col, master_col, t)
@@ -174,5 +186,12 @@ def _pigeonhole_candidates(
     )
     joined = p.join(m, on=["__L", "__i", "__seg"]).drop("__L", "__i", "__seg")
     # A pair can meet through several (i, shift) keys — dedup before the
-    # (comparatively) expensive verify.
-    return joined.distinct()
+    # (comparatively) expensive verify.  r17: explicit pair-keyed
+    # repartition (pinned count, so AQE can't byte-coalesce it) — the
+    # hash clustering satisfies the dedup AND the banded-DP levenshtein
+    # verify downstream runs at cluster width instead of the 1-2 tasks
+    # runtime coalescing left it (its bytes are small; its CPU is not).
+    n_parts = probes.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.repartition(n_parts, probe_col, master_col).dropDuplicates()
+    )

@@ -573,7 +573,12 @@ def embedding_near_dups(
     crossJoin row count, not expression eval). The LSH/IVF/cluster
     operators are the scale paths."""
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    a = vectors.repartition(n_parts).select(
+    # r17: spread only when the scan is actually narrow — a pre-spread or
+    # production-sized input skips the extra corpus exchange entirely.
+    from cassandra_fs_pp_spark.operators.skew import spread_if_narrow
+
+    vectors = spread_if_narrow(vectors, n_parts)
+    a = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         l2_norm(F.col(vec_col)).alias("na"),
@@ -725,8 +730,16 @@ def adc_topk(
     # collect_list re-assembly (two shuffles of dim x |corpus| rows gone).
     stats_row = _sq_stats_row(vectors, vec_col=vec_col)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    # r17: only pay a spread exchange when the input is actually narrow
+    # (single small parquet file).  Callers that pre-spread the scan (the
+    # entry's _t) — and any production-sized scan — already have >= cores
+    # splits, and the old unconditional hash repartition re-shuffled the
+    # DEQUANTIZED corpus (dim-wide arrays) for no downstream keyed need.
+    from cassandra_fs_pp_spark.operators.skew import spread_if_narrow
+
+    src = spread_if_narrow(vectors, n_parts)
     corpus = (
-        vectors.crossJoin(F.broadcast(stats_row))
+        src.crossJoin(F.broadcast(stats_row))
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.expr(_dq_vec_sql(vec_col, levels)).alias("dqv"),
@@ -736,7 +749,6 @@ def adc_topk(
             "dqv",
             l2_norm(F.col("dqv")).alias("nn"),
         )
-        .repartition(n_parts, "neighbor_id")
     )
     q = vectors.filter((F.col(id_col) % query_mod) == 0).select(
         F.col(id_col).alias("query_id"),

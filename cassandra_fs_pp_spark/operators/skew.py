@@ -58,3 +58,23 @@ def salted_join(
         F.explode(F.array([F.lit(i).cast("long") for i in range(salt_n)])),
     )
     return big_s.join(small_s, on=on + [SALT], how=how).drop(SALT)
+
+
+def spread_if_narrow(df: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the planned partition count is
+    below the cluster's parallelism (r17).
+
+    The guard for small unsplittable inputs feeding CPU-bound stages: a
+    bench-scale table arrives as one parquet split and would run its
+    per-row compute single-task, while a production-sized scan already
+    has >= cores splits and passes through with NO exchange.  Uses the
+    pre-AQE planned partition count, so it cannot see (and does not fix)
+    runtime coalescing of post-shuffle stages — pin those with an
+    explicit ``repartition(n, key)`` instead (AQE never coalesces a
+    user-specified partition count)."""
+    sc = df.sparkSession.sparkContext
+    if n_parts is None:
+        n_parts = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
+    return df
