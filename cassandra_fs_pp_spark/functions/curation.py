@@ -571,9 +571,24 @@ def dsir_scores(
             f" {int(buckets)}L)"
         ).alias("bucket"),
     )
-    cnt = ex.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("n_t"),
-        F.sum(F.when(~F.col("__is_t"), 1).otherwise(0)).alias("n_r"),
+    # r17: collapse feature OCCURRENCES to per-(doc, bucket) counts once
+    # and stage the compact table.  The λ build (cnt + tot) and the final
+    # score join each consumed the raw occurrence stream, so the
+    # tokenize + explode + md5 corpus pass ran ~3x per invocation
+    # (measured: three ~400 ms twin jobs at sf0.1).  Every downstream
+    # quantity is an exact integer fold of the counts — n_t/n_r sum the
+    # counts, n_tok = Σc, logw_nano = Σ(c·λ) — so results are
+    # bit-identical and the oracle is untouched; the map-side partial
+    # aggregate also shrinks the only corpus shuffle from one row per
+    # occurrence to at most ``buckets`` rows per document.
+    exd = (
+        ex.groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = exd.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__c")).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~F.col("__is_t"), F.col("__c")).otherwise(0)).alias("n_r"),
     )
     tot = cnt.agg(
         F.sum("n_t").alias("T"), F.sum("n_r").alias("R")
@@ -598,11 +613,11 @@ def dsir_scores(
         )
     )
     return (
-        ex.join(F.broadcast(lam), "bucket")
+        exd.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("lam_nano").alias("logw_nano"),
+            F.sum("__c").alias("n_tok"),
+            F.sum(F.col("lam_nano") * F.col("__c")).alias("logw_nano"),
         )
     )
 
