@@ -262,14 +262,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("n"))
         .union(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Orient a->b iff (deg(a), a) < (deg(b), b).
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
@@ -287,7 +287,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")

@@ -1176,7 +1176,7 @@ def kmeans_assign(
         # operators/graph.py connected_components).
         assigned = scored.select(
             id_col, vec_col, cluster.alias("cluster")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if it == iterations - 1:
             # the final assignment IS the answer: recomputing centroids
             # from it would cost one more full exploded-corpus pass whose

@@ -75,7 +75,7 @@ def _two_level_prefix(
 
     with_local = sorted_df.mapInPandas(local_pass(schema), schema)
     if materialize:
-        with_local = with_local.localCheckpoint()
+        with_local = with_local.localCheckpoint(eager=False)
     totals = with_local.groupBy("__pid").agg(totals_agg.alias("__c"))
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
