@@ -510,9 +510,11 @@ def test_rfm_banded_windows_partitioned(spark):
 def test_pretrain_pipeline_plan_shape(spark):
     """The composed 6-stage pretraining chain stays join-safe — no
     CartesianProduct anywhere, every BroadcastNestedLoopJoin one of the
-    5 bounded attaches (semantic eval cross, DSIR totals, mixture max,
-    pack carry-ins), and every parquet scan pruned (no full-width
-    documents read). Asserted on the ONE-PLAN stress twin, the form
+    6 bounded attaches (semantic eval cross, DSIR totals — planned as
+    two nodes since r17 stages the per-(doc,bucket) count table and the
+    totals cross no longer shares a subtree with the lambda build —
+    mixture max, pack carry-ins), and every parquet scan pruned (no
+    full-width documents read). Asserted on the ONE-PLAN stress twin, the form
     whose single Catalyst plan exposes the whole chain (the r16
     flagship's localCheckpoint barriers truncate its visible plan to
     the post-selection stages — pinned separately below). Cache is
@@ -524,7 +526,7 @@ def test_pretrain_pipeline_plan_shape(spark):
         entrymod.bench_extras()["curation_pretrain_oneplan"](spark, SF)
     )
     assert _n(plan, "CartesianProduct") == 0, plan
-    assert _n(plan, "BroadcastNestedLoopJoin") <= 5, plan
+    assert _n(plan, "BroadcastNestedLoopJoin") <= 6, plan
     # widest scan is the 5-column documents table itself
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = [c for c in m.group(1).split(",") if c]
