@@ -646,6 +646,9 @@ def image_stats(
     """Decode + per-image pixel statistics -> (id, width, height, channels,
     mean_px, min_px, max_px). The shape every real feature-extraction op
     takes: narrow output, decode confined to the executor batch."""
+    # r17 (guide §4): only (id, payload) cross the JVM->Python boundary —
+    # a wider caller frame would otherwise ship every column through Arrow.
+    df = df.select(id_col, payload_col)
     schema = StructType(
         [
             df.schema[id_col],
@@ -706,6 +709,9 @@ def image_embedding(
     """Deterministic feature vector per image: ``bins``-bucket normalized
     pixel histogram as ``array<float>`` — the hand-off into the ANN /
     near-dup similarity layer."""
+    # r17 (guide §4): only (id, payload) cross the JVM->Python boundary —
+    # a wider caller frame would otherwise ship every column through Arrow.
+    df = df.select(id_col, payload_col)
     schema = StructType(
         [df.schema[id_col], StructField("embedding", ArrayType(FloatType()))]
     )
@@ -730,6 +736,9 @@ def video_frame_sample(
 ) -> DataFrame:
     """Explode a video payload into sampled frame rows (id, frame_idx,
     frame_payload) — 1->N mapInPandas, the frame-sampling shape."""
+    # r17 (guide §4): only (id, payload) cross the JVM->Python boundary —
+    # a wider caller frame would otherwise ship every column through Arrow.
+    df = df.select(id_col, payload_col)
     schema = StructType(
         [
             df.schema[id_col],
@@ -820,6 +829,9 @@ def audio_stats(
     """Decode audio (fake FAUD or real WAVE, via
     :func:`decode_real_audio`) -> (id, n_samples, sample_rate, mean_amp,
     rms) over all channels."""
+    # r17 (guide §4): only (id, payload) cross the JVM->Python boundary —
+    # a wider caller frame would otherwise ship every column through Arrow.
+    df = df.select(id_col, payload_col)
     schema = StructType(
         [
             df.schema[id_col],
@@ -952,6 +964,9 @@ def image_phash(
     hamming near-dup search — image dedup with the text-dedup machinery."""
     from pyspark.sql.types import LongType
 
+    # r17 (guide §4): only (id, payload) cross the JVM->Python boundary —
+    # a wider caller frame would otherwise ship every column through Arrow.
+    df = df.select(id_col, payload_col)
     schema = StructType([df.schema[id_col], StructField("phash", LongType())])
 
     def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
