@@ -844,38 +844,12 @@ def repetition_flags(
     aggregates, then one doc_id join — no windows, no pairs. Documents
     shorter than 5 tokens have no 5-grams and are excluded (inner
     join), same posture as the perplexity scorers."""
-    # r17: tokenize + doc_id-shuffle ONCE for both gram widths.  The two
-    # ngram_rows branches built canonically-equal exchange subtrees, but
-    # at runtime each branch still ran its own scan+regex-split map stage
-    # (measured: two ~530 ms twin jobs at sf0.1).  The lazy checkpoint
-    # pins the tokenized, doc_id-partitioned frame so branch 2 reads the
-    # materialized partitions; grams and both aggregate chains are
-    # unchanged expression-for-expression, so rows and oracle hashes are
-    # untouched.  HashPartitioning(doc_id) still satisfies every
-    # downstream (doc_id[, gram]) aggregate — zero added exchanges.
-    toks = (
-        docs.select(
-            F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
-        )
-        .repartition(F.col(id_col))
-        .localCheckpoint(eager=False)
-    )
-
-    def _grams(n: int):
-        return F.when(
-            F.size("__t") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("__t") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    g2 = toks.select(F.col(id_col), F.explode(_grams(2)).alias("gram"))
+    g2 = ngram_rows(docs, id_col, text_col, 2)
     c2 = g2.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     s2 = c2.groupBy(id_col).agg(
         F.max("c").alias("m2"), F.sum("c").alias("t2")
     )
-    g5 = toks.select(F.col(id_col), F.explode(_grams(5)).alias("gram"))
+    g5 = ngram_rows(docs, id_col, text_col, 5)
     c5 = g5.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     s5 = c5.groupBy(id_col).agg(
         F.sum(
