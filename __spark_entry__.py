@@ -102,10 +102,23 @@ def _spread_if_narrow(
     return df
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Load a table; documents/embeddings are round-robin-spread when the
+    scan plans fewer splits than cores (no-op at production scale).
+
+    ``spread=False`` (r17) opts a query out: paired fresh-JVM A/Bs showed
+    the extra exchange LOSES 0.2-0.5 s for light single-pass consumers
+    (one mapInPandas or one explode+map-side agg over the corpus —
+    emb_gram_matrix, emb_label_inertia, ann_matryoshka_topk,
+    emb_semantic_dedup, curation_pipeline, ann_block_topk) while heavy
+    per-row compute (PQ/kmeans argmin, tokenize+md5, minhash) keeps it.
+    At 100 TB the flag is moot — the guard never fires on a multi-split
+    scan."""
     tune(spark)
     df = load_table(spark, sf_dir, name)
-    if name in _SPREAD_TABLES:
+    if spread and name in _SPREAD_TABLES:
         df = _spread_if_narrow(spark, sf_dir, name, df)
     return df
 
@@ -3416,7 +3429,7 @@ def emb_label_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact; exact fixed-point reductions at both levels)."""
     from cassandra_fs_pp_spark.operators.similarity import label_inertia
 
-    return label_inertia(_t(spark, sf_dir, "embeddings"))
+    return label_inertia(_t(spark, sf_dir, "embeddings", spread=False))
 
 
 EMB_INERTIA_ORACLE = """
@@ -6433,7 +6446,7 @@ def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle compare is exact."""
     from cassandra_fs_pp_spark.operators.similarity import block_matmul_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return block_matmul_topk(
         emb, k=5, queries=emb.filter(F.col("vec_id") < 50)
     )
@@ -6464,7 +6477,7 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-only output like ann_block_topk."""
     from cassandra_fs_pp_spark.operators.similarity import matryoshka_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return matryoshka_topk(
         emb, k=5, coarse_k=64, prefix_dim=32,
         queries=emb.filter(F.col("vec_id") < 50),
@@ -8784,7 +8797,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cassandra_fs_pp_spark.functions.text import fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=False)
     w = Window.partitionBy("fp").orderBy("doc_id")
     dd = (
         docs.withColumn("fp", fingerprint(F.col("text")))
@@ -11022,7 +11035,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass (window min, no joins/pairs)."""
     from cassandra_fs_pp_spark.operators.similarity import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return semantic_dedup(
         emb, bits=EMB_SEMDEDUP_BITS, dim=EMB_DIM, seed=EMB_SEMDEDUP_SEED
     )
@@ -11926,7 +11939,9 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py ``gram_matrix``)."""
     from cassandra_fs_pp_spark.operators.similarity import gram_matrix
 
-    return gram_matrix(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+    return gram_matrix(
+        _t(spark, sf_dir, "embeddings", spread=False), dim=EMB_DIM
+    )
 
 
 EMB_GRAM_ORACLE = """
