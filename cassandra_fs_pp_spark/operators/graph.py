@@ -48,13 +48,18 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # eager=False (r17): each round's `changed` count is a FULL-partition
+    # action over `updated`, so it materializes the checkpoint inside the
+    # job that was running anyway — same lineage truncation, one fewer
+    # driver-blocking job per round. (k_core/bfs keep their frontier-test
+    # checkpoints eager because limit(1).count() is a PARTIAL action.)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -88,7 +93,7 @@ def connected_components(
                 ).alias("new_component"),
                 "old_component",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(
             F.col("new_component") < F.col("old_component")
@@ -132,19 +137,27 @@ def pagerank(
     order; round displayed ranks before comparing across engines.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # eager=False (r17): `nodes` is materialized by the n_total count right
+    # below; `e_deg` / per-round `ranks` materialize inside the first job
+    # that consumes them. The iteration count is FIXED (no convergence
+    # action), so the loop needs no blocking job at all — lineage is still
+    # truncated per round, the plan stays O(1)-deep, and the caller's
+    # single action executes the chained rounds back to back.
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_total = nodes.count()
     if n_total == 0:
         return nodes.withColumn("rank", F.lit(0.0))  # empty graph: no rows
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "s").localCheckpoint()
+    e_deg = e.join(outdeg, "s").localCheckpoint(eager=False)
     base = (1.0 - damping) / n_total
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint(
+        eager=False
+    )
     for _ in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg["s"] == ranks["node"])
@@ -158,7 +171,7 @@ def pagerank(
                 "node",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -192,21 +205,23 @@ def pagerank_exact(
     round, lineage truncated per round with localCheckpoint.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # eager=False — see :func:`pagerank` (fixed iterations, no blocking
+    # job per round; lineage truncation unchanged).
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_total = nodes.count()
     if n_total == 0:
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "s").localCheckpoint()
+    e_deg = e.join(outdeg, "s").localCheckpoint(eager=False)
     base = (scale * (damping_den - damping_num)) // (damping_den * n_total)
     ranks = nodes.withColumn(
         "rank_fp", F.lit(scale // n_total).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg["s"] == ranks["node"])
@@ -229,7 +244,7 @@ def pagerank_exact(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -337,12 +352,15 @@ def k_core(
     adversarial chains; real similarity/co-occurrence graphs peel in a
     handful of rounds.
     """
+    # eager=False (r17): the per-round `weak` EAGER checkpoint below is a
+    # full aggregate over `sym`, so it materializes the lazily-checkpointed
+    # edge set inside its own job — one fewer blocking job per round.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -350,6 +368,9 @@ def k_core(
         weak = (
             deg.filter(F.col("deg") < k)
             .select(F.col("a").alias("w"))
+            # EAGER on purpose: the emptiness test below is limit(1) — a
+            # PARTIAL action that would leave a lazy checkpoint
+            # half-materialized and force the anti joins to recompute it.
             .localCheckpoint()  # eager: one evaluation serves test + joins
         )
         if weak.limit(1).count() == 0:
@@ -358,7 +379,7 @@ def k_core(
         sym = (
             sym.join(weak, sym["a"] == weak["w"], "left_anti")
             .join(weak, sym["b"] == weak["w"], "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if not converged:
         # A partially-peeled graph is a WRONG k-core (nodes below k may
@@ -394,18 +415,23 @@ def bfs_levels(
     like :func:`connected_components`.  At 100 TB the frontier is the
     only growing shuffle side and is bounded by the reachable set.
     """
+    # eager=False (r17): `sym` and the per-round `visited` union are
+    # materialized inside the next round's EAGER `nxt` checkpoint (a full
+    # join+anti-join over both), so their own blocking jobs are saved;
+    # `nxt` itself stays eager because its emptiness test is limit(1) — a
+    # PARTIAL action that would leave a lazy checkpoint half-materialized.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     visited = (
         sources.select(F.col(node).alias("n"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("n")
     for hop in range(1, max_hops + 1):
@@ -420,6 +446,6 @@ def bfs_levels(
             break
         visited = visited.unionByName(
             nxt.withColumn("dist", F.lit(hop).cast("long"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("n").alias("node"), "dist")
