@@ -51,8 +51,8 @@ def connected_components(
     # eager=False (r17): each round's `changed` count is a FULL-partition
     # action over `updated`, so it materializes the checkpoint inside the
     # job that was running anyway — same lineage truncation, one fewer
-    # driver-blocking job per round. (k_core/bfs keep their frontier-test
-    # checkpoints eager because limit(1).count() is a PARTIAL action.)
+    # driver-blocking job per round. (k_core/bfs pace the same way: their
+    # frontier emptiness tests are full counts over a lazy checkpoint.)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -352,7 +352,7 @@ def k_core(
     adversarial chains; real similarity/co-occurrence graphs peel in a
     handful of rounds.
     """
-    # eager=False (r17): the per-round `weak` EAGER checkpoint below is a
+    # eager=False (r17): the per-round `weak` pacing count below is a
     # full aggregate over `sym`, so it materializes the lazily-checkpointed
     # edge set inside its own job — one fewer blocking job per round.
     sym = (
@@ -368,12 +368,14 @@ def k_core(
         weak = (
             deg.filter(F.col("deg") < k)
             .select(F.col("a").alias("w"))
-            # EAGER on purpose: the emptiness test below is limit(1) — a
-            # PARTIAL action that would leave a lazy checkpoint
-            # half-materialized and force the anti joins to recompute it.
-            .localCheckpoint()  # eager: one evaluation serves test + joins
+            # lazy + FULL count() pacing (r17): the count below touches
+            # every partition, so it materializes the checkpoint inside
+            # the pacing job itself — one job per round where the old
+            # eager-checkpoint + limit(1) test paid two. (A limit(1)
+            # test over a LAZY checkpoint would half-materialize it.)
+            .localCheckpoint(eager=False)
         )
-        if weak.limit(1).count() == 0:
+        if weak.count() == 0:
             converged = True
             break
         sym = (
@@ -416,10 +418,11 @@ def bfs_levels(
     only growing shuffle side and is bounded by the reachable set.
     """
     # eager=False (r17): `sym` and the per-round `visited` union are
-    # materialized inside the next round's EAGER `nxt` checkpoint (a full
-    # join+anti-join over both), so their own blocking jobs are saved;
-    # `nxt` itself stays eager because its emptiness test is limit(1) — a
-    # PARTIAL action that would leave a lazy checkpoint half-materialized.
+    # materialized inside the round's pacing job (a full join+anti-join
+    # over both), so their own blocking jobs are saved; `nxt` is lazy too,
+    # with the emptiness test switched from limit(1) to a FULL count() so
+    # the pacing job itself materializes the checkpoint (limit(1) over a
+    # lazy checkpoint would half-materialize it).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -440,9 +443,9 @@ def bfs_levels(
             .select(F.col("b").alias("n"))
             .distinct()
             .join(visited.select("n").alias("v"), "n", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(
             nxt.withColumn("dist", F.lit(hop).cast("long"))
