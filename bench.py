@@ -129,17 +129,18 @@ HEADLINE = [
 ]
 
 # Diagnostics leg (r17, VERDICT r16 item 3): measured every round with
-# the same best-of-2 discipline, but reported under a separate
-# "diagnostics" key so the headline wall tracks DEPLOYMENT shapes only.
-# `curation_pretrain_oneplan` is the one-plan stress twin of the staged
-# flagship (persist reuse marks, single Catalyst plan, ~128 embedded
-# MinHash subtrees — the measured exhibit of fixed plan-analysis cost;
-# identical rows, pinned by a pytest differential). It spent r16 INSIDE
-# the headline suite, where its ~25 s (23% of wall) made every
-# cross-round comparison need a composition footnote to re-prove a
-# settled point. Headline r17 composition is therefore 46 queries
-# (r16's 47 minus this row); the r16-comparable wall is
-# headline + diagnostics.
+# the same best-of-2 discipline. `curation_pretrain_oneplan` is the
+# one-plan stress twin of the staged flagship (persist reuse marks,
+# single Catalyst plan, ~128 embedded MinHash subtrees — the measured
+# exhibit of fixed plan-analysis cost; identical rows, pinned by a
+# pytest differential). It spent r16 INSIDE the headline suite, where
+# its ~25 s (23% of wall) made every cross-round comparison need a
+# composition footnote to re-prove a settled point. Contract-preserving
+# split: the row STAYS inside ``queries`` and ``value`` (the driver's
+# per-query series must never lose an entry, and ``value`` must sum the
+# same query set as prior rounds), while the ADDITIVE ``headline`` /
+# ``diagnostics`` output keys report the deployment-shape wall
+# separately (47 queries in value; headline = the 46 non-twin rows).
 DIAGNOSTICS = [
     "curation_pretrain_oneplan",
 ]
@@ -256,20 +257,37 @@ def main() -> None:
     calib = min(calib, _calibrate(spark))
     calib_io = min(calib_io, _calibrate_io(spark))
 
-    total = round(sum(timings.values()), 3)
+    print(json.dumps(assemble_output(timings, diag, _sf_from_dir(SF_DIR), calib, calib_io)))
+
+
+def assemble_output(
+    timings: dict, diag: dict, sf: float, calib: float, calib_io: float
+) -> dict:
+    """Build the one-line JSON payload (driver contract).
+
+    ``queries`` may gain entries but NEVER lose one, and ``value`` stays
+    the sum over the same query set as prior rounds — so the diagnostics
+    rows remain inside both (r16-comparable), and the deployment-shape
+    split is reported via the ADDITIVE ``headline`` / ``diagnostics``
+    keys (VERDICT r16 item 3, contract-preserving form).
+    """
+    all_timings = {**timings, **diag}
     out = {
         "metric": "headline_suite_wall",
-        "value": total,
+        "value": round(sum(all_timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "queries": all_timings,
+        "sf": sf,
         "calib": calib,
         "calib_io": calib_io,
     }
     if diag:
-        # stress-twin exhibits — measured, not part of the headline wall
+        # deployment-shape wall (headline suite only) + the stress-twin
+        # exhibit rows, for cross-round comparison without a composition
+        # footnote; both are derivable from ``queries`` — pure annotations
+        out["headline"] = round(sum(timings.values()), 3)
         out["diagnostics"] = diag
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

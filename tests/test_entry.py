@@ -91,6 +91,27 @@ def test_bench_json_contract():
     assert 0 < r["calib_io"] < 30
 
 
+def test_bench_output_keeps_diagnostics_inside_queries():
+    """Contract pin (r17): the diagnostics split must be ADDITIVE — the
+    stress-twin rows stay inside ``queries`` and ``value`` (the driver's
+    per-query series may gain entries but never lose one, and ``value``
+    must sum the same query set as prior rounds), with ``headline`` /
+    ``diagnostics`` as derived annotations only."""
+    from bench import assemble_output
+
+    out = assemble_output(
+        {"q_a": 1.0, "q_b": 2.5}, {"q_twin": 4.0}, 0.1, 0.1, 0.2
+    )
+    assert set(out["queries"]) == {"q_a", "q_b", "q_twin"}
+    assert out["value"] == round(sum(out["queries"].values()), 3) == 7.5
+    assert out["headline"] == 3.5
+    assert out["diagnostics"] == {"q_twin": 4.0}
+    # explicit-list mode (no diagnostics leg): no annotation keys at all
+    out2 = assemble_output({"q_a": 1.0}, {}, 0.001, 0.1, 0.2)
+    assert "headline" not in out2 and "diagnostics" not in out2
+    assert out2["value"] == 1.0
+
+
 def test_oracle_check_comparator_catches_failure_classes():
     """The sweep comparator is load-bearing (SWEEP artifacts gate
     doc_check): pin that it flags each failure class the r11 sweeps
