@@ -7392,16 +7392,23 @@ def text_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce replace fold over DISTINCT word types joined back to
     occurrences (mirroring the engine's type-table shape)."""
     from cassandra_fs_pp_spark.functions.text import (
+        _bpe_train_merges_batched_rules,
         bpe_tokenize_counts_trie,
-        bpe_train_merges_batched,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # the list helper returns rows already in (round, rnk) order — the
+    # former createDataFrame -> orderBy -> collect round-trip launched a
+    # defaultParallelism-wide pickled-row job for <= rounds*batch
+    # driver-resident rows (r17)
     rules = [
-        (r["lhs"], r["rhs"], r["merged"])
-        for r in bpe_train_merges_batched(
-            docs, rounds=4, batch=16, topk=128, sym_cap=4
-        ).orderBy("round", "rnk").collect()
+        (lhs, rhs, merged)
+        for _rnd, _rnk, lhs, rhs, merged, _cnt in sorted(
+            _bpe_train_merges_batched_rules(
+                docs, rounds=4, batch=16, topk=128, sym_cap=4
+            ),
+            key=lambda r: (r[0], r[1]),
+        )
     ]
     return bpe_tokenize_counts_trie(docs, rules=rules)
 

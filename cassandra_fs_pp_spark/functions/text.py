@@ -660,7 +660,27 @@ def bpe_train_merges(
     ``[^()]`` because words are split to single characters and merges
     concatenate them, so the parentheses can never be ambiguous.
     """
-    spark = docs.sparkSession
+    return docs.sparkSession.createDataFrame(
+        _bpe_train_merge_rules(
+            docs, id_col=id_col, text_col=text_col, merges=merges
+        ),
+        "round int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_train_merge_rules(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 8,
+) -> list:
+    """:func:`bpe_train_merges`'s training loop, returning the rule rows
+    as a plain Python list.  The tokenizers consume this directly —
+    wrapping the driver-resident rows in ``createDataFrame`` only to
+    ``collect()`` them straight back launched a defaultParallelism-wide
+    pickled-row job (32 Python worker spin-ups for <= ``merges`` rows,
+    ~280 ms measured at sf0.1) for zero information (r17)."""
     ws = whitespace_tokens(F.col(text_col))
     vocab = (
         docs.select(F.explode(ws).alias("w"))
@@ -722,10 +742,7 @@ def bpe_train_merges(
             ).alias("sym"),
             "freq",
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        rules,
-        "round int, lhs string, rhs string, merged string, pair_count bigint",
-    )
+    return rules
 
 
 def bpe_train_merges_batched(
@@ -799,7 +816,36 @@ def bpe_train_merges_batched(
     the pair's rank within its round's ``topk`` candidate table (so
     with ``topk > batch`` a selected rank may exceed ``batch``).
     """
-    spark = docs.sparkSession
+    return docs.sparkSession.createDataFrame(
+        _bpe_train_merges_batched_rules(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            rounds=rounds,
+            batch=batch,
+            topk=topk,
+            sym_cap=sym_cap,
+        ),
+        "round int, rnk int, lhs string, rhs string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def _bpe_train_merges_batched_rules(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 4,
+    batch: int = 8,
+    topk: int | None = None,
+    sym_cap: int | None = None,
+) -> list:
+    """:func:`bpe_train_merges_batched`'s training loop, returning the
+    rule rows as a plain Python list in (round, rnk) order — compositions
+    that feed the rules straight into a tokenizer consume this to skip
+    the createDataFrame -> collect round-trip (see
+    :func:`_bpe_train_merge_rules`)."""
     ws = whitespace_tokens(F.col(text_col))
     vocab = (
         docs.select(F.explode(ws).alias("w"))
@@ -883,11 +929,7 @@ def bpe_train_merges_batched(
         cur = cur.select(
             F.expr(expr).alias("sym"), "freq"
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        rules,
-        "round int, rnk int, lhs string, rhs string,"
-        " merged string, pair_count bigint",
-    )
+    return rules
 
 
 def bpe_tokenize_counts(
@@ -914,10 +956,10 @@ def bpe_tokenize_counts(
     vocabulary filter.
     """
     rules = [
-        (r["lhs"], r["rhs"], r["merged"])
-        for r in bpe_train_merges(
+        (lhs, rhs, merged)
+        for _rnd, lhs, rhs, merged, _cnt in _bpe_train_merge_rules(
             docs, id_col=id_col, text_col=text_col, merges=merges
-        ).collect()
+        )
     ]
 
     def _sq(x: str) -> str:
@@ -994,10 +1036,12 @@ def bpe_tokenize_counts_trie(
     (vocabulary — saturates as the corpus grows), tokenized inside ONE
     Arrow-batched ``mapInPandas`` with the rule table in the closure
     (``merges`` rows — a broadcast-sized artifact, like the codebooks
-    of ``ann_ivf_pq_serving``); the corpus itself is touched by one
-    narrow JVM-side projection (word/char counts) plus one join of the
-    exploded words against the tokenized type table (AQE picks
-    broadcast when the vocabulary fits). Per-word cost is
+    of ``ann_ivf_pq_serving``); the corpus itself is touched by ONE
+    exploded pass — words left-join the tokenized type table (AQE picks
+    broadcast when the vocabulary fits) and a single per-doc aggregate
+    emits word/char/token counts together (r17: the former separate
+    word/char projection + join-back of the two halves was a second
+    full corpus scan). Per-word cost is
     O(merges) set-membership skips + the applicable merge passes —
     independent of plan size, so merges=32k is a closure constant, not
     an expression tree.
@@ -1006,23 +1050,16 @@ def bpe_tokenize_counts_trie(
 
     if rules is None:
         rules = [
-            (r["lhs"], r["rhs"], r["merged"])
-            for r in bpe_train_merges(
+            (lhs, rhs, merged)
+            for _rnd, lhs, rhs, merged, _cnt in _bpe_train_merge_rules(
                 docs, id_col=id_col, text_col=text_col, merges=merges
-            ).collect()
+            )
         ]
     rule_list = [(str(a), str(b), str(m)) for a, b, m in rules]
 
     ws = whitespace_tokens(F.col(text_col))
     words = docs.select(F.col(id_col), ws.alias("__ws")).select(
         F.col(id_col), F.expr("filter(__ws, w -> w <> '')").alias("__w")
-    )
-    base = words.select(
-        id_col,
-        F.size("__w").cast("long").alias("n_words"),
-        F.expr(
-            "aggregate(__w, cast(0 as bigint), (acc, w) -> acc + length(w))"
-        ).alias("n_chars"),
     )
     # The tokenizer below is a CPU-bound Python stage whose cost is per
     # ROW (O(merges) passes per word type), but AQE coalesces the
@@ -1081,19 +1118,28 @@ def bpe_tokenize_counts_trie(
             ]
         )
     )
-    tok_sum = (
-        words.select(id_col, F.explode("__w").alias("w"))
-        .join(tokenized, "w")
-        .groupBy(id_col)
-        .agg(F.sum("n_tok").alias("n_bpe_tokens"))
-    )
+    # ONE corpus pass computes all three per-doc stats (r17 — guide §1.2):
+    # the former shape scanned the corpus twice (a words/chars projection
+    # and a separate explode+join+sum for token counts) and LEFT-joined
+    # the halves back by doc.  ``explode_outer`` keeps a NULL word row for
+    # blank documents, so the join-back (and its blank-doc COALESCE
+    # semantics) folds into the single aggregate: n_words = count of
+    # non-null words, n_chars/n_bpe_tokens = sums that an empty doc
+    # leaves NULL -> COALESCE 0.  Every non-null word matches ``tokenized``
+    # by construction (the type table is the same corpus's distinct
+    # words), so the left join only widens rows — row counts and values
+    # are identical to the two-scan form at any input.
+    per_word = words.select(
+        id_col, F.explode_outer("__w").alias("w")
+    ).join(tokenized, "w", "left")
     return (
-        base.join(tok_sum, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            "n_chars",
-            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias(
+        per_word.groupBy(id_col)
+        .agg(
+            F.count("w").cast("long").alias("n_words"),
+            F.coalesce(
+                F.sum(F.length("w").cast("long")), F.lit(0)
+            ).cast("long").alias("n_chars"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
                 "n_bpe_tokens"
             ),
         )
