@@ -36,6 +36,7 @@ from cassandra_fs_pp_spark.operators.windows import (
     time_frame,
     ts_delta_seconds,
 )
+from cassandra_fs_pp_spark.session import local_table as _local_table
 from cassandra_fs_pp_spark.session import tune
 from cassandra_fs_pp_spark.sources.tables import load_table
 
@@ -5278,8 +5279,8 @@ def ts_periodogram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hts")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xc"))
-    tbl = spark.createDataFrame(
-        _periodogram_rows(), "p int, ph int, c long, s long"
+    tbl = _local_table(
+        spark, _periodogram_rows(), "p int, ph int, c long, s long"
     )
     t = (F.unix_timestamp("hts") / 3600).cast("long")
     # explode each row into its 4 (period, phase) keys so the basis
@@ -5394,8 +5395,8 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
-    tbl = spark.createDataFrame(
-        _periodogram_rows(DOMINANT_PERIODS), "p int, ph int, c long, s long"
+    tbl = _local_table(
+        spark, _periodogram_rows(DOMINANT_PERIODS), "p int, ph int, c long, s long"
     )
     t = (F.unix_timestamp("hts") / 3600).cast("long")
     keys = F.explode(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from cassandra_fs_pp_spark.session import local_table
+
 # Small fixed stopword sets for the lang-id vote (public common words).
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
@@ -660,7 +662,8 @@ def bpe_train_merges(
     ``[^()]`` because words are split to single characters and merges
     concatenate them, so the parentheses can never be ambiguous.
     """
-    return docs.sparkSession.createDataFrame(
+    return local_table(
+        docs.sparkSession,
         _bpe_train_merge_rules(
             docs, id_col=id_col, text_col=text_col, merges=merges
         ),
@@ -816,7 +819,8 @@ def bpe_train_merges_batched(
     the pair's rank within its round's ``topk`` candidate table (so
     with ``topk > batch`` a selected rank may exceed ``batch``).
     """
-    return docs.sparkSession.createDataFrame(
+    return local_table(
+        docs.sparkSession,
         _bpe_train_merges_batched_rules(
             docs,
             id_col=id_col,

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_fs_pp_spark.session import local_table
+
 
 def grid_radius_join(
     points: DataFrame,
@@ -210,10 +212,10 @@ def point_in_polygon_join(
                 cover_rows.append((cx * CELL_KEY_BASE + cy, rid))
 
     spark = points.sparkSession
-    edges = spark.createDataFrame(
-        edge_rows, "region_id long, x1 long, y1 long, x2 long, y2 long"
+    edges = local_table(
+        spark, edge_rows, "region_id long, x1 long, y1 long, x2 long, y2 long"
     )
-    cover = spark.createDataFrame(cover_rows, "cellkey long, region_id long")
+    cover = local_table(spark, cover_rows, "cellkey long, region_id long")
 
     px, py = F.col(x_col), F.col(y_col)
     keyed = points.select(

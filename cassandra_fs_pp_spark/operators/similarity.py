@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cassandra_fs_pp_spark.session import local_table
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right double-precision dot product of two array columns."""
@@ -1480,7 +1482,8 @@ def ivf_pq_topk(
     # the offline-collected table (serving form — the cell table is part
     # of the index, so serving skips this corpus scan entirely) ---
     if centroids is not None:
-        cent = vectors.sparkSession.createDataFrame(
+        cent = local_table(
+            vectors.sparkSession,
             [(c, list(v)) for c, v in centroids],
             "cell int, centroid array<double>",
         )
@@ -1496,7 +1499,8 @@ def ivf_pq_topk(
         cent_rows = coarse_centroids(
             vectors, cell_col=cell_col, vec_col=vec_col
         ).collect()
-        cent = vectors.sparkSession.createDataFrame(
+        cent = local_table(
+            vectors.sparkSession,
             [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
             "cell int, centroid array<double>",
         )

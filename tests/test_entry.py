@@ -112,6 +112,24 @@ def test_bench_output_keeps_diagnostics_inside_queries():
     assert out2["value"] == 1.0
 
 
+def test_local_table_plans_jvm_local_scan(spark):
+    """local_table (r17): driver-resident dimension tables must plan as a
+    JVM LocalTableScan (the Arrow/pandas route), not a pickled-row
+    ExistingRDD whose every materialization launches a
+    defaultParallelism-wide Python-worker job — with values bit-equal to
+    the plain createDataFrame path, and a safe fallback for empty rows."""
+    from cassandra_fs_pp_spark.session import local_table
+
+    rows = [(c, [float(c) + i / 7.0 for i in range(8)], f"s{c}") for c in range(5)]
+    schema = "cell int, centroid array<double>, tag string"
+    df = local_table(spark, rows, schema)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    old = spark.createDataFrame(rows, schema)
+    assert df.exceptAll(old).count() == 0 and old.exceptAll(df).count() == 0
+    assert local_table(spark, [], "a int, b string").count() == 0
+
+
 def test_oracle_check_comparator_catches_failure_classes():
     """The sweep comparator is load-bearing (SWEEP artifacts gate
     doc_check): pin that it flags each failure class the r11 sweeps
