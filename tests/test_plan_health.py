@@ -125,14 +125,30 @@ def test_lsh_topk_pair_dedup_is_narrow(spark):
     assert _n(plan, "CartesianProduct") == 0
 
 
-def test_semantic_dedup_single_pass_no_joins(spark):
-    # SemDeDup path: one shuffle into buckets (window min), zero joins
+def test_semantic_dedup_deskewed_rep_attach(spark):
+    """SemDeDup path (r17 de-skew, the VERDICT r16 item 1 window class):
+    the per-bucket representative must be a partial-aggregated
+    ``groupBy(bucket).agg(min)`` broadcast-joined back — NOT a
+    ``min().over(partitionBy(bucket))`` window, which executes a hot
+    bucket as one sorted straggler task.  Pinned: map-side partial_min,
+    ONE broadcast join (the rep table is bounded by 2^bits rows), one
+    shuffle (the rep aggregate), zero windows keyed by bucket, and the
+    (id, bucket) projection pinned once (ExistingRDD, no parquet
+    rescans in the returned plan)."""
+    import re
+
     df = entrymod.queries()["emb_semantic_dedup"](spark, SF)
     plan = _formatted_plan(df)
+    assert "partial_min" in plan, plan
     assert _n_shuffles(plan) == 1, plan
     assert _n(plan, "SortMergeJoin") == 0
-    assert _n(plan, "BroadcastHashJoin") == 0
-    assert _n(plan, "Scan parquet") == 1
+    assert _n(plan, "BroadcastHashJoin") == 1, plan
+    assert "ExistingRDD" in plan, plan
+    assert _n(plan, "Scan parquet") == 0, plan
+    for m in re.finditer(
+        r"windowspecdefinition\(([^)]*)\)", plan
+    ):
+        assert "bucket" not in m.group(1), plan
 
 
 def test_quality_logreg_is_scan_project_only(spark):
