@@ -839,27 +839,72 @@ def repetition_flags(
     the two final divisions are single deterministic double ops and the
     oracle holds bit-for-bit with no rounding valve.
 
-    Scale shape: two gram explodes (via :func:`ngram_rows`'s
-    CollapseProject barrier) each feeding two map-side-combinable hash
-    aggregates, then one doc_id join — no windows, no pairs. Documents
-    shorter than 5 tokens have no 5-grams and are excluded (inner
-    join), same posture as the perplexity scorers."""
-    g2 = ngram_rows(docs, id_col, text_col, 2)
-    c2 = g2.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-    s2 = c2.groupBy(id_col).agg(
-        F.max("c").alias("m2"), F.sum("c").alias("t2")
-    )
-    g5 = ngram_rows(docs, id_col, text_col, 5)
-    c5 = g5.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-    s5 = c5.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
-        ).alias("d5"),
-        F.sum("c").alias("t5"),
+    Scale shape (r17 — one pass, was two): ONE tokenize behind ONE
+    repartition(id) CollapseProject barrier (the r16 form ran
+    :func:`ngram_rows` twice — two corpus scans, two token-array
+    shuffles), both gram arrays built from the same token array and
+    exploded as one (n, gram)-tagged stream, then two STACKED hash
+    aggregates — (id, n, gram) counts, then the per-doc stats — both
+    satisfied by the id hash partitioning (id is a subset of each
+    grouping key), so the whole query is one exchange, zero joins.
+    Counts are bit-identical to the two-branch form: tagging by n
+    keeps the (id, gram) count spaces disjoint, and the s2-join-s5
+    exclusion of <5-token documents (no 5-grams) is the ``t5 IS NOT
+    NULL`` filter. No windows, no pairs, same posture as the
+    perplexity scorers."""
+    toks = docs.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+    ).repartition(F.col(id_col))
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size("__t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    _grams(2),
+                    lambda g: F.struct(
+                        F.lit(2).alias("n"), g.alias("gram")
+                    ),
+                ),
+                F.transform(
+                    _grams(5),
+                    lambda g: F.struct(
+                        F.lit(5).alias("n"), g.alias("gram")
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    c = tagged.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    s = (
+        c.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("m2"),
+            F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("t2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("n") == 5) & (F.col("c") >= 2), F.col("c")
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("d5"),
+            F.sum(F.when(F.col("n") == 5, F.col("c"))).alias("t5"),
+        )
+        .filter(F.col("t5").isNotNull())
     )
     top2 = F.col("m2").cast("double") / F.col("t2").cast("double")
     dup5 = F.col("d5").cast("double") / F.col("t5").cast("double")
-    return s2.join(s5, id_col).select(
+    return s.select(
         id_col,
         "m2",
         "t2",
