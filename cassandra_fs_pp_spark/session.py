@@ -38,6 +38,17 @@ RUNTIME_CONF: dict[str, str] = {
     # task launches; with AQE sizing by bytes this stays a no-op once
     # partitions are production-sized.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Let the planner pick shuffled-hash joins when its size conditions
+    # fit (guide §3.1/§9 baseline): SHJ skips the per-partition sort of
+    # sort-merge.  Scale posture: the static pick still requires the
+    # build side to pass canBuildLocalHashMap (estimate below
+    # autoBroadcastJoinThreshold x shuffle partitions), so production-
+    # sized sides keep sort-merge; and AQE's runtime conversion below is
+    # bytes-measured per partition — adaptive by construction.  Same-JVM
+    # min-of-3 A/B at sf0.1: fleet_udg_filter 0.84-0.87x, others
+    # neutral-to-slightly-better, no reproducible regression (r17).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     # Arrow for any pandas_udf / toPandas interop (multimodal + similarity).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Bound Arrow batch size so mapInPandas over fat binary payloads
