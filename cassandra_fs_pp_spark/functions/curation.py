@@ -754,7 +754,15 @@ def logreg_train_select(
     )
     from pyspark import StorageLevel
 
-    feats = unigram.unionByName(bias).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = (
+        unigram.unionByName(bias)
+        # r17: cache ALREADY hash-partitioned by doc — the id partitioning
+        # satisfies both per-round consumers (groupBy(id, y): id ⊆ keys;
+        # the g join: key == id), so each GD round stops re-exchanging the
+        # cached feature table and only the tiny residual table moves.
+        .repartition(F.col(id_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # n_docs = count of bias rows (exactly one per doc with >= 1 token —
     # the same population base.count() measured).  Counting on ``feats``
     # instead of ``base`` materializes the persisted feature table in the
