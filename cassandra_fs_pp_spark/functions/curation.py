@@ -117,16 +117,36 @@ def word_ngrams(text_col: Column, n: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+def ngram_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    partition_by_id: bool = True,
+) -> DataFrame:
     """Exploded (id, gram) rows with the token array materialized ONCE per
-    document: the repartition is a CollapseProject barrier, without which
-    Catalyst inlines the regex split into the per-gram lambda (see
-    :func:`word_ngrams`). The shuffle it costs is tiny next to the
-    O(tokens^2) re-splitting it prevents, and it doubles as the even
-    re-distribution you want before a gram explode anyway."""
-    toks = df.select(
-        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
-    ).repartition(F.col(id_col))
+    document: a CollapseProject barrier prevents Catalyst inlining the
+    regex split into the per-gram lambda (re-splitting once PER GRAM —
+    see :func:`word_ngrams`; measured 7.6x at sf0.1).
+
+    ``partition_by_id=True`` (default) barriers via ``repartition(id)``
+    — load-bearing for consumers whose next keyed op is satisfied by the
+    id clustering (``ngram_hash_set``'s distinct, a ``groupBy(id)``
+    chain): the one exchange is shared.  ``partition_by_id=False`` (r17)
+    barriers via a discarded NONDETERMINISTIC marker column instead —
+    CollapseProject never merges through a nondeterministic projection —
+    so the tokens still materialize once but the corpus token arrays are
+    NOT shuffled at all; use it when the consumer filters the gram
+    stream before any keyed op (``decontaminate``'s broadcast prefilter:
+    the grams must stream past map-side, paying at most a post-filter
+    sliver exchange).  A/B at sf0.1: marker == repartition wall locally
+    (2.72 vs 2.64 s two-pass) and naive collapse 6.99 s."""
+    cols = [F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")]
+    if not partition_by_id:
+        cols.append(F.monotonically_increasing_id().alias("__nd"))
+    toks = df.select(*cols)
+    if partition_by_id:
+        toks = toks.repartition(F.col(id_col))
     grams = F.when(
         F.size("__t") >= n,
         F.transform(
@@ -161,12 +181,19 @@ def decontaminate(
     The train side is deliberately NOT pre-deduplicated: a distinct()
     there would be a full shuffle of every gram, while the broadcast join
     filters first (typically >99% of grams drop) and the final
-    ``countDistinct`` dedups only the surviving sliver."""
-    train_grams = ngram_rows(train, id_col, text_col, n).select(
-        F.col(id_col), hash60(F.col("gram")).alias("gram_hash")
-    )
+    ``countDistinct`` dedups only the surviving sliver.
+
+    r17: both sides use ``ngram_rows``'s marker barrier instead of its
+    ``repartition(id)`` — the train-side token arrays previously took a
+    full corpus shuffle BEFORE the broadcast prefilter, contradicting
+    the map-side-streaming story above; now the only train-side exchange
+    carries the post-filter sliver into the groupBy, and the eval side
+    keeps just the distinct's own gram_hash exchange."""
+    train_grams = ngram_rows(
+        train, id_col, text_col, n, partition_by_id=False
+    ).select(F.col(id_col), hash60(F.col("gram")).alias("gram_hash"))
     eval_grams = (
-        ngram_rows(evalset, id_col, text_col, n)
+        ngram_rows(evalset, id_col, text_col, n, partition_by_id=False)
         .select(hash60(F.col("gram")).alias("gram_hash"))
         .distinct()
     )
