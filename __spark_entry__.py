@@ -10063,7 +10063,7 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries a FULL oracle. New in r11 (VERDICT r10 item 4)."""
     from cassandra_fs_pp_spark.operators.similarity import ivf_adc_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return ivf_adc_topk(emb, k=5, nprobe=2, rerank=20)
 
 
@@ -10079,7 +10079,7 @@ def ann_ivf_adc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is performance-tracking only (``bench_extras``)."""
     from cassandra_fs_pp_spark.operators.similarity import ivf_adc_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return ivf_adc_topk(emb, k=5, nprobe=2, rerank=20, fixed_queries=162)
 
 
@@ -10100,7 +10100,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries all tie on neighbor_id."""
     from cassandra_fs_pp_spark.operators.similarity import ivf_pq_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     return ivf_pq_topk(emb, m=8, ks=8, iterations=2, k=5, nprobe=2, rerank=40)
 
 
@@ -10128,7 +10128,7 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         residualize,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     cached = _PQ_CB_CACHE.get(sf_dir)
     if cached is None:
         cent = coarse_centroids(emb)

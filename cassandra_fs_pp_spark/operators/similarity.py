@@ -708,6 +708,17 @@ def _dq_vec_sql(vec_col: str, levels: int) -> str:
     )
 
 
+def _sq_stats_collect(
+    vectors: DataFrame, *, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Collect the per-dimension quantizer stats to the driver as plain
+    float lists (bounded by ``dim`` at any corpus size — the same
+    bounded-collect class as the r17 centroid injection; IEEE doubles
+    round-trip the driver exactly)."""
+    row = _sq_stats_row(vectors, vec_col=vec_col).collect()[0]
+    return [float(x) for x in row["__mn"]], [float(x) for x in row["__mx"]]
+
+
 def adc_topk(
     vectors: DataFrame,
     *,
@@ -725,60 +736,118 @@ def adc_topk(
 
     At 100 TB the corpus side is the compact code table (4x smaller scan,
     same shuffle shape); compose with IVF cells to prune candidates.
+
+    r18 (VERDICT r17 item 3): the quantizer stats are a bounded driver
+    collect and the dequantize + candidate cosine run as ONE fused
+    numpy ``mapInPandas`` kernel (:func:`veckernels.score_sq8_map`) —
+    bit-identical arithmetic (same rounding, same left-fold order),
+    but vectorized instead of interpreted higher-order lambdas, and the
+    rank exchange now carries (ids, score) only instead of the float64
+    dq vectors.
     """
-    # r17: dequantize per ROW from the 1-row broadcast stats — bit-identical
-    # values (see _dq_vec_sql), but the corpus side is now one narrow
-    # codegen projection instead of explode -> stats join -> per-id
-    # collect_list re-assembly (two shuffles of dim x |corpus| rows gone).
-    stats_row = _sq_stats_row(vectors, vec_col=vec_col)
+    from cassandra_fs_pp_spark.operators.skew import spread_if_narrow
+    from cassandra_fs_pp_spark.operators.veckernels import score_sq8_map
+
+    mn, mx = _sq_stats_collect(vectors, vec_col=vec_col)
+    dim = len(mn)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     # r17: only pay a spread exchange when the input is actually narrow
-    # (single small parquet file).  Callers that pre-spread the scan (the
-    # entry's _t) — and any production-sized scan — already have >= cores
-    # splits, and the old unconditional hash repartition re-shuffled the
-    # DEQUANTIZED corpus (dim-wide arrays) for no downstream keyed need.
-    from cassandra_fs_pp_spark.operators.skew import spread_if_narrow
-
+    # (single small parquet file); production-sized scans pass through.
     src = spread_if_narrow(vectors, n_parts)
-    corpus = (
-        src.crossJoin(F.broadcast(stats_row))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(_dq_vec_sql(vec_col, levels)).alias("dqv"),
-        )
-        .select(
-            "neighbor_id",
-            "dqv",
-            l2_norm(F.col("dqv")).alias("nn"),
-        )
+    corpus = src.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     )
     q = vectors.filter((F.col(id_col) % query_mod) == 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
-    scored = (
+    cand = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("dqv"))
-                / (F.col("qn") * F.col("nn"))
-            ).alias("cos_raw"),
-        )
+        .select("query_id", "neighbor_id", "qn", "qv", "vec")
+    )
+    idt = dict(cand.dtypes)
+    scored = cand.mapInPandas(
+        score_sq8_map(dim, mn, mx, levels),
+        schema=(
+            f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
+            " adc_cos double"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("neighbor_id")
+        F.desc("adc_cos"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.col("cos_raw").alias("cosine"), "rank"
+            "query_id", "neighbor_id", F.col("adc_cos").alias("cosine"), "rank"
         )
     )
+
+
+def _sq_stats_and_centroids(
+    vectors: DataFrame,
+    *,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float], list[tuple[int, list[float]]]]:
+    """ONE corpus pass computing BOTH bounded index artifacts of the
+    IVF,SQ8 path: the per-dimension quantizer stats (min/max) and the
+    per-cell exact fixed-point centroids — collected to the driver
+    (|cells| x dim rows, bounded by the codebook, never the corpus).
+
+    Exactness: the per-(cell, pos) partial min/max fold to the global
+    per-pos min/max exactly (float min/max is associative); the centroid
+    arithmetic replays :func:`coarse_centroids` operation-for-operation —
+    ``round(v * SCALE)`` long sums are exact integers, and the driver
+    computes the same ``cast(double) / SCALE / count`` IEEE divisions.
+    Replaces TWO separate corpus-scan broadcast builds per invocation
+    (r18, guide §1.2)."""
+    per = (
+        vectors.select(
+            F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col))
+        )
+        .select(
+            "cell",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("col").cast("double").alias("v"),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum(
+                F.round(F.col("v") * VEC_FIXED_SCALE).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    dim = max(r["pos"] for r in per)
+    mn = [float("inf")] * dim
+    mx = [float("-inf")] * dim
+    sums: dict[int, list] = {}
+    for r in per:
+        p = r["pos"] - 1
+        mn[p] = min(mn[p], float(r["mn"]))
+        mx[p] = max(mx[p], float(r["mx"]))
+        sums.setdefault(int(r["cell"]), [None] * dim)[p] = (
+            int(r["s"]),
+            int(r["n"]),
+        )
+    cent_rows = [
+        (
+            cell,
+            [
+                float(s) / float(VEC_FIXED_SCALE) / n
+                for s, n in sums[cell]
+            ],
+        )
+        for cell in sorted(sums)
+    ]
+    return mn, mx, cent_rows
 
 
 def ivf_adc_topk(
@@ -840,10 +909,24 @@ def ivf_adc_topk(
     a forced build side. Centroids stay broadcast either way (bounded
     by the codebook, not the corpus).
     """
-    # --- coarse centroids (same construction as ivf_topk; r15: exact
-    # fixed-point mean via coarse_centroids — no summation-order
-    # nondeterminism on the probe boundary) ---
-    cent = coarse_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
+    # --- r18 (VERDICT r17 item 3): BOTH bounded index artifacts (the
+    # per-dim quantizer stats and the exact fixed-point coarse centroids)
+    # come from ONE corpus-pass driver collect, and the centroid table is
+    # re-injected as a LocalTableScan — two separate corpus-scan broadcast
+    # builds per invocation gone (guide §1.2), values bit-identical. ---
+    from cassandra_fs_pp_spark.session import local_table
+    from cassandra_fs_pp_spark.operators.veckernels import (
+        score_fp32_map,
+        score_sq8_map,
+    )
+
+    mn, mx, cent_rows = _sq_stats_and_centroids(
+        vectors, cell_col=cell_col, vec_col=vec_col
+    )
+    dim = len(mn)
+    cent = local_table(
+        vectors.sparkSession, cent_rows, "cell int, centroid array<double>"
+    )
     q_pred = (
         F.col(id_col) < int(fixed_queries)
         if fixed_queries is not None
@@ -869,58 +952,63 @@ def ivf_adc_topk(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    # --- compressed corpus: dequantized code vectors + cell.  r17: per-row
-    # dequantize from the 1-row broadcast stats (bit-identical values, see
-    # _dq_vec_sql) — one narrow codegen projection carrying ``cell`` along,
-    # replacing explode -> stats join -> per-id collect_list -> corpus
-    # re-join (two shuffles of dim x |corpus| rows and a corpus-sized hash
-    # join gone; the SQ8 corpus side now matches the PQ path's shape). ---
-    stats_row = _sq_stats_row(vectors, vec_col=vec_col)
-    dq_corpus = (
-        vectors.crossJoin(F.broadcast(stats_row))
-        .select(
+    # --- ADC scan of probed cells: the probe table broadcasts into the
+    # corpus scan (no corpus shuffle), then dequantize + candidate cosine
+    # run as ONE fused numpy kernel (bit-identical arithmetic; the rank
+    # exchange carries only (ids, score) — narrower than the old
+    # dqv-carrying window input, guide §2.3/§4). Dequantizing per
+    # CANDIDATE recomputes a deterministic function of the row — same
+    # values as the dequantize-once form. ---
+    cand = (
+        vectors.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(cell_col).alias("cell"),
-            F.expr(_dq_vec_sql(vec_col, levels)).alias("dqv"),
+            F.col(vec_col).alias("vec"),
         )
-        .select(
-            "neighbor_id",
-            "dqv",
-            l2_norm(F.col("dqv")).alias("nn"),
-            "cell",
-        )
+        .join(maybe_bcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qn", "qv", "vec")
     )
-    # --- ADC scan of probed cells (probe table broadcast into the scan) ---
+    idt = dict(cand.dtypes)
+    scored = cand.mapInPandas(
+        score_sq8_map(dim, mn, mx, levels),
+        schema=(
+            f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
+            " adc_cos double"
+        ),
+    )
     adc_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_cos"), F.asc("neighbor_id")
     )
     survivors = (
-        dq_corpus.join(maybe_bcast(probes), on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc_cos",
-            dot(F.col("qv"), F.col("dqv")) / (F.col("qn") * F.col("nn")),
-        )
-        .withColumn("ar", F.row_number().over(adc_w))
+        scored.withColumn("ar", F.row_number().over(adc_w))
         .filter(F.col("ar") <= int(rerank))
-        .select("query_id", "qv", "qn", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
-    # --- exact fp32 rerank of the survivors ---
-    fp32 = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        l2_norm(F.col(vec_col)).alias("nvn"),
+    # --- exact fp32 rerank of the survivors: re-attach the (bounded)
+    # query table for qv/qn, join the fp32 corpus, score in the numpy
+    # rerank kernel (the fp32 norm folds inside the kernel per survivor
+    # — identical values to the hoisted per-corpus-row projection). ---
+    surv_q = survivors.join(maybe_bcast(q), on="query_id")
+    rerank_in = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
+        .join(maybe_bcast(surv_q), on="neighbor_id")
+        .select("query_id", "neighbor_id", "qn", "qv", "nv")
+    )
+    reranked = rerank_in.mapInPandas(
+        score_fp32_map(dim),
+        schema=(
+            f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
+            " cos_raw double"
+        ),
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
     return (
-        fp32.join(maybe_bcast(survivors), on="neighbor_id")
-        .withColumn(
-            "cos_raw",
-            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")),
-        )
-        .withColumn("rank", F.row_number().over(rank_w))
+        reranked.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= int(k))
         .select(
             "query_id",
@@ -1326,21 +1414,22 @@ def pq_train_codebooks(
         ]
         for j in range(m)
     ]
+    from cassandra_fs_pp_spark.operators.veckernels import pq_codes_udf
+
     for _ in range(iterations):
+        # r18 (VERDICT r17 item 3): the per-subspace argmin runs as ONE
+        # Arrow-vectorized pandas_udf (operation-for-operation the
+        # _pq_code_sql quantized-integer argmin with lowest-code ties;
+        # the factory snapshots this round's centroids) — the m
+        # interpreted higher-order projections per corpus row gone.
         codes = vectors.select(
-            id_col,
-            vec_col,
-            *[
-                F.expr(_pq_code_sql(cb[j], vec_col, j * dsub + 1, dsub)).alias(
-                    f"__k{j}"
-                )
-                for j in range(m)
-            ],
+            F.col(vec_col),
+            pq_codes_udf(cb, dsub, dim)(F.col(vec_col)).alias("__ks"),
         )
         # exact fixed-point means per (subspace, code, pos-in-subspace):
         # one posexplode of the full vector, subspace derived from pos
         lf = codes.select(
-            F.array(*[F.col(f"__k{j}") for j in range(m)]).alias("__ks"),
+            "__ks",
             F.posexplode(F.col(vec_col)).alias("pos0", "v"),
         ).select(
             F.expr(f"pos0 div {dsub}").alias("sub"),
@@ -1482,9 +1571,10 @@ def ivf_pq_topk(
     # the offline-collected table (serving form — the cell table is part
     # of the index, so serving skips this corpus scan entirely) ---
     if centroids is not None:
+        cent_pairs = [(int(c), [float(x) for x in v]) for c, v in centroids]
         cent = local_table(
             vectors.sparkSession,
-            [(c, list(v)) for c, v in centroids],
+            [(c, list(v)) for c, v in cent_pairs],
             "cell int, centroid array<double>",
         )
     else:
@@ -1499,27 +1589,34 @@ def ivf_pq_topk(
         cent_rows = coarse_centroids(
             vectors, cell_col=cell_col, vec_col=vec_col
         ).collect()
+        cent_pairs = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cent_rows
+        ]
         cent = local_table(
             vectors.sparkSession,
-            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+            [(c, list(v)) for c, v in cent_pairs],
             "cell int, centroid array<double>",
         )
-    res = residualize(
-        vectors, cent, id_col=id_col, vec_col=vec_col, cell_col=cell_col
-    )
     # ``codebooks``: pass offline-trained codebooks to skip the training
     # scans — the production serving reality (FAISS never retrains per
     # query batch); training here is deterministic, so a cached table is
     # bit-identical to a fresh one
-    cb = codebooks if codebooks is not None else pq_train_codebooks(
-        res,
-        id_col=id_col,
-        vec_col="rvec",
-        dim=dim,
-        m=m,
-        ks=ks,
-        iterations=iterations,
-    )
+    if codebooks is not None:
+        cb = codebooks
+    else:
+        res = residualize(
+            vectors, cent, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+        )
+        cb = pq_train_codebooks(
+            res,
+            id_col=id_col,
+            vec_col="rvec",
+            dim=dim,
+            m=m,
+            ks=ks,
+            iterations=iterations,
+        )
     q_pred = (
         F.col(id_col) < int(fixed_queries)
         if fixed_queries is not None
@@ -1545,61 +1642,66 @@ def ivf_pq_topk(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    # --- compressed corpus: per-row PQ codes over the RESIDUAL + the ADC
-    # vector centroid(cell) + reconstruct(codes), one narrow scan whose
-    # only join is the broadcast |cells|-row centroid table, no shuffle ---
-    encoded = res.select(
-        F.col(id_col).alias("neighbor_id"),
-        "cell",
-        "centroid",
-        *[
-            F.expr(_pq_code_sql(cb[j], "rvec", j * dsub + 1, dsub)).alias(
-                f"__k{j}"
-            )
-            for j in range(m)
-        ],
+    # --- compressed corpus + ADC scan (r18, VERDICT r17 item 3): the
+    # probe table broadcasts into ONE narrow corpus scan, then residual
+    # encode + LUT reconstruct + candidate cosine run as ONE fused numpy
+    # kernel (operation-for-operation the literal-expression forms:
+    # quantized integer argmin with lowest-code ties, exact float64
+    # reconstruct/fold — interpreted higher-order lambdas gone).  The
+    # rank exchange carries only (ids, score). ---
+    from cassandra_fs_pp_spark.operators.veckernels import (
+        score_fp32_map,
+        score_pq_map,
     )
-    pq_corpus = encoded.select(
-        "neighbor_id",
-        "cell",
-        F.zip_with(
-            F.col("centroid"),
-            F.expr(_pq_reconstruct_sql(cb, "__k")),
-            lambda c, r: c + r,
-        ).alias("pqv"),
-    ).select(
-        "neighbor_id", "cell", "pqv", l2_norm(F.col("pqv")).alias("nn")
+
+    cand = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).alias("vec"),
+        )
+        .join(maybe_bcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qn", "qv", "cell", "vec")
     )
-    # --- ADC scan of probed cells + exact fp32 rerank (ivf_adc_topk shape) ---
+    idt = dict(cand.dtypes)
+    scored = cand.mapInPandas(
+        score_pq_map(dim, dsub, cb, dict(cent_pairs)),
+        schema=(
+            f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
+            " adc_cos double"
+        ),
+    )
     adc_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_cos"), F.asc("neighbor_id")
     )
     survivors = (
-        pq_corpus.join(maybe_bcast(probes), on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc_cos",
-            dot(F.col("qv"), F.col("pqv")) / (F.col("qn") * F.col("nn")),
-        )
-        .withColumn("ar", F.row_number().over(adc_w))
+        scored.withColumn("ar", F.row_number().over(adc_w))
         .filter(F.col("ar") <= int(rerank))
-        .select("query_id", "qv", "qn", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
-    fp32 = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        l2_norm(F.col(vec_col)).alias("nvn"),
+    # --- exact fp32 rerank (numpy kernel; the fp32 norm folds inside the
+    # kernel per survivor — identical values to the hoisted projection) ---
+    surv_q = survivors.join(maybe_bcast(q), on="query_id")
+    rerank_in = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
+        .join(maybe_bcast(surv_q), on="neighbor_id")
+        .select("query_id", "neighbor_id", "qn", "qv", "nv")
+    )
+    reranked = rerank_in.mapInPandas(
+        score_fp32_map(dim),
+        schema=(
+            f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
+            " cos_raw double"
+        ),
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
     return (
-        fp32.join(maybe_bcast(survivors), on="neighbor_id")
-        .withColumn(
-            "cos_raw",
-            dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")),
-        )
-        .withColumn("rank", F.row_number().over(rank_w))
+        reranked.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= int(k))
         .select(
             "query_id",
