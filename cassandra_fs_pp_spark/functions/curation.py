@@ -133,14 +133,25 @@ def ngram_rows(
     — load-bearing for consumers whose next keyed op is satisfied by the
     id clustering (``ngram_hash_set``'s distinct, a ``groupBy(id)``
     chain): the one exchange is shared.  ``partition_by_id=False`` (r17)
-    barriers via a discarded NONDETERMINISTIC marker column instead —
-    CollapseProject never merges through a nondeterministic projection —
-    so the tokens still materialize once but the corpus token arrays are
-    NOT shuffled at all; use it when the consumer filters the gram
-    stream before any keyed op (``decontaminate``'s broadcast prefilter:
-    the grams must stream past map-side, paying at most a post-filter
-    sliver exchange).  A/B at sf0.1: marker == repartition wall locally
-    (2.72 vs 2.64 s two-pass) and naive collapse 6.99 s."""
+    skips the exchange entirely: the tokens still materialize once but
+    the corpus token arrays are NOT shuffled at all; use it when the
+    consumer filters the gram stream before any keyed op
+    (``decontaminate``'s broadcast prefilter: the grams must stream past
+    map-side, paying at most a post-filter sliver exchange).  A/B at
+    sf0.1: no-shuffle == repartition wall locally (2.72 vs 2.64 s
+    two-pass) and naive collapse 6.99 s.
+
+    What keeps the split single-evaluation on this path (ADVICE r17):
+    the discarded ``monotonically_increasing_id`` marker below was
+    MEANT as a CollapseProject barrier, but Spark 4.1.2's optimizer
+    prunes it from the executed plan — single evaluation actually rests
+    on CollapseProject's cost heuristic refusing to duplicate the
+    expensive regex ``split`` into the per-gram lambda.  The marker is
+    kept as belt-and-braces for optimizer versions that would collapse
+    first and prune later, and
+    ``tests/test_plan_health.py::test_decontaminate_single_split_per_side``
+    pins the one-split-per-side property so a Spark upgrade that
+    regresses the heuristic is caught."""
     cols = [F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")]
     if not partition_by_id:
         cols.append(F.monotonically_increasing_id().alias("__nd"))

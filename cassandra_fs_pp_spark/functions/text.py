@@ -835,6 +835,50 @@ def bpe_train_merges_batched(
     )
 
 
+def _sym_capped_top(cnts, want: int, cap: int) -> list:
+    """The ``sym_cap`` pool filter folded into the TakeOrdered (r18,
+    VERDICT r17 item 7): the two per-symbol ``row_number()`` windows cost
+    one exchange each per counting round on the pair-type table; both
+    ranks are recoverable from a GLOBAL ordered prefix instead.
+
+    Why this is exact, not approximate: the group windows order by the
+    SAME total order as the global sort (``cnt DESC, a, b`` — strict,
+    since (a, b) is unique after the groupBy).  Any pair ranked above
+    ``p`` within p's left-symbol (or right-symbol) group is therefore
+    also above ``p`` globally, so inside any global prefix that contains
+    ``p``, p's group ranks equal "same-symbol rows seen so far + 1" in a
+    linear scan with per-symbol counters (counting REJECTED rows too —
+    the windows rank the uncapped table).  Scan the prefix, keep rows
+    whose both counters are within ``cap``, stop at ``want`` survivors;
+    if the prefix ran out without proving ``want`` survivors AND the
+    table may hold more rows, retry with a larger prefix (a pathological
+    hot-symbol flood; one extra TakeOrdered).  The pair-type table is
+    vocabulary-bounded, so the driver prefix stays bounded at any corpus
+    size."""
+    m = max(4 * want, 512)
+    while True:
+        rows = (
+            cnts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(m)
+            .collect()
+        )
+        seen_a: dict[str, int] = {}
+        seen_b: dict[str, int] = {}
+        out = []
+        for row in rows:
+            ra = seen_a.get(row["a"], 0) + 1
+            rb = seen_b.get(row["b"], 0) + 1
+            seen_a[row["a"]] = ra
+            seen_b[row["b"]] = rb
+            if ra <= cap and rb <= cap:
+                out.append(row)
+                if len(out) >= want:
+                    return out
+        if len(rows) < m:
+            return out  # whole table scanned: survivors are exact
+        m *= 8
+
+
 def _bpe_train_merges_batched_rules(
     docs,
     *,
@@ -889,30 +933,15 @@ def _bpe_train_merges_batched_rules(
             "freq",
         )
         cnts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
-        if sym_cap is not None:
-            from pyspark.sql import Window
-
-            order = (F.desc("cnt"), F.asc("a"), F.asc("b"))
-            cnts = (
-                cnts.withColumn(
-                    "__ra",
-                    F.row_number().over(Window.partitionBy("a").orderBy(*order)),
-                )
-                .withColumn(
-                    "__rb",
-                    F.row_number().over(Window.partitionBy("b").orderBy(*order)),
-                )
-                .where(
-                    (F.col("__ra") <= int(sym_cap))
-                    & (F.col("__rb") <= int(sym_cap))
-                )
-                .drop("__ra", "__rb")
+        want = int(topk if topk is not None else 8 * batch)
+        if sym_cap is None:
+            top = (
+                cnts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(want)
+                .collect()
             )
-        top = (
-            cnts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(int(topk if topk is not None else 8 * batch))
-            .collect()
-        )
+        else:
+            top = _sym_capped_top(cnts, want, int(sym_cap))
         if not top:
             break
         sel: list[tuple[int, str, str, int]] = []

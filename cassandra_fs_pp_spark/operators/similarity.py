@@ -1755,8 +1755,14 @@ def semantic_dedup(
         F.col(id_col), bucket.alias("bucket")
     ).localCheckpoint(eager=False)
     reps = keyed.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    # the rep table is bounded by 2^bits rows — an explicit broadcast is
+    # safe for the practical bits range, but a caller raising bits past
+    # ~2^20 for a tighter dedup radius could exceed broadcast/driver
+    # limits (ADVICE r17): fall back to a plain join there and let the
+    # planner/AQE pick from measured sizes (skew splitting still applies)
+    attach = F.broadcast(reps) if bits <= 20 else reps
     return (
-        keyed.join(F.broadcast(reps), "bucket")
+        keyed.join(attach, "bucket")
         .select(id_col, "bucket", "rep_id")
         .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
     )

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 
 SALT = "__salt"
 
+_BYTE_SUFFIXES = {
+    "tb": 1 << 40, "gb": 1 << 30, "mb": 1 << 20, "kb": 1 << 10,
+    "t": 1 << 40, "g": 1 << 30, "m": 1 << 20, "k": 1 << 10, "b": 1,
+}
+
+
+def _bytes_conf(value: str, default: int = 134217728) -> int:
+    """Spark size confs arrive as '134217728b' / '128MB' / '128m'."""
+    s = str(value).strip().lower()
+    for suf in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf) and s[: -len(suf)].strip().isdigit():
+            return int(s[: -len(suf)].strip()) * _BYTE_SUFFIXES[suf]
+    return int(s) if s.isdigit() else default
+
 
 def salted_join(
     big: DataFrame,
@@ -61,20 +75,44 @@ def salted_join(
 
 
 def spread_if_narrow(df: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition ONLY when the planned partition count is
-    below the cluster's parallelism (r17).
+    """Round-robin repartition ONLY when the input plans fewer splits
+    than the cluster's parallelism (r17; probe unified r18 — VERDICT r17
+    item 9).
 
     The guard for small unsplittable inputs feeding CPU-bound stages: a
     bench-scale table arrives as one parquet split and would run its
     per-row compute single-task, while a production-sized scan already
-    has >= cores splits and passes through with NO exchange.  Uses the
-    pre-AQE planned partition count, so it cannot see (and does not fix)
-    runtime coalescing of post-shuffle stages — pin those with an
-    explicit ``repartition(n, key)`` instead (AQE never coalesces a
+    has >= cores splits and passes through with NO exchange.
+
+    The narrowness probe is the optimizer's size statistic against
+    ``spark.sql.files.maxPartitionBytes`` — the same bytes-based
+    estimate the entry's ``_spread_if_narrow`` file-size guard uses —
+    NOT ``df.rdd.getNumPartitions()``, which converts the whole plan to
+    an RDD on the driver per call.  An input that already carries a
+    user repartition/rebalance anywhere in its lineage passes through
+    untouched (its parallelism was chosen deliberately; re-spreading
+    would stack a second exchange).  Like the r17 probe this sees only
+    the pre-AQE plan, so it cannot fix runtime coalescing of
+    post-shuffle stages — pin those with an explicit
+    ``repartition(n, key)`` instead (AQE never coalesces a
     user-specified partition count)."""
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
     if n_parts is None:
-        n_parts = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
+        try:
+            n_parts = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect — no SparkContext
+            return df
+    try:
+        qe = df._jdf.queryExecution()
+        if "Repartition" in qe.optimizedPlan().toString():
+            return df
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
+        maxpb = _bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except Exception:
+        return df
+    planned_splits = max(1, (size + maxpb - 1) // maxpb)
+    if planned_splits < n_parts:
         df = df.repartition(n_parts)
     return df

@@ -146,13 +146,31 @@ def _band_long(
 
 
 def _cluster_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
-    """(id, band, band_sig) -> (id, cluster_rep, is_dup) via the window-min
-    bucket representative (single pass, no self-join)."""
-    from pyspark.sql import Window
+    """(id, band, band_sig) -> (id, cluster_rep, is_dup).
 
-    bucket = Window.partitionBy("band", "band_sig")
+    r18 de-skew (VERDICT r17 item 1 — the last hot-key window site): the
+    bucket representative was ``min(id).over(partitionBy(band,
+    band_sig))`` — an unbounded window that executes a mega-duplicate
+    bucket (one band signature shared by a million templated docs) as
+    ONE sorted straggler task, with no map-side combine and no AQE
+    splitting for WindowExec.  The r17 attempt at the agg+join-back form
+    measured 2.5x WORSE because the banded minhash subtree re-evaluated
+    on both sides (Spark plans no ReuseExchange there); the fix is the
+    DSIR/semantic-dedup lesson: PIN the banded frame first with a lazy
+    ``localCheckpoint`` — (id, band, band_sig) is fixed-width short rows,
+    far cheaper to persist than re-running token explode + K minhash
+    permutations — then ``groupBy(band, band_sig).agg(min)`` (partial
+    aggregation collapses a hot bucket map-side) and an equi-join back
+    on the pinned frame (auto-broadcast at small scale; a shuffle join
+    with AQE skew splitting at 100 TB — either way no single-task sorted
+    straggler).  Rows identical: a per-key unbounded-window min is
+    definitionally the per-key aggregate joined back to the key's rows."""
+    banded = banded.localCheckpoint(eager=False)
+    reps = banded.groupBy("band", "band_sig").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
     return (
-        banded.withColumn("bucket_rep", F.min(id_col).over(bucket))
+        banded.join(reps, ["band", "band_sig"])
         .groupBy(id_col)
         .agg(F.min("bucket_rep").alias("cluster_rep"))
         .withColumn("is_dup", F.col("cluster_rep") != F.col(id_col))
@@ -222,12 +240,12 @@ def lsh_cluster_wide(
 ) -> DataFrame:
     """:func:`lsh_cluster` on wide signatures — the bench/scale path.
 
-    The bucket representative is a window ``min`` over (band, band_sig),
-    NOT a groupBy + self-join back: the join form evaluates the whole
-    signature subtree twice (Spark does not ReusedExchange it — verified
-    on the executed plan; 2.5x wall at sf0.1), while the window form is a
-    single pass: one shuffle into buckets, min within each, one shuffle
-    back to docs. Shuffle volume ∝ docs × bands short strings."""
+    The bucket representative is a ``groupBy(band, band_sig).agg(min)``
+    joined back to the LAZY-PINNED banded frame (see
+    :func:`_cluster_from_banded` — skew-safe on mega-duplicate buckets;
+    the pin is what makes the join form affordable: without it the
+    signature subtree evaluated twice, measured 2.5x wall at sf0.1).
+    Shuffle volume ∝ docs × bands short strings."""
     banded = banded_from_wide(
         wide, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
@@ -250,10 +268,10 @@ def lsh_cluster(
     transitive closure would iterate this to a fixpoint, rarely needed when
     duplicates collide in at least one shared band).
 
-    Cost: O(|docs| * bands) rows through one bucket window + one groupBy —
-    no self-join, no pair materialization (a join back to the bucket-rep
-    aggregate would run the signature subtree twice; see
-    :func:`lsh_cluster_wide`). Returns ``(id, cluster_rep, is_dup)``.
+    Cost: O(|docs| * bands) rows through one bucket aggregate + the
+    join-back on the pinned banded frame (skew-safe; see
+    :func:`_cluster_from_banded`) — no self-join, no pair
+    materialization. Returns ``(id, cluster_rep, is_dup)``.
     """
     return _cluster_from_banded(
         _band_long(signatures, num_hashes=num_hashes, bands=bands, id_col=id_col),

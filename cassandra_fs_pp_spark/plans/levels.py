@@ -367,8 +367,15 @@ def fleet_normalise_udg(
     # -- one distributed aggregation for every auto event's medians --
     raw_medians: dict[tuple[str, int], tuple[float | None, float | None]] = {}
     if auto_rows:
-        ev_df = spark.createDataFrame(
-            auto_rows, f"{site_col} string, __k int, __date timestamp"
+        # r18 (VERDICT r17 item 8): LocalTableScan route instead of a
+        # pickled-row RDD — the broadcast build below reads it driver-
+        # side with no Python-worker job.  Naive datetimes land as
+        # session-tz (UTC) timestamps on BOTH routes; value equality is
+        # pinned by tests/test_fleet.py::test_udg_event_dims_local_table
+        from cassandra_fs_pp_spark.session import local_table
+
+        ev_df = local_table(
+            spark, auto_rows, f"{site_col} string, __k int, __date timestamp"
         )
         d1 = F.expr("INTERVAL 1 DAY")
         h4 = F.expr("INTERVAL 4 HOURS")
@@ -420,9 +427,15 @@ def fleet_normalise_udg(
         deltas_by_site[site] = out
 
     # -- re-enter the lineage: per-site event array via one broadcast join --
-    dim = spark.createDataFrame(
+    # r18: dict-shaped struct cells so the Arrow/pandas LocalTableScan
+    # route can convert them (tuples fall back to the pickled path);
+    # both routes accept dicts, so the fallback stays value-identical
+    from cassandra_fs_pp_spark.session import local_table
+
+    dim = local_table(
+        spark,
         [
-            (site, [(d, float(dl)) for d, dl in evs])
+            (site, [{"d": d, "delta": float(dl)} for d, dl in evs])
             for site, evs in deltas_by_site.items()
         ],
         f"{site_col} string, __evs array<struct<d:timestamp,delta:double>>",

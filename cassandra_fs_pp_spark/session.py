@@ -38,17 +38,16 @@ RUNTIME_CONF: dict[str, str] = {
     # task launches; with AQE sizing by bytes this stays a no-op once
     # partitions are production-sized.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
-    # Let the planner pick shuffled-hash joins when its size conditions
-    # fit (guide §3.1/§9 baseline): SHJ skips the per-partition sort of
-    # sort-merge.  Scale posture: the static pick still requires the
-    # build side to pass canBuildLocalHashMap (estimate below
-    # autoBroadcastJoinThreshold x shuffle partitions), so production-
-    # sized sides keep sort-merge; and AQE's runtime conversion below is
-    # bytes-measured per partition — adaptive by construction.  Same-JVM
-    # min-of-3 A/B at sf0.1: fleet_udg_filter 0.84-0.87x, others
-    # neutral-to-slightly-better, no reproducible regression (r17).
-    "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
+    # r18 (VERDICT r17 item 4): the r17 shuffled-hash-join confs
+    # (preferSortMergeJoin=false + maxShuffledHashJoinLocalMapThreshold)
+    # are REMOVED as dead knobs — AQE FINAL executed plans
+    # (isFinalPlan=true, plans/r18/*_aqe_final.txt) show ZERO
+    # ShuffledHashJoin across the join-heavy suite (fleet_udg_filter's
+    # three SMJs stay SMJ at runtime), so the conf never fired and its
+    # claimed r17 win was not attributable to it; the static flip also
+    # carried ADVICE r17's OOM concern (static SHJ picks trust planner
+    # estimates and cannot fall back to sort).  lsh_topk's explicit
+    # shuffle_hash HINTS are unaffected (hints bypass the preference).
     # Arrow for any pandas_udf / toPandas interop (multimodal + similarity).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Bound Arrow batch size so mapInPandas over fat binary payloads
@@ -93,6 +92,11 @@ def local_table(spark: SparkSession, rows, schema: str):
     both routes.  Falls back to the plain path for empty inputs or when
     pandas/Arrow conversion rejects the shape (r17).
     """
+    # materialize first: the comprehension below iterates ``rows`` once
+    # per COLUMN, so a generator input would exhaust on the first column
+    # and silently build an empty frame before the fallback ever saw the
+    # data (ADVICE r17)
+    rows = list(rows)
     if rows:
         try:
             import pandas as pd

@@ -92,6 +92,9 @@ SKEW_QUERIES = [
     "dedup_chain_spans",
     "dedup_setsim_join",
     "dedup_containment",
+    # minhash LSH cluster: hot (band, band_sig) buckets (de-skewed r18
+    # from the bucket-rep window to pinned-frame agg + join-back)
+    "dedup_minhash_cluster",
     # keyed-window / sessionize family: hot user_id
     "a_sessionize",
     "p_debounce_burst_keyed",

@@ -140,6 +140,20 @@ def test_fleet_normalise_matches_sequential(spark, fleet_l1):
             ), (site, r["TIMESTAMP"])
 
 
+def test_udg_event_dims_local_table(spark, fleet_l1):
+    """r18 (VERDICT r17 item 8): the driver-resident UDG event dimension
+    tables (the medians probe table and the per-site delta array) must
+    plan as pure-JVM LocalTableScan, never as a pickled-row ExistingRDD
+    whose every broadcast build spins Python workers.  Value equality
+    with the old route is pinned by the sequential differentials above
+    (timestamps land as session-tz UTC on both routes)."""
+    events_by_site = {s: ev for s, (_, _, ev) in SITES.items()}
+    fleet = fleet_normalise_udg(fleet_l1, events_by_site)
+    plan = fleet._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+
+
 def _formatted_plan(df) -> str:
     jqe = df._jdf.queryExecution()
     spark = df.sparkSession

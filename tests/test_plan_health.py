@@ -125,6 +125,41 @@ def test_lsh_topk_pair_dedup_is_narrow(spark):
     assert _n(plan, "CartesianProduct") == 0
 
 
+def test_decontaminate_single_split_per_side(spark):
+    """curation_decontaminate (ADVICE r17): the regex tokenizer must
+    evaluate exactly ONCE per side (train + eval = two ``split(`` sites
+    in the whole plan).  The ``__nd`` marker column ngram_rows adds as a
+    CollapseProject barrier is pruned by Spark 4.1.2's optimizer, so
+    single evaluation rests on the optimizer's expensive-expression
+    check — this pin catches a Spark upgrade that regresses it (the
+    collapse re-splits once PER GRAM: measured 7.6x at sf0.1)."""
+    plan = _formatted_plan(
+        entrymod.queries()["curation_decontaminate"](spark, SF)
+    )
+    assert plan.count("split(") == 2, plan
+
+
+def test_minhash_cluster_deskewed_bucket_rep(spark):
+    """dedup_minhash_cluster (r18 de-skew, VERDICT r17 item 1 — the last
+    hot-key window site): the bucket representative must be a
+    partial-aggregated ``groupBy(band, band_sig).agg(min)`` joined back
+    to the LAZY-PINNED banded frame — NOT a ``min().over(partitionBy
+    (band, band_sig))`` window, which executes a mega-duplicate bucket
+    as one sorted straggler task.  Pinned: map-side partial_min, the
+    banded frame read as a checkpoint (ExistingRDD — the r17 2.5x
+    regression of the unpinned join form came from the minhash subtree
+    evaluating twice), zero Window operators, and no parquet rescans in
+    the returned plan."""
+    df = entrymod.queries()["dedup_minhash_cluster"](spark, SF)
+    plan = _formatted_plan(df)
+    assert "partial_min" in plan, plan
+    assert _n(plan, "Window") == 0, plan
+    assert _n(plan, "SortMergeJoin") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert _n(plan, "Scan parquet") == 0, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+
 def test_semantic_dedup_deskewed_rep_attach(spark):
     """SemDeDup path (r17 de-skew, the VERDICT r16 item 1 window class):
     the per-bucket representative must be a partial-aggregated

@@ -1271,6 +1271,68 @@ def test_bpe_batched_batch1_equals_sequential(spark):
     assert bat == seq
 
 
+def test_sym_capped_top_matches_window_form(spark):
+    """r18 (VERDICT r17 item 7): the sym_cap pool filter folded into the
+    TakeOrdered (_sym_capped_top's per-symbol counter scan over a global
+    ordered prefix) must select EXACTLY the rows the two per-symbol
+    row_number windows selected — verified on a hot-symbol flood fixture
+    large enough to force the retry (prefix-exhausted) path, and on a
+    random pair table."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cassandra_fs_pp_spark.functions.text import _sym_capped_top
+
+    def window_form(cnts, want, cap):
+        order = (F.desc("cnt"), F.asc("a"), F.asc("b"))
+        capped = (
+            cnts.withColumn(
+                "__ra",
+                F.row_number().over(Window.partitionBy("a").orderBy(*order)),
+            )
+            .withColumn(
+                "__rb",
+                F.row_number().over(Window.partitionBy("b").orderBy(*order)),
+            )
+            .where((F.col("__ra") <= cap) & (F.col("__rb") <= cap))
+            .drop("__ra", "__rb")
+        )
+        return capped.orderBy(*order).limit(want).collect()
+
+    rng = random.Random(18)
+    # flood: one hot left symbol owns the 600 highest counts, so the
+    # first 512-row prefix proves only `cap` survivors and the scan
+    # must retry with a larger prefix — still exact.
+    flood = [("h", f"r{i:04d}", 10_000 - i) for i in range(600)]
+    tail = [(f"a{i:03d}", f"b{i:03d}", 100 - (i % 7)) for i in range(80)]
+    rnd_rows = [
+        (f"s{rng.randrange(12)}", f"t{rng.randrange(12)}", rng.randrange(1, 50))
+        for _ in range(300)
+    ]
+    for rows, want, cap in [
+        (flood + tail, 16, 2),
+        (rnd_rows, 24, 3),
+        (tail, 200, 1),  # want > survivors: whole-table exhaustion
+    ]:
+        # (a, b) must be unique (the trainer groupBy guarantees it)
+        uniq = {}
+        for a, b, c in rows:
+            uniq[(a, b)] = c
+        cnts = spark.createDataFrame(
+            [(a, b, c) for (a, b), c in uniq.items()],
+            "a string, b string, cnt long",
+        )
+        want_rows = [
+            (r["a"], r["b"], r["cnt"]) for r in window_form(cnts, want, cap)
+        ]
+        got_rows = [
+            (r["a"], r["b"], r["cnt"])
+            for r in _sym_capped_top(cnts, want, cap)
+        ]
+        assert got_rows == want_rows, (want, cap)
+
+
 def test_bpe_batched_selected_rules_disjoint(spark):
     """Any two rules selected in the SAME round must share no symbol
     (the property that makes the batch exact); rank-1 is always
