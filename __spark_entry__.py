@@ -3298,7 +3298,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is how you'd size the tables anyway."""
     from cassandra_fs_pp_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     n = _parquet_num_rows(sf_dir, "embeddings")
     if n is None:
         n = emb.count()

@@ -486,30 +486,42 @@ def lsh_topk(
     # bucket eval above: `acc += Q[:,i] * N[:,i]` ascending i is the
     # interpreted zip_with/aggregate fold's exact IEEE sequence, then the
     # identical mul-then-div. Bit-identical scores, no lambda eval cost.
-    def _score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in batches:
-            n = len(pdf)
+    # r18: mapInArrow reading the list columns' FLAT values buffers —
+    # the pandas route materialized a Python ndarray per ROW and its
+    # per-pair stacking was the scoring stage's dominant CPU (~1 s per
+    # 250k pairs measured; the flat-buffer view is ~20x cheaper).
+    def _score(batches) -> "Iterator":
+        import pyarrow as pa
+
+        from cassandra_fs_pp_spark.operators.veckernels import (
+            _arrow_col,
+            _mat_arrow,
+            _np_col,
+        )
+
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            q_mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
-            )
-            n_mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["nv"]]
-            )
+            q_mat = _mat_arrow(_arrow_col(b, "qv"), dim)
+            n_mat = _mat_arrow(_arrow_col(b, "nv"), dim)
             acc = np.zeros(n)
             for i in range(dim):
                 acc += q_mat[:, i] * n_mat[:, i]
-            yield pd.DataFrame(
-                {
-                    "__ga": pdf["__ga"].values,
-                    "__gb": pdf["__gb"].values,
-                    "cos_raw": acc
-                    / (pdf["qn"].to_numpy() * pdf["nn"].to_numpy()),
-                }
+            cos = acc / (
+                np.asarray(_np_col(b, "qn"), dtype=np.float64)
+                * np.asarray(_np_col(b, "nn"), dtype=np.float64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _arrow_col(b, "__ga"),
+                    _arrow_col(b, "__gb"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["__ga", "__gb", "cos_raw"],
             )
 
-    scored_g = scored_g.mapInPandas(
+    scored_g = scored_g.mapInArrow(
         _score, schema="__ga string, __gb string, cos_raw double"
     )
     # Stage 3 — tie-aware fan-out back to members. Query side: every
@@ -768,7 +780,7 @@ def adc_topk(
         .select("query_id", "neighbor_id", "qn", "qv", "vec")
     )
     idt = dict(cand.dtypes)
-    scored = cand.mapInPandas(
+    scored = cand.mapInArrow(
         score_sq8_map(dim, mn, mx, levels),
         schema=(
             f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
@@ -970,7 +982,7 @@ def ivf_adc_topk(
         .select("query_id", "neighbor_id", "qn", "qv", "vec")
     )
     idt = dict(cand.dtypes)
-    scored = cand.mapInPandas(
+    scored = cand.mapInArrow(
         score_sq8_map(dim, mn, mx, levels),
         schema=(
             f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
@@ -997,7 +1009,7 @@ def ivf_adc_topk(
         .join(maybe_bcast(surv_q), on="neighbor_id")
         .select("query_id", "neighbor_id", "qn", "qv", "nv")
     )
-    reranked = rerank_in.mapInPandas(
+    reranked = rerank_in.mapInArrow(
         score_fp32_map(dim),
         schema=(
             f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
@@ -1665,7 +1677,7 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", "qn", "qv", "cell", "vec")
     )
     idt = dict(cand.dtypes)
-    scored = cand.mapInPandas(
+    scored = cand.mapInArrow(
         score_pq_map(dim, dsub, cb, dict(cent_pairs)),
         schema=(
             f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"
@@ -1690,7 +1702,7 @@ def ivf_pq_topk(
         .join(maybe_bcast(surv_q), on="neighbor_id")
         .select("query_id", "neighbor_id", "qn", "qv", "nv")
     )
-    reranked = rerank_in.mapInPandas(
+    reranked = rerank_in.mapInArrow(
         score_fp32_map(dim),
         schema=(
             f"query_id {idt['query_id']}, neighbor_id {idt['neighbor_id']},"

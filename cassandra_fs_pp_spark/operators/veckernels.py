@@ -80,6 +80,24 @@ def _mat(col, dim: int) -> np.ndarray:
     )
 
 
+def _mat_arrow(col, dim: int) -> np.ndarray:
+    """Arrow list<float|double> array -> (n, dim) float64 matrix via the
+    FLAT values buffer (guide §4.2: a list column is one contiguous data
+    buffer plus offsets, so this is a zero-copy view + one exact-widening
+    astype — measured ~20x cheaper than materializing a pandas Series of
+    per-row ndarrays at 250k x 64)."""
+    flat = col.flatten()
+    return np.asarray(flat).reshape(len(col), dim).astype(np.float64)
+
+
+def _np_col(batch, name: str) -> np.ndarray:
+    return np.asarray(batch.column(batch.schema.get_field_index(name)))
+
+
+def _arrow_col(batch, name: str):
+    return batch.column(batch.schema.get_field_index(name))
+
+
 def seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Row-wise LEFT-TO-RIGHT dot fold: ``((0 + a0*b0) + a1*b1) + ...``
     — the IEEE op sequence of :func:`similarity.dot`, vectorized across
@@ -143,7 +161,7 @@ def pq_reconstruct(
 
 
 def score_sq8_map(dim: int, mn, mx, levels: int):
-    """mapInPandas factory: fused SQ8 dequantize + candidate cosine.
+    """mapInArrow factory: fused SQ8 dequantize + candidate cosine.
 
     Input rows ``(query_id, neighbor_id, qn, qv, vec)`` (one per probed
     candidate); output ``(query_id, neighbor_id, adc_cos)`` with
@@ -153,40 +171,42 @@ def score_sq8_map(dim: int, mn, mx, levels: int):
     deterministic function of ``vec`` — identical values, and the
     candidate stream ships the narrower fp32 codes instead of the
     float64 dq vectors."""
+    import pyarrow as pa
+
     mnv = np.asarray(mn, dtype=np.float64)
     mxv = np.asarray(mx, dtype=np.float64)
 
-    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def _fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if not b.num_rows:
                 continue
-            Q = _mat(pdf["qv"], dim)
-            V = _mat(pdf["vec"], dim)
+            Q = _mat_arrow(_arrow_col(b, "qv"), dim)
+            V = _mat_arrow(_arrow_col(b, "vec"), dim)
             # a neighbor appears once per probing query: dequantize each
             # DISTINCT neighbor once and scatter (same deterministic
             # function of vec — identical values, ~|queries|x less work)
             _, first, inv = np.unique(
-                pdf["neighbor_id"].to_numpy(),
-                return_index=True,
-                return_inverse=True,
+                _np_col(b, "neighbor_id"), return_index=True, return_inverse=True
             )
             DQu = sq_dequantize(V[first], mnv, mxv, levels)
             NNu = seq_l2(DQu)
-            DQ, NN = DQu[inv], NNu[inv]
-            cos = seq_dot(Q, DQ) / (pdf["qn"].to_numpy() * NN)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].values,
-                    "neighbor_id": pdf["neighbor_id"].values,
-                    "adc_cos": cos,
-                }
+            cos = seq_dot(Q, DQu[inv]) / (
+                np.asarray(_np_col(b, "qn"), dtype=np.float64) * NNu[inv]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _arrow_col(b, "query_id"),
+                    _arrow_col(b, "neighbor_id"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adc_cos"],
             )
 
     return _fn
 
 
 def score_pq_map(dim: int, dsub: int, cb, cent_map: dict):
-    """mapInPandas factory: fused PQ residual-encode + reconstruct +
+    """mapInArrow factory: fused PQ residual-encode + reconstruct +
     candidate cosine.
 
     Input rows ``(query_id, neighbor_id, qn, qv, cell, vec)``; output
@@ -195,6 +215,8 @@ def score_pq_map(dim: int, dsub: int, cb, cent_map: dict):
     ``codes = argmin`` (``_pq_code_sql``), ``pqv = centroid +
     reconstruct(codes)``, ``adc_cos = dot(qv, pqv) / (qn * l2(pqv))``
     — all operation-for-operation the expression forms."""
+    import pyarrow as pa
+
     books = [np.asarray(b, dtype=np.float64) for b in cb]
     cells = sorted(cent_map)
     cell_idx = {c: i for i, c in enumerate(cells)}
@@ -202,23 +224,21 @@ def score_pq_map(dim: int, dsub: int, cb, cent_map: dict):
         len(cells), dim
     )
 
-    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def _fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if not b.num_rows:
                 continue
-            Q = _mat(pdf["qv"], dim)
-            V = _mat(pdf["vec"], dim)
+            Q = _mat_arrow(_arrow_col(b, "qv"), dim)
+            V = _mat_arrow(_arrow_col(b, "vec"), dim)
             # a neighbor appears once per probing query: encode each
             # DISTINCT neighbor once and scatter (same deterministic
             # function of (cell, vec) — identical values, ~|queries|x
             # less argmin work)
             _, first, inv = np.unique(
-                pdf["neighbor_id"].to_numpy(),
-                return_index=True,
-                return_inverse=True,
+                _np_col(b, "neighbor_id"), return_index=True, return_inverse=True
             )
             ci = np.array(
-                [cell_idx[c] for c in pdf["cell"].to_numpy()[first]],
+                [cell_idx[c] for c in _np_col(b, "cell")[first]],
                 dtype=np.int64,
             )
             cent = C[ci]
@@ -226,39 +246,45 @@ def score_pq_map(dim: int, dsub: int, cb, cent_map: dict):
             codes = pq_assign_codes(R, books, dsub)
             PQVu = cent + pq_reconstruct(codes, books)
             NNu = seq_l2(PQVu)
-            PQV, NN = PQVu[inv], NNu[inv]
-            cos = seq_dot(Q, PQV) / (pdf["qn"].to_numpy() * NN)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].values,
-                    "neighbor_id": pdf["neighbor_id"].values,
-                    "adc_cos": cos,
-                }
+            cos = seq_dot(Q, PQVu[inv]) / (
+                np.asarray(_np_col(b, "qn"), dtype=np.float64) * NNu[inv]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _arrow_col(b, "query_id"),
+                    _arrow_col(b, "neighbor_id"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adc_cos"],
             )
 
     return _fn
 
 
 def score_fp32_map(dim: int):
-    """mapInPandas factory: exact rerank cosine.  Input rows
+    """mapInArrow factory: exact rerank cosine.  Input rows
     ``(query_id, neighbor_id, qn, qv, nv)``; output ``(query_id,
     neighbor_id, cos_raw)`` with ``cos_raw = dot(qv, nv) / (qn *
     l2(nv))`` — the fp32 norm computed per survivor (deterministic
     function of ``nv``, identical values to the hoisted projection)."""
+    import pyarrow as pa
 
-    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def _fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if not b.num_rows:
                 continue
-            Q = _mat(pdf["qv"], dim)
-            N = _mat(pdf["nv"], dim)
-            cos = seq_dot(Q, N) / (pdf["qn"].to_numpy() * seq_l2(N))
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].values,
-                    "neighbor_id": pdf["neighbor_id"].values,
-                    "cos_raw": cos,
-                }
+            Q = _mat_arrow(_arrow_col(b, "qv"), dim)
+            N = _mat_arrow(_arrow_col(b, "nv"), dim)
+            cos = seq_dot(Q, N) / (
+                np.asarray(_np_col(b, "qn"), dtype=np.float64) * seq_l2(N)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _arrow_col(b, "query_id"),
+                    _arrow_col(b, "neighbor_id"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_raw"],
             )
 
     return _fn

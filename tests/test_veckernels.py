@@ -274,7 +274,7 @@ def test_fused_sq8_scoring_matches_expression_form(spark):
     )
     got = {
         (r["query_id"], r["neighbor_id"]): r["adc_cos"]
-        for r in cand.mapInPandas(
+        for r in cand.mapInArrow(
             score_sq8_map(
                 64, [float(x) for x in st["__mn"]], [float(x) for x in st["__mx"]], 255
             ),
@@ -356,7 +356,7 @@ def test_fused_pq_scoring_matches_expression_form(spark):
     )
     got = {
         (r["query_id"], r["neighbor_id"]): r["adc_cos"]
-        for r in cand.mapInPandas(
+        for r in cand.mapInArrow(
             score_pq_map(dim, dsub, cb, dict(cent_pairs)),
             schema="query_id long, neighbor_id long, adc_cos double",
         ).collect()
@@ -426,7 +426,7 @@ def test_ann_kernel_plans_use_arrow_python(spark):
         df = entrymod.queries()[name](spark, SF001)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # two fused kernels per query: candidate scoring + fp32 rerank
-        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert plan.count("MapInArrow") == 2, (name, plan)
         # the interpreted SQ8/PQ projections are gone from the corpus side
         assert "dqv" not in plan, name
         assert "pqv" not in plan, name
