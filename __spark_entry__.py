@@ -14672,79 +14672,51 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate: the driver's correctness sweep samples a
-    # prefix window (50 entries) of this dict.  Round-17 rotation (VERDICT
-    # r16 item 2): (a) the queries NEW or CHANGED since the r16 artifact
-    # snapshot — the five text-dedup queries whose hot-key windows became
-    # partial-agg + join-back (dedup_chain_spans, dedup_verbatim_spans,
-    # dedup_strip_verbatim, dedup_setsim_join, dedup_containment), the
-    # sym_cap=4 symbol-diversified BPE trainer (text_bpe_merges_batched),
-    # and the two tokenize queries whose shared oracle gained the
-    # blank-doc LEFT JOIN shape (text_bpe_tokenize, text_bpe_tokenize_trie)
-    # — then the three r16-late queries that have never seen the driver
-    # gate (text_bpe_pipeline — also sym_cap-changed —, a_bottomk_quantiles
-    # — also NULL-contract-pinned —, a_bloom_membership); (b) the stalest
-    # remainder from tpch_q1 in registry order (the r11-evidence block
-    # that followed the r16 window), filling the window to 50.  Beyond
-    # that the registry keeps ascending evidence freshness (the rest of
-    # the middle block, then the r15-window block, then the r16-window
-    # block, freshest, last); the 3 native-sketch queries stay pinned
-    # last (rows-only by nature, never in a window).
+    # prefix window (50 entries) of this dict.  Round-18 rotation (VERDICT
+    # r17 item 2): (a) the queries CHANGED this round — the Arrow-kernel
+    # ANN family (ann_ivf_pq_topk / ann_ivf_adc_topk / ann_adc_topk /
+    # ann_lsh_topk, plus emb_near_dups via the shared spread probe), the
+    # de-skewed dedup_minhash_cluster, the sym_cap-folded batched BPE
+    # trainer and its pipeline twin, the LocalTableScan fleet dims
+    # (fleet_udg_filter / fleet_tdr_depth), the broadcast-gated
+    # emb_semantic_dedup, the geo pair (spread probe) and
+    # curation_decontaminate (plan-pinned barrier) — then (b) the 11
+    # r17-changed queries the driver never re-gated (VERDICT r17
+    # "Correctness gate": their only post-change oracle evidence was the
+    # builder's own sweep): logreg / dsir / repetition / pretrain_pipeline
+    # / fuzzy / the four iterative graph loops / kmeans_assign /
+    # scalar_quantize; then (c) the STALEST remainder (registry positions
+    # 50+ as of r17, which last saw the gate in r15 or earlier) fills the
+    # window to 50.  Beyond the window: the rest of that stale block, then
+    # the r17-window block (freshest driver evidence, gated in r17) — the
+    # 3 native-sketch queries stay pinned last (rows-only by nature,
+    # never in a window).
     return {
-        # ===== (a) r17 head: new/changed since the r16 snapshot =====
-        "dedup_chain_spans": dedup_chain_spans,
-        "dedup_verbatim_spans": dedup_verbatim_spans,
-        "dedup_strip_verbatim": dedup_strip_verbatim,
-        "dedup_setsim_join": dedup_setsim_join,
-        "dedup_containment": dedup_containment,
-        "text_bpe_merges_batched": text_bpe_merges_batched,
-        "text_bpe_tokenize": text_bpe_tokenize,
-        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
-        # r16-late, never driver-gated — pulled into the head (the r15
-        # HLL/CMS pattern; VERDICT r16 item 2 / ADVICE r16 item 1)
-        "text_bpe_pipeline": text_bpe_pipeline,
-        "a_bottomk_quantiles": a_bottomk_quantiles,
-        "a_bloom_membership": a_bloom_membership,
-        # ===== (b) stalest middle-block remainder fills the r17 window =====
-        "tpch_q1": tpch_q1,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
-        "flagship_events_hourly": flagship_events_hourly,
+        "ann_ivf_pq_topk": ann_ivf_pq_topk,
+        "ann_ivf_adc_topk": ann_ivf_adc_topk,
+        "ann_adc_topk": ann_adc_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "emb_near_dups": emb_near_dups,
         "dedup_minhash_cluster": dedup_minhash_cluster,
-        "ann_block_topk": ann_block_topk,
-        "ann_matryoshka_topk": ann_matryoshka_topk,
+        "text_bpe_merges_batched": text_bpe_merges_batched,
+        "text_bpe_pipeline": text_bpe_pipeline,
+        "fleet_udg_filter": fleet_udg_filter,
+        "fleet_tdr_depth": fleet_tdr_depth,
         "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_gram_matrix": emb_gram_matrix,
-        "curation_pipeline": curation_pipeline,
+        "geo_grid_join": geo_grid_join,
+        "geo_point_in_polygon": geo_point_in_polygon,
         "curation_decontaminate": curation_decontaminate,
-        "curation_quality_logreg": curation_quality_logreg,
-        "text_tfidf": text_tfidf,
-        "text_zipf_fit": text_zipf_fit,
-        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
-        "stream_cusum_alerts": stream_cusum_alerts,
-        "stream_hourly_agg": stream_hourly_agg,
-        "graph_triangle_count": graph_triangle_count,
-        "w1_rolling_median_2d": w1_rolling_median_2d,
-        "w_hampel_outliers": w_hampel_outliers,
-        "j4_asof_backward": j4_asof_backward,
-        "j_asof_nearest": j_asof_nearest,
-        "text_kn3_perplexity": text_kn3_perplexity,
-        "curation_ccnet_buckets_banded": curation_ccnet_buckets_banded,
-        "a1_median_slice": a1_median_slice,
-        "a3_mode_interval": a3_mode_interval,
-        "a3_per_key_freq": a3_per_key_freq,
-        "a5_positive_sum_slice": a5_positive_sum_slice,
-        "a6_monthly_rollup": a6_monthly_rollup,
-        "a7_daily_profile": a7_daily_profile,
-        "a8_resample_hourly": a8_resample_hourly,
-        "agg_rollup": agg_rollup,
-        "f_scalar_suite": f_scalar_suite,
-        "f_string_suite": f_string_suite,
-        "j_anti_users": j_anti_users,
-        "j_range_interval": j_range_interval,
-        "j_semi_users": j_semi_users,
-        "p10_time_slice": p10_time_slice,
-        "p1_prune_all_null": p1_prune_all_null,
-        "p2_dedup_rows": p2_dedup_rows,
-        # ===== below the window: ascending evidence freshness =====
+        "curation_logreg_trained": curation_logreg_trained,
+        "curation_dsir_select": curation_dsir_select,
+        "text_repetition_flags": text_repetition_flags,
+        "curation_pretrain_pipeline": curation_pretrain_pipeline,
+        "fuzzy_match_join": fuzzy_match_join,
+        "graph_kcore": graph_kcore,
+        "graph_bfs_levels": graph_bfs_levels,
+        "graph_connected_components": graph_connected_components,
+        "graph_pagerank": graph_pagerank,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "emb_scalar_quantize": emb_scalar_quantize,
         "p3_dedup_keep_first": p3_dedup_keep_first,
         "p7_validity_null": p7_validity_null,
         "r5_pivot": r5_pivot,
@@ -14776,7 +14748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn5_perplexity": text_kn5_perplexity,
         "text_bpe_merges": text_bpe_merges,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "graph_connected_components": graph_connected_components,
         "f_higher_order": f_higher_order,
         "f_bitwise_suite": f_bitwise_suite,
         "f_datetime_suite": f_datetime_suite,
@@ -14788,20 +14759,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_temperature": curation_mixture_temperature,
         "text_ngram_novelty": text_ngram_novelty,
         "graph_degree_assortativity": graph_degree_assortativity,
-        "graph_pagerank": graph_pagerank,
         "a_hodges_lehmann": a_hodges_lehmann,
         "graph_clustering_coeff": graph_clustering_coeff,
         "w_seasonal_naive_error": w_seasonal_naive_error,
         "text_bigram_entropy": text_bigram_entropy,
         "mm_phash_pairs": mm_phash_pairs,
         "emb_pca_project": emb_pca_project,
-        "ann_lsh_topk": ann_lsh_topk,
         "w_rolling_skewkurt": w_rolling_skewkurt,
         "p_debounce_burst_keyed": p_debounce_burst_keyed,
         "w_rolling_skewkurt_keyed": w_rolling_skewkurt_keyed,
-        "geo_point_in_polygon": geo_point_in_polygon,
         "stream_debounce_admit": stream_debounce_admit,
-        "fleet_udg_filter": fleet_udg_filter,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "mm_png_roundtrip": mm_png_roundtrip,
         "tpch_q12_latemode": tpch_q12_latemode,
@@ -14819,14 +14786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_forward": j4_asof_forward,
         "a4_distinct_counts": a4_distinct_counts,
         "a9_head_mean": a9_head_mean,
-        "curation_dsir_select": curation_dsir_select,
-        "ann_ivf_pq_topk": ann_ivf_pq_topk,
         "j1_calibration_fallback": j1_calibration_fallback,
         "r1_melt": r1_melt,
         "p5_regex_projection": p5_regex_projection,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_session_agg": stream_session_agg,
-        "fleet_tdr_depth": fleet_tdr_depth,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_banded": dedup_simhash_banded,
@@ -14848,11 +14812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_periodogram_int": ts_periodogram_int,
         "rag_hybrid_minmax": rag_hybrid_minmax,
         "stream_geofence_admit": stream_geofence_admit,
-        "emb_kmeans_assign": emb_kmeans_assign,
         "a_gini": a_gini,
         "dedup_spans": dedup_spans,
         "a8_sliding_window": a8_sliding_window,
-        "emb_near_dups": emb_near_dups,
         "emb_label_centroids": emb_label_centroids,
         "emb_label_inertia": emb_label_inertia,
         "text_hash_features": text_hash_features,
@@ -14868,14 +14830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_temporal_scd2": j_temporal_scd2,
         "j_skew_salted": j_skew_salted,
         "a_sessionize": a_sessionize,
-        # ===== r15-window block (freshest driver evidence, r15) =====
         "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_adc_topk": ann_ivf_adc_topk,
         "curation_semantic_decontaminate": curation_semantic_decontaminate,
-        "text_repetition_flags": text_repetition_flags,
         "text_cdc_chunks": text_cdc_chunks,
         "a_linreg_trend": a_linreg_trend,
-        "ann_adc_topk": ann_adc_topk,
         "a_quantiles": a_quantiles,
         "a_cohort_retention": a_cohort_retention,
         "a_corr_regr": a_corr_regr,
@@ -14914,20 +14872,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_target_encode": stream_target_encode,
         "dq_table_digest": dq_table_digest,
         "ts_cusum_alerts": ts_cusum_alerts,
-        # ===== r16-window block (freshest driver evidence, r16) =====
-        "curation_pretrain_pipeline": curation_pretrain_pipeline,
-        "curation_logreg_trained": curation_logreg_trained,
         "a_hll_deterministic": a_hll_deterministic,
         "a_countmin_freq": a_countmin_freq,
-        "fuzzy_match_join": fuzzy_match_join,
-        "geo_grid_join": geo_grid_join,
         "a_heavy_hitters_mg": a_heavy_hitters_mg,
         "rag_chunk_topk": rag_chunk_topk,
         "op_incremental_rollup": op_incremental_rollup,
         "ts_ewma": ts_ewma,
         "layout_zorder_stats": layout_zorder_stats,
         "a_bitmap_distinct": a_bitmap_distinct,
-        "emb_scalar_quantize": emb_scalar_quantize,
         "curation_shuffle_shard": curation_shuffle_shard,
         "r4_transpose": r4_transpose,
         "curation_keep_best_in_cluster": curation_keep_best_in_cluster,
@@ -14955,14 +14907,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_mann_whitney": a_mann_whitney,
         "a_runs_test": a_runs_test,
         "a_kmv_distinct": a_kmv_distinct,
-        "graph_bfs_levels": graph_bfs_levels,
         "dq_schema_drift": dq_schema_drift,
         "w_kalman_1d": w_kalman_1d,
         "ts_sax_symbols": ts_sax_symbols,
         "w_ewma_irregular": w_ewma_irregular,
         "graph_jaccard_similarity": graph_jaccard_similarity,
-        "graph_kcore": graph_kcore,
-        # ===== sketch trio: rows-only by nature, pinned last =====
+        "dedup_chain_spans": dedup_chain_spans,
+        "dedup_verbatim_spans": dedup_verbatim_spans,
+        "dedup_strip_verbatim": dedup_strip_verbatim,
+        "dedup_setsim_join": dedup_setsim_join,
+        "dedup_containment": dedup_containment,
+        "text_bpe_tokenize": text_bpe_tokenize,
+        "text_bpe_tokenize_trie": text_bpe_tokenize_trie,
+        "a_bottomk_quantiles": a_bottomk_quantiles,
+        "a_bloom_membership": a_bloom_membership,
+        "tpch_q1": tpch_q1,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "flagship_events_hourly": flagship_events_hourly,
+        "ann_block_topk": ann_block_topk,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
+        "emb_gram_matrix": emb_gram_matrix,
+        "curation_pipeline": curation_pipeline,
+        "curation_quality_logreg": curation_quality_logreg,
+        "text_tfidf": text_tfidf,
+        "text_zipf_fit": text_zipf_fit,
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+        "stream_cusum_alerts": stream_cusum_alerts,
+        "stream_hourly_agg": stream_hourly_agg,
+        "graph_triangle_count": graph_triangle_count,
+        "w1_rolling_median_2d": w1_rolling_median_2d,
+        "w_hampel_outliers": w_hampel_outliers,
+        "j4_asof_backward": j4_asof_backward,
+        "j_asof_nearest": j_asof_nearest,
+        "text_kn3_perplexity": text_kn3_perplexity,
+        "curation_ccnet_buckets_banded": curation_ccnet_buckets_banded,
+        "a1_median_slice": a1_median_slice,
+        "a3_mode_interval": a3_mode_interval,
+        "a3_per_key_freq": a3_per_key_freq,
+        "a5_positive_sum_slice": a5_positive_sum_slice,
+        "a6_monthly_rollup": a6_monthly_rollup,
+        "a7_daily_profile": a7_daily_profile,
+        "a8_resample_hourly": a8_resample_hourly,
+        "agg_rollup": agg_rollup,
+        "f_scalar_suite": f_scalar_suite,
+        "f_string_suite": f_string_suite,
+        "j_anti_users": j_anti_users,
+        "j_range_interval": j_range_interval,
+        "j_semi_users": j_semi_users,
+        "p10_time_slice": p10_time_slice,
+        "p1_prune_all_null": p1_prune_all_null,
+        "p2_dedup_rows": p2_dedup_rows,
         "a_approx_distinct": a_approx_distinct,
         "a_hll_mergeable": a_hll_mergeable,
         "a_approx_quantiles": a_approx_quantiles,

@@ -360,50 +360,56 @@ def test_dsir_select_plan_shape(spark):
 
 def test_registry_window_discipline():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Pin the r17 rotation contract (VERDICT r16 item 2): the 8
-    queries new or changed since the r16 artifact snapshot lead (the
-    five de-skewed text-dedup queries, the sym_cap BPE trainer, the two
-    tokenize queries whose shared oracle gained the blank-doc LEFT JOIN
-    shape), then the three r16-late queries that have never seen the
-    driver gate (text_bpe_pipeline, a_bottomk_quantiles,
-    a_bloom_membership), then the stalest middle-block remainder from
-    tpch_q1 fills the window; every window entry carries a full SQL
-    oracle (the gate's hash check needs one); the 3 rows-only
-    native-sketch queries stay pinned last."""
+    entries. Pin the r18 rotation contract (VERDICT r17 item 2): the 14
+    queries changed THIS round lead (the Arrow-kernel ANN family +
+    emb_near_dups, the de-skewed dedup_minhash_cluster, the
+    sym_cap-folded BPE trainer + pipeline twin, the LocalTableScan fleet
+    dims, the broadcast-gated emb_semantic_dedup, the geo pair and
+    curation_decontaminate), then the 11 r17-changed queries the driver
+    never re-gated (VERDICT r17 items 2/4 of the correctness gate), then
+    the stalest remainder (last gated r15 or earlier) fills the window;
+    every window entry carries a full SQL oracle (the gate's hash check
+    needs one); the 3 rows-only native-sketch queries stay pinned
+    last."""
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
     oracles = entrymod.oracle_sql()
-    # (a) new/changed since the r16 snapshot + the r16-late trio
-    assert window[:11] == [
-        "dedup_chain_spans",
-        "dedup_verbatim_spans",
-        "dedup_strip_verbatim",
-        "dedup_setsim_join",
-        "dedup_containment",
-        "text_bpe_merges_batched",
-        "text_bpe_tokenize",
-        "text_bpe_tokenize_trie",
-        "text_bpe_pipeline",
-        "a_bottomk_quantiles",
-        "a_bloom_membership",
-    ]
-    # (b) the stalest middle-block remainder, led by tpch_q1, fills
-    # the window; what follows position 50 leads the r18 window
-    assert window[11] == "tpch_q1"
-    assert window[49] == "p2_dedup_rows"
-    assert qs[50] == "p3_dedup_keep_first"
-    for q in (
-        "flagship_events_hourly",
+    # (a) r18-changed head
+    assert window[:14] == [
+        "ann_ivf_pq_topk",
+        "ann_ivf_adc_topk",
+        "ann_adc_topk",
+        "ann_lsh_topk",
+        "emb_near_dups",
         "dedup_minhash_cluster",
-        "curation_pipeline",
-        "mm_jpeg_roundtrip",
-        "graph_triangle_count",
-        "j4_asof_backward",
-        "a8_resample_hourly",
-        "f_scalar_suite",
-    ):
-        assert q in window[11:], f"{q} must be driver-confirmed this round"
+        "text_bpe_merges_batched",
+        "text_bpe_pipeline",
+        "fleet_udg_filter",
+        "fleet_tdr_depth",
+        "emb_semantic_dedup",
+        "geo_grid_join",
+        "geo_point_in_polygon",
+        "curation_decontaminate",
+    ]
+    # (b) the 11 r17-changed, never-driver-regated queries
+    assert window[14:25] == [
+        "curation_logreg_trained",
+        "curation_dsir_select",
+        "text_repetition_flags",
+        "curation_pretrain_pipeline",
+        "fuzzy_match_join",
+        "graph_kcore",
+        "graph_bfs_levels",
+        "graph_connected_components",
+        "graph_pagerank",
+        "emb_kmeans_assign",
+        "emb_scalar_quantize",
+    ]
+    # (c) stalest remainder (post-r17-window registry order) fills to 50
+    assert window[25] == "p3_dedup_keep_first"
+    assert window[49] == "a_ks_test"
+    assert qs[50] == "ts_holt_linear"
     missing = [q for q in window if q not in oracles]
     assert not missing, f"window entries without full oracles: {missing}"
     assert qs[-3:] == [
