@@ -810,7 +810,13 @@ def logreg_train_select(
     weights = [0] * (int(buckets) + 1)
 
     def _wlit() -> Column:
-        return F.array(*[F.lit(int(x)).cast("long") for x in weights])
+        # ONE F.expr string, not buckets+1 F.lit py4j round-trips: the
+        # Column-builder form cost ~1k driver calls per GD round just to
+        # rebuild this literal (the lsh_bucket_sql lesson, r18) — same
+        # expression tree, same BIGINT literals, bit-identical plan.
+        return F.expr(
+            "array(" + ", ".join(f"{int(x)}L" for x in weights) + ")"
+        )
 
     margin = F.sum(
         F.element_at(_wlit(), F.col("bucket").cast("int") + 1) * F.col("f")
