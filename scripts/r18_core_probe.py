@@ -61,12 +61,15 @@ PROBE = [
 
 def main() -> None:
     n = 8
+    repeats = 2
     probe = list(PROBE)
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=", 1)[1])
         elif a.startswith("--queries="):
             probe = [q.strip() for q in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--repeats="):
+            repeats = int(a.split("=", 1)[1])
     out_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_{n}x")
     cells_dir = os.path.join(tempfile.gettempdir(), f"scale_probe_{n}x_cells")
     if "--skip-synth" not in sys.argv:
@@ -87,9 +90,9 @@ def main() -> None:
         os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
         cells_q = [q for q in probe if q in CELLS_PROPORTIONAL]
         fixed_q = [q for q in probe if q not in CELLS_PROPORTIONAL]
-        res = run_bench(out_dir, queries=fixed_q)
+        res = run_bench(out_dir, repeats=repeats, queries=fixed_q)
         if cells_q:
-            cres = run_bench(cells_dir, queries=cells_q)
+            cres = run_bench(cells_dir, repeats=repeats, queries=cells_q)
             res["queries"].update(cres["queries"])
         legs[cpus] = res
         print(f"{cpus}c suite: {round(sum(res['queries'].values()), 3)}s "
